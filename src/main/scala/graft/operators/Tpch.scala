@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+
+/** General batch analytics (SURVEY §2 D-block).
+  *
+  * TPC-H-shaped queries over the star schema — the "engine
+  * completeness" block: wide aggregation, selective filter-agg,
+  * broadcast + shuffle joins, snowflake joins, decorrelated
+  * threshold joins, window functions.
+  *
+  * Scale notes: dims (region/nation/customer/supplier/part) are
+  * explicitly broadcast — at 100 TB the fact tables shuffle on join
+  * keys only after pushed-down predicates prune, and every groupBy
+  * is partial-aggregated map-side by Catalyst.
+  */
+object Tpch {
+
+  /** D1 — TPCH Q1 shape: wide aggregation over lineitem.
+    * Doubles rounded at the end of the plan only (oracle display parity).
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_extendedprice), 4) AS avg_price,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** D2 — TPCH Q6 shape: selective filter + single aggregate.
+    * All three predicates push down to the parquet scan.
+    */
+  def revenueFilter(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+  }
+
+  val revenueFilterSql: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** D3 — TPCH Q3 shape: customer ⋈ orders ⋈ lineitem, top-10 revenue.
+    * customer is broadcast (small dim); orders⋈lineitem shuffles on
+    * orderkey. Deterministic output: tiebreak on o_orderkey.
+    */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1997-03-15").cast("timestamp")
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
+    val li   = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val shippingPrioritySql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** D4 — TPCH Q5 shape: snowflake join through
+    * region→nation→customer→orders→lineitem→supplier.
+    * Note: testdata has no s_nationkey/c_nationkey co-constraint on
+    * lineitem↔supplier beyond keys, so the classic
+    * "c_nationkey = s_nationkey" predicate applies as-is.
+    * All dims broadcast; only orders⋈lineitem shuffles.
+    */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val reg  = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nat  = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val sup  = Tables.supplier(spark, dir)
+    val ord = Tables.orders(spark, dir).filter(
+      col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+      col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust),
+        col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val localSupplierVolumeSql: String =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** D5 — TPCH Q17 shape: decorrelated per-part average threshold.
+    * The correlated subquery becomes a self-aggregate + join —
+    * the scalable plan (one shuffle on l_partkey, broadcast part dim).
+    */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val pt = Tables.part(spark, dir)
+    val avgQty = li.groupBy(col("l_partkey").as("a_partkey"))
+      .agg((avg(col("l_quantity")) * 0.5).as("half_avg_qty"))
+    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(avgQty, col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < col("half_avg_qty"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+  }
+
+  val smallQtyRevenueSql: String =
+    """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN (SELECT l_partkey AS a_partkey, avg(l_quantity) * 0.5 AS half_avg_qty
+      |      FROM lineitem GROUP BY l_partkey) t ON l_partkey = a_partkey
+      |WHERE l_quantity < half_avg_qty""".stripMargin
+
+  /** D6 — running revenue per supplier (window running total + rank).
+    * Deterministic: window ordered by (l_shipdate, l_orderkey,
+    * l_linenumber) — a unique key.
+    */
+  def runningRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).filter(col("l_suppkey") <= 5)
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        round(sum(col("l_extendedprice")).over(w), 2).as("running_rev"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val runningRevenueSql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  round(sum(l_extendedprice) OVER (
+      |    PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev
+      |FROM lineitem
+      |WHERE l_suppkey <= 5
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+}
