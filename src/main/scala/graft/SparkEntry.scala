@@ -18,6 +18,22 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B — transform / parse battery
+    "q_apache_parse"  -> (LogAnalytics.apacheParse(_, _)),
+    "q_user_agents"   -> (LogAnalytics.userAgents(_, _)),
+    "q_lambda_events" -> (LogAnalytics.lambdaEvents(_, _)),
+    // C — OpenSearch-style log analytics
+    "q_date_histogram"     -> (LogAnalytics.dateHistogram(_, _)),
+    "q_terms_agg"          -> (LogAnalytics.termsAgg(_, _)),
+    "q_search"             -> (LogAnalytics.search(_, _)),
+    "q_error_rate"         -> (LogAnalytics.errorRate(_, _)),
+    "q_percentiles"        -> (LogAnalytics.percentiles(_, _)),
+    "q_percentiles_approx" -> (LogAnalytics.percentilesApprox(_, _)),
+    "q_cardinality"        -> (LogAnalytics.cardinality(_, _)),
+    "q_cardinality_approx" -> (LogAnalytics.cardinalityApprox(_, _)),
+    "q_top_users_per_type" -> (LogAnalytics.topUsersPerType(_, _)),
+    "q_sessionize"         -> (LogAnalytics.sessionize(_, _)),
+    "q_enrich_join"        -> (LogAnalytics.enrichJoin(_, _)),
     // D — general batch analytics
     "q_pricing_summary"      -> (Tpch.pricingSummary(_, _)),
     "q_revenue_filter"       -> (Tpch.revenueFilter(_, _)),
@@ -29,6 +45,18 @@ object SparkEntry {
 
   /** DuckDB-runnable oracle SQL, same column names as the Spark plan. */
   def oracleSql: Map[String, String] = Map(
+    "q_apache_parse"       -> LogAnalytics.apacheParseSql,
+    "q_user_agents"        -> LogAnalytics.userAgentsSql,
+    "q_lambda_events"      -> LogAnalytics.lambdaEventsSql,
+    "q_date_histogram"     -> LogAnalytics.dateHistogramSql,
+    "q_terms_agg"          -> LogAnalytics.termsAggSql,
+    "q_search"             -> LogAnalytics.searchSql,
+    "q_error_rate"         -> LogAnalytics.errorRateSql,
+    "q_percentiles"        -> LogAnalytics.percentilesSql,
+    "q_cardinality"        -> LogAnalytics.cardinalitySql,
+    "q_top_users_per_type" -> LogAnalytics.topUsersPerTypeSql,
+    "q_sessionize"         -> LogAnalytics.sessionizeSql,
+    "q_enrich_join"        -> LogAnalytics.enrichJoinSql,
     "q_pricing_summary"      -> Tpch.pricingSummarySql,
     "q_revenue_filter"       -> Tpch.revenueFilterSql,
     "q_shipping_priority"    -> Tpch.shippingPrioritySql,

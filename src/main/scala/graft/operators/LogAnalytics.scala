@@ -1,0 +1,317 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.{ApacheLog, LambdaLogs}
+import graft.sources.{LogLines, Tables}
+
+/** OpenSearch-Discover-style log analytics (SURVEY §2 B+C blocks).
+  *
+  * The reference's analytics surface is OpenSearch Dashboards over the
+  * per-source daily indexes (reference: README.md:295-314 "Visualize the
+  * logs") — full-text search, term filters, date histograms, terms
+  * aggregations, metrics. Here each of those query shapes is a
+  * declarative DataFrame plan over the `events` log table, so Catalyst
+  * pushes filters/projection into the parquet scan and partial-aggregates
+  * map-side — the 100 TB-safe equivalents of index-side query execution.
+  */
+object LogAnalytics {
+
+  // ---- B1/B2: Apache combined-log parse round-trip ------------------
+
+  /** Synthesize combined-log lines from events, parse them back with the
+    * regex battery; the oracle derives expected fields directly from the
+    * events columns — verifying the parse without sharing a code path.
+    */
+  def apacheParse(spark: SparkSession, dir: String): DataFrame = {
+    val lines = LogLines.apacheLines(spark, dir)
+    lines.select(
+        col("event_id"),
+        ApacheLog.ip(col("line")).as("ip"),
+        ApacheLog.ts(col("line")).as("ts_sec"),
+        ApacheLog.verb(col("line")).as("verb"),
+        ApacheLog.path(col("line")).as("path"),
+        ApacheLog.status(col("line")).as("status"),
+        ApacheLog.bytes(col("line")).as("bytes"))
+      .orderBy(col("event_id"))
+  }
+
+  val apacheParseSql: String =
+    """SELECT event_id,
+      |  concat('10.', user_id % 256, '.', event_id % 250, '.', (event_id * 7) % 250) AS ip,
+      |  date_trunc('second', ts) AS ts_sec,
+      |  CASE WHEN event_type IN ('signup','purchase') THEN 'POST' ELSE 'GET' END AS verb,
+      |  concat('/', event_type, '/', event_id % 100) AS path,
+      |  CAST(CASE WHEN event_type = 'error' THEN 500
+      |            WHEN event_type = 'signup' THEN 201 ELSE 200 END AS BIGINT) AS status,
+      |  CAST(floor(value * 10) AS BIGINT) AS bytes
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** B2 — browser/OS extraction from the parsed user-agent. */
+  def userAgents(spark: SparkSession, dir: String): DataFrame = {
+    val lines = LogLines.apacheLines(spark, dir)
+    val agent = ApacheLog.agent(col("line"))
+    lines.select(
+        ApacheLog.browser(agent).as("browser"),
+        ApacheLog.os(agent).as("os"))
+      .groupBy(col("browser"), col("os"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("browser"), col("os"))
+  }
+
+  val userAgentsSql: String =
+    """SELECT
+      |  CASE user_id % 4 WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Safari'
+      |                   WHEN 2 THEN 'curl' ELSE 'Firefox' END AS browser,
+      |  CASE user_id % 4 WHEN 0 THEN 'Windows' WHEN 1 THEN 'macOS'
+      |                   WHEN 2 THEN 'other' ELSE 'Linux' END AS os,
+      |  count(*) AS n
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY browser, os""".stripMargin
+
+  // ---- B3/B5: Lambda event-batch transform ---------------------------
+
+  /** from_json → explode → keep type=="function" → split record fields
+    * (the reference transformer, lib/computes/lambda/transformer/index.js).
+    */
+  def lambdaEvents(spark: SparkSession, dir: String): DataFrame = {
+    val batches = LogLines.lambdaBatches(spark, dir)
+    LambdaLogs.functionLogs(batches, "batch").orderBy(col("event_id"))
+  }
+
+  val lambdaEventsSql: String =
+    """SELECT event_id,
+      |  concat('req-', event_id) AS req_id,
+      |  CASE WHEN event_type = 'error' THEN 'ERROR'
+      |       WHEN event_type = 'signup' THEN 'WARN' ELSE 'INFO' END AS level,
+      |  concat('event=', event_type) AS msg
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  // ---- C1: date_histogram -------------------------------------------
+
+  def dateHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("bucket"), col("event_type"))
+
+  val dateHistogramSql: String =
+    """SELECT date_trunc('hour', ts) AS bucket, event_type,
+      |  count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY bucket, event_type""".stripMargin
+
+  // ---- C2: terms aggregation + sub-metrics ---------------------------
+
+  def termsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("value")), 4).as("avg_value"),
+        round(sum(col("value")), 2).as("total_value"),
+        countDistinct(col("user_id")).as("users"))
+      .orderBy(col("n").desc, col("event_type"))
+
+  val termsAggSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  round(avg(value), 4) AS avg_value,
+      |  round(sum(value), 2) AS total_value,
+      |  count(DISTINCT user_id) AS users
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY n DESC, event_type""".stripMargin
+
+  // ---- C3: full-text search (match + bool + range) -------------------
+
+  def search(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(
+        col("event_type") === "error" &&
+        col("value") >= 100 &&
+        col("props").like("""%"k": 9%""") &&
+        col("ts") >= lit("2024-01-05").cast("timestamp") &&
+        col("ts") < lit("2024-01-20").cast("timestamp"))
+      .select(col("event_id"), col("user_id"), col("value"), col("props"))
+      .orderBy(col("event_id"))
+
+  val searchSql: String =
+    """SELECT event_id, user_id, value, props
+      |FROM events
+      |WHERE event_type = 'error' AND value >= 100
+      |  AND props LIKE '%"k": 9%'
+      |  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+      |ORDER BY event_id""".stripMargin
+
+  // ---- C4: error-rate monitoring -------------------------------------
+
+  def errorRate(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(when(col("event_type") === "error", 1).otherwise(0)).cast("double") * 100 / count(lit(1)), 4)
+          .as("error_rate_pct"))
+      .orderBy(col("day"))
+
+  val errorRateSql: String =
+    """SELECT date_trunc('day', ts) AS day, count(*) AS n,
+      |  round(CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) * 100 / count(*), 4)
+      |    AS error_rate_pct
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin
+
+  // ---- C5: percentiles metric ----------------------------------------
+
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy(col("event_type"))
+
+  val percentilesSql: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 4) AS p50,
+      |  round(quantile_cont(value, 0.9), 4) AS p90,
+      |  round(quantile_cont(value, 0.99), 4) AS p99
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Scale path for C5: approx_percentile sketches (mergeable, one pass,
+    * bounded memory at any scale). No DuckDB oracle (different sketch) —
+    * rows-only + ApproxSpec.
+    */
+  def percentilesApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("approx_percentile(value, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(value, 0.9, 10000)").as("p90"),
+        expr("approx_percentile(value, 0.99, 10000)").as("p99"))
+      .orderBy(col("event_type"))
+
+  // ---- C6: cardinality metric ----------------------------------------
+
+  def cardinality(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  val cardinalitySql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS n
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Scale path for C6: HLL++ sketch — mergeable partial aggregates, no
+    * exact-distinct shuffle. Rows-only + ApproxSpec (relative-error bound).
+    */
+  def cardinalityApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("users"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  // ---- C7: top-N per group -------------------------------------------
+
+  def topUsersPerType(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(round(sum(col("value")), 2).as("total_value"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("total_value").desc, col("user_id"))
+    agg.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy(col("event_type"), col("rank"))
+  }
+
+  val topUsersPerTypeSql: String =
+    """WITH agg AS (
+      |  SELECT event_type, user_id, round(sum(value), 2) AS total_value
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY event_type ORDER BY total_value DESC, user_id) AS rank
+      |  FROM agg)
+      |SELECT event_type, user_id, total_value, rank
+      |FROM r WHERE rank <= 3
+      |ORDER BY event_type, rank""".stripMargin
+
+  // ---- C8: sessionization (gap-based, batch) -------------------------
+
+  /** 30-minute-gap sessionization via lag + running sum of session-start
+    * flags — one shuffle on user_id; the same semantics run streaming in
+    * LogPipeline via flatMapGroupsWithState (C11).
+    * ts pre-truncated to seconds on both sides (parquet ns vs micros).
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("tss"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        date_trunc("second", col("ts")).as("tss"))
+      .withColumn("prev", lag(col("tss"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev").isNull ||
+          unix_timestamp(col("tss")) - unix_timestamp(col("prev")) > 1800, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"),
+        min(col("tss")).as("session_start"),
+        max(col("tss")).as("session_end"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val sessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, value, date_trunc('second', ts) AS tss FROM events),
+      |l AS (
+      |  SELECT *, lag(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS prev FROM e),
+      |f AS (
+      |  SELECT *, CASE WHEN prev IS NULL OR epoch(tss) - epoch(prev) > 1800
+      |                 THEN 1 ELSE 0 END AS new_s FROM l),
+      |s AS (
+      |  SELECT *, sum(new_s) OVER (
+      |    PARTITION BY user_id ORDER BY tss, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM f)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+      |  round(sum(value), 2) AS session_value,
+      |  min(tss) AS session_start, max(tss) AS session_end
+      |FROM s
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  // ---- C9: enrichment join (logs × user dim) -------------------------
+
+  /** events ⋈ customer on user_id — dim side broadcast: at 100 TB the
+    * fact table never shuffles for this join.
+    */
+  def enrichJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("c_mktsegment"), col("event_type"))
+
+  val enrichJoinSql: String =
+    """SELECT c_mktsegment, event_type, count(*) AS n,
+      |  round(sum(value), 2) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2
+      |ORDER BY c_mktsegment, event_type""".stripMargin
+}

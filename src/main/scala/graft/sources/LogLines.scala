@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic raw-log synthesis from the `events` table.
+  *
+  * The reference ingests real Apache httpd / NGINX access-log lines
+  * (reference: lib/computes/ec2/ec2-startup.sh — Kinesis agent tails
+  * /etc/httpd/logs; README.md:47 shows the combined-log-format sample).
+  * The test environment has no web server, so we derive log lines
+  * DETERMINISTICALLY from `events` columns; the DuckDB oracle then
+  * derives the expected *parsed* fields directly from the same columns,
+  * which verifies the parse round-trip without sharing any code path.
+  */
+object LogLines {
+
+  /** Browser fleet — one agent per user_id % 4. */
+  val agents: Seq[String] = Seq(
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/91.0.4472.124 Safari/537.36",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/14.1 Safari/605.1.15",
+    "curl/7.68.0",
+    "Mozilla/5.0 (X11; Linux x86_64; rv:89.0) Gecko/20100101 Firefox/89.0")
+
+  def ipCol: Column =
+    concat_ws(".", lit("10"), col("user_id") % 256, col("event_id") % 250, (col("event_id") * 7) % 250)
+
+  def verbCol: Column =
+    when(col("event_type").isin("signup", "purchase"), "POST").otherwise("GET")
+
+  def pathCol: Column =
+    concat(lit("/"), col("event_type"), lit("/"), (col("event_id") % 100).cast("string"))
+
+  def statusCol: Column =
+    when(col("event_type") === "error", 500)
+      .when(col("event_type") === "signup", 201)
+      .otherwise(200).cast("long")
+
+  def bytesCol: Column = floor(col("value") * 10).cast("long")
+
+  def agentCol: Column =
+    element_at(array(agents.map(lit): _*), (col("user_id") % 4).cast("int") + 1)
+
+  /** events → one Apache combined-log line per event.
+    * `46.99.153.40 - - [29/Jul/2021:15:32:33 +0000] "GET / HTTP/1.1" 200 173 "-" "UA"`
+    */
+  def apacheLines(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"),
+      format_string(
+        "%s - - [%s] \"%s %s HTTP/1.1\" %d %d \"-\" \"%s\"",
+        ipCol,
+        date_format(date_trunc("second", col("ts")), "dd/MMM/yyyy:HH:mm:ss +0000"),
+        verbCol, pathCol, statusCol, bytesCol, agentCol).as("line"))
+
+  /** events → one Lambda-extension JSON batch per event (the shape the
+    * reference's Firehose transformer receives — README.md:94-147:
+    * an array of {time, type, record} entries where only
+    * type=="function" records carry log payloads).
+    */
+  def lambdaBatches(spark: SparkSession, dir: String): DataFrame = {
+    val iso = date_format(date_trunc("second", col("ts")), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    val level = when(col("event_type") === "error", "ERROR")
+      .when(col("event_type") === "signup", "WARN")
+      .otherwise("INFO")
+    Tables.events(spark, dir).select(
+      col("event_id"),
+      format_string(
+        """[{"time":"%s","type":"platform.start","record":"req-%d"},""" +
+        """{"time":"%s","type":"function","record":"%s\treq-%d\t%s\tevent=%s"},""" +
+        """{"time":"%s","type":"platform.runtimeDone","record":"req-%d"}]""",
+        iso, col("event_id"),
+        iso, iso, col("event_id"), level, col("event_type"),
+        iso, col("event_id")).as("batch"))
+  }
+}
