@@ -34,6 +34,19 @@ object SparkEntry {
     "q_top_users_per_type" -> (LogAnalytics.topUsersPerType(_, _)),
     "q_sessionize"         -> (LogAnalytics.sessionize(_, _)),
     "q_enrich_join"        -> (LogAnalytics.enrichJoin(_, _)),
+    // E — training-data pipeline: dedup / similarity / text / multimodal
+    "q_dedup_exact"     -> (Dedup.exact(_, _)),
+    "q_dedup_minhash"   -> (Dedup.minhashPairs(_, _)),
+    "q_dedup_simhash"   -> (Dedup.simhashPairs(_, _)),
+    "q_ngram_jaccard"   -> (Dedup.ngramJaccard(_, _)),
+    "q_dedup_embedding" -> (Dedup.embeddingPairs(_, _)),
+    "q_ann_topk"        -> (Similarity.annTopK(_, _)),
+    "q_ann_lsh"         -> (Similarity.annLsh(_, _)),
+    "q_token_count"     -> (TextAnalysis.tokenCount(_, _)),
+    "q_quality_score"   -> (TextAnalysis.qualityScore(_, _)),
+    "q_lang_id"         -> (TextAnalysis.langId(_, _)),
+    "q_fingerprint"     -> (TextAnalysis.fingerprint(_, _)),
+    "q_multimodal_meta" -> (Multimodal.features(_, _)),
     // D — general batch analytics
     "q_pricing_summary"      -> (Tpch.pricingSummary(_, _)),
     "q_revenue_filter"       -> (Tpch.revenueFilter(_, _)),
@@ -57,6 +70,12 @@ object SparkEntry {
     "q_top_users_per_type" -> LogAnalytics.topUsersPerTypeSql,
     "q_sessionize"         -> LogAnalytics.sessionizeSql,
     "q_enrich_join"        -> LogAnalytics.enrichJoinSql,
+    "q_dedup_exact"     -> Dedup.exactSql,
+    "q_ngram_jaccard"   -> Dedup.ngramJaccardSql,
+    "q_dedup_embedding" -> Dedup.embeddingPairsSql,
+    "q_ann_topk"        -> Similarity.annTopKSql,
+    "q_token_count"     -> TextAnalysis.tokenCountSql,
+    "q_quality_score"   -> TextAnalysis.qualityScoreSql,
     "q_pricing_summary"      -> Tpch.pricingSummarySql,
     "q_revenue_filter"       -> Tpch.revenueFilterSql,
     "q_shipping_priority"    -> Tpch.shippingPrioritySql,

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shingling / MinHash / SimHash batteries (SURVEY §2 E2/E3).
+  *
+  * Everything here is composed from codegen'd builtins (split /
+  * transform / aggregate / zip_with / xxhash64) — no UDFs — so the whole
+  * signature computation stays inside one whole-stage-codegen span and
+  * scales linearly with document bytes. Shingle strings are hashed ONCE
+  * (xxhash64) and the k MinHash "permutations" re-mix the 8-byte hash
+  * (xxhash64(h, seed)), not the string — at 100 TB that's the difference
+  * between O(k·bytes) and O(k + bytes) per document.
+  */
+object HashFns {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles as strings (for exact Jaccard / display). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => array_join(slice(toks, i, lit(n)), " "))
+  }
+
+  /** Shingles pre-hashed to 64-bit — the working representation. */
+  def shingleHashes(text: Column, n: Int): Column =
+    transform(shingles(text, n), s => xxhash64(s))
+
+  /** k-wide MinHash signature over pre-hashed shingles: element s is
+    * min over shingles of xxhash64(h, s) (a cheap fixed-width re-mix
+    * standing in for the s-th permutation).
+    */
+  def minhashSignature(shingleHs: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      s => array_min(transform(shingleHs, h => xxhash64(h, s))))
+
+  /** LSH band keys: split the signature into `bands` bands of `rows`
+    * and hash each band (+ its index, so bands don't collide across
+    * positions). Exploding these gives O(docs×bands) shuffle — never
+    * O(docs²).
+    */
+  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(sig, b * lit(rows) + lit(1), lit(rows))))
+
+  /** Exact Jaccard between two pre-hashed shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a); val db = array_distinct(b)
+    size(array_intersect(da, db)).cast("double") / size(array_union(da, db))
+  }
+
+  /** 64-bit SimHash over pre-hashed tokens: per bit, sum +1/-1 by the
+    * bit of each token hash, then pack the signs.
+    */
+  def simhash64(tokenHs: Column): Column = {
+    val acc = aggregate(
+      tokenHs,
+      array_repeat(lit(0L), 64),
+      (acc, h) =>
+        zip_with(acc, sequence(lit(0), lit(63)), (a, bit) =>
+          a + when(call_function("shiftright", h, bit).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(acc, sequence(lit(0), lit(63)), (v, bit) =>
+        when(v > 0, call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L))),
+      lit(0L),
+      (a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** c-bit chunk keys of a 64-bit signature — pigeonhole blocking: two
+    * signatures within hamming distance (64/c - 1) share ≥1 chunk.
+    */
+  def simhashChunks(sig: Column, chunks: Int): Column = {
+    val width = 64 / chunks
+    val mask = (1L << width) - 1
+    transform(
+      sequence(lit(0), lit(chunks - 1)),
+      c => struct(
+        c.as("chunk_id"),
+        call_function("shiftright", sig, c * lit(width)).bitwiseAND(lit(mask)).as("chunk_val")))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis battery for training-data pipelines (SURVEY §2 E8–E11).
+  * All pure builtin column expressions — codegen'd, no UDFs.
+  */
+object TextFns {
+
+  /** E10 — whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
+
+  /** E10 — BPE-ish token count: letter runs, digit runs, and single
+    * punctuation marks each count as one token (a cheap proxy for a BPE
+    * pre-tokenizer's word-split stage).
+    */
+  val bpeTokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    size(call_function("regexp_extract_all", text, lit(bpeTokenPattern), lit(0)))
+
+  /** Distinct-word ratio — low values signal boilerplate/repetition. */
+  def distinctRatio(text: Column): Column = {
+    val toks = split(text, " ")
+    size(array_distinct(toks)).cast("double") / size(toks)
+  }
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Stopword ratio — a natural-language-likeness signal. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(text, " ")
+    size(filter(toks, t => t.isin(stopwords.map(x => x: Any): _*))).cast("double") / size(toks)
+  }
+
+  /** E9 — composite quality score:
+    * log-length × vocabulary diversity × (1 - stopword excess).
+    * Deterministic arithmetic reproduced verbatim in the DuckDB oracle.
+    */
+  def qualityScore(text: Column): Column =
+    log(size(split(text, " ")).cast("double") + 1) *
+      distinctRatio(text) * (lit(1.0) - stopwordRatio(text))
+
+  // ---- E8: language ID (stopword-profile heuristic) ------------------
+
+  /** Tiny per-language function-word profiles (public-knowledge lists). */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "ich", "zu", "mit"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y", "es", "en", "un", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "je", "ne", "que", "des", "une"))
+
+  def langScore(text: Column, profile: Seq[String]): Column = {
+    val toks = split(lower(text), "\\s+")
+    size(filter(toks, t => t.isin(profile.map(x => x: Any): _*))).cast("double") /
+      greatest(size(toks), lit(1))
+  }
+
+  /** E8 — argmax over profile scores; "und" (unknown) when no profile
+    * matches any token.
+    */
+  def langId(text: Column): Column = {
+    val scores = langProfiles.map { case (lang, prof) => (lang, langScore(text, prof)) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(lit("und")) { case (acc, (lang, score)) =>
+      when(score === best && score > 0, lang).otherwise(acc)
+    }
+  }
+
+  // ---- E11: document fingerprinting (winnowing) ----------------------
+
+  /** E11 — winnowing (Schleimer et al., SIGMOD 2003, public algorithm):
+    * hash word k-grams, take the min hash of each sliding window of
+    * `window` consecutive k-gram hashes, dedupe. Robust position-free
+    * fingerprints: near-identical docs share most fingerprints.
+    */
+  def fingerprints(text: Column, k: Int = 3, window: Int = 4): Column = {
+    val hs = HashFns.shingleHashes(text, k)
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(hs) - (window - 1), lit(1))),
+        i => array_min(slice(hs, i, lit(window)))))
+  }
+}

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFns
+import graft.plans.CosineSim
+import graft.sources.Tables
+
+/** Deduplication suite for training-data pipelines (SURVEY §2 E1–E5).
+  *
+  * Scale design: every candidate-generation step is a groupBy/join on a
+  * BLOCKING key (hash, LSH band, simhash chunk, prefix) — shuffle volume
+  * is O(docs × keys), never O(docs²); exact verification runs only
+  * inside blocks. Oversized buckets (degenerate content) are capped —
+  * the skew guard that keeps a 100 TB run from producing a quadratic
+  * straggler.
+  */
+object Dedup {
+
+  /** E1 — exact dedup via content hash. One map-side-combined groupBy;
+    * keep_id is the minimal doc_id of each identical-text group.
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy(col("keep_id"))
+
+  val exactSql: String =
+    """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY keep_id""".stripMargin
+
+  /** Max docs an LSH/simhash bucket may hold before it is dropped as
+    * degenerate (near-constant content). Keeps pair generation from
+    * going quadratic on skewed buckets.
+    */
+  val maxBucketSize = 200
+
+  /** E2 — MinHash + LSH near-dup pairs.
+    * shingle(3-word) → 64-wide minhash → 16 bands × 4 rows → band-bucket
+    * self-join → exact Jaccard verify (≥ threshold) inside buckets only.
+    * Band probability: P(candidate) = 1-(1-j⁴)¹⁶ — ~0.97 at j=0.8.
+    */
+  def minhashPairs(spark: SparkSession, dir: String, threshold: Double = 0.7): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), HashFns.shingleHashes(col("text"), 3).as("sh"))
+      .withColumn("sig", HashFns.minhashSignature(col("sh"), 64))
+
+    val cand = docs.select(col("doc_id"), explode(HashFns.bandKeys(col("sig"), 16, 4)).as("band"))
+    val okBuckets = cand.groupBy(col("band"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn").between(2, maxBucketSize))
+      .select(col("band"))
+    val inBucket = cand.join(okBuckets, "band")
+
+    val pairs = inBucket.select(col("band"), col("doc_id").as("doc_a"))
+      .join(inBucket.select(col("band"), col("doc_id").as("doc_b")), "band")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+
+    pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard", round(HashFns.jaccard(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** E3 — SimHash near-dup pairs: 64-bit signature, 4×16-bit chunk
+    * blocking (pigeonhole: hamming ≤ 3 ⇒ ≥1 chunk equal), verify
+    * hamming ≤ 3 on candidates.
+    */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        HashFns.simhash64(transform(HashFns.tokens(col("text")), t => xxhash64(t))).as("sig"))
+
+    val chunked = docs.select(col("doc_id"), col("sig"),
+      explode(HashFns.simhashChunks(col("sig"), 4)).as("chunk"))
+    val okBuckets = chunked.groupBy(col("chunk"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn").between(2, maxBucketSize))
+      .select(col("chunk"))
+    val inBucket = chunked.join(okBuckets, "chunk")
+
+    inBucket.select(col("chunk"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      .join(inBucket.select(col("chunk"), col("doc_id").as("doc_b"), col("sig").as("sig_b")), "chunk")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        HashFns.hamming(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** E4 — exact n-gram Jaccard inside prefix blocks. Blocking key: the
+    * first two words (cheap, deterministic, SQL-reproducible — so this
+    * one IS oracle-checked; MinHash (E2) is the general-recall path).
+    */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("block"),
+      array_distinct(HashFns.shingles(col("text"), 3)).as("sh"))
+    docs.select(col("block"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      .join(docs.select(col("block"), col("doc_id").as("doc_b"), col("sh").as("sh_b")), "block")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val ngramJaccardSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    concat_ws(' ', words[1], words[2]) AS block,
+      |    list_distinct(list_transform(range(greatest(len(words) - 2, 1)),
+      |      i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+      |FROM t a JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id
+      |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |            len(list_distinct(a.sh || b.sh)), 4) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** E5 — embedding-cosine near-dup pairs via the native CosineSim
+    * expression. At these SFs an all-pairs nested-loop join (small side
+    * broadcast) is optimal; at 100 TB the E7 LSH bucketing becomes the
+    * candidate generator and this stays the verify kernel.
+    */
+  def embeddingPairs(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    CosineSim.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", CosineSim(col("emb_a"), col("emb_b")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 6).as("cos_sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val embeddingPairsSql: String =
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+      |ORDER BY vec_a, vec_b""".stripMargin
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal (binary) column plumbing (SURVEY §2 E12).
+  *
+  * Models the media pipeline of a training-data system: an opaque
+  * `binary` payload column + typed metadata, with decode/feature-extract
+  * running as a per-partition batch transform (`mapPartitions`) — the
+  * Spark shape under which a real decoder (image/audio libs, GPU
+  * batches) would run. The container has no media libraries, so the
+  * decode step is a clearly-marked DETERMINISTIC STUB; the schema,
+  * partitioning, batch iteration, and typed-Dataset plumbing are real.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, kind: String, media: Array[Byte],
+                      width: Int, height: Int, n_frames: Int)
+  case class MediaFeature(doc_id: Long, kind: String, n_bytes: Int,
+                          checksum: Long, feat_norm: Double)
+
+  /** Synthesize the media table: payload bytes from the document text,
+    * typed metadata derived deterministically from doc_id.
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3).cast("int") + 1).as("kind"),
+      col("text").cast("binary").as("media"),
+      (lit(64) + col("doc_id") % 512).cast("int").as("width"),
+      (lit(64) + col("doc_id") % 256).cast("int").as("height"),
+      (col("doc_id") % 30 + 1).cast("int").as("n_frames"))
+
+  /** Per-partition batch "decode" + feature extraction.
+    *
+    * STUB: a real implementation decodes media bytes (JPEG/WAV/frames)
+    * and runs a feature model over fixed-size batches; this container
+    * has no codecs, so we compute a deterministic fake feature (rolling
+    * checksum + byte-histogram norm) with the SAME batch shape: iterate
+    * the partition, accumulate fixed-width buffers, emit one row per
+    * media item. Swap `decodeStub` for a real decoder to productionize.
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val (checksum, feat) = decodeStub(r.media)
+        MediaFeature(r.doc_id, r.kind, r.media.length, checksum,
+          math.sqrt(feat.map(x => x.toDouble * x).sum))
+      }
+    }.toDF()
+  }
+
+  /** The deterministic stand-in for a media decoder (see above). */
+  private def decodeStub(bytes: Array[Byte]): (Long, Array[Float]) = {
+    val feat = new Array[Float](8)
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) {
+      sum = sum * 31 + (bytes(i) & 0xFF)
+      feat(i % 8) += (bytes(i) & 0xFF) / 255.0f
+      i += 1
+    }
+    (sum, feat)
+  }
+
+  /** E12 query surface: metadata + extracted features, deterministic. */
+  def features(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(spark, mediaTable(spark, dir))
+      .select(col("doc_id"), col("kind"), col("n_bytes"), col("checksum"),
+        round(col("feat_norm"), 4).as("feat_norm"))
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.plans.CosineSim
+import graft.sources.Tables
+
+/** Similarity search over embedding columns (SURVEY §2 E6/E7).
+  *
+  * E6 brute force: the (small) query set is broadcast; the corpus scan
+  * stays partition-local — no corpus shuffle at any scale; per-query
+  * top-k via window rank (deterministic tiebreak on neighbor id).
+  * E7 LSH: 16 random-hyperplane bits bucket the corpus ONCE; queries
+  * probe their two 8-bit band buckets — candidate volume drops from
+  * O(|corpus|) to O(|bucket|) per query, the 100 TB path.
+  */
+object Similarity {
+
+  /** Queries = vec_id < 10 (a stand-in for a user-supplied query set). */
+  val nQueries = 10
+  val topK = 5
+
+  private def queryCorpus(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    CosineSim.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    (e.filter(col("vec_id") < nQueries)
+       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+     e.filter(col("vec_id") >= nQueries)
+       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb")))
+  }
+
+  private def rankTopK(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("n_id"), col("cos_sim"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** E6 — brute-force cosine top-k (the exact baseline). Ranks on the
+    * ROUNDED similarity (6 dp) with n_id tiebreak so ordering is
+    * reproducible bit-for-bit across engines.
+    */
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    val (q, c) = queryCorpus(spark, dir)
+    rankTopK(
+      c.join(broadcast(q))
+        .withColumn("cos_sim", round(CosineSim(col("q_emb"), col("n_emb")), 6)))
+  }
+
+  val annTopKSql: String =
+    """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS n_emb FROM embeddings WHERE vec_id >= 10),
+      |scored AS (
+      |  SELECT q_id, n_id, round(list_cosine_similarity(q_emb, n_emb), 6) AS cos_sim
+      |  FROM q CROSS JOIN c),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, n_id, cos_sim, rank FROM ranked WHERE rank <= 5
+      |ORDER BY q_id, rank""".stripMargin
+
+  /** Deterministic random hyperplanes (seeded — identical on every JVM). */
+  val nPlanes = 16
+  lazy val hyperplanes: Array[Array[Float]] = {
+    val rng = new scala.util.Random(42)
+    Array.fill(nPlanes)(Array.fill(64)(rng.nextGaussian().toFloat))
+  }
+
+  /** 16-bit random-hyperplane signature of an embedding column. */
+  def lshSignature(emb: Column): Column =
+    hyperplanes.zipWithIndex.map { case (plane, p) =>
+      val pl = array(plane.map(lit).toIndexedSeq: _*)
+      when(aggregate(zip_with(emb, pl, (x, y) => x * y), lit(0.0d), (a, b) => a + b) > 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def band(sig: Column, i: Int): Column =
+    shiftright(sig, i * 8).bitwiseAND(lit(0xFFL))
+
+  /** E7 — LSH-bucketed ANN: candidates share ≥1 of the two 8-bit bands
+    * with the query (multi-probe union), then exact-cosine top-k within
+    * candidates only.
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val (q, c) = queryCorpus(spark, dir)
+    val qs = q.withColumn("sig", lshSignature(col("q_emb")))
+    val cs = c.withColumn("sig", lshSignature(col("n_emb")))
+    val candidates = (0 until 2).map { i =>
+      qs.withColumn("bk", band(col("sig"), i)).as("q")
+        .join(cs.withColumn("bk", band(col("sig"), i)).as("c"), Seq("bk"))
+        .select(col("q_id"), col("q_emb"), col("n_id"), col("n_emb"))
+    }.reduce(_ unionByName _).distinct()
+    rankTopK(
+      candidates.withColumn("cos_sim", round(CosineSim(col("q_emb"), col("n_emb")), 6)))
+  }
+}
