@@ -44,8 +44,12 @@ object Dedup {
     * self-join → exact Jaccard verify (≥ threshold) inside buckets only.
     * Band probability: P(candidate) = 1-(1-j⁴)¹⁶ — ~0.97 at j=0.8.
     */
-  def minhashPairs(spark: SparkSession, dir: String, threshold: Double = 0.7): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def minhashPairs(spark: SparkSession, dir: String, threshold: Double = 0.7): DataFrame =
+    minhashPairsDf(Tables.documents(spark, dir), threshold)
+
+  /** DataFrame-level core of E2 — any (doc_id, text) input. */
+  def minhashPairsDf(documents: DataFrame, threshold: Double): DataFrame = {
+    val docs = documents
       .select(col("doc_id"), HashFns.shingleHashes(col("text"), 3).as("sh"))
       .withColumn("sig", HashFns.minhashSignature(col("sh"), 64))
 
@@ -75,8 +79,12 @@ object Dedup {
     * blocking (pigeonhole: hamming ≤ 3 ⇒ ≥1 chunk equal), verify
     * hamming ≤ 3 on candidates.
     */
-  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    simhashPairsDf(Tables.documents(spark, dir), maxHamming)
+
+  /** DataFrame-level core of E3 — any (doc_id, text) input. */
+  def simhashPairsDf(documents: DataFrame, maxHamming: Int): DataFrame = {
+    val docs = documents
       .select(col("doc_id"),
         HashFns.simhash64(transform(HashFns.tokens(col("text")), t => xxhash64(t))).as("sig"))
 

@@ -134,7 +134,7 @@ object LogAnalytics {
     Tables.events(spark, dir)
       .filter(
         col("event_type") === "error" &&
-        col("value") >= 100 &&
+        col("value") >= 50 &&
         col("props").like("""%"k": 9%""") &&
         col("ts") >= lit("2024-01-05").cast("timestamp") &&
         col("ts") < lit("2024-01-20").cast("timestamp"))
@@ -144,7 +144,7 @@ object LogAnalytics {
   val searchSql: String =
     """SELECT event_id, user_id, value, props
       |FROM events
-      |WHERE event_type = 'error' AND value >= 100
+      |WHERE event_type = 'error' AND value >= 50
       |  AND props LIKE '%"k": 9%'
       |  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
       |  AND ts < TIMESTAMP '2024-01-20 00:00:00'

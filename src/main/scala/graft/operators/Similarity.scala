@@ -78,18 +78,25 @@ object Similarity {
         lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  private def band(sig: Column, i: Int): Column =
-    shiftright(sig, i * 8).bitwiseAND(lit(0xFFL))
+  /** Band geometry: 4 bands × 4 bits. Wider bands prune harder but lose
+    * recall on weakly-clustered data; these test embeddings are random
+    * (the LSH worst case), so bands stay narrow here — production tuning
+    * raises nPlanes/band width as cluster structure allows.
+    */
+  val nBands = 4
+  val bandBits = 4
 
-  /** E7 — LSH-bucketed ANN: candidates share ≥1 of the two 8-bit bands
-    * with the query (multi-probe union), then exact-cosine top-k within
-    * candidates only.
+  private def band(sig: Column, i: Int): Column =
+    shiftright(sig, i * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
+
+  /** E7 — LSH-bucketed ANN: candidates share ≥1 band with the query
+    * (multi-probe union), then exact-cosine top-k within candidates only.
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val (q, c) = queryCorpus(spark, dir)
     val qs = q.withColumn("sig", lshSignature(col("q_emb")))
     val cs = c.withColumn("sig", lshSignature(col("n_emb")))
-    val candidates = (0 until 2).map { i =>
+    val candidates = (0 until nBands).map { i =>
       qs.withColumn("bk", band(col("sig"), i)).as("q")
         .join(cs.withColumn("bk", band(col("sig"), i)).as("c"), Seq("bk"))
         .select(col("q_id"), col("q_emb"), col("n_id"), col("n_emb"))

@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.functions.ApacheLog
+
+/** Structured-Streaming log pipeline (SURVEY §2 A3–A5, C10–C11).
+  *
+  * The Spark-native form of the reference's delivery path: Kinesis
+  * Firehose streams per compute source + transformer Lambda + daily
+  * index rotation + failed-documents S3 backup (reference:
+  * lib/common/utils.ts:40-83). Here:
+  *  - the file stream source stands in for Kinesis (same micro-batch
+  *    semantics; swap `readStream.text` for a Kinesis/Kafka source in
+  *    production — the transform/sink graph is unchanged);
+  *  - the parse battery is the transformer;
+  *  - `partitionBy(log_date, source)` is the daily index rotation —
+  *    date-pruned reads at query time;
+  *  - unparseable lines go to a dead-letter sink instead of silently
+  *    dropping (the FailedDocumentsOnly S3 backup).
+  */
+object LogPipeline {
+
+  /** Raw stream: one row per log line; `source` (ec2/ecs/eks/lambda)
+    * recovered from the directory layout, as the reference derives it
+    * from the delivery-stream name.
+    */
+  def rawStream(spark: SparkSession, inDir: String): DataFrame =
+    spark.readStream
+      .option("recursiveFileLookup", "true")
+      .text(inDir)
+      .withColumn("source",
+        regexp_extract(input_file_name(), "/(ec2|ecs|eks|lambda)/", 1))
+
+  /** Transform stage: parse, stamp log_date, flag parse failures. */
+  def transformed(raw: DataFrame): DataFrame =
+    raw
+      .withColumn("valid", ApacheLog.isValid(col("value")))
+      .withColumn("p", when(col("valid"), ApacheLog.parsed(col("value"))))
+      .select(
+        col("value").as("line"), col("source"), col("valid"),
+        col("p.*"))
+      .withColumn("log_date", to_date(col("ts")))
+
+  /** A3–A5: start the ingest query. Each micro-batch dual-writes:
+    * parsed rows → date/source-partitioned parquet ("the index"),
+    * unparseable rows → dead-letter parquet. The batch is persisted so
+    * the split doesn't recompute the parse.
+    */
+  def startIngest(spark: SparkSession, inDir: String, outDir: String,
+                  checkpointDir: String): StreamingQuery =
+    transformed(rawStream(spark, inDir)).writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        batch.filter(col("valid"))
+          .drop("valid", "line")
+          .write.mode("append")
+          .partitionBy("log_date", "source")
+          .parquet(s"$outDir/logs")
+        batch.filter(!col("valid"))
+          .select(col("source"), col("line"))
+          .write.mode("append")
+          .parquet(s"$outDir/dlq")
+        batch.unpersist()
+        ()
+      }
+      .start()
+
+  /** C10: near-real-time dashboard aggregation — watermarked 5-minute
+    * windows per (source, status).
+    */
+  def windowedCounts(parsed: DataFrame): DataFrame =
+    parsed
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("source"), col("status"))
+      .agg(count(lit(1)).as("n"), sum(col("bytes")).as("total_bytes"))
+
+  // ---- C11: stateful streaming sessionization ------------------------
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                        session_end: java.sql.Timestamp, n_events: Long,
+                        session_value: Double)
+
+  val sessionGapMs: Long = 30 * 60 * 1000L
+
+  /** Per-user gap sessionization with explicit state — the streaming
+    * twin of LogAnalytics.sessionize. Emits a session when a gap larger
+    * than 30 min closes it; the open session rides in GroupState.
+    * State is O(1) per user — safe at any key cardinality.
+    */
+  def sessionizeFn(userId: Long, events: Iterator[Ev],
+                   state: GroupState[SessionState]): Iterator[SessionOut] = {
+    val sorted = events.toSeq.sortBy(_.ts.getTime)
+    var cur = state.getOption
+    val out = Seq.newBuilder[SessionOut]
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t - s.last <= sessionGapMs =>
+          cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+        case Some(s) =>
+          out += SessionOut(userId, new java.sql.Timestamp(s.start),
+            new java.sql.Timestamp(s.last), s.n, s.total)
+          cur = Some(SessionState(t, t, 1, e.value))
+        case None =>
+          cur = Some(SessionState(t, t, 1, e.value))
+      }
+    }
+    cur match {
+      case Some(s) => state.update(s)
+      case None    => ()
+    }
+    out.result().iterator
+  }
+
+  def sessionizeStream(spark: SparkSession, events: Dataset[Ev]): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionizeFn)
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.HashFns
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Ground truth: brute-force exact Jaccard over all pairs. */
+  private def bruteForcePairs(threshold: Double): Set[(Long, Long)] = {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), array_distinct(HashFns.shingleHashes(col("text"), 3)).as("sh"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("j", HashFns.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("j") >= threshold)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+  }
+
+  test("minhash LSH finds all true near-dup pairs (recall vs brute force)") {
+    val truth = bruteForcePairs(0.7)
+    assert(truth.nonEmpty, "test corpus should contain planted near-dups")
+    val found = Dedup.minhashPairs(spark, TestSpark.sf, 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // verification step makes precision exact; banding gives high recall at j>=0.7
+    assert(found.subsetOf(truth), s"false positives: ${found -- truth}")
+    val recall = (found & truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall too low (found ${found.size} of ${truth.size})")
+  }
+
+  test("simhash flags planted near-identical docs, not unrelated ones") {
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val nearDup = base.replace("token7 ", "token7x ")
+    val other = (1 to 60).map(i => s"word$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairsDf(df, maxHamming = 6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("exact dedup groups identical texts") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "different")).toDF("doc_id", "text")
+    val groups = df.groupBy(md5(col("text"))).agg(min("doc_id").as("keep"), count(lit(1)).as("n"))
+      .select("keep", "n").as[(Long, Long)].collect().toMap
+    assert(groups(1L) == 2L && groups(3L) == 1L)
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.LogPipeline
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(name: String): String = {
+    val d = Files.createTempDirectory(s"graft-$name").toString
+    d
+  }
+
+  val goodLine =
+    """46.99.153.40 - - [29/Jul/2021:15:32:33 +0000] "GET /index.html HTTP/1.1" 200 173 "-" "curl/7.68.0""""
+  val badLine = "### firehose noise that is not a log line ###"
+
+  test("ingest pipeline routes parsed rows to date/source partitions and junk to the DLQ") {
+    val in = tmpDir("in"); val out = tmpDir("out"); val ckpt = tmpDir("ckpt")
+    Files.createDirectories(Paths.get(s"$in/ec2"))
+    Files.createDirectories(Paths.get(s"$in/eks"))
+    Files.writeString(Paths.get(s"$in/ec2/a.log"), s"$goodLine\n$badLine\n")
+    Files.writeString(Paths.get(s"$in/eks/b.log"), s"$goodLine\n")
+
+    val q = LogPipeline.startIngest(spark, in, out, ckpt)
+    q.awaitTermination()
+
+    val logs = spark.read.parquet(s"$out/logs")
+    assert(logs.count() == 2)
+    assert(logs.select("source").as[String].collect().toSet == Set("ec2", "eks"))
+    // daily "index rotation": data lands under log_date=…/source=… partitions
+    assert(Files.exists(Paths.get(s"$out/logs/log_date=2021-07-29/source=ec2")))
+    val dlq = spark.read.parquet(s"$out/dlq")
+    assert(dlq.count() == 1)
+    assert(dlq.select("line").as[String].collect().head == badLine)
+  }
+
+  test("watermarked windowed aggregation over the parsed stream") {
+    val in = tmpDir("in2"); val ckpt = tmpDir("ckpt2")
+    Files.createDirectories(Paths.get(s"$in/ecs"))
+    Files.writeString(Paths.get(s"$in/ecs/a.log"), (1 to 7).map(_ => goodLine).mkString("\n"))
+
+    val parsed = LogPipeline.transformed(LogPipeline.rawStream(spark, in)).filter(col("valid"))
+    val q = LogPipeline.windowedCounts(parsed).writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory").queryName("win")
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.sql("SELECT source, status, n, total_bytes FROM win").collect()
+    assert(rows.length == 1)
+    assert(rows.head.toSeq == Seq("ecs", 200L, 7L, 7 * 173L))
+  }
+
+  test("stateful sessionization emits gap-closed sessions and keeps the open one in state") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[LogPipeline.Ev]
+    val q = LogPipeline.sessionizeStream(spark, ms.toDS()).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("sessions")
+      .start()
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // user 1: events at t0,t5 (one session), then t60 → closes the first
+    ms.addData(
+      LogPipeline.Ev(1L, ts(0), 10.0), LogPipeline.Ev(1L, ts(5), 5.0),
+      LogPipeline.Ev(1L, ts(60), 1.0))
+    q.processAllAvailable()
+    val emitted = spark.sql("SELECT user_id, n_events, session_value FROM sessions")
+      .as[(Long, Long, Double)].collect()
+    q.stop()
+    assert(emitted.toSeq == Seq((1L, 2L, 15.0)))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFns
+
+class TextFnsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("langId picks the right profile on crafted sentences") {
+    val df = Seq(
+      ("the cat and the dog is in the house", "en"),
+      ("der hund und die katze ist nicht hier und das haus", "de"),
+      ("el perro y la casa de los gatos es grande y es bonita", "es"),
+      ("le chat et les chiens est une belle maison je ne sais", "fr"),
+      ("zzz qqq xxx", "und")
+    ).toDF("text", "expected")
+    val got = df.select(TextFns.langId(col("text")).as("got"), col("expected"))
+      .as[(String, String)].collect()
+    got.foreach { case (g, e) => assert(g == e, s"expected $e got $g") }
+  }
+
+  test("token counts: whitespace and BPE-ish") {
+    val df = Seq("hello world, it's 42 degrees").toDF("text")
+    val (ws, bpe) = df.select(
+      TextFns.wsTokenCount(col("text")),
+      TextFns.bpeTokenCount(col("text"))).as[(Int, Int)].collect().head
+    assert(ws == 5)
+    // hello|world|,|it|'|s|42|degrees
+    assert(bpe == 8)
+  }
+
+  test("quality score rewards diverse text over repetition") {
+    val df = Seq(
+      ("a", "the quick brown fox jumps over one lazy dog near riverbanks"),
+      ("b", "spam spam spam spam spam spam spam spam spam spam")
+    ).toDF("id", "text")
+    val m = df.select(col("id"), TextFns.qualityScore(col("text")).as("q"))
+      .as[(String, Double)].collect().toMap
+    assert(m("a") > m("b"))
+  }
+
+  test("winnowing fingerprints overlap heavily for near-identical docs") {
+    val base = (1 to 80).map(i => s"w$i").mkString(" ")
+    val nearDup = base.replace("w40 ", "w40x ")
+    val other = (1 to 80).map(i => s"v$i").mkString(" ")
+    val df = Seq(("base", base), ("dup", nearDup), ("other", other)).toDF("id", "text")
+    val fps = df.select(col("id"), TextFns.fingerprints(col("text")).as("fp"))
+      .as[(String, Seq[Long])].collect().toMap.view.mapValues(_.toSet).toMap
+    val overlapDup = (fps("base") & fps("dup")).size.toDouble / fps("base").size
+    val overlapOther = (fps("base") & fps("other")).size.toDouble / fps("base").size
+    assert(overlapDup > 0.7, s"near-dup overlap $overlapDup")
+    assert(overlapOther == 0.0)
+  }
+}
