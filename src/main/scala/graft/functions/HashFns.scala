@@ -29,14 +29,13 @@ object HashFns {
   def shingleHashes(text: Column, n: Int): Column =
     transform(shingles(text, n), s => xxhash64(s))
 
-  /** k-wide MinHash signature over pre-hashed shingles: element s is
-    * min over shingles of xxhash64(h, s) (a cheap fixed-width re-mix
-    * standing in for the s-th permutation).
+  /** k-wide MinHash signature over pre-hashed shingles — native kernel
+    * (graft.plans.MinHashSig): one tight loop, no per-seed intermediate
+    * arrays. The higher-order-function formulation of the same math ran
+    * interpreted and was ~70× slower at sf0.1.
     */
   def minhashSignature(shingleHs: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      s => array_min(transform(shingleHs, h => xxhash64(h, s))))
+    graft.plans.Sketches.minhash(shingleHs, k)
 
   /** LSH band keys: split the signature into `bands` bands of `rows`
     * and hash each band (+ its index, so bands don't collide across
@@ -55,21 +54,11 @@ object HashFns {
   }
 
   /** 64-bit SimHash over pre-hashed tokens: per bit, sum +1/-1 by the
-    * bit of each token hash, then pack the signs.
+    * bit of each token hash, then pack the signs. Native kernel
+    * (graft.plans.SimHash64) for the same reason as minhashSignature.
     */
-  def simhash64(tokenHs: Column): Column = {
-    val acc = aggregate(
-      tokenHs,
-      array_repeat(lit(0L), 64),
-      (acc, h) =>
-        zip_with(acc, sequence(lit(0), lit(63)), (a, bit) =>
-          a + when(call_function("shiftright", h, bit).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(acc, sequence(lit(0), lit(63)), (v, bit) =>
-        when(v > 0, call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L))),
-      lit(0L),
-      (a, b) => a.bitwiseOR(b))
-  }
+  def simhash64(tokenHs: Column): Column =
+    graft.plans.Sketches.simhash(tokenHs)
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
