@@ -111,10 +111,13 @@ object Dedup {
     * one IS oracle-checked; MinHash (E2) is the general-recall path).
     */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    // shingles carried as 64-bit hashes, not strings: set intersection
+    // cardinality is identical (xxhash64 collisions are negligible) and
+    // long-array intersection is far cheaper than string-array
     val docs = Tables.documents(spark, dir).select(
       col("doc_id"),
       concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("block"),
-      array_distinct(HashFns.shingles(col("text"), 3)).as("sh"))
+      array_distinct(HashFns.shingleHashes(col("text"), 3)).as("sh"))
     docs.select(col("block"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       .join(docs.select(col("block"), col("doc_id").as("doc_b"), col("sh").as("sh_b")), "block")
       .filter(col("doc_a") < col("doc_b"))

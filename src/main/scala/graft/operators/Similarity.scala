@@ -70,13 +70,11 @@ object Similarity {
     Array.fill(nPlanes)(Array.fill(64)(rng.nextGaussian().toFloat))
   }
 
-  /** 16-bit random-hyperplane signature of an embedding column. */
+  /** 16-bit random-hyperplane signature (native kernel — one pass over
+    * the embedding instead of nPlanes interpreted aggregates).
+    */
   def lshSignature(emb: Column): Column =
-    hyperplanes.zipWithIndex.map { case (plane, p) =>
-      val pl = array(plane.map(lit).toIndexedSeq: _*)
-      when(aggregate(zip_with(emb, pl, (x, y) => x * y), lit(0.0d), (a, b) => a + b) > 0,
-        lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.plans.Sketches.lshSignBits(emb, hyperplanes)
 
   /** Band geometry: 4 bands × 4 bits. Wider bands prune harder but lose
     * recall on weakly-clustered data; these test embeddings are random
@@ -96,12 +94,16 @@ object Similarity {
     val (q, c) = queryCorpus(spark, dir)
     val qs = q.withColumn("sig", lshSignature(col("q_emb")))
     val cs = c.withColumn("sig", lshSignature(col("n_emb")))
-    val candidates = (0 until nBands).map { i =>
+    // score inside each band join, then dedupe multi-band hits on the
+    // (q_id, n_id) KEY — never array-distinct on the embedding columns
+    // (comparing 64-float arrays across a shuffle is the slow path)
+    val scored = (0 until nBands).map { i =>
       qs.withColumn("bk", band(col("sig"), i)).as("q")
         .join(cs.withColumn("bk", band(col("sig"), i)).as("c"), Seq("bk"))
-        .select(col("q_id"), col("q_emb"), col("n_id"), col("n_emb"))
-    }.reduce(_ unionByName _).distinct()
+        .select(col("q_id"), col("n_id"),
+          round(CosineSim(col("q_emb"), col("n_emb")), 6).as("cos_sim"))
+    }.reduce(_ unionByName _)
     rankTopK(
-      candidates.withColumn("cos_sim", round(CosineSim(col("q_emb"), col("n_emb")), 6)))
+      scored.groupBy(col("q_id"), col("n_id")).agg(max(col("cos_sim")).as("cos_sim")))
   }
 }

@@ -36,6 +36,8 @@ object Sketches {
     GraftColumnBridge.toColumn(MinHashSig(GraftColumnBridge.toExpression(hashes), k))
   def simhash(hashes: Column): Column =
     GraftColumnBridge.toColumn(SimHash64(GraftColumnBridge.toExpression(hashes)))
+  def lshSignBits(emb: Column, planes: Array[Array[Float]]): Column =
+    GraftColumnBridge.toColumn(LshSignBits(GraftColumnBridge.toExpression(emb), planes))
 }
 
 /** k-wide MinHash signature over an array<long> of element hashes:
@@ -71,6 +73,42 @@ case class MinHashSig(child: Expression, k: Int)
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Random-hyperplane LSH signature: bit p of the output is
+  * sign(emb · plane_p). One pass over the embedding per plane — replaces
+  * nPlanes interpreted aggregate(zip_with(...)) evaluations.
+  */
+case class LshSignBits(child: Expression, planes: Array[Array[Float]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_sign_bits"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"lsh_sign_bits expects array<float>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val in = input.asInstanceOf[ArrayData]
+    var sig = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      val n = math.min(in.numElements(), plane.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += in.getFloat(i).toDouble * plane(i); i += 1 }
+      if (dot > 0) sig |= (1L << p)
+      p += 1
+    }
+    java.lang.Long.valueOf(sig)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
