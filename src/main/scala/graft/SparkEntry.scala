@@ -34,6 +34,12 @@ object SparkEntry {
     "q_top_users_per_type" -> (LogAnalytics.topUsersPerType(_, _)),
     "q_sessionize"         -> (LogAnalytics.sessionize(_, _)),
     "q_enrich_join"        -> (LogAnalytics.enrichJoin(_, _)),
+    "q_exists_orders"      -> (Extras.customersWithOrders(_, _)),
+    "q_missing_orders"     -> (Extras.customersWithoutOrders(_, _)),
+    "q_rollup_revenue"     -> (Extras.rollupRevenue(_, _)),
+    "q_moving_avg"         -> (Extras.movingAvg(_, _)),
+    "q_value_histogram"    -> (Extras.valueHistogram(_, _)),
+    "q_latest_per_user"    -> (Extras.latestEventPerUser(_, _)),
     // E — training-data pipeline: dedup / similarity / text / multimodal
     "q_dedup_exact"     -> (Dedup.exact(_, _)),
     "q_dedup_minhash"   -> (Dedup.minhashPairs(_, _)),
@@ -41,6 +47,7 @@ object SparkEntry {
     "q_ngram_jaccard"   -> (Dedup.ngramJaccard(_, _)),
     "q_dedup_embedding" -> (Dedup.embeddingPairs(_, _)),
     "q_ann_topk"        -> (Similarity.annTopK(_, _)),
+    "q_ann_topk_agg"    -> (Similarity.annTopKAgg(_, _)),
     "q_ann_lsh"         -> (Similarity.annLsh(_, _)),
     "q_token_count"     -> (TextAnalysis.tokenCount(_, _)),
     "q_quality_score"   -> (TextAnalysis.qualityScore(_, _)),
@@ -74,6 +81,13 @@ object SparkEntry {
     "q_ngram_jaccard"   -> Dedup.ngramJaccardSql,
     "q_dedup_embedding" -> Dedup.embeddingPairsSql,
     "q_ann_topk"        -> Similarity.annTopKSql,
+    "q_ann_topk_agg"    -> Similarity.annTopKSql,
+    "q_exists_orders"   -> Extras.customersWithOrdersSql,
+    "q_missing_orders"  -> Extras.customersWithoutOrdersSql,
+    "q_rollup_revenue"  -> Extras.rollupRevenueSql,
+    "q_moving_avg"      -> Extras.movingAvgSql,
+    "q_value_histogram" -> Extras.valueHistogramSql,
+    "q_latest_per_user" -> Extras.latestEventPerUserSql,
     "q_token_count"     -> TextAnalysis.tokenCountSql,
     "q_quality_score"   -> TextAnalysis.qualityScoreSql,
     "q_pricing_summary"      -> Tpch.pricingSummarySql,

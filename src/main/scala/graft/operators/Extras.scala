@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+
+/** Additional analytics shapes (SURVEY §2 C/D extensions): exists /
+  * missing (semi/anti joins), multi-level aggregation (rollup), trend
+  * smoothing (moving average), numeric histogram binning, latest-event
+  * per key — the remaining OpenSearch-dashboard query vocabulary.
+  */
+object Extras {
+
+  /** C12 — "exists" query: customers that do have orders (left-semi) +
+    * their order count via join-free aggregation comparison.
+    */
+  def customersWithOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord  = Tables.orders(spark, dir)
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val customersWithOrdersSql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** C13 — "missing" query: customers with no URGENT orders (left-anti;
+    * the right side is pre-filtered so the result is non-degenerate at
+    * every scale factor — every customer has SOME order in this data).
+    */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val urgent = Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+    cust.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val customersWithoutOrdersSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** C14 — multi-level aggregation (OpenSearch nested terms aggs) via
+    * ROLLUP: (segment, priority) → (segment) → grand total.
+    */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord  = Tables.orders(spark, dir)
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .rollup(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("c_mktsegment").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
+  val rollupRevenueSql: String =
+    """SELECT c_mktsegment, o_orderpriority,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+      |ORDER BY c_mktsegment ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** C15 — 7-row moving average of daily event volume (dashboard trend
+    * line). Frame is row-based (deterministic) over the daily series.
+    */
+  def movingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    daily.select(
+        col("day"), col("n"),
+        round(avg(col("n")).over(w), 4).as("n_ma7"),
+        round(avg(col("v")).over(w), 4).as("v_ma7"))
+      .orderBy(col("day"))
+  }
+
+  val movingAvgSql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', ts) AS day, count(*) AS n, sum(value) AS v
+      |  FROM events GROUP BY 1)
+      |SELECT day, n,
+      |  round(avg(n) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS n_ma7,
+      |  round(avg(v) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS v_ma7
+      |FROM daily
+      |ORDER BY day""".stripMargin
+
+  /** C16 — numeric histogram agg: fixed-width bins over event value. */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy((floor(col("value") / 20) * 20).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("bin"))
+
+  val valueHistogramSql: String =
+    """SELECT CAST(floor(value / 20) * 20 AS BIGINT) AS bin,
+      |  count(*) AS n, round(avg(value), 4) AS avg_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY bin""".stripMargin
+
+  /** C17 — "top hits" agg: the latest event per user (deterministic
+    * tiebreak on event_id).
+    */
+  def latestEventPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tss").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        date_trunc("second", col("ts")).as("tss"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"), col("tss"))
+      .orderBy(col("user_id"))
+  }
+
+  val latestEventPerUserSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, value, date_trunc('second', ts) AS tss,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts) DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, event_id, event_type, value, tss
+      |FROM e WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+}

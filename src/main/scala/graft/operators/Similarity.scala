@@ -63,6 +63,25 @@ object Similarity {
       |SELECT q_id, n_id, cos_sim, rank FROM ranked WHERE rank <= 5
       |ORDER BY q_id, rank""".stripMargin
 
+  /** E6 scale variant: identical semantics to annTopK but ranked by the
+    * mergeable bounded TopKAgg aggregator instead of a window sort —
+    * map-side partial aggregation cuts the exchange to O(queries × k)
+    * rows. Checked against the SAME DuckDB oracle as annTopK.
+    */
+  def annTopKAgg(spark: SparkSession, dir: String): DataFrame = {
+    val (q, c) = queryCorpus(spark, dir)
+    val topk = graft.plans.TopKAgg.udafFor(topK)
+    c.join(broadcast(q))
+      .select(col("q_id"), col("n_id"),
+        round(CosineSim(col("q_emb"), col("n_emb")), 6).as("cos_sim"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("n_id"), col("cos_sim")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col._2").as("n_id"), col("col._1").as("cos_sim"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Deterministic random hyperplanes (seeded — identical on every JVM). */
   val nPlanes = 16
   lazy val hyperplanes: Array[Array[Float]] = {
