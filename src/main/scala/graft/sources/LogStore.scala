@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Batch source/sink layer (SURVEY §2 A-block completeness).
+  *
+  * The reference delivers logs as JSON documents into per-source,
+  * daily-rotated OpenSearch indexes with an S3 raw backup
+  * (lib/common/utils.ts:40-83). The Spark-native equivalents:
+  *  - readers for the wire formats logs actually arrive in (text lines,
+  *    JSON-lines, CSV) with explicit schemas — no runtime inference on
+  *    the hot path;
+  *  - a date/source-partitioned parquet store whose layout IS the index
+  *    rotation: a time-range query prunes to the matching partition
+  *    directories and reads nothing else (the property that replaces
+  *    "query only today's index" at 100 TB).
+  */
+object LogStore {
+
+  /** Parsed-log schema — the "index mapping". */
+  val logSchema: StructType = StructType(Seq(
+    StructField("ip", StringType),
+    StructField("ts", TimestampType),
+    StructField("verb", StringType),
+    StructField("path", StringType),
+    StructField("proto", StringType),
+    StructField("status", LongType),
+    StructField("bytes", LongType),
+    StructField("referrer", StringType),
+    StructField("agent", StringType),
+    StructField("source", StringType)))
+
+  /** Raw text lines (Apache/NGINX). */
+  def readTextLogs(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path).withColumnRenamed("value", "line")
+
+  /** JSON-lines logs (the Firehose delivery format) with explicit schema. */
+  def readJsonLogs(spark: SparkSession, path: String, schema: StructType = logSchema): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** CSV logs with explicit schema (header-less agent exports). */
+  def readCsvLogs(spark: SparkSession, path: String, schema: StructType = logSchema): DataFrame =
+    spark.read.schema(schema).option("header", "false").csv(path)
+
+  /** Write the store: one parquet dataset partitioned by (log_date,
+    * source) — the daily index rotation as a physical layout.
+    */
+  def write(parsed: DataFrame, root: String): Unit =
+    parsed
+      .withColumn("log_date", to_date(col("ts")))
+      .write.mode("append")
+      .partitionBy("log_date", "source")
+      .parquet(root)
+
+  /** Read back with partition pruning: only the directories inside the
+    * date range (and source, if given) are listed and scanned.
+    */
+  def read(spark: SparkSession, root: String,
+           fromDate: String, untilDate: String,
+           source: Option[String] = None): DataFrame = {
+    val base = spark.read.parquet(root)
+      .filter(col("log_date") >= lit(fromDate) && col("log_date") < lit(untilDate))
+    source.fold(base)(s => base.filter(col("source") === s))
+  }
+}

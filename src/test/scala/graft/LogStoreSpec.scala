@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{LogLines, LogStore}
+import graft.functions.ApacheLog
+
+class LogStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("partitioned store round-trip with partition pruning") {
+    val root = Files.createTempDirectory("graft-store").toString + "/logs"
+    val parsed = LogLines.apacheLines(spark, TestSpark.sf)
+      .select(ApacheLog.parsed(col("line")).as("p")).select("p.*")
+      .withColumn("source", lit("ec2"))
+    LogStore.write(parsed, root)
+
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect() // execute THIS plan so its scan metrics populate
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s.metrics("numFiles").value
+      }.sum
+    }
+
+    val jan10 = LogStore.read(spark, root, "2024-01-10", "2024-01-11", Some("ec2"))
+    assert(jan10.count() > 0)
+    // the date filter must be a partition filter, not a data filter
+    // all rows really are from that day and source
+    assert(jan10.filter(to_date(col("ts")) =!= "2024-01-10").count() == 0)
+
+    // pruning scans strictly fewer files than the full store
+    val allFiles = scannedFiles(spark.read.parquet(root))
+    val prunedFiles = scannedFiles(LogStore.read(spark, root, "2024-01-10", "2024-01-11", Some("ec2")))
+    assert(prunedFiles > 0 && prunedFiles < allFiles, s"pruned=$prunedFiles all=$allFiles")
+  }
+
+  test("json-lines and csv readers honor the explicit schema") {
+    val dir = Files.createTempDirectory("graft-fmt").toString
+    java.nio.file.Paths.get(dir)
+    Files.writeString(java.nio.file.Path.of(dir, "a.json"),
+      """{"ip":"1.2.3.4","ts":"2024-01-01T00:00:00Z","verb":"GET","path":"/x","proto":"HTTP/1.1","status":200,"bytes":12,"referrer":"-","agent":"curl","source":"ec2"}""" + "\n")
+    val j = LogStore.readJsonLogs(spark, dir + "/a.json")
+    assert(j.schema == LogStore.logSchema)
+    assert(j.count() == 1 && j.select("status").as[Long].head() == 200L)
+
+    Files.writeString(java.nio.file.Path.of(dir, "b.csv"),
+      "1.2.3.4,2024-01-01T00:00:00Z,GET,/x,HTTP/1.1,200,12,-,curl,ecs\n")
+    val c = LogStore.readCsvLogs(spark, dir + "/b.csv")
+    assert(c.count() == 1 && c.select("source").as[String].head() == "ecs")
+  }
+}
