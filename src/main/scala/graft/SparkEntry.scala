@@ -46,6 +46,7 @@ object SparkEntry {
     "q_dedup_simhash"   -> (Dedup.simhashPairs(_, _)),
     "q_ngram_jaccard"   -> (Dedup.ngramJaccard(_, _)),
     "q_dedup_embedding" -> (Dedup.embeddingPairs(_, _)),
+    "q_dedup_corpus"    -> (Dedup.canonicalCorpus(_, _)),
     "q_ann_topk"        -> (Similarity.annTopK(_, _)),
     "q_ann_topk_agg"    -> (Similarity.annTopKAgg(_, _)),
     "q_ann_lsh"         -> (Similarity.annLsh(_, _)),
@@ -80,6 +81,7 @@ object SparkEntry {
     "q_dedup_exact"     -> Dedup.exactSql,
     "q_ngram_jaccard"   -> Dedup.ngramJaccardSql,
     "q_dedup_embedding" -> Dedup.embeddingPairsSql,
+    "q_dedup_corpus"    -> Dedup.canonicalCorpusSql,
     "q_ann_topk"        -> Similarity.annTopKSql,
     "q_ann_topk_agg"    -> Similarity.annTopKSql,
     "q_exists_orders"   -> Extras.customersWithOrdersSql,

@@ -161,6 +161,81 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** E1+E4 composition — the canonical deduplicated corpus: union the
+    * exact-dup and near-dup pair sets into an undirected graph and
+    * resolve each connected component to its minimal doc_id via
+    * min-label propagation (iterate: label := min(label, neighbors'
+    * labels) until fixpoint).
+    *
+    * Scale notes: each iteration is one shuffle join on doc_id; the
+    * iteration count is the component diameter (tiny for dup clusters —
+    * converges in 2-4 rounds here); `localCheckpoint` cuts the lineage
+    * so plans don't grow exponentially across iterations. This is the
+    * step a real training-data pipeline runs after pair mining.
+    */
+  def canonicalCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val exactPairs = Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(collect_set(col("doc_id")).as("ids"))
+      .select(explode(col("ids")).as("a"), array_min(col("ids")).as("b"))
+      .filter(col("a") =!= col("b"))
+    val nearPairs = ngramJaccard(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val edges = exactPairs.unionByName(nearPairs)
+    // symmetric edge list
+    val sym = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b"))).distinct()
+      .localCheckpoint()
+
+    var labels = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val neighborMin = sym
+        .join(labels.select(col("doc_id").as("b"), col("label").as("nl")), "b")
+        .groupBy(col("a")).agg(min(col("nl")).as("nmin"))
+      val updated = labels
+        .join(neighborMin, col("doc_id") === col("a"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = updated.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      labels = updated
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("label").as("keep_id")).orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle: transitive closure over the same edge set (exact-dup
+    * pairs ∪ prefix-blocked ngram-jaccard pairs), component root = min
+    * reachable id. Components are small, so the closure stays small.
+    */
+  val canonicalCorpusSql: String =
+    """WITH RECURSIVE words AS (SELECT doc_id, string_split(text, ' ') AS w, md5(text) AS h FROM documents),
+      |t AS (
+      |  SELECT doc_id, h,
+      |    concat_ws(' ', w[1], w[2]) AS block,
+      |    list_distinct(list_transform(range(greatest(len(w) - 2, 1)),
+      |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+      |  FROM words),
+      |near AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b FROM t a JOIN t b
+      |  ON a.block = b.block AND a.doc_id < b.doc_id
+      |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |              len(list_distinct(a.sh || b.sh)), 4) >= 0.5),
+      |exact AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b FROM t a JOIN t b
+      |  ON a.h = b.h AND a.doc_id < b.doc_id),
+      |edges AS (
+      |  SELECT a, b FROM near UNION SELECT a, b FROM exact
+      |  UNION SELECT b, a FROM near UNION SELECT b, a FROM exact),
+      |reach(s, d) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.s, e.b FROM reach r JOIN edges e ON r.d = e.a)
+      |SELECT s AS doc_id, min(d) AS keep_id FROM reach GROUP BY s ORDER BY doc_id""".stripMargin
+
   val embeddingPairsSql: String =
     """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim

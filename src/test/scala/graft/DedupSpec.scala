@@ -44,6 +44,22 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("canonical corpus matches union-find over the mined pair graph") {
+    val labels = Dedup.canonicalCorpus(spark, TestSpark.sf)
+      .as[(Long, Long)].collect().toMap
+    // ground truth: union-find over the same edges, computed locally
+    val edges = Dedup.ngramJaccard(spark, TestSpark.sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map[Long, Long]().withDefault(identity)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+    }
+    labels.foreach { case (doc, keep) => assert(keep == find(doc), s"doc $doc") }
+    assert(labels.nonEmpty && labels.exists { case (d, k) => d != k })
+  }
+
   test("exact dedup groups identical texts") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "different")).toDF("doc_id", "text")
     val groups = df.groupBy(md5(col("text"))).agg(min("doc_id").as("keep"), count(lit(1)).as("n"))
