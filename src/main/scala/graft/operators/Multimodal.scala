@@ -68,6 +68,33 @@ object Multimodal {
     (sum, feat)
   }
 
+  case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** Frame sampling: split each "video" payload into n_frames equal
+    * byte slices and keep every `stride`-th frame — the batch shape of
+    * a real decode-and-sample stage (STUB decode, real plumbing: one
+    * output row per sampled frame, partition-local, no shuffle).
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame, stride: Int = 2): DataFrame = {
+    import spark.implicits._
+    media.filter(col("kind") === "video")
+      .select(col("doc_id"), col("media"), col("n_frames"))
+      .as[(Long, Array[Byte], Int)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes, nFrames) =>
+          val frameLen = math.max(bytes.length / math.max(nFrames, 1), 1)
+          (0 until nFrames by stride).iterator
+            .map { i =>
+              val from = math.min(i * frameLen, bytes.length)
+              val until = if (i == nFrames - 1) bytes.length
+                          else math.min(from + frameLen, bytes.length)
+              Frame(id, i, java.util.Arrays.copyOfRange(bytes, from, until))
+            }
+            .filter(_.frame_bytes.nonEmpty)
+        }
+      }.toDF()
+  }
+
   /** E12 query surface: metadata + extracted features, deterministic. */
   def features(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(spark, mediaTable(spark, dir))

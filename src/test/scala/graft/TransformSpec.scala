@@ -40,6 +40,22 @@ class TransformSpec extends AnyFunSuite {
     assert(df.collect().map(_.getBoolean(0)).toSeq == Seq(true, false))
   }
 
+  test("dash bytes field (no response body) parses to null, not a failure") {
+    val line =
+      """1.2.3.4 - - [29/Jul/2021:15:32:33 +0000] "HEAD / HTTP/1.1" 304 - "-" "curl/7.68.0""""
+    val df = Seq(line).toDF("line")
+    assert(df.select(ApacheLog.isValid(col("line"))).collect().head.getBoolean(0))
+    val r = df.select(ApacheLog.parsed(col("line")).as("p")).select("p.*").collect().head
+    assert(r.getAs[Long]("status") == 304L)
+    assert(r.isNullAt(r.fieldIndex("bytes")))
+  }
+
+  test("malformed lambda batch yields no function rows instead of failing") {
+    val out = LambdaLogs.functionLogs(
+      Seq(("b1", "not json at all"), ("b2", "[{\"broken\": }")).toDF("id", "batch"), "batch")
+    assert(out.count() == 0)
+  }
+
   test("wrapLogsJson matches the reference EC2 transformer output shape") {
     val out = Seq("hello world").toDF("line")
       .select(ApacheLog.wrapLogsJson(col("line")).as("j")).collect().head.getString(0)
