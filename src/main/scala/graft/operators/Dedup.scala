@@ -182,12 +182,15 @@ object Dedup {
     val nearPairs = ngramJaccard(spark, dir)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val edges = exactPairs.unionByName(nearPairs)
-    // symmetric edge list
+    // symmetric edge list; iterate ONLY over docs that appear in the dup
+    // graph — everything else is trivially its own keeper. At 100 TB the
+    // dup graph is a small fraction of the corpus, so each propagation
+    // round shuffles the graph, never the corpus.
     val sym = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b"))).distinct()
       .localCheckpoint()
 
-    var labels = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+    var labels = sym.select(col("a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 20) {
@@ -204,7 +207,10 @@ object Dedup {
       labels = updated
       iter += 1
     }
-    labels.select(col("doc_id"), col("label").as("keep_id")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("keep_id"))
+      .orderBy(col("doc_id"))
   }
 
   /** DuckDB oracle: transitive closure over the same edge set (exact-dup
