@@ -40,6 +40,7 @@ object SparkEntry {
     "q_moving_avg"         -> (Extras.movingAvg(_, _)),
     "q_value_histogram"    -> (Extras.valueHistogram(_, _)),
     "q_latest_per_user"    -> (Extras.latestEventPerUser(_, _)),
+    "q_asof_join"          -> (Extras.asofViewBeforePurchase(_, _)),
     // E — training-data pipeline: dedup / similarity / text / multimodal
     "q_dedup_exact"     -> (Dedup.exact(_, _)),
     "q_dedup_minhash"   -> (Dedup.minhashPairs(_, _)),
@@ -90,6 +91,7 @@ object SparkEntry {
     "q_moving_avg"      -> Extras.movingAvgSql,
     "q_value_histogram" -> Extras.valueHistogramSql,
     "q_latest_per_user" -> Extras.latestEventPerUserSql,
+    "q_asof_join"       -> Extras.asofViewBeforePurchaseSql,
     "q_token_count"     -> TextAnalysis.tokenCountSql,
     "q_quality_score"   -> TextAnalysis.qualityScoreSql,
     "q_pricing_summary"      -> Tpch.pricingSummarySql,

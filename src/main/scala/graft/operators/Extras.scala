@@ -109,6 +109,56 @@ object Extras {
       |GROUP BY 1
       |ORDER BY bin""".stripMargin
 
+  /** C18 — as-of join: for every purchase, the latest view by the same
+    * user at-or-before the purchase time (attribution: "which page view
+    * led to this purchase").
+    *
+    * Spark has no native ASOF JOIN; the Spark-first form is the
+    * union-tag-window composition: union both sides tagged, sort each
+    * user's timeline once, carry the last-seen view with
+    * `last(_, ignoreNulls=true)` — ONE shuffle on user_id, no
+    * range-join explosion, scales to any timeline length. Views are
+    * pre-deduped to one per (user, second) so tie semantics are
+    * deterministic and identical to DuckDB's native ASOF JOIN oracle.
+    */
+  def asofViewBeforePurchase(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        date_trunc("second", col("ts")).as("tss"))
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("tss"))
+      .agg(max(col("event_id")).as("view_id"))
+      .select(col("user_id"), col("tss"), col("view_id"), lit(0).as("tag"))
+      .withColumn("event_id", lit(null).cast("long"))
+      .withColumn("value", lit(null).cast("double"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tss"), lit(null).cast("long").as("view_id"),
+        lit(1).as("tag"), col("event_id"), col("value"))
+    // views sort before purchases at equal tss → "at or before" semantics
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tss"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(purchases)
+      .withColumn("last_view_id", last(col("view_id"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("value"), col("last_view_id").as("view_id"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val asofViewBeforePurchaseSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, value, date_trunc('second', ts) AS tss FROM events),
+      |views AS (
+      |  SELECT user_id, tss, max(event_id) AS view_id
+      |  FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+      |purchases AS (
+      |  SELECT user_id, event_id, value, tss FROM e WHERE event_type = 'purchase')
+      |SELECT p.event_id AS purchase_id, p.user_id, p.value, v.view_id
+      |FROM purchases p ASOF LEFT JOIN views v
+      |  ON p.user_id = v.user_id AND p.tss >= v.tss
+      |ORDER BY purchase_id""".stripMargin
+
   /** C17 — "top hits" agg: the latest event per user (deterministic
     * tiebreak on event_id).
     */

@@ -80,6 +80,23 @@ object LogPipeline {
       .groupBy(window(col("ts"), "5 minutes"), col("source"), col("status"))
       .agg(count(lit(1)).as("n"), sum(col("bytes")).as("total_bytes"))
 
+  /** C12s — stream-stream interval join: correlate each error with the
+    * deploy (or config-change) marker that preceded it within the
+    * window. Both sides watermarked so state is bounded; the join
+    * condition is an equi-key + time interval, which Structured
+    * Streaming executes with watermark-pruned state on both sides.
+    */
+  def errorsNearDeploys(errors: DataFrame, deploys: DataFrame,
+                        within: String = "10 minutes",
+                        watermarkDelay: String = "1 hour"): DataFrame = {
+    val e = errors.withWatermark("ts", watermarkDelay)
+    val d = deploys.withWatermark("deploy_ts", watermarkDelay)
+    e.join(d,
+      col("source") === col("deploy_source") &&
+      col("ts") >= col("deploy_ts") &&
+      col("ts") <= col("deploy_ts") + expr(s"INTERVAL $within"))
+  }
+
   // ---- C11: stateful streaming sessionization ------------------------
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)

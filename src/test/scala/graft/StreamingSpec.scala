@@ -60,6 +60,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.head.toSeq == Seq("ecs", 200L, 7L, 7 * 173L))
   }
 
+  test("stream-stream interval join correlates errors with preceding deploys") {
+    implicit val sq = spark.sqlContext
+    // base away from epoch 0: rows AT the initial watermark (epoch 0) are
+    // dropped as late by the join state-watermark filter
+    def ts(min: Long) = new java.sql.Timestamp((1440 + min) * 60000L)
+    // sanity: the same condition on static frames
+    val se = Seq((ts(5), "ec2", 1L), (ts(25), "ec2", 2L), (ts(5), "ecs", 3L))
+      .toDF("ts", "source", "event_id")
+    val sd = Seq((ts(0), "ec2"), (ts(0), "eks")).toDF("deploy_ts", "deploy_source")
+    val stat = LogPipeline.errorsNearDeploys(se, sd)
+      .select("event_id", "deploy_source").as[(Long, String)].collect().toSet
+    assert(stat == Set((1L, "ec2")), s"static join gave $stat")
+
+    val errs = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val deps = MemoryStream[(java.sql.Timestamp, String)]
+    val errorsDf = errs.toDS().toDF("ts", "source", "event_id")
+    val deploysDf = deps.toDS().toDF("deploy_ts", "deploy_source")
+    val q = LogPipeline.errorsNearDeploys(errorsDf, deploysDf).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("errdep")
+      .start()
+    deps.addData((ts(0), "ec2"), (ts(0), "eks"))
+    errs.addData(
+      (ts(5), "ec2", 1L),    // within 10 min of ec2 deploy → joins
+      (ts(25), "ec2", 2L),   // too late → no join
+      (ts(5), "ecs", 3L))    // no deploy for ecs → no join
+    q.processAllAvailable()
+    // push the watermark forward so any held results flush
+    deps.addData((ts(2000), "zzz"))
+    errs.addData((ts(2000), "zzz", 99L))
+    q.processAllAvailable()
+    val all = spark.sql("SELECT event_id, deploy_source FROM errdep")
+      .as[(Long, String)].collect().toSet
+    q.stop()
+    assert(all.contains((1L, "ec2")), s"all rows: $all")
+    assert(!all.contains((2L, "ec2")) && !all.contains((3L, "ecs")), s"all rows: $all")
+  }
+
   test("stateful sessionization emits gap-closed sessions and keeps the open one in state") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[LogPipeline.Ev]
