@@ -174,14 +174,10 @@ object Dedup {
     * step a real training-data pipeline runs after pair mining.
     */
   def canonicalCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val exactPairs = Tables.documents(spark, dir)
-      .groupBy(md5(col("text")).as("h"))
-      .agg(collect_set(col("doc_id")).as("ids"))
-      .select(explode(col("ids")).as("a"), array_min(col("ids")).as("b"))
-      .filter(col("a") =!= col("b"))
-    val nearPairs = ngramJaccard(spark, dir)
+    // exact dups are a subset of the ngram pairs (identical texts share
+    // the prefix block and have Jaccard 1.0), so one mining pass suffices
+    val edges = ngramJaccard(spark, dir)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val edges = exactPairs.unionByName(nearPairs)
     // symmetric edge list; iterate ONLY over docs that appear in the dup
     // graph — everything else is trivially its own keeper. At 100 TB the
     // dup graph is a small fraction of the corpus, so each propagation
