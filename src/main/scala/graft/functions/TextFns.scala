@@ -50,17 +50,34 @@ object TextFns {
     "es" -> Seq("el", "la", "los", "de", "que", "y", "es", "en", "un", "por"),
     "fr" -> Seq("le", "la", "les", "et", "est", "je", "ne", "que", "des", "une"))
 
+  /** Distinctive character trigrams per language — the n-gram half of
+    * the heuristic; catches text whose function words are absent
+    * (compound nouns, telegraphic style).
+    */
+  val trigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("ing", "tio", "ght", "wh"),
+    "de" -> Seq("sch", "ung", "ein", "ich"),
+    "es" -> Seq("cio", "ado", "nte", "que"),
+    "fr" -> Seq("eau", "oux", "ais", "que"))
+
   def langScore(text: Column, profile: Seq[String]): Column = {
     val toks = split(lower(text), "\\s+")
     size(filter(toks, t => t.isin(profile.map(x => x: Any): _*))).cast("double") /
       greatest(size(toks), lit(1))
   }
 
-  /** E8 — argmax over profile scores; "und" (unknown) when no profile
-    * matches any token.
+  def trigramScore(text: Column, trigrams: Seq[String]): Column =
+    trigrams.map(t => when(lower(text).contains(t), 1.0d).otherwise(0.0d))
+      .reduce(_ + _) / trigrams.size
+
+  /** E8 — argmax over combined function-word + char-n-gram profile
+    * scores; "und" (unknown) when nothing matches.
     */
   def langId(text: Column): Column = {
-    val scores = langProfiles.map { case (lang, prof) => (lang, langScore(text, prof)) }
+    val tri = trigramProfiles.toMap
+    val scores = langProfiles.map { case (lang, prof) =>
+      (lang, langScore(text, prof) + trigramScore(text, tri(lang)) * 0.3)
+    }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldLeft(lit("und")) { case (acc, (lang, score)) =>
       when(score === best && score > 0, lang).otherwise(acc)

@@ -193,14 +193,15 @@ object Dedup {
       val neighborMin = sym
         .join(labels.select(col("doc_id").as("b"), col("label").as("nl")), "b")
         .groupBy(col("a")).agg(min(col("nl")).as("nmin"))
+      // carry the previous label so the convergence check is a filter on
+      // the checkpointed result, not another join
       val updated = labels
         .join(neighborMin, col("doc_id") === col("a"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint()
-      changed = updated.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).count()
-      labels = updated
+      changed = updated.filter(col("label") =!= col("old")).count()
+      labels = updated.select(col("doc_id"), col("label"))
       iter += 1
     }
     Tables.documents(spark, dir).select(col("doc_id"))

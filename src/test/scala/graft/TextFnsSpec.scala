@@ -15,6 +15,9 @@ class TextFnsSpec extends AnyFunSuite {
       ("der hund und die katze ist nicht hier und das haus", "de"),
       ("el perro y la casa de los gatos es grande y es bonita", "es"),
       ("le chat et les chiens est une belle maison je ne sais", "fr"),
+      // no function words at all — char-trigram evidence must decide
+      ("zugverbindung hauptbahnhof schnellzug einfahrt", "de"),
+      ("walking talking shopping motivation", "en"),
       ("zzz qqq xxx", "und")
     ).toDF("text", "expected")
     val got = df.select(TextFns.langId(col("text")).as("got"), col("expected"))
