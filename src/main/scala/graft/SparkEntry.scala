@@ -51,6 +51,7 @@ object SparkEntry {
     "q_ann_topk"        -> (Similarity.annTopK(_, _)),
     "q_ann_topk_agg"    -> (Similarity.annTopKAgg(_, _)),
     "q_ann_lsh"         -> (Similarity.annLsh(_, _)),
+    "q_ann_ivf"         -> ((s, d) => Similarity.annIvf(s, d)),
     "q_token_count"     -> (TextAnalysis.tokenCount(_, _)),
     "q_quality_score"   -> (TextAnalysis.qualityScore(_, _)),
     "q_lang_id"         -> (TextAnalysis.langId(_, _)),

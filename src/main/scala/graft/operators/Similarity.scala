@@ -82,6 +82,49 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** E7b — IVF (inverted-file) ANN: k-means partitions the corpus into
+    * `nCells` cells ONCE (the index build — seeded, deterministic);
+    * each query probes its `nProbe` nearest centroids and scores only
+    * those cells' vectors. Embeddings are L2-normalized for clustering
+    * so Euclidean k-means approximates spherical (cosine) cells.
+    * At 100 TB: the index build is one ML fit + one assignment pass; a
+    * query touches nProbe/nCells of the corpus — and cells can be
+    * written as partitioned parquet so a probe is a partition-pruned
+    * scan.
+    */
+  def annIvf(spark: SparkSession, dir: String, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.feature.Normalizer
+
+    val (q, c) = queryCorpus(spark, dir)
+    val normalize = new Normalizer().setInputCol("raw_vec").setOutputCol("features").setP(2.0)
+    val corpus = normalize.transform(
+      c.withColumn("raw_vec", array_to_vector(col("n_emb"))))
+
+    val model = new KMeans().setK(nCells).setSeed(42L).setFeaturesCol("features")
+      .fit(corpus)
+    val corpusCells = model.transform(corpus)
+      .select(col("n_id"), col("n_emb"), col("prediction").as("cell"))
+
+    val centroids = spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.toIndexedSeq.map { case (v, i) =>
+        (i, v.toArray.map(_.toFloat)) })
+      .toDF("cell", "centroid")
+
+    // tiny: queries × centroids; probe the nProbe nearest cells
+    val probeW = Window.partitionBy(col("q_id")).orderBy(col("c_sim").desc, col("cell"))
+    val probes = q.join(broadcast(centroids))
+      .withColumn("c_sim", CosineSim(col("q_emb"), col("centroid")))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("cell"))
+
+    rankTopK(
+      probes.join(corpusCells, "cell")
+        .withColumn("cos_sim", round(CosineSim(col("q_emb"), col("n_emb")), 6)))
+  }
+
   /** Deterministic random hyperplanes (seeded — identical on every JVM). */
   val nPlanes = 16
   lazy val hyperplanes: Array[Array[Float]] = {

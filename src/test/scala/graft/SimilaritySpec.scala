@@ -38,4 +38,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall")
     assert(approx.size <= exact.size * 2)
   }
+
+  test("IVF ANN beats a random-subset baseline and bounds its output") {
+    val exact = Similarity.annTopK(spark, TestSpark.sf)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.annIvf(spark, TestSpark.sf)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    // nProbe/nCells = 1/4 of the corpus scanned; similarity-biased cells
+    // must recover clearly more than 1/4 of the true neighbors
+    assert(recall >= 0.3, s"recall $recall")
+    assert(ivf.size <= exact.size)
+  }
 }
