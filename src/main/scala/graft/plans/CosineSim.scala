@@ -73,9 +73,14 @@ object CosineSim {
   /** Register `cosine_sim` in the session function registry (F2) so it is
     * callable from SQL and via call_function. Idempotent.
     */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    // skip when present: createOrReplace on an existing entry logs a
+    // "replaced a previously registered function" WARN on every call site
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim")))
+      reg.createOrReplaceTempFunction(
+        "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+  }
 
   /** Column-level API — requires register(spark) first. */
   def apply(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
