@@ -25,9 +25,23 @@ object HashFns {
       i => array_join(slice(toks, i, lit(n)), " "))
   }
 
-  /** Shingles pre-hashed to 64-bit — the working representation. */
+  /** Shingles pre-hashed to 64-bit — the working representation.
+    * Native kernel (graft.plans.NgramHashes): tokens are hashed once and
+    * windows combine token hashes — no shingle strings are ever built.
+    * Positional (one hash per window, in order) — winnowing-safe.
+    */
   def shingleHashes(text: Column, n: Int): Column =
-    transform(shingles(text, n), s => xxhash64(s))
+    graft.plans.Sketches.ngramHashes(tokens(text), n, distinct = false)
+
+  /** Deduplicated (sorted) shingle-hash set — the representation for
+    * set-Jaccard and MinHash inputs; smaller arrays through shuffles.
+    */
+  def shingleHashSet(text: Column, n: Int): Column =
+    graft.plans.Sketches.ngramHashes(tokens(text), n, distinct = true)
+
+  /** Per-token 64-bit hashes (n=1 n-grams) — SimHash input. */
+  def tokenHashes(text: Column): Column =
+    graft.plans.Sketches.ngramHashes(tokens(text), 1, distinct = false)
 
   /** k-wide MinHash signature over pre-hashed shingles — native kernel
     * (graft.plans.MinHashSig): one tight loop, no per-seed intermediate
@@ -43,9 +57,7 @@ object HashFns {
     * O(docs²).
     */
   def bandKeys(sig: Column, bands: Int, rows: Int): Column =
-    transform(
-      sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(b, slice(sig, b * lit(rows) + lit(1), lit(rows))))
+    graft.plans.Sketches.bandKeys(sig, bands, rows)
 
   /** Exact Jaccard between two pre-hashed shingle arrays. */
   def jaccard(a: Column, b: Column): Column = {

@@ -50,7 +50,7 @@ object Dedup {
   /** DataFrame-level core of E2 — any (doc_id, text) input. */
   def minhashPairsDf(documents: DataFrame, threshold: Double): DataFrame = {
     val docs = documents
-      .select(col("doc_id"), HashFns.shingleHashes(col("text"), 3).as("sh"))
+      .select(col("doc_id"), HashFns.shingleHashSet(col("text"), 3).as("sh"))
       .withColumn("sig", HashFns.minhashSignature(col("sh"), 64))
 
     val cand = docs.select(col("doc_id"), explode(HashFns.bandKeys(col("sig"), 16, 4)).as("band"))
@@ -86,7 +86,7 @@ object Dedup {
   def simhashPairsDf(documents: DataFrame, maxHamming: Int): DataFrame = {
     val docs = documents
       .select(col("doc_id"),
-        HashFns.simhash64(transform(HashFns.tokens(col("text")), t => xxhash64(t))).as("sig"))
+        HashFns.simhash64(HashFns.tokenHashes(col("text"))).as("sig"))
 
     val chunked = docs.select(col("doc_id"), col("sig"),
       explode(HashFns.simhashChunks(col("sig"), 4)).as("chunk"))
@@ -117,7 +117,7 @@ object Dedup {
     val docs = Tables.documents(spark, dir).select(
       col("doc_id"),
       concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("block"),
-      array_distinct(HashFns.shingleHashes(col("text"), 3)).as("sh"))
+      HashFns.shingleHashSet(col("text"), 3).as("sh"))
     docs.select(col("block"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       .join(docs.select(col("block"), col("doc_id").as("doc_b"), col("sh").as("sh_b")), "block")
       .filter(col("doc_a") < col("doc_b"))
@@ -182,8 +182,17 @@ object Dedup {
     // graph — everything else is trivially its own keeper. At 100 TB the
     // dup graph is a small fraction of the corpus, so each propagation
     // round shuffles the graph, never the corpus.
-    val sym = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b"))).distinct()
+    val symFull = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b"))).distinct()
       .localCheckpoint()
+    // right-size the iteration: the dup graph is usually a tiny fraction
+    // of the corpus, and label propagation re-shuffles it every round —
+    // run the loop at a partition count proportional to the (now known,
+    // checkpoint is materialized) edge count, not the session default.
+    // ~1M edges per partition; a 100 TB corpus with a billion dup edges
+    // still gets a full-width shuffle.
+    val nParts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (symFull.count() / 1000000L).toInt + 1))
+    val sym = symFull.repartition(nParts, col("b")).localCheckpoint()
 
     var labels = sym.select(col("a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")).localCheckpoint()

@@ -38,6 +38,120 @@ object Sketches {
     GraftColumnBridge.toColumn(SimHash64(GraftColumnBridge.toExpression(hashes)))
   def lshSignBits(emb: Column, planes: Array[Array[Float]]): Column =
     GraftColumnBridge.toColumn(LshSignBits(GraftColumnBridge.toExpression(emb), planes))
+  def ngramHashes(tokens: Column, n: Int, distinct: Boolean): Column =
+    GraftColumnBridge.toColumn(NgramHashes(GraftColumnBridge.toExpression(tokens), n, distinct))
+  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    GraftColumnBridge.toColumn(BandKeys(GraftColumnBridge.toExpression(sig), bands, rows))
+
+  /** FNV-1a 64 over UTF-8 bytes + splitmix finalizer — the per-token
+    * hash the n-gram kernel combines. Any well-mixed 64-bit hash works:
+    * downstream semantics (Jaccard, MinHash, banding) depend only on
+    * hash-set EQUALITY structure, never on the values.
+    */
+  @inline final def hashBytes(bytes: Array[Byte]): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= bytes(i) & 0xFFL; h *= 0x100000001B3L; i += 1 }
+    fmix64(h)
+  }
+}
+
+/** Word n-gram hashes straight from the token array — one pass, no
+  * shingle-string materialization. Replaces the interpreted
+  * transform(sequence → slice → array_join → xxhash64) pipeline: each
+  * token is hashed once and each window combines the token hashes with
+  * an order-sensitive polynomial, so the per-document cost is
+  * O(tokens + windows·n) long ops instead of O(windows·n) string
+  * allocations + string hashes.
+  * Window semantics match the builtin formulation: max(len-n+1, 1)
+  * windows; a document shorter than n yields one all-tokens window.
+  * distinct=true dedupes (sorted) — for set-Jaccard / MinHash inputs;
+  * distinct=false keeps positional order — for winnowing.
+  */
+case class NgramHashes(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ngram_hashes expects array<string>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val in = input.asInstanceOf[ArrayData]
+    val len = in.numElements()
+    val th = new Array[Long](len)
+    var i = 0
+    while (i < len) {
+      th(i) = if (in.isNullAt(i)) 0L
+              else Sketches.hashBytes(in.getUTF8String(i).getBytes)
+      i += 1
+    }
+    val windows = math.max(len - n + 1, 1)
+    val out = new Array[Long](windows)
+    var w = 0
+    while (w < windows) {
+      val end = math.min(w + n, len)
+      var acc = 0x9E3779B97F4A7C15L
+      var j = w
+      while (j < end) { acc = acc * 0x100000001B3L ^ th(j); j += 1 }
+      out(w) = Sketches.fmix64(acc)
+      w += 1
+    }
+    if (!distinct) new GenericArrayData(out)
+    else {
+      java.util.Arrays.sort(out)
+      var u = 0
+      var k = 0
+      while (k < windows) {
+        if (k == 0 || out(k) != out(k - 1)) { out(u) = out(k); u += 1 }
+        k += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(out, u))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** LSH band keys from a MinHash signature: band b is an order-sensitive
+  * combine of sig[b·rows … b·rows+rows) mixed with b (so equal row
+  * slices in different bands don't collide). Replaces the interpreted
+  * transform(sequence → xxhash64(slice)) pipeline.
+  */
+case class BandKeys(child: Expression, bands: Int, rows: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_keys"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"band_keys expects array<bigint>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val in = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = Sketches.fmix64(0x9E3779B97F4A7C15L * (b + 1))
+      var j = b * rows
+      val end = math.min(j + rows, in.numElements())
+      while (j < end) { acc = acc * 0x100000001B3L ^ in.getLong(j); j += 1 }
+      out(b) = Sketches.fmix64(acc)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** k-wide MinHash signature over an array<long> of element hashes:
