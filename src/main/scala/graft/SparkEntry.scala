@@ -41,6 +41,10 @@ object SparkEntry {
     "q_value_histogram"    -> (Extras.valueHistogram(_, _)),
     "q_latest_per_user"    -> (Extras.latestEventPerUser(_, _)),
     "q_asof_join"          -> (Extras.asofViewBeforePurchase(_, _)),
+    "q_pivot_events"       -> (Extras.pivotEvents(_, _)),
+    "q_cube_revenue"       -> (Extras.cubeRevenue(_, _)),
+    "q_window_ranks"       -> (Extras.windowRanks(_, _)),
+    "q_interval_join"      -> (Extras.viewsBeforePurchase(_, _)),
     // E — training-data pipeline: dedup / similarity / text / multimodal
     "q_dedup_exact"     -> (Dedup.exact(_, _)),
     "q_dedup_minhash"   -> (Dedup.minhashPairs(_, _)),
@@ -57,6 +61,11 @@ object SparkEntry {
     "q_lang_id"         -> (TextAnalysis.langId(_, _)),
     "q_fingerprint"     -> (TextAnalysis.fingerprint(_, _)),
     "q_multimodal_meta" -> (Multimodal.features(_, _)),
+    "q_dedup_levenshtein" -> (Dedup.levenshteinPairs(_, _)),
+    "q_sample_stratified" -> (Curation.stratifiedSample(_, _)),
+    "q_quality_filter"    -> (Curation.qualityFilter(_, _)),
+    "q_pii_scrub"         -> (Curation.piiScrub(_, _)),
+    "q_contamination"     -> ((s, d) => Curation.contamination(s, d)),
     // D — general batch analytics
     "q_pricing_summary"      -> (Tpch.pricingSummary(_, _)),
     "q_revenue_filter"       -> (Tpch.revenueFilter(_, _)),
@@ -93,6 +102,15 @@ object SparkEntry {
     "q_value_histogram" -> Extras.valueHistogramSql,
     "q_latest_per_user" -> Extras.latestEventPerUserSql,
     "q_asof_join"       -> Extras.asofViewBeforePurchaseSql,
+    "q_pivot_events"    -> Extras.pivotEventsSql,
+    "q_cube_revenue"    -> Extras.cubeRevenueSql,
+    "q_window_ranks"    -> Extras.windowRanksSql,
+    "q_interval_join"   -> Extras.viewsBeforePurchaseSql,
+    "q_dedup_levenshtein" -> Dedup.levenshteinPairsSql,
+    "q_sample_stratified" -> Curation.stratifiedSampleSql,
+    "q_quality_filter"    -> Curation.qualityFilterSql,
+    "q_pii_scrub"         -> Curation.piiScrubSql,
+    "q_contamination"     -> Curation.contaminationSql,
     "q_token_count"     -> TextAnalysis.tokenCountSql,
     "q_quality_score"   -> TextAnalysis.qualityScoreSql,
     "q_pricing_summary"      -> Tpch.pricingSummarySql,

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFns
+import graft.sources.Tables
+
+/** Training-data curation suite (SURVEY §2 E13–E16): the selection /
+  * filtering / scrubbing passes a large-scale pipeline runs between raw
+  * ingest and dedup. All pure column expressions — each query is one
+  * codegen'd scan + (at most) one shuffle, so every pass streams at
+  * 100 TB.
+  */
+object Curation {
+
+  /** E13 — deterministic stratified sampling: per-language rates via a
+    * content-keyed hash bucket. The bucket is derived from md5 hex chars
+    * (engine-portable, unlike xxhash64), so the SAME rows are selected
+    * on every engine, every run, at any parallelism — reproducible
+    * training mixtures. English is downsampled (over-represented
+    * stratum), everything else keeps a higher rate.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket",
+        (ascii(substring(md5(col("text")), 1, 1)) * 256 +
+         ascii(substring(md5(col("text")), 2, 1))) % 100)
+      .withColumn("rate", when(col("lang") === "en", 10).otherwise(50))
+      .filter(col("bucket") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("bucket").cast("long").as("bucket"))
+      .orderBy(col("doc_id"))
+
+  val stratifiedSampleSql: String =
+    """SELECT doc_id, lang,
+      |  CAST((ascii(substr(md5(text), 1, 1)) * 256 + ascii(substr(md5(text), 2, 1))) % 100 AS BIGINT) AS bucket
+      |FROM documents
+      |WHERE (ascii(substr(md5(text), 1, 1)) * 256 + ascii(substr(md5(text), 2, 1))) % 100
+      |      < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+      |ORDER BY doc_id""".stripMargin
+
+  /** E14 — quality-filter battery (Gopher-style rules, Rae et al. 2021,
+    * public): word-count bounds, mean-word-length bounds, symbol ratio,
+    * stopword presence. Flags are kept per-rule (a real pipeline audits
+    * WHICH rule fired before dropping) plus the combined keep bit.
+    */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nWords = size(toks).cast("double")
+    val meanWordLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nWords
+    val symbolRatio =
+      length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("double") /
+        length(col("text"))
+    val stopRatio = graft.functions.TextFns.stopwordRatio(col("text"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        nWords.cast("long").as("n_words"),
+        round(meanWordLen, 4).as("mean_word_len"),
+        round(symbolRatio, 4).as("symbol_ratio"),
+        (nWords >= 5 && nWords <= 1000).cast("int").as("ok_words"),
+        (meanWordLen >= 2 && meanWordLen <= 12).cast("int").as("ok_word_len"),
+        (symbolRatio <= 0.1).cast("int").as("ok_symbols"),
+        (stopRatio > 0).cast("int").as("ok_stopwords"))
+      .withColumn("keep",
+        (col("ok_words") === 1 && col("ok_word_len") === 1 &&
+         col("ok_symbols") === 1 && col("ok_stopwords") === 1).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityFilterSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+      |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS mwl,
+      |    CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS sym,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS stopr
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(n_words AS BIGINT) AS n_words,
+      |  round(mwl, 4) AS mean_word_len,
+      |  round(sym, 4) AS symbol_ratio,
+      |  CAST(n_words >= 5 AND n_words <= 1000 AS INT) AS ok_words,
+      |  CAST(mwl >= 2 AND mwl <= 12 AS INT) AS ok_word_len,
+      |  CAST(sym <= 0.1 AS INT) AS ok_symbols,
+      |  CAST(stopr > 0 AS INT) AS ok_stopwords,
+      |  CAST(n_words >= 5 AND n_words <= 1000 AND mwl >= 2 AND mwl <= 12
+      |       AND sym <= 0.1 AND stopr > 0 AS INT) AS keep
+      |FROM t
+      |ORDER BY doc_id""".stripMargin
+
+  /** E15 — PII scrubbing: redact emails and long digit runs. The corpus
+    * has no organic PII, so each doc gets a deterministic synthetic
+    * contact line appended IN the query (same expression in the oracle)
+    * — the scrub regexes then have real work to do. Patterns are
+    * RE2-safe (no backrefs/lookaround) so Spark (java.util.regex) and
+    * any RE2 engine agree.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val numRe = "[0-9]{6,}"
+    Tables.documents(spark, dir)
+      .withColumn("raw",
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com ref "),
+          expr("repeat('7', CAST(6 + doc_id % 4 AS INT))")))
+      .select(
+        col("doc_id"),
+        size(expr(s"regexp_extract_all(raw, '$emailRe', 0)")).cast("long").as("n_emails"),
+        size(expr(s"regexp_extract_all(raw, '$numRe', 0)")).cast("long").as("n_nums"),
+        substring(
+          regexp_replace(regexp_replace(col("raw"), emailRe, "[EMAIL]"), numRe, "[NUM]"),
+          1, 80).as("scrubbed_head"))
+      .orderBy(col("doc_id"))
+  }
+
+  val piiScrubSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || doc_id || '@example.com ref ' || repeat('7', CAST(6 + doc_id % 4 AS INT)) AS raw
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(raw, '[0-9]{6,}')) AS BIGINT) AS n_nums,
+      |  substr(regexp_replace(regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'), '[0-9]{6,}', '[NUM]', 'g'), 1, 80) AS scrubbed_head
+      |FROM t
+      |ORDER BY doc_id""".stripMargin
+
+  /** E16 — benchmark-contamination check: which corpus documents share
+    * 8-gram shingles with a held-out benchmark set (stand-in: doc_id <
+    * 20). The join key is the 64-bit shingle hash — the benchmark
+    * shingle set is tiny and broadcast, so the corpus side is one
+    * streaming scan at any scale. Overlap counts are hash-set
+    * cardinalities, so the string-based DuckDB oracle agrees.
+    */
+  def contamination(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) >= n)
+      .select(col("doc_id"), explode(HashFns.shingleHashSet(col("text"), n)).as("h"))
+    val bench = docs.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("bench_id"), col("h"))
+    val corpus = docs.filter(col("doc_id") >= 20)
+    corpus.join(broadcast(bench), "h")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_overlap"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  val contaminationSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 7),
+      |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' ||
+      |         w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] || ' ' || w[i+8]))) AS s
+      |  FROM w)
+      |SELECT c.doc_id AS doc_id,
+      |  count(DISTINCT c.s) AS n_overlap,
+      |  count(DISTINCT b.doc_id) AS n_bench_docs
+      |FROM sh c JOIN sh b ON c.s = b.s AND b.doc_id < 20 AND c.doc_id >= 20
+      |GROUP BY c.doc_id
+      |ORDER BY doc_id""".stripMargin
+}

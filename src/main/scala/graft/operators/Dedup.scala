@@ -129,6 +129,44 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** E4b — edit-distance (Levenshtein) near-dup inside the same prefix
+    * blocks as E4. Relative distance (÷ longer length) so long docs
+    * aren't penalized; the threshold applies to the ROUNDED ratio
+    * (cross-engine boundary stability). Levenshtein is O(len²) per
+    * pair — blocking is what keeps it feasible; at 100 TB the MinHash
+    * candidates (E2) feed this as the high-precision verifier.
+    */
+  def levenshteinPairs(spark: SparkSession, dir: String, maxRel: Double = 0.25): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("block"),
+      col("text"))
+    docs.select(col("block"), col("doc_id").as("doc_a"), col("text").as("text_a"))
+      .join(docs.select(col("block"), col("doc_id").as("doc_b"), col("text").as("text_b")), "block")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("edit_dist", levenshtein(col("text_a"), col("text_b")).cast("long"))
+      .withColumn("rel_dist", round(
+        col("edit_dist").cast("double") /
+          greatest(length(col("text_a")), length(col("text_b"))), 4))
+      .filter(col("rel_dist") <= maxRel)
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"), col("rel_dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val levenshteinPairsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    concat_ws(' ', string_split(text, ' ')[1], string_split(text, ' ')[2]) AS block
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+      |  round(CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+      |        greatest(length(a.text), length(b.text)), 4) AS rel_dist
+      |FROM t a JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id
+      |WHERE round(CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+      |            greatest(length(a.text), length(b.text)), 4) <= 0.25
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val ngramJaccardSql: String =
     """WITH t AS (
       |  SELECT doc_id,

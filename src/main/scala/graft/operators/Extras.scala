@@ -182,4 +182,106 @@ object Extras {
       |SELECT user_id, event_id, event_type, value, tss
       |FROM e WHERE rn = 1
       |ORDER BY user_id""".stripMargin
+
+  /** C20 — pivot (crosstab): daily counts per event type as columns —
+    * the dashboard "stacked series" shape. One shuffle on day; the
+    * pivot itself is a conditional-agg projection (no extra exchange).
+    */
+  val eventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type", eventTypes)
+      .count()
+      .na.fill(0, eventTypes)
+      .orderBy(col("day"))
+
+  val pivotEventsSql: String =
+    """SELECT date_trunc('day', ts) AS day,
+      |  count(*) FILTER (event_type = 'click') AS click,
+      |  count(*) FILTER (event_type = 'error') AS error,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (event_type = 'signup') AS signup,
+      |  count(*) FILTER (event_type = 'view') AS view
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin
+
+  /** C21 — CUBE: all grouping-set combinations of (segment, order
+    * year) in one pass — partial aggregation handles the expansion
+    * map-side, one shuffle total.
+    */
+  def cubeRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_year"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("c_mktsegment").asc_nulls_first, col("o_year").asc_nulls_first)
+  }
+
+  val cubeRevenueSql: String =
+    """SELECT c_mktsegment, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY CUBE (c_mktsegment, CAST(year(o_orderdate) AS BIGINT))
+      |ORDER BY c_mktsegment ASC NULLS FIRST, o_year ASC NULLS FIRST""".stripMargin
+
+  /** C22 — distribution ranks: quartile (ntile), percent_rank and
+    * cume_dist of customers by account balance. Unique (balance, key)
+    * ordering keeps every rank function deterministic cross-engine.
+    */
+  def windowRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .orderBy(col("c_custkey"))
+  }
+
+  val windowRanksSql: String =
+    """SELECT c_custkey, c_acctbal,
+      |  CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile,
+      |  round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pct_rank,
+      |  round(cume_dist() OVER (ORDER BY c_acctbal, c_custkey), 6) AS cume
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
+  /** C23 — batch interval join (the batch complement of the C19
+    * stream-stream interval join): per purchase, how many views the
+    * same user made in the preceding hour. Equi-join on user_id with a
+    * residual time-range predicate — a hash join, never a cross
+    * product; per-user timelines bound the pair fan-out.
+    */
+  def viewsBeforePurchase(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("tss"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("tss").as("pts"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("tss").as("vts"))
+    p.join(v,
+        p("user_id") === v("user_id") &&
+          col("vts") <= col("pts") && col("vts") > col("pts") - expr("INTERVAL 1 HOUR"),
+        "left")
+      .groupBy(col("purchase_id"), p("user_id").as("user_id"), col("pts"))
+      .agg(count(col("view_id")).as("n_views_1h"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val viewsBeforePurchaseSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, date_trunc('second', ts) AS tss FROM events),
+      |p AS (SELECT user_id, event_id AS purchase_id, tss AS pts FROM e WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, event_id AS view_id, tss AS vts FROM e WHERE event_type = 'view')
+      |SELECT p.purchase_id, p.user_id, p.pts, count(v.view_id) AS n_views_1h
+      |FROM p LEFT JOIN v
+      |  ON p.user_id = v.user_id AND v.vts <= p.pts AND v.vts > p.pts - INTERVAL 1 HOUR
+      |GROUP BY p.purchase_id, p.user_id, p.pts
+      |ORDER BY purchase_id""".stripMargin
 }
