@@ -137,19 +137,40 @@ object Dedup {
     * candidates (E2) feed this as the high-precision verifier.
     */
   def levenshteinPairs(spark: SparkSession, dir: String, maxRel: Double = 0.25): DataFrame = {
+    // hash-partition on the blocking key BEFORE the self-join: the scan
+    // may be a single (or few) parquet split(s), and an O(pairs·len²)
+    // kernel must not inherit scan parallelism — this spreads the DP
+    // work across the cluster and co-partitions the join in one cheap
+    // shuffle of (id, block, text) rows.
     val docs = Tables.documents(spark, dir).select(
       col("doc_id"),
       concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("block"),
       col("text"))
+      .repartition(spark.sparkContext.defaultParallelism, col("block"))
+    val la = length(col("text_a")); val lb = length(col("text_b"))
     docs.select(col("block"), col("doc_id").as("doc_a"), col("text").as("text_a"))
       .join(docs.select(col("block"), col("doc_id").as("doc_b"), col("text").as("text_b")), "block")
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("edit_dist", levenshtein(col("text_a"), col("text_b")).cast("long"))
-      .withColumn("rel_dist", round(
-        col("edit_dist").cast("double") /
-          greatest(length(col("text_a")), length(col("text_b"))), 4))
-      .filter(col("rel_dist") <= maxRel)
-      .select(col("doc_a"), col("doc_b"), col("edit_dist"), col("rel_dist"))
+      // free pruning: edit distance >= |len_a - len_b|, so rel <= maxRel
+      // forces the lengths within maxRel of each other — skip the O(n²)
+      // DP for pairs that can't qualify (margin covers the 4dp rounding)
+      .filter(least(la, lb) >= (lit(1.0 - maxRel - 0.001) * greatest(la, lb)) - 1)
+      // banded early-exit DP: per-row threshold caps the work at
+      // O(len × threshold). Filter on the RAW distance (not a derived
+      // rounded column) so predicate pushdown doesn't re-inline the
+      // levenshtein expression into extra evaluations per row; the
+      // +0.00005 margin makes the raw cut identical to the 4dp-rounded
+      // cut the output column (and the oracle) applies. -1 = above
+      // threshold.
+      .withColumn("edit_dist", expr(
+        s"levenshtein(text_a, text_b, " +
+          s"CAST($maxRel * greatest(length(text_a), length(text_b)) AS INT) + 2)")
+        .cast("long"))
+      .filter(col("edit_dist") >= 0 &&
+        col("edit_dist").cast("double") <=
+          lit(maxRel + 0.00005) * greatest(la, lb))
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"),
+        round(col("edit_dist").cast("double") / greatest(la, lb), 4).as("rel_dist"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -264,12 +264,13 @@ object Extras {
     val p = e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"), col("tss").as("pts"))
     val v = e.filter(col("event_type") === "view")
-      .select(col("user_id"), col("event_id").as("view_id"), col("tss").as("vts"))
+      .select(col("user_id").as("v_user_id"), col("event_id").as("view_id"),
+        col("tss").as("vts"))
     p.join(v,
-        p("user_id") === v("user_id") &&
+        col("user_id") === col("v_user_id") &&
           col("vts") <= col("pts") && col("vts") > col("pts") - expr("INTERVAL 1 HOUR"),
         "left")
-      .groupBy(col("purchase_id"), p("user_id").as("user_id"), col("pts"))
+      .groupBy(col("purchase_id"), col("user_id"), col("pts"))
       .agg(count(col("view_id")).as("n_views_1h"))
       .orderBy(col("purchase_id"))
   }

@@ -32,5 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHash64(exprs(0))))
+    // F6 — opt-in approximate-rewrite rule (no-op unless
+    // spark.graft.approx.rewrite=true)
+    e.injectOptimizerRule(session => ApproxRewrite(session))
   }
 }
