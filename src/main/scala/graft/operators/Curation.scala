@@ -136,7 +136,7 @@ object Curation {
     * cardinalities, so the string-based DuckDB oracle agrees.
     */
   def contamination(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.atComputeParallelism(Tables.documents(spark, dir))
       .filter(size(split(col("text"), " ")) >= n)
       .select(col("doc_id"), explode(HashFns.shingleHashSet(col("text"), n)).as("h"))
     val bench = docs.filter(col("doc_id") < 20)

@@ -49,7 +49,9 @@ object Dedup {
 
   /** DataFrame-level core of E2 — any (doc_id, text) input. */
   def minhashPairsDf(documents: DataFrame, threshold: Double): DataFrame = {
-    val docs = documents
+    // sketch kernels are per-row CPU work — run at compute parallelism,
+    // not scan-split parallelism (a single parquet file = one task)
+    val docs = Tables.atComputeParallelism(documents)
       .select(col("doc_id"), HashFns.shingleHashSet(col("text"), 3).as("sh"))
       .withColumn("sig", HashFns.minhashSignature(col("sh"), 64))
 
@@ -84,7 +86,7 @@ object Dedup {
 
   /** DataFrame-level core of E3 — any (doc_id, text) input. */
   def simhashPairsDf(documents: DataFrame, maxHamming: Int): DataFrame = {
-    val docs = documents
+    val docs = Tables.atComputeParallelism(documents)
       .select(col("doc_id"),
         HashFns.simhash64(HashFns.tokenHashes(col("text"))).as("sig"))
 
@@ -114,7 +116,9 @@ object Dedup {
     // shingles carried as 64-bit hashes, not strings: set intersection
     // cardinality is identical (xxhash64 collisions are negligible) and
     // long-array intersection is far cheaper than string-array
-    val docs = Tables.documents(spark, dir).select(
+    val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(
       col("doc_id"),
       concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("block"),
       HashFns.shingleHashSet(col("text"), 3).as("sh"))
@@ -211,7 +215,10 @@ object Dedup {
   def embeddingPairs(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
     CosineSim.register(spark)
     val e = Tables.embeddings(spark, dir)
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    // stream side of the all-pairs kernel: O(n²) cosines must run at
+    // compute parallelism, not the scan's file-split count
+    val a = Tables.atComputeParallelism(e)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .withColumn("cos_sim", CosineSim(col("emb_a"), col("emb_b")))

@@ -25,6 +25,10 @@ object Similarity {
   private def queryCorpus(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     CosineSim.register(spark)
     val e = Tables.embeddings(spark, dir)
+    // corpus stays at scan parallelism: the scoring kernel is a few
+    // cosines per row here, and the IVF k-means fit pays per-task
+    // overhead every Lloyd iteration — widening this input measured
+    // slower locally and a real corpus scan is already wide
     (e.filter(col("vec_id") < nQueries)
        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
      e.filter(col("vec_id") >= nQueries)
@@ -102,7 +106,11 @@ object Similarity {
     val corpus = normalize.transform(
       c.withColumn("raw_vec", array_to_vector(col("n_emb"))))
 
-    val model = new KMeans().setK(nCells).setSeed(42L).setFeaturesCol("features")
+    // bounded Lloyd iterations: the index build is an approximation to
+    // begin with — extra iterations sharpen cell boundaries without
+    // improving recall measurably (SimilaritySpec guards recall)
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(8)
+      .setFeaturesCol("features")
       .fit(corpus)
     val corpusCells = model.transform(corpus)
       .select(col("n_id"), col("n_emb"), col("prediction").as("cell"))

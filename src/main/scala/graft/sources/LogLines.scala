@@ -45,7 +45,11 @@ object LogLines {
     * `46.99.153.40 - - [29/Jul/2021:15:32:33 +0000] "GET / HTTP/1.1" 200 173 "-" "UA"`
     */
   def apacheLines(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir).select(
+    // raw-line synthesis + the downstream regex parse battery are
+    // per-row CPU kernels: spread them over compute parallelism instead
+    // of inheriting the scan's file-split count (one file locally)
+    Tables.atComputeParallelism(Tables.events(spark, dir))
+      .select(
       col("event_id"),
       format_string(
         "%s - - [%s] \"%s %s HTTP/1.1\" %d %d \"-\" \"%s\"",
@@ -63,7 +67,8 @@ object LogLines {
     val level = when(col("event_type") === "error", "ERROR")
       .when(col("event_type") === "signup", "WARN")
       .otherwise("INFO")
-    Tables.events(spark, dir).select(
+    Tables.atComputeParallelism(Tables.events(spark, dir))
+      .select(
       col("event_id"),
       format_string(
         """[{"time":"%s","type":"platform.start","record":"req-%d"},""" +

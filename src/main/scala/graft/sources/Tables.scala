@@ -43,4 +43,16 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Widen to compute parallelism ONLY when the plan is narrower —
+    * per-row CPU kernels (regex batteries, sketches, pairwise scoring)
+    * must not inherit a single-file scan's one-task parallelism, but a
+    * 100 TB scan that already has thousands of splits must NOT be
+    * re-shuffled just to run a kernel. `rdd.getNumPartitions` is a plan
+    * inspection, not a job.
+    */
+  def atComputeParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 }
