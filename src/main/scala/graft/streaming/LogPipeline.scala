@@ -97,6 +97,19 @@ object LogPipeline {
       col("ts") <= col("deploy_ts") + expr(s"INTERVAL $within"))
   }
 
+  /** E1s — streaming exact dedup: drop re-deliveries of identical
+    * content (Firehose retries, agent re-sends) inside the watermark
+    * horizon. `dropDuplicatesWithinWatermark` keys state on the content
+    * hash and EVICTS each key once the watermark passes it — bounded
+    * state, unlike plain dropDuplicates whose state grows forever on an
+    * unbounded stream. The batch twin is Dedup.exact.
+    */
+  def dedupStream(lines: DataFrame, delay: String = "10 minutes"): DataFrame =
+    lines
+      .withColumn("content_hash", md5(col("value")))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   // ---- C11: stateful streaming sessionization ------------------------
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)

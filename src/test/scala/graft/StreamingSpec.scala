@@ -98,6 +98,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(!all.contains((2L, "ec2")) && !all.contains((3L, "ecs")), s"all rows: $all")
   }
 
+  test("streaming exact dedup drops re-delivered lines within the watermark") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(min: Long) = new java.sql.Timestamp((1440 + min) * 60000L)
+    val q = LogPipeline.dedupStream(ms.toDS().toDF("ts", "value")).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup")
+      .start()
+    // duplicate inside a batch AND re-delivered in the next batch
+    ms.addData((ts(0), "lineA"), (ts(1), "lineA"), (ts(0), "lineB"))
+    q.processAllAvailable()
+    ms.addData((ts(2), "lineA"), (ts(3), "lineC"))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT value FROM dedup").as[String].collect().toSeq
+    q.stop()
+    assert(got.sorted == Seq("lineA", "lineB", "lineC"), s"got $got")
+  }
+
   test("stateful sessionization emits gap-closed sessions and keeps the open one in state") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[LogPipeline.Ev]
