@@ -66,6 +66,8 @@ object SparkEntry {
     "q_quality_filter"    -> (Curation.qualityFilter(_, _)),
     "q_pii_scrub"         -> (Curation.piiScrub(_, _)),
     "q_contamination"     -> ((s, d) => Curation.contamination(s, d)),
+    "q_tfidf_terms"       -> ((s, d) => TextAnalysis.tfidfTerms(s, d)),
+    "q_sig_terms"         -> ((s, d) => TextAnalysis.significantTerms(s, d)),
     // D — general batch analytics
     "q_pricing_summary"      -> (Tpch.pricingSummary(_, _)),
     "q_revenue_filter"       -> (Tpch.revenueFilter(_, _)),
@@ -111,6 +113,8 @@ object SparkEntry {
     "q_quality_filter"    -> Curation.qualityFilterSql,
     "q_pii_scrub"         -> Curation.piiScrubSql,
     "q_contamination"     -> Curation.contaminationSql,
+    "q_tfidf_terms"       -> TextAnalysis.tfidfTermsSql,
+    "q_sig_terms"         -> TextAnalysis.significantTermsSql,
     "q_token_count"     -> TextAnalysis.tokenCountSql,
     "q_quality_score"   -> TextAnalysis.qualityScoreSql,
     "q_pricing_summary"      -> Tpch.pricingSummarySql,

@@ -265,18 +265,24 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 20) {
-      val neighborMin = sym
+      // one join + one aggregation per round: neighbor labels arrive via
+      // the edge join, each node's own label rides along as a tagged
+      // self-row in the same union, and a single groupBy produces BOTH
+      // the new label (min over all) and the old one (the self-row) —
+      // no second join, and the convergence check is a filter on the
+      // checkpointed result
+      val neighborLabels = sym
         .join(labels.select(col("doc_id").as("b"), col("label").as("nl")), "b")
-        .groupBy(col("a")).agg(min(col("nl")).as("nmin"))
-      // carry the previous label so the convergence check is a filter on
-      // the checkpointed result, not another join
-      val updated = labels
-        .join(neighborMin, col("doc_id") === col("a"), "left")
-        .select(col("doc_id"), col("label").as("old"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .select(col("a"), col("nl"), lit(false).as("self"))
+      val selfLabels = labels
+        .select(col("doc_id").as("a"), col("label").as("nl"), lit(true).as("self"))
+      val updated = neighborLabels.unionByName(selfLabels)
+        .groupBy(col("a"))
+        .agg(min(col("nl")).as("label"),
+          max(when(col("self"), col("nl"))).as("old"))
         .localCheckpoint()
       changed = updated.filter(col("label") =!= col("old")).count()
-      labels = updated.select(col("doc_id"), col("label"))
+      labels = updated.select(col("a").as("doc_id"), col("label"))
       iter += 1
     }
     Tables.documents(spark, dir).select(col("doc_id"))

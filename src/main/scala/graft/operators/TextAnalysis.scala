@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.functions.TextFns
 import graft.sources.Tables
@@ -66,4 +67,103 @@ object TextAnalysis {
       size(TextFns.fingerprints(col("text"))).as("n_fingerprints"),
       array_min(TextFns.fingerprints(col("text"))).as("min_fp"))
     .orderBy(col("doc_id"))
+
+  /** E17 — per-document top-3 TF-IDF terms. One explode + two
+    * aggregations; the document-frequency side and the corpus size are
+    * broadcast (tiny vs the token stream), so the token explosion is
+    * shuffled exactly once, on (doc, token). Ranks on the ROUNDED score
+    * with a token tiebreak for cross-engine determinism.
+    */
+  def tfidfTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_toks"),
+        explode(col("toks")).as("token"))
+    val tf = docs.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).cast("double").as("tc"), first(col("n_toks")).as("n_toks"))
+    val df = docs.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
+    tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round((col("tc") / col("n_toks")) * log(col("n_docs") / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("token"), col("tfidf"), col("rank").cast("long").as("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val tfidfTermsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_toks,
+      |    unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tc, any_value(n_toks) AS n_toks
+      |  FROM toks GROUP BY doc_id, token),
+      |df AS (
+      |  SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM toks GROUP BY token),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.token,
+      |    round((tc / n_toks) * ln(n_docs / df.df), 6) AS tfidf
+      |  FROM tf JOIN df USING (token) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+      |  FROM scored)
+      |SELECT doc_id, token, tfidf, CAST(rank AS BIGINT) AS rank
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
+  /** C24 — "significant terms" (OpenSearch significant_terms agg):
+    * tokens over-represented in a foreground slice (source = src0) vs
+    * the whole corpus, scored by relative frequency ratio. Background
+    * totals are broadcast; one shuffle on token.
+    */
+  def significantTerms(spark: SparkSession, dir: String, k: Int = 15): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+    val fg = toks.filter(col("source") === "src0")
+      .groupBy(col("token")).agg(count(lit(1)).cast("double").as("fg"))
+    val bg = toks.groupBy(col("token")).agg(count(lit(1)).cast("double").as("bg"))
+    val totals = toks.agg(
+      sum(when(col("source") === "src0", 1).otherwise(0)).cast("double").as("fg_total"),
+      count(lit(1)).cast("double").as("bg_total"))
+    val w = Window.orderBy(col("score").desc, col("token"))
+    fg.join(bg, "token")
+      .filter(col("fg") >= 3)
+      .crossJoin(broadcast(totals))
+      .withColumn("score",
+        round((col("fg") / col("fg_total")) / (col("bg") / col("bg_total")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("token"), col("fg").cast("long").as("fg"),
+        col("bg").cast("long").as("bg"), col("score"), col("rank").cast("long").as("rank"))
+      .orderBy(col("rank"))
+  }
+
+  val significantTermsSql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+      |fg AS (
+      |  SELECT token, CAST(count(*) AS DOUBLE) AS fg FROM toks WHERE source = 'src0' GROUP BY token),
+      |bg AS (
+      |  SELECT token, CAST(count(*) AS DOUBLE) AS bg FROM toks GROUP BY token),
+      |totals AS (
+      |  SELECT CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS DOUBLE) AS fg_total,
+      |         CAST(count(*) AS DOUBLE) AS bg_total
+      |  FROM toks),
+      |scored AS (
+      |  SELECT token, fg, bg,
+      |    round((fg / fg_total) / (bg / bg_total), 6) AS score
+      |  FROM fg JOIN bg USING (token) CROSS JOIN totals
+      |  WHERE fg >= 3),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (ORDER BY score DESC, token) AS rank FROM scored)
+      |SELECT token, CAST(fg AS BIGINT) AS fg, CAST(bg AS BIGINT) AS bg, score,
+      |  CAST(rank AS BIGINT) AS rank
+      |FROM ranked WHERE rank <= 15
+      |ORDER BY rank""".stripMargin
 }
