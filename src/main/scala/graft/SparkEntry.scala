@@ -45,6 +45,8 @@ object SparkEntry {
     "q_cube_revenue"       -> (Extras.cubeRevenue(_, _)),
     "q_window_ranks"       -> (Extras.windowRanks(_, _)),
     "q_interval_join"      -> (Extras.viewsBeforePurchase(_, _)),
+    "q_session_window"     -> (Extras.sessionWindows(_, _)),
+    "q_freq_items"         -> ((s, d) => Extras.freqItems(s, d)),
     // E — training-data pipeline: dedup / similarity / text / multimodal
     "q_dedup_exact"     -> (Dedup.exact(_, _)),
     "q_dedup_minhash"   -> (Dedup.minhashPairs(_, _)),
@@ -108,6 +110,7 @@ object SparkEntry {
     "q_cube_revenue"    -> Extras.cubeRevenueSql,
     "q_window_ranks"    -> Extras.windowRanksSql,
     "q_interval_join"   -> Extras.viewsBeforePurchaseSql,
+    "q_session_window"  -> Extras.sessionWindowsSql,
     "q_dedup_levenshtein" -> Dedup.levenshteinPairsSql,
     "q_sample_stratified" -> Curation.stratifiedSampleSql,
     "q_quality_filter"    -> Curation.qualityFilterSql,

@@ -251,6 +251,53 @@ object Extras {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  /** C25 — gap sessions via Spark's native `session_window` (the
+    * declarative twin of the lag/sum formulation in `q_sessionize` and
+    * the stateful streaming version): dynamic-gap windows merge inside
+    * one aggregation — a single shuffle on user_id, no window-function
+    * sort pass. Window end = last event + gap (Spark semantics),
+    * reproduced in the oracle.
+    */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("second", col("ts")).as("tss"))
+      .groupBy(session_window(col("tss"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val sessionWindowsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, date_trunc('second', ts) AS tss FROM events),
+      |s AS (
+      |  SELECT user_id, tss,
+      |    CASE WHEN tss - lag(tss) OVER (PARTITION BY user_id ORDER BY tss)
+      |              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM e),
+      |g AS (
+      |  SELECT user_id, tss,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY tss ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM s)
+      |SELECT user_id, min(tss) AS session_start,
+      |  max(tss) + INTERVAL 30 MINUTE AS session_end, count(*) AS n
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  /** C26 — heavy hitters via the mergeable Misra–Gries sketch (F7): the
+    * scale path for terms aggregation over high-cardinality fields.
+    * Rows-only (sketch output depends on merge order; ExtensionSpec
+    * proves the frequency guarantee).
+    */
+  def freqItems(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val fi = graft.plans.FreqItemsAgg.udafFor(k)
+    Tables.events(spark, dir)
+      .agg(fi(col("user_id")).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col._1").as("user_id"), col("col._2").as("est_count"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** C23 — batch interval join (the batch complement of the C19
     * stream-stream interval join): per purchase, how many views the
     * same user made in the preceding hour. Equi-join on user_id with a

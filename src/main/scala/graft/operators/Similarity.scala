@@ -96,12 +96,16 @@ object Similarity {
     * written as partitioned parquet so a probe is a partition-pruned
     * scan.
     */
-  def annIvf(spark: SparkSession, dir: String, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+  /** Index build: k-means cell assignment for every corpus vector +
+    * the (tiny) centroid table. Shared by the in-query IVF (annIvf)
+    * and the persisted-index path (writeIvfIndex/probeIvfIndex).
+    */
+  def ivfParts(spark: SparkSession, dir: String, nCells: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.ml.feature.Normalizer
 
-    val (q, c) = queryCorpus(spark, dir)
+    val (_, c) = queryCorpus(spark, dir)
     val normalize = new Normalizer().setInputCol("raw_vec").setOutputCol("features").setP(2.0)
     val corpus = normalize.transform(
       c.withColumn("raw_vec", array_to_vector(col("n_emb"))))
@@ -119,15 +123,58 @@ object Similarity {
       model.clusterCenters.zipWithIndex.toIndexedSeq.map { case (v, i) =>
         (i, v.toArray.map(_.toFloat)) })
       .toDF("cell", "centroid")
+    (corpusCells, centroids)
+  }
 
-    // tiny: queries × centroids; probe the nProbe nearest cells
+  /** Probe-cell selection: the nProbe nearest centroids per query
+    * (queries × centroids is tiny — broadcast, window-ranked).
+    */
+  private def probeCells(q: DataFrame, centroids: DataFrame, nProbe: Int): DataFrame = {
     val probeW = Window.partitionBy(col("q_id")).orderBy(col("c_sim").desc, col("cell"))
-    val probes = q.join(broadcast(centroids))
+    q.join(broadcast(centroids))
       .withColumn("c_sim", CosineSim(col("q_emb"), col("centroid")))
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nProbe)
       .select(col("q_id"), col("q_emb"), col("cell"))
+  }
 
+  def annIvf(spark: SparkSession, dir: String, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val (q, _) = queryCorpus(spark, dir)
+    val (corpusCells, centroids) = ivfParts(spark, dir, nCells)
+    rankTopK(
+      probeCells(q, centroids, nProbe).join(corpusCells, "cell")
+        .withColumn("cos_sim", round(CosineSim(col("q_emb"), col("n_emb")), 6)))
+  }
+
+  /** E7c — persist the IVF index: corpus vectors as CELL-PARTITIONED
+    * parquet plus the centroid table. At 100 TB the index build runs
+    * once; every probe afterwards is a partition-pruned scan that
+    * touches nProbe/nCells of the data (IvfIndexSpec asserts the
+    * pruning on scan metrics).
+    */
+  def writeIvfIndex(spark: SparkSession, dir: String, indexPath: String,
+                    nCells: Int = 16): Unit = {
+    val (corpusCells, centroids) = ivfParts(spark, dir, nCells)
+    corpusCells.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexPath/cells")
+    centroids.write.mode("overwrite").parquet(s"$indexPath/centroids")
+  }
+
+  /** Probe the persisted index. The union of probe cells is collected
+    * to the driver (bounded by queries × nProbe ints — query-plan-sized,
+    * not data-sized) so the cell filter is a LITERAL predicate the scan
+    * prunes partitions with.
+    */
+  def probeIvfIndex(spark: SparkSession, dir: String, indexPath: String,
+                    nProbe: Int = 4): DataFrame = {
+    val (q, _) = queryCorpus(spark, dir)
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+    val probes = probeCells(q, centroids, nProbe)
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val corpusCells = spark.read.parquet(s"$indexPath/cells")
+      .filter(col("cell").isin(cells: _*))
+    CosineSim.register(spark)
     rankTopK(
       probes.join(corpusCells, "cell")
         .withColumn("cos_sim", round(CosineSim(col("q_emb"), col("n_emb")), 6)))

@@ -81,8 +81,11 @@ object TextAnalysis {
         explode(col("toks")).as("token"))
     val tf = docs.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).cast("double").as("tc"), first(col("n_toks")).as("n_toks"))
-    val df = docs.groupBy(col("token"))
-      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    // document frequency from the ALREADY-AGGREGATED (doc, token) pairs
+    // — one row per pair by construction, so a plain count is the
+    // distinct-doc count and the raw token stream is shuffled only once
+    val df = tf.groupBy(col("token"))
+      .agg(count(lit(1)).cast("double").as("df"))
     val n = Tables.documents(spark, dir).agg(count(lit(1)).cast("double").as("n_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
     tf.join(broadcast(df), "token")
@@ -123,16 +126,20 @@ object TextAnalysis {
     * totals are broadcast; one shuffle on token.
     */
   def significantTerms(spark: SparkSession, dir: String, k: Int = 15): DataFrame = {
+    // pre-aggregate once on (token): conditional sums give foreground
+    // and background in the same pass — the raw token stream is
+    // shuffled exactly once, and every downstream input (totals too) is
+    // the small per-token aggregate, whose exchange Spark reuses
     val toks = Tables.documents(spark, dir)
-      .select(col("source"), explode(split(col("text"), " ")).as("token"))
-    val fg = toks.filter(col("source") === "src0")
-      .groupBy(col("token")).agg(count(lit(1)).cast("double").as("fg"))
-    val bg = toks.groupBy(col("token")).agg(count(lit(1)).cast("double").as("bg"))
-    val totals = toks.agg(
-      sum(when(col("source") === "src0", 1).otherwise(0)).cast("double").as("fg_total"),
-      count(lit(1)).cast("double").as("bg_total"))
+      .select(col("source") === "src0", explode(split(col("text"), " ")).as("token"))
+      .toDF("is_fg", "token")
+    val perToken = toks.groupBy(col("token")).agg(
+      sum(when(col("is_fg"), 1).otherwise(0)).cast("double").as("fg"),
+      count(lit(1)).cast("double").as("bg"))
+    val totals = perToken.agg(
+      sum(col("fg")).as("fg_total"), sum(col("bg")).as("bg_total"))
     val w = Window.orderBy(col("score").desc, col("token"))
-    fg.join(bg, "token")
+    perToken
       .filter(col("fg") >= 3)
       .crossJoin(broadcast(totals))
       .withColumn("score",
