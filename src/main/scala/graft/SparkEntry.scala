@@ -46,6 +46,7 @@ object SparkEntry {
     "q_window_ranks"       -> (Extras.windowRanks(_, _)),
     "q_interval_join"      -> (Extras.viewsBeforePurchase(_, _)),
     "q_session_window"     -> (Extras.sessionWindows(_, _)),
+    "q_json_extract"       -> (Extras.jsonExtract(_, _)),
     "q_freq_items"         -> ((s, d) => Extras.freqItems(s, d)),
     // E — training-data pipeline: dedup / similarity / text / multimodal
     "q_dedup_exact"     -> (Dedup.exact(_, _)),
@@ -111,6 +112,7 @@ object SparkEntry {
     "q_window_ranks"    -> Extras.windowRanksSql,
     "q_interval_join"   -> Extras.viewsBeforePurchaseSql,
     "q_session_window"  -> Extras.sessionWindowsSql,
+    "q_json_extract"    -> Extras.jsonExtractSql,
     "q_dedup_levenshtein" -> Dedup.levenshteinPairsSql,
     "q_sample_stratified" -> Curation.stratifiedSampleSql,
     "q_quality_filter"    -> Curation.qualityFilterSql,

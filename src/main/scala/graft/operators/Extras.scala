@@ -251,6 +251,34 @@ object Extras {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  /** C27 — JSON field extraction + aggregation over the `props` JSON
+    * string column (OpenSearch documents ARE JSON — this is the
+    * "extract a dynamic field and aggregate it" dashboard shape).
+    * `get_json_object` is a codegen'd builtin; the parse happens once
+    * per row inside the scan→agg codegen span.
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("k")), 4).as("avg_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        round(expr("percentile(k, 0.5)"), 4).as("k_p50"))
+      .orderBy(col("event_type"))
+
+  val jsonExtractSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  round(avg(CAST(props->>'$.k' AS BIGINT)), 4) AS avg_k,
+      |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+      |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+      |  round(quantile_cont(CAST(props->>'$.k' AS BIGINT), 0.5), 4) AS k_p50
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** C25 — gap sessions via Spark's native `session_window` (the
     * declarative twin of the lag/sum formulation in `q_sessionize` and
     * the stateful streaming version): dynamic-gap windows merge inside
