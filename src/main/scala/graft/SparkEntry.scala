@@ -47,6 +47,10 @@ object SparkEntry {
     "q_interval_join"      -> (Extras.viewsBeforePurchase(_, _)),
     "q_session_window"     -> (Extras.sessionWindows(_, _)),
     "q_json_extract"       -> (Extras.jsonExtract(_, _)),
+    "q_derivative"         -> (LogAnalytics.derivative(_, _)),
+    "q_anomaly_days"       -> (LogAnalytics.anomalyDays(_, _)),
+    "q_terms_other"        -> ((s, d) => LogAnalytics.termsWithOther(s, d)),
+    "q_date_histogram_filled" -> (LogAnalytics.dateHistogramFilled(_, _)),
     "q_freq_items"         -> ((s, d) => Extras.freqItems(s, d)),
     // E — training-data pipeline: dedup / similarity / text / multimodal
     "q_dedup_exact"     -> (Dedup.exact(_, _)),
@@ -113,6 +117,10 @@ object SparkEntry {
     "q_interval_join"   -> Extras.viewsBeforePurchaseSql,
     "q_session_window"  -> Extras.sessionWindowsSql,
     "q_json_extract"    -> Extras.jsonExtractSql,
+    "q_derivative"      -> LogAnalytics.derivativeSql,
+    "q_anomaly_days"    -> LogAnalytics.anomalyDaysSql,
+    "q_terms_other"     -> LogAnalytics.termsWithOtherSql,
+    "q_date_histogram_filled" -> LogAnalytics.dateHistogramFilledSql,
     "q_dedup_levenshtein" -> Dedup.levenshteinPairsSql,
     "q_sample_stratified" -> Curation.stratifiedSampleSql,
     "q_quality_filter"    -> Curation.qualityFilterSql,

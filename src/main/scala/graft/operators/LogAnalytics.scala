@@ -314,4 +314,123 @@ object LogAnalytics {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1, 2
       |ORDER BY c_mktsegment, event_type""".stripMargin
+
+  /** C28 — derivative pipeline agg (OpenSearch `derivative`): the
+    * day-over-day delta of the daily event count via lag over the
+    * (small) aggregated series. First day's delta is null, as in
+    * OpenSearch.
+    */
+  def derivative(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("day"))
+    daily
+      .withColumn("delta", col("n") - lag(col("n"), 1).over(w))
+      .orderBy(col("day"))
+  }
+
+  val derivativeSql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', ts) AS day, count(*) AS n
+      |  FROM events GROUP BY 1)
+      |SELECT day, n, n - lag(n) OVER (ORDER BY day) AS delta
+      |FROM daily
+      |ORDER BY day""".stripMargin
+
+  /** C29 — anomaly days: flag daily buckets whose event count deviates
+    * from the series mean by more than 2σ (population stddev — matches
+    * OpenSearch's aggregate-then-threshold alerting shape). The global
+    * stats are a one-row broadcast over the tiny aggregated series.
+    */
+  def anomalyDays(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.agg(
+      avg(col("n")).as("mean_n"), stddev_pop(col("n")).as("sd_n"))
+    daily.crossJoin(broadcast(stats))
+      .withColumn("z", round((col("n") - col("mean_n")) / col("sd_n"), 4))
+      .filter(abs(col("z")) > 2)
+      .select(col("day"), col("n"), col("z"))
+      .orderBy(col("day"))
+  }
+
+  val anomalyDaysSql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', ts) AS day, count(*) AS n
+      |  FROM events GROUP BY 1),
+      |stats AS (
+      |  SELECT avg(n) AS mean_n, stddev_pop(n) AS sd_n FROM daily)
+      |SELECT day, n, round((n - mean_n) / sd_n, 4) AS z
+      |FROM daily CROSS JOIN stats
+      |WHERE abs(round((n - mean_n) / sd_n, 4)) > 2
+      |ORDER BY day""".stripMargin
+
+  /** C30 — terms agg with an "Other" bucket (OpenSearch terms agg
+    * reports `sum_other_doc_count`): top-2 user_ids per count plus one
+    * aggregated remainder row. Top-k and remainder come from the SAME
+    * per-key aggregate — the raw stream is shuffled once.
+    */
+  def termsWithOther(spark: SparkSession, dir: String, k: Int = 2): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("user_id"))
+    val ranked = perUser.withColumn("rank", row_number().over(w))
+    val top = ranked.filter(col("rank") <= k)
+      .select(col("user_id").cast("string").as("term"), col("n"),
+        col("rank").cast("long").as("rank"))
+    val other = ranked.filter(col("rank") > k)
+      .agg(sum(col("n")).as("n"))
+      .select(lit("__other__").as("term"), col("n"), lit(k + 1).cast("long").as("rank"))
+    top.unionByName(other).orderBy(col("rank"))
+  }
+
+  val termsWithOtherSql: String =
+    """WITH perUser AS (
+      |  SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+      |ranked AS (
+      |  SELECT user_id, n, row_number() OVER (ORDER BY n DESC, user_id) AS rank
+      |  FROM perUser)
+      |SELECT CAST(user_id AS VARCHAR) AS term, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
+      |FROM ranked WHERE rank <= 2
+      |UNION ALL
+      |SELECT '__other__' AS term, CAST(sum(n) AS BIGINT) AS n, CAST(3 AS BIGINT) AS rank
+      |FROM ranked WHERE rank > 2
+      |ORDER BY rank""".stripMargin
+
+  /** C31 — date histogram with empty-bucket fill (OpenSearch
+    * `min_doc_count: 0`): generate the full day sequence between min
+    * and max and left-join the counts, so gap days appear as zeros.
+    * The spine generation is O(days) — driver-free, from the one-row
+    * min/max aggregate via `sequence`.
+    */
+  def dateHistogramFilled(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      // a sparse slice so gaps actually exist: only high-value events
+      .filter(col("value") > 450)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = Tables.events(spark, dir)
+      .agg(min(date_trunc("day", col("ts"))).as("d0"),
+        max(date_trunc("day", col("ts"))).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+    spine.join(purchases, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0)).as("n"))
+      .orderBy(col("day"))
+  }
+
+  val dateHistogramFilledSql: String =
+    """WITH p AS (
+      |  SELECT date_trunc('day', ts) AS day, count(*) AS cnt
+      |  FROM events WHERE event_type = 'purchase' AND value > 450
+      |  GROUP BY 1),
+      |spine AS (
+      |  SELECT unnest(generate_series(min(date_trunc('day', ts)), max(date_trunc('day', ts)), INTERVAL 1 DAY)) AS day
+      |  FROM events)
+      |SELECT spine.day AS day, coalesce(p.cnt, 0) AS n
+      |FROM spine LEFT JOIN p ON spine.day = p.day
+      |ORDER BY day""".stripMargin
 }
