@@ -47,6 +47,8 @@ object SparkEntry {
     "q_interval_join"      -> (Extras.viewsBeforePurchase(_, _)),
     "q_session_window"     -> (Extras.sessionWindows(_, _)),
     "q_json_extract"       -> (Extras.jsonExtract(_, _)),
+    "q_full_outer_daily"   -> (Extras.fullOuterDaily(_, _)),
+    "q_set_ops"            -> (Extras.setOps(_, _)),
     "q_derivative"         -> (LogAnalytics.derivative(_, _)),
     "q_anomaly_days"       -> (LogAnalytics.anomalyDays(_, _)),
     "q_terms_other"        -> ((s, d) => LogAnalytics.termsWithOther(s, d)),
@@ -117,6 +119,8 @@ object SparkEntry {
     "q_interval_join"   -> Extras.viewsBeforePurchaseSql,
     "q_session_window"  -> Extras.sessionWindowsSql,
     "q_json_extract"    -> Extras.jsonExtractSql,
+    "q_full_outer_daily" -> Extras.fullOuterDailySql,
+    "q_set_ops"          -> Extras.setOpsSql,
     "q_derivative"      -> LogAnalytics.derivativeSql,
     "q_anomaly_days"    -> LogAnalytics.anomalyDaysSql,
     "q_terms_other"     -> LogAnalytics.termsWithOtherSql,

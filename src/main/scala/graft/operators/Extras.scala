@@ -251,6 +251,71 @@ object Extras {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  /** C32 — FULL OUTER join: reconcile per-day purchase revenue against
+    * per-day error counts — days present on either side survive with
+    * nulls coalesced (the "compare two metric streams" dashboard
+    * shape).
+    */
+  def fullOuterDaily(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(date_trunc("day", col("ts")).as("day"), col("event_type"), col("value"))
+    val purchases = e.filter(col("event_type") === "purchase" && col("value") > 150)
+      .groupBy(col("day")).agg(round(sum(col("value")), 2).as("revenue"))
+    val errors = e.filter(col("event_type") === "error" && col("value") > 150)
+      .groupBy(col("day")).agg(count(lit(1)).as("n_errors"))
+    purchases.join(errors, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"),
+        coalesce(col("n_errors"), lit(0L)).as("n_errors"))
+      .orderBy(col("day"))
+  }
+
+  val fullOuterDailySql: String =
+    """WITH p AS (
+      |  SELECT date_trunc('day', ts) AS day, round(sum(value), 2) AS revenue
+      |  FROM events WHERE event_type = 'purchase' AND value > 150 GROUP BY 1),
+      |e AS (
+      |  SELECT date_trunc('day', ts) AS day, count(*) AS n_errors
+      |  FROM events WHERE event_type = 'error' AND value > 150 GROUP BY 1)
+      |SELECT coalesce(p.day, e.day) AS day,
+      |  coalesce(p.revenue, 0.0) AS revenue,
+      |  CAST(coalesce(e.n_errors, 0) AS BIGINT) AS n_errors
+      |FROM p FULL OUTER JOIN e ON p.day = e.day
+      |ORDER BY day""".stripMargin
+
+  /** C33 — set operations: users who purchased but never errored
+    * (EXCEPT) and users who did both (INTERSECT), as one tagged union.
+    * Spark plans set ops as aggregates/joins — no special operator
+    * needed at scale.
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    def users(t: String) = e.filter(col("event_type") === t).select(col("user_id"))
+    // scalar count per cohort (not groupBy) so an EMPTY cohort still
+    // reports 0 — count over an empty relation is one row in SQL too
+    val both = users("purchase").intersect(users("error"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(lit("purchase_and_error").as("cohort"), col("n_users"))
+    val only = users("purchase").except(users("error"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(lit("purchase_no_error").as("cohort"), col("n_users"))
+    both.unionByName(only).orderBy(col("cohort"))
+  }
+
+  val setOpsSql: String =
+    """WITH b AS (
+      |  SELECT user_id FROM events WHERE event_type = 'purchase'
+      |  INTERSECT
+      |  SELECT user_id FROM events WHERE event_type = 'error'),
+      |o AS (
+      |  SELECT user_id FROM events WHERE event_type = 'purchase'
+      |  EXCEPT
+      |  SELECT user_id FROM events WHERE event_type = 'error')
+      |SELECT 'purchase_and_error' AS cohort, count(*) AS n_users FROM b
+      |UNION ALL
+      |SELECT 'purchase_no_error' AS cohort, count(*) AS n_users FROM o
+      |ORDER BY cohort""".stripMargin
+
   /** C27 — JSON field extraction + aggregation over the `props` JSON
     * string column (OpenSearch documents ARE JSON — this is the
     * "extract a dynamic field and aggregate it" dashboard shape).
