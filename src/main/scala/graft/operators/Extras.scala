@@ -348,8 +348,10 @@ object Extras {
     * declarative twin of the lag/sum formulation in `q_sessionize` and
     * the stateful streaming version): dynamic-gap windows merge inside
     * one aggregation — a single shuffle on user_id, no window-function
-    * sort pass. Window end = last event + gap (Spark semantics),
-    * reproduced in the oracle.
+    * sort pass. Spark semantics reproduced in the oracle: window end =
+    * last event + gap, and an event at EXACTLY the previous window's
+    * end still merges (the oracle breaks only on gap > interval —
+    * verified against an exact-gap pair in the sf0.1 data).
     */
   def sessionWindows(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -366,7 +368,7 @@ object Extras {
       |s AS (
       |  SELECT user_id, tss,
       |    CASE WHEN tss - lag(tss) OVER (PARTITION BY user_id ORDER BY tss)
-      |              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
       |  FROM e),
       |g AS (
       |  SELECT user_id, tss,
