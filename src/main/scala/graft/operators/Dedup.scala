@@ -239,7 +239,8 @@ object Dedup {
     * so plans don't grow exponentially across iterations. This is the
     * step a real training-data pipeline runs after pair mining.
     */
-  def canonicalCorpus(spark: SparkSession, dir: String): DataFrame = {
+  def canonicalCorpus(spark: SparkSession, dir: String,
+                      smallGraphMaxEdges: Long = 1000000L): DataFrame = {
     // exact dups are a subset of the ngram pairs (identical texts share
     // the prefix block and have Jaccard 1.0), so one mining pass suffices
     val edges = ngramJaccard(spark, dir)
@@ -256,8 +257,56 @@ object Dedup {
     // checkpoint is materialized) edge count, not the session default.
     // ~1M edges per partition; a 100 TB corpus with a billion dup edges
     // still gets a full-width shuffle.
+    val edgeCount = symFull.count()
+
+    // Small-graph fast path: below ~1M edges the component resolution
+    // is query-plan-sized, not data-sized — union-find on the driver
+    // beats paying per-round Spark job overhead (each distributed round
+    // costs a join + agg + checkpoint + count). The mapping is
+    // re-broadcast as a DataFrame, so the CORPUS never leaves the
+    // cluster; only the dup-graph edges do, and only under the bound.
+    // Above the bound (a 100 TB corpus can mine billions of edges) the
+    // distributed label-propagation loop below runs instead.
+    val labels: DataFrame = if (edgeCount <= smallGraphMaxEdges) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      symFull.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        // min-root union so the component label is its minimal doc_id,
+        // identical to the propagation fixpoint
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val nodes = parent.keySet ++ parent.values
+      import spark.implicits._
+      nodes.toSeq.map(n => (n, find(n))).toDF("doc_id", "label")
+    } else {
+      distributedComponents(spark, symFull, edgeCount)
+    }
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("keep_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Distributed min-label propagation over the symmetric edge list —
+    * the big-graph path of canonicalCorpus. Each iteration is one
+    * shuffle join; iteration count = component diameter.
+    */
+  private def distributedComponents(spark: SparkSession, symFull: DataFrame,
+                                    edgeCount: Long): DataFrame = {
+    // right-size the iteration: run the loop at a partition count
+    // proportional to the edge count, not the session default —
+    // ~1M edges per partition; a billion-edge graph still gets a
+    // full-width shuffle.
     val nParts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
-      (symFull.count() / 1000000L).toInt + 1))
+      (edgeCount / 1000000L).toInt + 1))
     val sym = symFull.repartition(nParts, col("b")).localCheckpoint()
 
     var labels = sym.select(col("a").as("doc_id")).distinct()
@@ -285,10 +334,7 @@ object Dedup {
       labels = updated.select(col("a").as("doc_id"), col("label"))
       iter += 1
     }
-    Tables.documents(spark, dir).select(col("doc_id"))
-      .join(broadcast(labels), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("keep_id"))
-      .orderBy(col("doc_id"))
+    labels
   }
 
   /** DuckDB oracle: transitive closure over the same edge set (exact-dup

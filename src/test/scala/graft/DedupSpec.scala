@@ -58,6 +58,12 @@ class DedupSpec extends AnyFunSuite {
     }
     labels.foreach { case (doc, keep) => assert(keep == find(doc), s"doc $doc") }
     assert(labels.nonEmpty && labels.exists { case (d, k) => d != k })
+
+    // the distributed label-propagation path (forced by a 0 edge bound)
+    // must produce the identical mapping as the small-graph fast path
+    val distributed = Dedup.canonicalCorpus(spark, TestSpark.sf, smallGraphMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(distributed == labels)
   }
 
   test("exact dedup groups identical texts") {
