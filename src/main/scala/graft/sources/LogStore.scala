@@ -56,11 +56,21 @@ object LogStore {
 
   /** Read back with partition pruning: only the directories inside the
     * date range (and source, if given) are listed and scanned.
+    *
+    * `mergeSchema` handles schema evolution: log formats grow fields
+    * over time (a new agent version emits an extra column), and a
+    * union-schema read surfaces old days with nulls instead of failing
+    * — the OpenSearch dynamic-mapping behavior, opt-in because schema
+    * merging lists every file's footer (costly at 100 TB; default
+    * reads use the latest-write schema).
     */
   def read(spark: SparkSession, root: String,
            fromDate: String, untilDate: String,
-           source: Option[String] = None): DataFrame = {
-    val base = spark.read.parquet(root)
+           source: Option[String] = None,
+           mergeSchema: Boolean = false): DataFrame = {
+    val base = spark.read
+      .option("mergeSchema", mergeSchema.toString)
+      .parquet(root)
       .filter(col("log_date") >= lit(fromDate) && col("log_date") < lit(untilDate))
     source.fold(base)(s => base.filter(col("source") === s))
   }

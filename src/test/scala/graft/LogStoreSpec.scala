@@ -42,6 +42,24 @@ class LogStoreSpec extends AnyFunSuite {
     assert(prunedFiles > 0 && prunedFiles < allFiles, s"pruned=$prunedFiles all=$allFiles")
   }
 
+  test("schema evolution: merged read unions old and new day layouts with nulls") {
+    val root = Files.createTempDirectory("graft-evo").toString + "/logs"
+    val day1 = Seq(("1.1.1.1", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 200L))
+      .toDF("ip", "ts", "status")
+      .withColumn("source", lit("ec2"))
+    val day2 = Seq(("2.2.2.2", java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 201L, "trace-1"))
+      .toDF("ip", "ts", "status", "trace_id") // new agent version adds a field
+      .withColumn("source", lit("ec2"))
+    LogStore.write(day1, root)
+    LogStore.write(day2, root)
+
+    val merged = LogStore.read(spark, root, "2024-01-01", "2024-01-03", mergeSchema = true)
+    assert(merged.columns.contains("trace_id"))
+    val byDay = merged.select(col("ip"), col("trace_id")).as[(String, Option[String])]
+      .collect().toMap
+    assert(byDay("1.1.1.1").isEmpty && byDay("2.2.2.2").contains("trace-1"))
+  }
+
   test("json-lines and csv readers honor the explicit schema") {
     val dir = Files.createTempDirectory("graft-fmt").toString
     java.nio.file.Paths.get(dir)
