@@ -68,6 +68,42 @@ object Multimodal {
     (sum, feat)
   }
 
+  case class Resized(doc_id: Long, kind: String, media: Array[Byte],
+                     width: Int, height: Int)
+
+  /** Resize stage: scale each image payload to `targetW`×`targetH`.
+    *
+    * STUB decode: without codecs the "pixels" are the raw payload bytes
+    * — nearest-neighbor sampling over the byte buffer stands in for a
+    * real interpolating resampler, with the REAL pipeline shape: the
+    * payload shrinks proportionally (output bytes scale with
+    * target/source area), metadata is rewritten alongside, and the
+    * transform is partition-local (no shuffle) — exactly how a batch
+    * image-resize stage feeds a fixed-input-size trainer.
+    */
+  def resize(spark: SparkSession, media: DataFrame,
+             targetW: Int = 32, targetH: Int = 32): DataFrame = {
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .select(col("doc_id"), col("kind"), col("media"), col("width"), col("height"))
+      .as[(Long, String, Array[Byte], Int, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (id, kind, bytes, w, h) =>
+          val srcArea = math.max(w.toLong * h, 1L)
+          val outLen = math.max(
+            (bytes.length.toLong * targetW * targetH / srcArea).toInt, 1)
+          val out = new Array[Byte](math.min(outLen, bytes.length))
+          var i = 0
+          while (i < out.length) {
+            // nearest-neighbor over the byte buffer (stub resampler)
+            out(i) = bytes((i.toLong * bytes.length / out.length).toInt)
+            i += 1
+          }
+          Resized(id, kind, out, targetW, targetH)
+        }
+      }.toDF()
+  }
+
   case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
   /** Frame sampling: split each "video" payload into n_frames equal

@@ -26,6 +26,30 @@ class MultimodalSpec extends AnyFunSuite {
     f1.foreach(r => assert(r.getAs[Int]("n_bytes") == docs(r.getAs[Long]("doc_id"))))
   }
 
+  test("resize scales payload bytes proportionally to target area and is deterministic") {
+    val media = Multimodal.mediaTable(spark, TestSpark.sf)
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Array[Byte]]("media").toSeq))
+      .sortBy(_._1)
+    val r1 = Multimodal.resize(spark, media, 32, 32).collect()
+    val r2 = Multimodal.resize(spark, media, 32, 32).collect()
+    assert(r1.nonEmpty)
+    assert(canon(r1).sameElements(canon(r2)))
+    val srcDims = media.filter(col("kind") === "image")
+      .select(col("doc_id"), col("media"), col("width"), col("height"))
+      .as[(Long, Array[Byte], Int, Int)].collect()
+      .map(t => t._1 -> t).toMap
+    r1.foreach { row =>
+      val id = row.getAs[Long]("doc_id")
+      val (_, bytes, w, h) = srcDims(id)
+      assert(row.getAs[Int]("width") == 32 && row.getAs[Int]("height") == 32)
+      val expected = math.min(
+        math.max((bytes.length.toLong * 32 * 32 / (w.toLong * h)).toInt, 1),
+        bytes.length)
+      assert(row.getAs[Array[Byte]]("media").length == expected, s"doc $id")
+    }
+  }
+
   test("frame sampling reassembles to a prefix-consistent byte slicing") {
     val media = Multimodal.mediaTable(spark, TestSpark.sf)
     val frames = Multimodal.sampleFrames(spark, media, stride = 1)
