@@ -74,4 +74,48 @@ object LogStore {
       .filter(col("log_date") >= lit(fromDate) && col("log_date") < lit(untilDate))
     source.fold(base)(s => base.filter(col("source") === s))
   }
+
+  /** Compaction: streaming micro-batches append one file per batch per
+    * partition — at 100 TB the small-files problem makes listing and
+    * scanning the store the bottleneck, so a periodic compactor
+    * rewrites each (log_date, source) partition to `filesPerPartition`
+    * files. The data is materialized (localCheckpoint) before the
+    * dynamic-partition overwrite because the write target IS the read
+    * source; a production job compacts only closed (past-date)
+    * partitions, which never receive concurrent appends.
+    */
+  def compact(spark: SparkSession, root: String, filesPerPartition: Int = 1): Unit = {
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val data = spark.read.parquet(root)
+        .repartition(filesPerPartition, col("log_date"), col("source"))
+        .localCheckpoint()
+      data.write.mode("overwrite")
+        .partitionBy("log_date", "source")
+        .parquet(root)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Retention: drop whole log_date partitions older than `beforeDate`
+    * — the lifecycle half of the reference's daily index rotation
+    * (README:30), where indexes age out after their retention window.
+    * Directory-level deletes: no data is read or rewritten.
+    */
+  def expire(spark: SparkSession, root: String, beforeDate: String): Seq[String] = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(root)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hadoopPath)) return Nil
+    fs.listStatus(hadoopPath).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith("log_date=") &&
+          p.getName.stripPrefix("log_date=") < beforeDate
+      }
+      .map { p => fs.delete(p, true); p.getName }
+  }
 }

@@ -1,6 +1,8 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -58,6 +60,36 @@ class LogStoreSpec extends AnyFunSuite {
     val byDay = merged.select(col("ip"), col("trace_id")).as[(String, Option[String])]
       .collect().toMap
     assert(byDay("1.1.1.1").isEmpty && byDay("2.2.2.2").contains("trace-1"))
+  }
+
+  test("compaction collapses per-batch small files; expiry drops aged partitions") {
+    val root = Files.createTempDirectory("graft-life").toString + "/logs"
+    def batch(day: String, n: Int) = (1 to n).map(i =>
+        (s"9.9.9.$i", java.sql.Timestamp.valueOf(s"$day 0$i:00:00"), 200L))
+      .toDF("ip", "ts", "status").withColumn("source", lit("ec2"))
+    // 4 appends per day -> 4+ files per partition
+    (1 to 4).foreach(_ => LogStore.write(batch("2024-01-01", 3), root))
+    (1 to 4).foreach(_ => LogStore.write(batch("2024-01-02", 3), root))
+
+    def dataFiles(): Seq[java.nio.file.Path] = {
+      val s = java.nio.file.Files.walk(Paths.get(root))
+      try s.iterator().asScala.toList.filter(_.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    val before = dataFiles().size
+    assert(before >= 8, s"expected >=8 small files, got $before")
+
+    LogStore.compact(spark, root)
+    val after = dataFiles().size
+    assert(after < before && after <= 2, s"before=$before after=$after")
+    // compaction preserves every row
+    assert(spark.read.parquet(root).count() == 24)
+
+    val dropped = LogStore.expire(spark, root, "2024-01-02")
+    assert(dropped == Seq("log_date=2024-01-01"))
+    val left = spark.read.parquet(root)
+    assert(left.count() == 12)
+    assert(left.select(max(col("log_date")).cast("string")).as[String].head() == "2024-01-02")
   }
 
   test("json-lines and csv readers honor the explicit schema") {
