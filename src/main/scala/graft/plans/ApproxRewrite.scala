@@ -1,9 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, HyperLogLogPlusPlus}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ApproximatePercentile, Count, HyperLogLogPlusPlus, Percentile}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
 
 /** Opt-in optimizer rule (SURVEY §2 F6): rewrite exact
   * `count(DISTINCT x)` to the HyperLogLog++ sketch when
@@ -35,6 +37,15 @@ case class ApproxRewrite(session: SparkSession) extends Rule[LogicalPlan] {
             ae.copy(
               aggregateFunction = HyperLogLogPlusPlus(child),
               isDistinct = false)
+          // exact percentile → t-digest sketch. Guard: Percentile
+          // always returns DOUBLE but ApproximatePercentile returns
+          // the CHILD's type, so the swap is only type-preserving (and
+          // therefore safe for downstream resolution) on double inputs.
+          case ae @ AggregateExpression(p: Percentile, _, false, None, _)
+              if p.child.dataType == DoubleType &&
+                p.frequencyExpression == Literal(1L) =>
+            ae.copy(aggregateFunction =
+              new ApproximatePercentile(p.child, p.percentageExpression))
         }
     }
 }

@@ -72,4 +72,27 @@ class ExtensionSpec extends AnyFunSuite {
       }
     } finally spark.conf.set("spark.graft.approx.rewrite", "false")
   }
+
+  test("approx rewrite: exact percentile swaps for t-digest on double inputs only") {
+    val events = graft.sources.Tables.events(spark, sf)
+    def pct() = events.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(user_id, 0.5)").as("p50_long")) // long child: must NOT rewrite
+
+    spark.conf.set("spark.graft.approx.rewrite", "false")
+    val exact = pct().collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    spark.conf.set("spark.graft.approx.rewrite", "true")
+    try {
+      val plan = pct().queryExecution.optimizedPlan.toString.toLowerCase
+      assert(plan.contains("percentile_approx") || plan.contains("approx_percentile"),
+        s"double percentile not rewritten:\n$plan")
+      assert(plan.contains("percentile(user_id"), s"long percentile was rewritten:\n$plan")
+      val approx = pct().collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      approx.foreach { case (t, est) =>
+        val ex = exact(t)
+        assert(math.abs(est - ex) / math.max(ex, 1.0) <= 0.1, s"$t: $est vs $ex")
+      }
+    } finally spark.conf.set("spark.graft.approx.rewrite", "false")
+  }
 }
