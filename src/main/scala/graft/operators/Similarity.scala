@@ -107,8 +107,10 @@ object Similarity {
 
     val (_, c) = queryCorpus(spark, dir)
     val normalize = new Normalizer().setInputCol("raw_vec").setOutputCol("features").setP(2.0)
+    // cache around the fit: every Lloyd iteration re-reads its input,
+    // and an uncached plan re-runs the scan + normalization each round
     val corpus = normalize.transform(
-      c.withColumn("raw_vec", array_to_vector(col("n_emb"))))
+      c.withColumn("raw_vec", array_to_vector(col("n_emb")))).cache()
 
     // bounded Lloyd iterations: the index build is an approximation to
     // begin with — extra iterations sharpen cell boundaries without
@@ -118,6 +120,8 @@ object Similarity {
       .fit(corpus)
     val corpusCells = model.transform(corpus)
       .select(col("n_id"), col("n_emb"), col("prediction").as("cell"))
+      .localCheckpoint()
+    corpus.unpersist()
 
     val centroids = spark.createDataFrame(
       model.clusterCenters.zipWithIndex.toIndexedSeq.map { case (v, i) =>
