@@ -48,6 +48,7 @@ object SparkEntry {
     "q_session_window"     -> (Extras.sessionWindows(_, _)),
     "q_json_extract"       -> (Extras.jsonExtract(_, _)),
     "q_full_outer_daily"   -> (Extras.fullOuterDaily(_, _)),
+    "q_stats_agg"          -> (Extras.statsAgg(_, _)),
     "q_set_ops"            -> (Extras.setOps(_, _)),
     "q_derivative"         -> (LogAnalytics.derivative(_, _)),
     "q_anomaly_days"       -> (LogAnalytics.anomalyDays(_, _)),
@@ -120,6 +121,8 @@ object SparkEntry {
     "q_session_window"  -> Extras.sessionWindowsSql,
     "q_json_extract"    -> Extras.jsonExtractSql,
     "q_full_outer_daily" -> Extras.fullOuterDailySql,
+    "q_stats_agg"        -> Extras.statsAggSql,
+    "q_lang_id"          -> TextAnalysis.langIdSql,
     "q_set_ops"          -> Extras.setOpsSql,
     "q_derivative"      -> LogAnalytics.derivativeSql,
     "q_anomaly_days"    -> LogAnalytics.anomalyDaysSql,

@@ -344,6 +344,33 @@ object Extras {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** C34 — statistical aggregates (OpenSearch extended_stats + matrix
+    * stats): sample stddev/variance of the value metric and its
+    * correlation/covariance with the JSON `k` property, per type. All
+    * sample (n-1) definitions — identical across engines.
+    */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("double").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        round(stddev_samp(col("value")), 4).as("sd_value"),
+        round(var_samp(col("value")), 4).as("var_value"),
+        round(corr(col("value"), col("k")), 4).as("corr_vk"),
+        round(covar_samp(col("value"), col("k")), 4).as("covar_vk"))
+      .orderBy(col("event_type"))
+
+  val statsAggSql: String =
+    """SELECT event_type,
+      |  round(stddev_samp(value), 4) AS sd_value,
+      |  round(var_samp(value), 4) AS var_value,
+      |  round(corr(value, CAST(props->>'$.k' AS DOUBLE)), 4) AS corr_vk,
+      |  round(covar_samp(value, CAST(props->>'$.k' AS DOUBLE)), 4) AS covar_vk
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** C25 — gap sessions via Spark's native `session_window` (the
     * declarative twin of the lag/sum formulation in `q_sessionize` and
     * the stateful streaming version): dynamic-gap windows merge inside

@@ -47,9 +47,13 @@ object TextAnalysis {
       |FROM t
       |ORDER BY doc_id""".stripMargin
 
-  /** E8 — language-ID heuristic vs the labeled lang column (rows-only;
-    * LangIdSpec covers semantic accuracy on crafted sentences — the
-    * synthetic corpus text is English-ish regardless of its label).
+  /** E8 — language-ID heuristic vs the labeled lang column. Fully
+    * deterministic builtin arithmetic, so it IS oracle-checked: the
+    * DuckDB replica computes the same per-language scores in the same
+    * operation order (bit-identical doubles) and reproduces the
+    * argmax's tie order (the Scala fold lets the LAST equal-scoring
+    * language win: en < de < es < fr). TextFnsSpec still covers
+    * semantic accuracy on crafted multilingual sentences.
     */
   def langId(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
@@ -57,6 +61,34 @@ object TextAnalysis {
       TextFns.langId(col("text")).as("predicted_lang"),
       col("lang").as("labeled_lang"))
     .orderBy(col("doc_id"))
+
+  val langIdSql: String = {
+    val score = TextFns.langProfiles.map { case (lang, prof) =>
+      val tri = TextFns.trigramProfiles.toMap.apply(lang)
+      val inList = prof.map(w => s"'$w'").mkString(", ")
+      val triSum = tri.map(t =>
+        s"CASE WHEN contains(lower(text), '$t') THEN 1.0 ELSE 0.0 END").mkString(" + ")
+      s"""    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |      x -> x IN ($inList))) AS DOUBLE)
+         |      / greatest(len(string_split_regex(lower(text), '\\s+')), 1)
+         |      + ($triSum) / ${tri.size} * 0.3 AS s_$lang""".stripMargin
+    }.mkString(",\n")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |$score
+       |  FROM documents),
+       |best AS (
+       |  SELECT *, greatest(s_en, s_de, s_es, s_fr) AS b FROM scored)
+       |SELECT doc_id,
+       |  CASE WHEN s_fr = b AND b > 0 THEN 'fr'
+       |       WHEN s_es = b AND b > 0 THEN 'es'
+       |       WHEN s_de = b AND b > 0 THEN 'de'
+       |       WHEN s_en = b AND b > 0 THEN 'en'
+       |       ELSE 'und' END AS predicted_lang,
+       |  lang AS labeled_lang
+       |FROM best
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** E11 — winnowing fingerprints (rows-only; FingerprintSpec asserts
     * the near-dup-overlap property).
