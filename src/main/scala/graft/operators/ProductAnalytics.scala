@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+
+/** Product / behavioral analytics over the event stream (SURVEY §2
+  * C35–C38) — the funnel, transition, retention, and profiling shapes
+  * a dashboard suite builds on top of the raw log store.
+  */
+object ProductAnalytics {
+
+  /** C35 — ordered funnel: view → click-after-view →
+    * purchase-after-that-click, counted per step. Each step is an
+    * aggregate on user_id joined to the next event slice — three
+    * shuffles on the same key (co-partitioned after the first), no
+    * window sort over the full stream.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), date_trunc("second", col("ts")).as("tss"))
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tss")).as("t1"))
+    val t2 = e.filter(col("event_type") === "click")
+      .join(t1, "user_id").filter(col("tss") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("tss")).as("t2"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t2, "user_id").filter(col("tss") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("tss")).as("t3"))
+    val n1 = t1.agg(count(lit(1)).as("n")).select(lit(1L).as("step"), lit("view").as("event"), col("n"))
+    val n2 = t2.agg(count(lit(1)).as("n")).select(lit(2L).as("step"), lit("click_after_view").as("event"), col("n"))
+    val n3 = t3.agg(count(lit(1)).as("n")).select(lit(3L).as("step"), lit("purchase_after_click").as("event"), col("n"))
+    n1.unionByName(n2).unionByName(n3).orderBy(col("step"))
+  }
+
+  val funnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, date_trunc('second', ts) AS tss FROM events),
+      |t1 AS (SELECT user_id, min(tss) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (SELECT e.user_id, min(tss) AS t2 FROM e JOIN t1 USING (user_id)
+      |       WHERE event_type = 'click' AND tss > t1 GROUP BY e.user_id),
+      |t3 AS (SELECT e.user_id, min(tss) AS t3 FROM e JOIN t2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND tss > t2 GROUP BY e.user_id)
+      |SELECT CAST(1 AS BIGINT) AS step, 'view' AS event, count(*) AS n FROM t1
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT) AS step, 'click_after_view' AS event, count(*) AS n FROM t2
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT) AS step, 'purchase_after_click' AS event, count(*) AS n FROM t3
+      |ORDER BY step""".stripMargin
+
+  /** C36 — event-type transition matrix (Markov counts): consecutive
+    * event pairs per user timeline, one lag window per user partition
+    * with a unique tiebreak.
+    */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tss"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("tss"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  val transitionsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, date_trunc('second', ts) AS tss FROM events),
+      |l AS (
+      |  SELECT event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS prev_type
+      |  FROM e)
+      |SELECT prev_type, event_type AS next_type, count(*) AS n
+      |FROM l WHERE prev_type IS NOT NULL
+      |GROUP BY prev_type, next_type
+      |ORDER BY prev_type, next_type""".stripMargin
+
+  /** C37 — retention curve: for each day-offset since a user's first
+    * activity, how many users were active. First-seen day is one
+    * aggregate, broadcast back over the activity stream.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val first = act.groupBy(col("user_id")).agg(min(col("day")).as("day0"))
+    act.join(broadcast(first), "user_id")
+      .groupBy(datediff(col("day"), col("day0")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("day_offset"))
+  }
+
+  val retentionSql: String =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+      |first AS (
+      |  SELECT user_id, min(day) AS day0 FROM act GROUP BY user_id)
+      |SELECT CAST(datediff('day', day0, day) AS BIGINT) AS day_offset,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM act JOIN first USING (user_id)
+      |GROUP BY 1
+      |ORDER BY day_offset""".stripMargin
+
+  /** C38 — data profiling: per-table completeness/cardinality summary
+    * (the "what's in this dataset" pass a pipeline runs before
+    * training). One scan, one row out.
+    */
+  def profile(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("user_id")).as("n_user_id"),
+        countDistinct(col("user_id")).as("d_user_id"),
+        countDistinct(col("event_type")).as("d_event_type"),
+        round(min(col("value")), 4).as("min_value"),
+        round(max(col("value")), 4).as("max_value"),
+        round(avg(length(col("props"))), 4).as("avg_props_len"))
+
+  val profileSql: String =
+    """SELECT count(*) AS n_rows,
+      |  count(user_id) AS n_user_id,
+      |  count(DISTINCT user_id) AS d_user_id,
+      |  count(DISTINCT event_type) AS d_event_type,
+      |  round(min(value), 4) AS min_value,
+      |  round(max(value), 4) AS max_value,
+      |  round(avg(length(props)), 4) AS avg_props_len
+      |FROM events""".stripMargin
+}
