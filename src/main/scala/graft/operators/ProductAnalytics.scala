@@ -104,6 +104,28 @@ object ProductAnalytics {
       |GROUP BY 1
       |ORDER BY day_offset""".stripMargin
 
+  /** C39 — seasonality heatmap: event volume by (day-of-week, hour) —
+    * the dashboard "when does traffic happen" matrix. Day-of-week
+    * conventions differ across engines (Spark: 1=Sunday; DuckDB
+    * date_part('dow'): 0=Sunday), so both sides normalize to 0=Sunday
+    * explicitly.
+    */
+  def seasonality(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        (dayofweek(col("ts")) - 1).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("dow"), col("hour"))
+
+  val seasonalitySql: String =
+    """SELECT CAST(date_part('dow', ts) AS BIGINT) AS dow,
+      |  CAST(date_part('hour', ts) AS BIGINT) AS hour,
+      |  count(*) AS n, round(avg(value), 4) AS avg_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY dow, hour""".stripMargin
+
   /** C38 — data profiling: per-table completeness/cardinality summary
     * (the "what's in this dataset" pass a pipeline runs before
     * training). One scan, one row out.
