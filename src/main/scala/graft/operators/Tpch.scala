@@ -192,4 +192,132 @@ object Tpch {
       |FROM lineitem
       |WHERE l_suppkey <= 5
       |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
+  /** D7 — returned-item customers (TPCH Q10 shape): revenue lost to
+    * returns per customer over a year, top 20. Fact-fact join on
+    * orderkey after pushed filters; customer/nation dims broadcast.
+    *
+    * D7–D9 money arithmetic runs in EXACT integer micro-dollars
+    * (prices are 2-decimal, discounts 4-decimal): float summation is
+    * order-dependent across engines, and with a thousand groups some
+    * group lands on a rounding boundary — integer sums are exact and
+    * convert to the identical double everywhere.
+    */
+  def returnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    val o = Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")) === 1996)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val w = Window.orderBy(col("revenue").desc, col("c_custkey"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg((sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
+        .cast("double") / 1e6).as("revenue"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 20)
+      .orderBy(col("rank"))
+  }
+
+  val returnedItemsSql: String =
+    """WITH rev AS (
+      |  SELECT c_custkey, c_name, n_name,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (10000 - CAST(round(l_discount * 10000) AS BIGINT))) AS DOUBLE) / 1000000.0 AS revenue
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE l_returnflag = 'R' AND year(o_orderdate) = 1996
+      |  GROUP BY c_custkey, c_name, n_name),
+      |ranked AS (
+      |  SELECT *, CAST(row_number() OVER (ORDER BY revenue DESC, c_custkey) AS BIGINT) AS rank
+      |  FROM rev)
+      |SELECT c_custkey, c_name, n_name, revenue, rank
+      |FROM ranked WHERE rank <= 20
+      |ORDER BY rank""".stripMargin
+
+  /** D8 — international trade volume (TPCH Q7 shape): revenue shipped
+    * across nation borders (supplier nation ≠ customer nation), by
+    * nation pair and year — the full matrix rather than one fixed pair
+    * so the query is non-degenerate at every scale factor. Supplier
+    * and customer nations resolve through broadcast dims; the
+    * fact-fact join shuffles on orderkey once.
+    */
+  def nationVolume(spark: SparkSession, dir: String,
+                   fromYear: Int = 1996, untilYear: Int = 1999): DataFrame = {
+    val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val c = Tables.customer(spark, dir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val o = Tables.orders(spark, dir)
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .filter(year(col("l_shipdate")) >= fromYear && year(col("l_shipdate")) < untilYear)
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg((sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
+        .cast("double") / 1e6).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val nationVolumeSql: String =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (10000 - CAST(round(l_discount * 10000) AS BIGINT))) AS DOUBLE) / 1000000.0 AS revenue
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |WHERE sn.n_name <> cn.n_name
+      |  AND year(l_shipdate) >= 1996 AND year(l_shipdate) < 1999
+      |GROUP BY 1, 2, 3
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** D9 — product-type profit by nation and year (TPCH Q9 shape,
+    * partsupp-free variant): revenue of ECONOMY-type parts by the
+    * supplying nation per year. part/supplier/nation broadcast; one
+    * fact shuffle.
+    */
+  def productTypeRevenue(spark: SparkSession, dir: String, pType: String = "ECONOMY"): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_type") === pType)
+      .select(col("p_partkey"))
+    val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg((sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
+        .cast("double") / 1e6).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("nation"), col("l_year"))
+  }
+
+  val productTypeRevenueSql: String =
+    """SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (10000 - CAST(round(l_discount * 10000) AS BIGINT))) AS DOUBLE) / 1000000.0 AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_type = 'ECONOMY'
+      |GROUP BY 1, 2
+      |ORDER BY nation, l_year""".stripMargin
 }
