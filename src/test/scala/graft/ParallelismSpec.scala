@@ -1,0 +1,26 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+
+/** Tables.atComputeParallelism contract: widen narrow plans to compute
+  * parallelism, leave already-wide plans UNTOUCHED (no gratuitous
+  * shuffle of a wide scan).
+  */
+class ParallelismSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("narrow input widens to defaultParallelism; wide input passes through unchanged") {
+    val target = spark.sparkContext.defaultParallelism
+    val narrow = Tables.documents(spark, TestSpark.sf) // single parquet file
+    assume(narrow.rdd.getNumPartitions < target)
+    assert(Tables.atComputeParallelism(narrow).rdd.getNumPartitions == target)
+
+    val wide = narrow.repartition(target * 2)
+    val out = Tables.atComputeParallelism(wide)
+    // untouched: same plan object, no extra exchange
+    assert(out eq wide)
+    assert(out.rdd.getNumPartitions == target * 2)
+  }
+}
