@@ -193,6 +193,34 @@ object Tpch {
       |WHERE l_suppkey <= 5
       |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
 
+  /** D10 — late-shipment priority counts (TPCH Q4 shape, commitdate-free
+    * variant): orders with at least one lineitem shipped more than 60
+    * days after the order date, counted by priority — a left-semi join
+    * against a derived fact slice, aggregated per group.
+    */
+  def latePriorityCounts(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val late = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(late,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val latePriorityCountsSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey
+      |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** D7 — returned-item customers (TPCH Q10 shape): revenue lost to
     * returns per customer over a year, top 20. Fact-fact join on
     * orderkey after pushed filters; customer/nation dims broadcast.
