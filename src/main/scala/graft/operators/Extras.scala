@@ -344,6 +344,39 @@ object Extras {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** C40 — ratio-to-report: each market segment's share of total order
+    * revenue — the "percent of total" dashboard metric. Sums run in
+    * exact integer cents (see Tpch D7 note) and the share divides two
+    * exact integers, so both engines produce the identical double; one
+    * unpartitioned window over the 5-row aggregate.
+    */
+  def segmentShare(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val perSeg = ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+    val w = Window.partitionBy()
+    perSeg
+      .withColumn("revenue", col("rev_cents").cast("double") / 100.0)
+      .withColumn("share",
+        round(col("rev_cents").cast("double") / sum(col("rev_cents")).over(w), 6))
+      .select(col("c_mktsegment"), col("revenue"), col("share"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val segmentShareSql: String =
+    """WITH perSeg AS (
+      |  SELECT c_mktsegment,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_mktsegment)
+      |SELECT c_mktsegment,
+      |  CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+      |  round(CAST(rev_cents AS DOUBLE) / CAST(sum(rev_cents) OVER () AS DOUBLE), 6) AS share
+      |FROM perSeg
+      |ORDER BY c_mktsegment""".stripMargin
+
   /** C34 — statistical aggregates (OpenSearch extended_stats + matrix
     * stats): sample stddev/variance of the value metric and its
     * correlation/covariance with the JSON `k` property, per type. All
