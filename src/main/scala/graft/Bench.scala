@@ -1,6 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query at the given SF dir and
+  * emits EXACTLY ONE compact JSON line as the last thing on stdout.
+  *
+  * The driver parses that line from captured process output, and its
+  * capture window is finite — so timings are rounded to milliseconds
+  * (3 decimals, shortest-round-trip toString keeps them short), the line
+  * is printed after `spark.stop()` so no log output can follow it, and
+  * the same JSON is also written to `bench_out.json` in the working
+  * directory as a redundant, truncation-proof copy.
+  */
 object Bench {
+  private def ms3(v: Double): Double = math.round(v * 1000) / 1000.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -36,11 +49,24 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = ms3(results.map(_._2).sum)
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sfNum}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sfNum}"""
+    // Redundant full copy on disk (survives any stdout truncation).
+    try {
+      val w = new java.io.PrintWriter("bench_out.json")
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () }
+    // Stop Spark BEFORE printing so its shutdown logging (if any escapes
+    // the ERROR level) cannot land after the JSON line in the capture.
     spark.stop()
+    println(line)
+    System.out.flush()
+    // Give any output-forwarding thread (sbt StdoutOutput pump) a moment
+    // to drain before the JVM exits.
+    Thread.sleep(300)
   }
 }

@@ -22,6 +22,15 @@ object LambdaLogs {
   /** Parse a JSON batch column into an array of log entries. */
   def parseBatch(batch: Column): Column = from_json(batch, entrySchema)
 
+  /** Minimal-schema parse: the transform filter/split below never reads
+    * `time`, and from_json skips fields absent from the schema without
+    * materializing them — Jackson still tokenizes the text once, but
+    * per-entry struct width (and the exploded row width) halves.
+    */
+  val typeRecordSchema: ArrayType = ArrayType(StructType(Seq(
+    StructField("type", StringType),
+    StructField("record", StringType))))
+
   /** Keep only function-log entries of an exploded batch —
     * the reference transformer's filter.
     */
@@ -37,7 +46,7 @@ object LambdaLogs {
     * function-log entry with req_id/level/msg columns.
     */
   def functionLogs(df: DataFrame, batchCol: String): DataFrame =
-    df.withColumn("entry", explode(parseBatch(col(batchCol))))
+    df.withColumn("entry", explode(from_json(col(batchCol), typeRecordSchema)))
       .filter(isFunctionEntry(col("entry")))
       .select(
         df.columns.filter(_ != batchCol).map(col).toSeq :+

@@ -60,29 +60,16 @@ object TextFns {
     "es" -> Seq("cio", "ado", "nte", "que"),
     "fr" -> Seq("eau", "oux", "ais", "que"))
 
-  def langScore(text: Column, profile: Seq[String]): Column = {
-    val toks = split(lower(text), "\\s+")
-    size(filter(toks, t => t.isin(profile.map(x => x: Any): _*))).cast("double") /
-      greatest(size(toks), lit(1))
-  }
-
-  def trigramScore(text: Column, trigrams: Seq[String]): Column =
-    trigrams.map(t => when(lower(text).contains(t), 1.0d).otherwise(0.0d))
-      .reduce(_ + _) / trigrams.size
-
   /** E8 — argmax over combined function-word + char-n-gram profile
-    * scores; "und" (unknown) when nothing matches.
+    * scores; "und" (unknown) when nothing matches. One native kernel
+    * pass (graft.plans.LangIdExpr) — the Column formulation it replaces
+    * (4× interpreted `filter(toks, isin)` HOFs + a 16-branch trigram
+    * contains chain) re-split the text per language and cost 5× more;
+    * the kernel reproduces its arithmetic bit-for-bit, so the DuckDB
+    * oracle is unchanged.
     */
-  def langId(text: Column): Column = {
-    val tri = trigramProfiles.toMap
-    val scores = langProfiles.map { case (lang, prof) =>
-      (lang, langScore(text, prof) + trigramScore(text, tri(lang)) * 0.3)
-    }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldLeft(lit("und")) { case (acc, (lang, score)) =>
-      when(score === best && score > 0, lang).otherwise(acc)
-    }
-  }
+  def langId(text: Column): Column =
+    graft.plans.LangIdExpr.langId(text, langProfiles, trigramProfiles)
 
   // ---- E11: document fingerprinting (winnowing) ----------------------
 

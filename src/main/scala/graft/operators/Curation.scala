@@ -20,24 +20,34 @@ object Curation {
     * on every engine, every run, at any parallelism — reproducible
     * training mixtures. English is downsampled (over-represented
     * stratum), everything else keeps a higher rate.
+    *
+    * The bucket uses the first FOUR hex nibbles decoded to a uniform
+    * 0..65535 value (hex-char position lookup — instr/strpos compute
+    * identically in Spark and DuckDB), so bucket probabilities deviate
+    * from uniform by at most 1/65536: nominal 10%/50% rates are real
+    * rates, unlike an ascii-pair bucket (256 combos onto 100 buckets =
+    * 2/256-vs-3/256 per-bucket bias, i.e. 8.6–11.7% for a nominal 10%).
     */
+  private val bucketExpr: String =
+    Seq(1, 2, 3, 4).map(i =>
+      s"(instr('0123456789abcdef', substr(md5(text), $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
+      .mkString("(", " + ", ") % 100")
+
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("bucket",
-        (ascii(substring(md5(col("text")), 1, 1)) * 256 +
-         ascii(substring(md5(col("text")), 2, 1))) % 100)
+      .withColumn("bucket", expr(bucketExpr))
       .withColumn("rate", when(col("lang") === "en", 10).otherwise(50))
       .filter(col("bucket") < col("rate"))
       .select(col("doc_id"), col("lang"), col("bucket").cast("long").as("bucket"))
       .orderBy(col("doc_id"))
 
-  val stratifiedSampleSql: String =
-    """SELECT doc_id, lang,
-      |  CAST((ascii(substr(md5(text), 1, 1)) * 256 + ascii(substr(md5(text), 2, 1))) % 100 AS BIGINT) AS bucket
-      |FROM documents
-      |WHERE (ascii(substr(md5(text), 1, 1)) * 256 + ascii(substr(md5(text), 2, 1))) % 100
-      |      < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
-      |ORDER BY doc_id""".stripMargin
+  val stratifiedSampleSql: String = {
+    val b = bucketExpr.replace("instr", "strpos")
+    s"""SELECT doc_id, lang, CAST($b AS BIGINT) AS bucket
+       |FROM documents
+       |WHERE $b < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** E14 — quality-filter battery (Gopher-style rules, Rae et al. 2021,
     * public): word-count bounds, mean-word-length bounds, symbol ratio,

@@ -166,9 +166,13 @@ object Dedup {
       // +0.00005 margin makes the raw cut identical to the 4dp-rounded
       // cut the output column (and the oracle) applies. -1 = above
       // threshold.
+      // the band cap is computed from the SAME expression as the accept
+      // cut below (+1 slack): with a tighter cap like int(maxRel·len)+2,
+      // documents past ~40k chars (0.00005·len > 2) could have the DP
+      // return -1 for pairs the accept filter would keep
       .withColumn("edit_dist", expr(
         s"levenshtein(text_a, text_b, " +
-          s"CAST($maxRel * greatest(length(text_a), length(text_b)) AS INT) + 2)")
+          s"CAST(($maxRel + 0.00005) * greatest(length(text_a), length(text_b)) AS INT) + 1)")
         .cast("long"))
       .filter(col("edit_dist") >= 0 &&
         col("edit_dist").cast("double") <=

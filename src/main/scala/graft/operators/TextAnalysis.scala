@@ -101,10 +101,14 @@ object TextAnalysis {
     .orderBy(col("doc_id"))
 
   /** E17 — per-document top-3 TF-IDF terms. One explode + two
-    * aggregations; the document-frequency side and the corpus size are
-    * broadcast (tiny vs the token stream), so the token explosion is
-    * shuffled exactly once, on (doc, token). Ranks on the ROUNDED score
-    * with a token tiebreak for cross-engine determinism.
+    * aggregations, both keyed so the raw token stream is shuffled exactly
+    * once. The tf↔df join is a SHUFFLE join on token, not a broadcast: a
+    * web-scale corpus has 10⁸–10⁹ distinct tokens, so the vocabulary is
+    * NOT a broadcastable dimension — and since `df` is derived from `tf`,
+    * Catalyst reuses tf's exchange for the join's left side, making the
+    * shuffle-join effectively free. Only the single-row corpus count is
+    * broadcast. Ranks on the ROUNDED score with a token tiebreak for
+    * cross-engine determinism.
     */
   def tfidfTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -120,7 +124,7 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("double").as("df"))
     val n = Tables.documents(spark, dir).agg(count(lit(1)).cast("double").as("n_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
-    tf.join(broadcast(df), "token")
+    tf.join(df, "token")
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         round((col("tc") / col("n_toks")) * log(col("n_docs") / col("df")), 6))

@@ -41,9 +41,13 @@ case class ApproxRewrite(session: SparkSession) extends Rule[LogicalPlan] {
           // always returns DOUBLE but ApproximatePercentile returns
           // the CHILD's type, so the swap is only type-preserving (and
           // therefore safe for downstream resolution) on double inputs.
+          // Reverse percentiles (PERCENTILE_CONT ... ORDER BY x DESC)
+          // compute quantile 1-p; ApproximatePercentile has no reverse
+          // mode, so swapping one in would silently return p instead of
+          // 1-p — leave them exact.
           case ae @ AggregateExpression(p: Percentile, _, false, None, _)
               if p.child.dataType == DoubleType &&
-                p.frequencyExpression == Literal(1L) =>
+                p.frequencyExpression == Literal(1L) && !p.reverse =>
             ae.copy(aggregateFunction =
               new ApproximatePercentile(p.child, p.percentageExpression))
         }

@@ -79,25 +79,38 @@ object LogStore {
     * partition — at 100 TB the small-files problem makes listing and
     * scanning the store the bottleneck, so a periodic compactor
     * rewrites each (log_date, source) partition to `filesPerPartition`
-    * files. The data is materialized (localCheckpoint) before the
-    * dynamic-partition overwrite because the write target IS the read
-    * source; a production job compacts only closed (past-date)
+    * files.
+    *
+    * Write-then-swap, never overwrite-in-place: the compacted copy is
+    * fully written (and committed) to a sibling temp directory while the
+    * live store stays readable; only then is each log_date partition
+    * swapped in with a directory rename (atomic on HDFS-like
+    * filesystems). A job that crashes mid-WRITE leaves the live store
+    * untouched; a crash mid-SWAP leaves every partition either fully old
+    * or fully compacted — no partition ever holds mixed files, which an
+    * in-place dynamic overwrite (reading the directory it rewrites,
+    * recovery dependent on executor-local checkpoint blocks) cannot
+    * guarantee. A production job compacts only closed (past-date)
     * partitions, which never receive concurrent appends.
     */
   def compact(spark: SparkSession, root: String, filesPerPartition: Int = 1): Unit = {
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      val data = spark.read.parquet(root)
-        .repartition(filesPerPartition, col("log_date"), col("source"))
-        .localCheckpoint()
-      data.write.mode("overwrite")
-        .partitionBy("log_date", "source")
-        .parquet(root)
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    val tmp = root.stripSuffix("/") + ".compact-tmp"
+    spark.read.parquet(root)
+      .repartition(filesPerPartition, col("log_date"), col("source"))
+      .write.mode("overwrite")
+      .partitionBy("log_date", "source")
+      .parquet(tmp)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(tmpPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("log_date="))
+      .foreach { s =>
+        val dest = new org.apache.hadoop.fs.Path(rootPath, s.getPath.getName)
+        fs.delete(dest, true)
+        fs.rename(s.getPath, dest)
+      }
+    fs.delete(tmpPath, true)
   }
 
   /** Retention: drop whole log_date partitions older than `beforeDate`

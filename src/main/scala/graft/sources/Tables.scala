@@ -48,11 +48,18 @@ object Tables {
     * per-row CPU kernels (regex batteries, sketches, pairwise scoring)
     * must not inherit a single-file scan's one-task parallelism, but a
     * 100 TB scan that already has thousands of splits must NOT be
-    * re-shuffled just to run a kernel. `rdd.getNumPartitions` is a plan
-    * inspection, not a job.
+    * re-shuffled just to run a kernel.
+    *
+    * Width is read from the NON-adaptive physical plan's lazily-built
+    * RDD lineage: unlike `df.rdd` (which goes through the AQE-wrapped
+    * executedPlan and eagerly runs any upstream shuffle stages), building
+    * `sparkPlan`'s RDD submits no job — exchanges become unmaterialized
+    * ShuffledRowRDDs. Callers pass scan-rooted frames, so the count is
+    * the file-split count.
     */
   def atComputeParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val width = df.queryExecution.sparkPlan.execute().getNumPartitions
+    if (width >= target) df else df.repartition(target)
   }
 }
