@@ -439,19 +439,47 @@ object Extras {
       |FROM g GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
-  /** C26 — heavy hitters via the mergeable Misra–Gries sketch (F7): the
-    * scale path for terms aggregation over high-cardinality fields.
-    * Rows-only (sketch output depends on merge order; ExtensionSpec
-    * proves the frequency guarantee).
+  /** C26 — heavy hitters, two-pass: the mergeable Misra–Gries sketch
+    * (F7) produces a bounded candidate set in one streaming pass (any
+    * item with true frequency > n/(k+1) is guaranteed to survive), then
+    * a second pass counts ONLY the candidates exactly (left-semi against
+    * the broadcast candidate list — at most k values). This is the
+    * scale pattern for terms aggregation over high-cardinality fields:
+    * no full groupBy of the key space, and — unlike raw sketch output,
+    * which depends on merge order — the verified result is exact and
+    * deterministic, so it IS oracle-checked. The item is a
+    * deterministically skewed key (floor∘sqrt of a uniform value: item v
+    * appears ~2v+1 times), since the raw test columns are near-uniform.
+    * ExtensionSpec separately proves the sketch's frequency guarantee.
     */
-  def freqItems(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+  def freqItems(spark: SparkSession, dir: String, k: Int = 60): DataFrame = {
     val fi = graft.plans.FreqItemsAgg.udafFor(k)
-    Tables.events(spark, dir)
-      .agg(fi(col("user_id")).as("top"))
-      .select(posexplode(col("top")))
-      .select(col("col._1").as("user_id"), col("col._2").as("est_count"),
-        (col("pos") + 1).cast("long").as("rank"))
+    val keyed = Tables.events(spark, dir)
+      .select(floor(sqrt(col("event_id") % 10000)).cast("long").as("item"))
+    val cands = keyed.agg(fi(col("item")).as("top"))
+      .select(explode(col("top")).as("c"))
+      .select(col("c._1").as("cand"))
+    val total = keyed.agg(count(lit(1)).as("n_total"))
+    keyed.join(broadcast(cands), col("item") === col("cand"), "left_semi")
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * k > col("n_total")) // integer compare: cnt > n/k
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("item"))).cast("long"))
+      .select(col("item"), col("cnt"), col("rank"))
+      .orderBy(col("rank"))
   }
+
+  val freqItemsSql: String =
+    """WITH keyed AS (
+      |  SELECT CAST(floor(sqrt(event_id % 10000)) AS BIGINT) AS item FROM events),
+      |c AS (SELECT item, count(*) AS cnt FROM keyed GROUP BY item),
+      |t AS (SELECT count(*) AS n_total FROM keyed)
+      |SELECT item, cnt,
+      |  CAST(row_number() OVER (ORDER BY cnt DESC, item) AS BIGINT) AS rank
+      |FROM c CROSS JOIN t
+      |WHERE cnt * 60 > n_total
+      |ORDER BY rank""".stripMargin
 
   /** C23 — batch interval join (the batch complement of the C19
     * stream-stream interval join): per purchase, how many views the

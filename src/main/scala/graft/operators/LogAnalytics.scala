@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.functions.{ApacheLog, LambdaLogs}
+import graft.functions.{ApacheErrorLog, ApacheLog, LambdaLogs}
 import graft.sources.{LogLines, Tables}
 
 /** OpenSearch-Discover-style log analytics (SURVEY §2 B+C blocks).
@@ -89,6 +89,65 @@ object LogAnalytics {
       |  CASE WHEN event_type = 'error' THEN 'ERROR'
       |       WHEN event_type = 'signup' THEN 'WARN' ELSE 'INFO' END AS level,
       |  concat('event=', event_type) AS msg
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  // ---- B1b: Apache error_log parse round-trip ------------------------
+
+  /** Synthesize error_log lines from events, parse them back with the
+    * ApacheErrorLog battery — the second flow the reference's Kinesis
+    * agent ships (ec2-startup.sh error_log*); without this parser every
+    * error line would dead-letter instead of being queryable.
+    */
+  def errorParse(spark: SparkSession, dir: String): DataFrame = {
+    val lines = LogLines.errorLines(spark, dir)
+    lines.select(
+        col("event_id"),
+        ApacheErrorLog.ts(col("line")).as("ts_sec"),
+        ApacheErrorLog.level(col("line")).as("level"),
+        ApacheErrorLog.clientIp(col("line")).as("client_ip"),
+        ApacheErrorLog.msg(col("line")).as("msg"))
+      .orderBy(col("event_id"))
+  }
+
+  val errorParseSql: String =
+    """SELECT event_id,
+      |  date_trunc('second', ts) AS ts_sec,
+      |  CASE WHEN event_type = 'error' THEN 'error'
+      |       WHEN event_type = 'signup' THEN 'warn' ELSE 'notice' END AS level,
+      |  concat('10.', user_id % 256, '.', event_id % 250, '.', (event_id * 7) % 250) AS client_ip,
+      |  concat('File does not exist: /var/www/', event_type, '/', event_id % 100) AS msg
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  // ---- A6b: FireLens envelope → inner-line parse ---------------------
+
+  /** ECS-path round trip: FireLens JSON envelope → unwrap (typed
+    * container metadata + inner line) → combined-log parse battery. The
+    * whole chain is one codegen'd projection — envelope parsing adds no
+    * shuffle.
+    */
+  def firelensParse(spark: SparkSession, dir: String): DataFrame = {
+    val unwrapped = graft.sources.Envelopes.unwrapFirelens(
+      LogLines.firelensLines(spark, dir), "envelope")
+    unwrapped.select(
+        col("event_id"),
+        col("container_name"),
+        col("ecs_task_arn"),
+        col("stream"),
+        ApacheLog.path(col("line")).as("path"),
+        ApacheLog.status(col("line")).as("status"))
+      .orderBy(col("event_id"))
+  }
+
+  val firelensParseSql: String =
+    """SELECT event_id,
+      |  concat('app-', event_id % 4) AS container_name,
+      |  concat('arn:aws:ecs:task/', event_id % 16) AS ecs_task_arn,
+      |  CASE WHEN event_type = 'error' THEN 'stderr' ELSE 'stdout' END AS stream,
+      |  concat('/', event_type, '/', event_id % 100) AS path,
+      |  CAST(CASE WHEN event_type = 'error' THEN 500
+      |            WHEN event_type = 'signup' THEN 201 ELSE 200 END AS BIGINT) AS status
       |FROM events
       |ORDER BY event_id""".stripMargin
 

@@ -90,15 +90,55 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** E11 — winnowing fingerprints (rows-only; FingerprintSpec asserts
-    * the near-dup-overlap property).
+  /** E11 — winnowing fingerprints (Schleimer et al., SIGMOD 2003): hash
+    * word 3-grams, take the min hash of each sliding window of 4, dedupe.
+    *
+    * This query uses md5-hex shingle hashes so the full winnowing
+    * selection is oracle-CHECKED: md5 and lexicographic min compute
+    * identically in Spark and DuckDB (hex strings order like the 128-bit
+    * values), so window minima — not just counts — must agree. The
+    * production-scale variant is `TextFns.fingerprints` (the native
+    * NgramHashes long-hash kernel, same algorithm, ~an order of
+    * magnitude cheaper); FingerprintSpec asserts its near-dup-overlap
+    * semantics.
     */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      size(TextFns.fingerprints(col("text"))).as("n_fingerprints"),
-      array_min(TextFns.fingerprints(col("text"))).as("min_fp"))
-    .orderBy(col("doc_id"))
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val hs = transform(
+      sequence(lit(1), greatest(size(words) - 2, lit(1))),
+      i => md5(concat_ws(" ",
+        try_element_at(words, i), try_element_at(words, i + 1),
+        try_element_at(words, i + 2))))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), hs.as("hs"))
+    docs.select(
+        col("doc_id"),
+        transform(
+          sequence(lit(1), greatest(size(col("hs")) - 3, lit(1))),
+          i => array_min(slice(col("hs"), i, lit(4)))).as("wins"))
+      .select(
+        col("doc_id"),
+        size(array_distinct(col("wins"))).cast("long").as("n_fingerprints"),
+        array_min(col("wins")).as("min_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val fingerprintSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |h AS (
+      |  SELECT doc_id, list_transform(range(greatest(len(w) - 2, 1)),
+      |    i -> md5(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS hs
+      |  FROM t),
+      |wins AS (
+      |  SELECT doc_id, list_transform(range(greatest(len(hs) - 3, 1)),
+      |    i -> list_aggregate(hs[i+1:i+4], 'min')) AS wl
+      |  FROM h)
+      |SELECT doc_id,
+      |  CAST(len(list_distinct(wl)) AS BIGINT) AS n_fingerprints,
+      |  list_aggregate(wl, 'min') AS min_fp
+      |FROM wins
+      |ORDER BY doc_id""".stripMargin
 
   /** E17 — per-document top-3 TF-IDF terms. One explode + two
     * aggregations, both keyed so the raw token stream is shuffled exactly
@@ -155,6 +195,85 @@ object TextAnalysis {
       |SELECT doc_id, token, tfidf, CAST(rank AS BIGINT) AS rank
       |FROM ranked WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
+
+  /** C3b — relevance-RANKED full-text search: BM25 (Robertson/Spärck
+    * Jones, the scoring OpenSearch's `match` query uses; k1=1.2,
+    * b=0.75). The boolean `search` query answers "which docs match";
+    * this answers Discover's actual question, "which docs match BEST".
+    *
+    * Shape for scale: ONE shuffle (groupBy doc_id) computes per-doc
+    * term frequencies for the fixed query-term list as conditional sums
+    * — no per-term pass, no token-keyed join at all (the df/avgdl side
+    * collapses to a single broadcast stats row, since df for a fixed
+    * term list is just a handful of conditional counts). Determinism:
+    * tf/df/dl are integer counts, and the per-term score sum is a fixed
+    * left-to-right expression, not a float aggregation over rows — so
+    * the result is hash-stable across engines and partitionings (at
+    * 100 TB swap the global rank window for the F5 TopKAgg).
+    */
+  def searchRanked(spark: SparkSession, dir: String,
+                   terms: Seq[String] = Seq("spark", "window", "merge"),
+                   k: Int = 20): DataFrame = {
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("double").as("dl"),
+        terms.map(t =>
+          sum(when(col("token") === t, 1).otherwise(0)).cast("double").as(s"tf_$t")): _*)
+    // corpus stats: n_docs, avgdl (exact — integer-valued doubles sum
+    // exactly), and per-term document frequencies, all in one tiny row
+    val stats = perDoc.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl") +:
+        terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1).otherwise(0)).cast("double").as(s"df_$t")): _*)
+    val scoreExpr = terms.map { t =>
+      val tf = col(s"tf_$t"); val df = col(s"df_$t")
+      log(lit(1.0) + (col("n_docs") - df + 0.5) / (df + 0.5)) *
+        (tf * 2.2 / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+    }.reduce(_ + _)
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("score", round(scoreExpr, 6))
+      .filter(col("score") > 0)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("score"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
+  val searchRankedSql: String = {
+    val terms = Seq("spark", "window", "merge")
+    val tfs = terms.map(t =>
+      s"CAST(sum(CASE WHEN token = '$t' THEN 1 ELSE 0 END) AS DOUBLE) AS tf_$t").mkString(",\n    ")
+    val dfs = terms.map(t =>
+      s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t").mkString(",\n    ")
+    val score = terms.map(t =>
+      s"ln(1.0 + (n_docs - df_$t + 0.5) / (df_$t + 0.5)) * " +
+        s"(tf_$t * 2.2 / (tf_$t + 1.2 * (0.25 + 0.75 * dl / avgdl)))")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl,
+       |    $tfs
+       |  FROM toks GROUP BY doc_id),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |    sum(dl) / count(*) AS avgdl,
+       |    $dfs
+       |  FROM perdoc),
+       |scored AS (
+       |  SELECT doc_id, round($score, 6) AS score
+       |  FROM perdoc CROSS JOIN stats),
+       |ranked AS (
+       |  SELECT doc_id, score,
+       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |  FROM scored WHERE score > 0)
+       |SELECT doc_id, score, rank FROM ranked
+       |WHERE rank <= 20
+       |ORDER BY rank""".stripMargin
+  }
 
   /** C24 — "significant terms" (OpenSearch significant_terms agg):
     * tokens over-represented in a foreground slice (source = src0) vs

@@ -44,18 +44,64 @@ object LogLines {
   /** events → one Apache combined-log line per event.
     * `46.99.153.40 - - [29/Jul/2021:15:32:33 +0000] "GET / HTTP/1.1" 200 173 "-" "UA"`
     */
+  def apacheLineCol: Column =
+    format_string(
+      "%s - - [%s] \"%s %s HTTP/1.1\" %d %d \"-\" \"%s\"",
+      ipCol,
+      date_format(date_trunc("second", col("ts")), "dd/MMM/yyyy:HH:mm:ss +0000"),
+      verbCol, pathCol, statusCol, bytesCol, agentCol)
+
   def apacheLines(spark: SparkSession, dir: String): DataFrame =
     // raw-line synthesis + the downstream regex parse battery are
     // per-row CPU kernels: spread them over compute parallelism instead
     // of inheriting the scan's file-split count (one file locally)
     Tables.atComputeParallelism(Tables.events(spark, dir))
+      .select(col("event_id"), apacheLineCol.as("line"))
+
+  /** events → one Apache error_log line per event.
+    * `[Wed Oct 11 14:32:52 2000] [error] [client 10.0.0.1] message`
+    * (the second stream the reference's Kinesis agent tails —
+    * lib/computes/ec2/ec2-startup.sh error_log flow).
+    */
+  def errorLevelCol: Column =
+    when(col("event_type") === "error", "error")
+      .when(col("event_type") === "signup", "warn")
+      .otherwise("notice")
+
+  def errorMsgCol: Column =
+    concat(lit("File does not exist: /var/www/"), col("event_type"),
+      lit("/"), (col("event_id") % 100).cast("string"))
+
+  def errorLines(spark: SparkSession, dir: String): DataFrame =
+    Tables.atComputeParallelism(Tables.events(spark, dir))
       .select(
-      col("event_id"),
-      format_string(
-        "%s - - [%s] \"%s %s HTTP/1.1\" %d %d \"-\" \"%s\"",
-        ipCol,
-        date_format(date_trunc("second", col("ts")), "dd/MMM/yyyy:HH:mm:ss +0000"),
-        verbCol, pathCol, statusCol, bytesCol, agentCol).as("line"))
+        col("event_id"),
+        concat(
+          lit("["),
+          date_format(date_trunc("second", col("ts")), "EEE MMM dd HH:mm:ss yyyy"),
+          lit("] ["), errorLevelCol,
+          lit("] [client "), ipCol,
+          lit("] "), errorMsgCol).as("line"))
+
+  /** events → one FireLens-wrapped Apache line per event: the envelope
+    * ECS stdout actually arrives in (lib/computes/ecs.ts:36). to_json
+    * handles the quoting of the embedded combined-log line.
+    */
+  def firelensLines(spark: SparkSession, dir: String): DataFrame =
+    Tables.atComputeParallelism(Tables.events(spark, dir))
+      .select(
+        col("event_id"),
+        to_json(struct(
+          concat(lit("c"), lpad((col("event_id") % 1000).cast("string"), 4, "0"))
+            .as("container_id"),
+          concat(lit("app-"), (col("event_id") % 4).cast("string"))
+            .as("container_name"),
+          lit("graft-cluster").as("ecs_cluster"),
+          concat(lit("arn:aws:ecs:task/"), (col("event_id") % 16).cast("string"))
+            .as("ecs_task_arn"),
+          when(col("event_type") === "error", "stderr").otherwise("stdout")
+            .as("source"),
+          apacheLineCol.as("log"))).as("envelope"))
 
   /** events → one Lambda-extension JSON batch per event (the shape the
     * reference's Firehose transformer receives — README.md:94-147:

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
-import graft.functions.ApacheLog
+import graft.functions.{ApacheErrorLog, ApacheLog}
 
 /** Structured-Streaming log pipeline (SURVEY §2 A3–A5, C10–C11).
   *
@@ -34,14 +34,31 @@ object LogPipeline {
       .withColumn("source",
         regexp_extract(input_file_name(), "/(ec2|ecs|eks|lambda)/", 1))
 
-  /** Transform stage: parse, stamp log_date, flag parse failures. */
+  /** Transform stage: format-dispatch (access_log vs error_log — the
+    * agent ships both into one stream), parse, stamp log_date, flag
+    * lines matching neither grammar. Error lines become typed rows
+    * (level/client_ip/msg populated, access fields null) instead of DLQ
+    * entries; `format` records which battery matched.
+    */
   def transformed(raw: DataFrame): DataFrame =
     raw
-      .withColumn("valid", ApacheLog.isValid(col("value")))
-      .withColumn("p", when(col("valid"), ApacheLog.parsed(col("value"))))
+      .withColumn("access_ok", ApacheLog.isValid(col("value")))
+      .withColumn("error_ok",
+        !col("access_ok") && ApacheErrorLog.isValid(col("value")))
+      .withColumn("valid", col("access_ok") || col("error_ok"))
+      .withColumn("p", when(col("access_ok"), ApacheLog.parsed(col("value"))))
+      .withColumn("e", when(col("error_ok"), ApacheErrorLog.parsed(col("value"))))
       .select(
         col("value").as("line"), col("source"), col("valid"),
-        col("p.*"))
+        when(col("access_ok"), "access")
+          .when(col("error_ok"), "error").as("format"),
+        coalesce(col("p.ts"), col("e.ts")).as("ts"),
+        coalesce(col("p.ip"), col("e.client_ip")).as("ip"),
+        col("p.verb").as("verb"), col("p.path").as("path"),
+        col("p.proto").as("proto"), col("p.status").as("status"),
+        col("p.bytes").as("bytes"), col("p.referrer").as("referrer"),
+        col("p.agent").as("agent"),
+        col("e.level").as("level"), col("e.msg").as("msg"))
       .withColumn("log_date", to_date(col("ts")))
 
   /** A3–A5: start the ingest query. Each micro-batch dual-writes:

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{ApacheErrorLog, ApacheLog}
+import graft.sources.Envelopes
+import graft.streaming.LogPipeline
+
+/** Apache error_log battery + container-envelope readers (the two wire
+  * shapes the reference ships besides bare access lines).
+  */
+class EnvelopeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val accessLine =
+    """46.99.153.40 - - [29/Jul/2021:15:32:33 +0000] "GET / HTTP/1.1" 200 173 "-" "curl/7.68.0""""
+  // the classic format documented in Apache's error-log docs
+  val errorLine =
+    "[Wed Oct 11 14:32:52 2000] [error] [client 127.0.0.1] client denied by server configuration: /export/home/live/ap/htdocs/test"
+
+  test("error_log parse extracts ts/level/client/msg") {
+    val r = Seq(errorLine).toDF("line")
+      .select(ApacheErrorLog.parsed(col("line")).as("p")).select("p.*")
+      .collect().head
+    assert(r.getAs[String]("level") == "error")
+    assert(r.getAs[String]("client_ip") == "127.0.0.1")
+    assert(r.getAs[String]("msg").startsWith("client denied"))
+    assert(r.getAs[java.sql.Timestamp]("ts").toInstant.toString == "2000-10-11T14:32:52Z")
+  }
+
+  test("format dispatch: error lines become typed rows, not DLQ entries") {
+    val raw = Seq(accessLine, errorLine, "garbage ###").toDF("value")
+      .withColumn("source", lit("ec2"))
+    val out = LogPipeline.transformed(raw).collect()
+    val byLine = out.map(r => r.getAs[String]("line") -> r).toMap
+    val acc = byLine(accessLine)
+    assert(acc.getAs[Boolean]("valid") && acc.getAs[String]("format") == "access")
+    assert(acc.getAs[Long]("status") == 200L)
+    val err = byLine(errorLine)
+    assert(err.getAs[Boolean]("valid") && err.getAs[String]("format") == "error")
+    assert(err.getAs[String]("level") == "error")
+    assert(err.getAs[String]("ip") == "127.0.0.1")
+    assert(err.getAs[java.sql.Timestamp]("ts") != null)
+    assert(err.isNullAt(err.fieldIndex("status")))
+    val bad = byLine("garbage ###")
+    assert(!bad.getAs[Boolean]("valid") && bad.isNullAt(bad.fieldIndex("format")))
+  }
+
+  test("FireLens envelope unwraps to container metadata + parseable inner line") {
+    // the shape the FireLens log driver emits for ECS stdout; built via
+    // to_json so the embedded quoted access line is escaped correctly
+    val wrapped = Seq(accessLine).toDF("l").select(
+      to_json(struct(
+        lit("abc123").as("container_id"), lit("app").as("container_name"),
+        lit("prod").as("ecs_cluster"), lit("arn:aws:ecs:task/1").as("ecs_task_arn"),
+        lit("stdout").as("source"), col("l").as("log"))).as("value"))
+    val out = Envelopes.unwrapFirelens(wrapped, "value")
+    val r = out.select(col("container_name"), col("stream"),
+      ApacheLog.status(col("line")).as("status")).collect().head
+    assert(r.getAs[String]("container_name") == "app")
+    assert(r.getAs[String]("stream") == "stdout")
+    assert(r.getAs[Long]("status") == 200L)
+  }
+
+  test("Fluent Bit (EKS) envelope unwraps kubernetes metadata + inner line") {
+    val env =
+      """{"log":"[Wed Oct 11 14:32:52 2000] [warn] [client 10.0.0.9] retry","stream":"stderr","kubernetes":{"pod_name":"web-7f9","namespace_name":"default","container_name":"httpd","host":"ip-10-0-1-2"}}"""
+    val out = Envelopes.unwrapFluentBit(Seq(env).toDF("value"), "value")
+    val r = out.select(col("pod_name"), col("namespace_name"), col("stream"),
+      ApacheErrorLog.level(col("line")).as("level"),
+      ApacheErrorLog.clientIp(col("line")).as("cip")).collect().head
+    assert(r.getAs[String]("pod_name") == "web-7f9")
+    assert(r.getAs[String]("namespace_name") == "default")
+    assert(r.getAs[String]("stream") == "stderr")
+    assert(r.getAs[String]("level") == "warn")
+    assert(r.getAs[String]("cip") == "10.0.0.9")
+  }
+}
