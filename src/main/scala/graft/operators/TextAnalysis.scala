@@ -164,7 +164,11 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("double").as("df"))
     val n = Tables.documents(spark, dir).agg(count(lit(1)).cast("double").as("n_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
-    tf.join(df, "token")
+    // shuffle_hash hint: pins the shuffled join (build = per-token df
+    // rows, the smaller side per partition) at every SF — without it the
+    // tiny test SF's cost model picks a broadcast, which is exactly the
+    // plan that cannot exist at a web-scale vocabulary
+    tf.join(df.hint("shuffle_hash"), "token")
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         round((col("tc") / col("n_toks")) * log(col("n_docs") / col("df")), 6))
