@@ -138,6 +138,47 @@ object Curation {
       |FROM t
       |ORDER BY doc_id""".stripMargin
 
+  /** E18 — repetition metrics (the Gopher repetition rules, Rae et al.
+    * 2021 §A1.1: fraction of content inside the most-frequent n-gram
+    * and inside duplicated n-grams — high values flag boilerplate /
+    * degenerate generations). Bigrams come from the native NgramHashes
+    * kernel (one pass, no shingle strings); per-doc ratios are integer
+    * counts divided once, so the string-bigram DuckDB oracle agrees
+    * exactly (64-bit hash collisions within a document are ~1e-16).
+    * Two shuffles: (doc, gram) then doc.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.atComputeParallelism(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        explode(graft.plans.Sketches.ngramHashes(
+          split(col("text"), " "), 2, distinct = false)).as("g"))
+    val counts = grams.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).cast("long").as("n_grams"),
+        round(max(col("c")).cast("double") / sum(col("c")).cast("double"), 4)
+          .as("top_frac"),
+        round(sum(when(col("c") > 1, col("c")).otherwise(0)).cast("double") /
+          sum(col("c")).cast("double"), 4).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_transform(range(greatest(len(w) - 1, 1)),
+      |    i -> w[i+1] || ' ' || w[i+2])) AS g
+      |  FROM w),
+      |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+      |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS top_frac,
+      |  round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+      |        / CAST(sum(c) AS DOUBLE), 4) AS dup_frac
+      |FROM c GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** E16 — benchmark-contamination check: which corpus documents share
     * 8-gram shingles with a held-out benchmark set (stand-in: doc_id <
     * 20). The join key is the 64-bit shingle hash — the benchmark

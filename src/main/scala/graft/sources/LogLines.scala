@@ -45,11 +45,14 @@ object LogLines {
     * `46.99.153.40 - - [29/Jul/2021:15:32:33 +0000] "GET / HTTP/1.1" 200 173 "-" "UA"`
     */
   def apacheLineCol: Column =
-    format_string(
-      "%s - - [%s] \"%s %s HTTP/1.1\" %d %d \"-\" \"%s\"",
-      ipCol,
+    // concat, not format_string: Formatter re-parses its pattern per row
+    // in interpreted code; concat is one codegen'd UTF8String.concat
+    concat(
+      ipCol, lit(" - - ["),
       date_format(date_trunc("second", col("ts")), "dd/MMM/yyyy:HH:mm:ss +0000"),
-      verbCol, pathCol, statusCol, bytesCol, agentCol)
+      lit("] \""), verbCol, lit(" "), pathCol, lit(" HTTP/1.1\" "),
+      statusCol.cast("string"), lit(" "), bytesCol.cast("string"),
+      lit(" \"-\" \""), agentCol, lit("\""))
 
   def apacheLines(spark: SparkSession, dir: String): DataFrame =
     // raw-line synthesis + the downstream regex parse battery are

@@ -34,24 +34,43 @@ object LogPipeline {
       .withColumn("source",
         regexp_extract(input_file_name(), "/(ec2|ecs|eks|lambda)/", 1))
 
-  /** Transform stage: format-dispatch (access_log vs error_log — the
-    * agent ships both into one stream), parse, stamp log_date, flag
-    * lines matching neither grammar. Error lines become typed rows
-    * (level/client_ip/msg populated, access fields null) instead of DLQ
-    * entries; `format` records which battery matched.
+  /** Transform stage — the full wire-shape dispatch, per row:
+    *
+    *  1. envelope unwrap by source: ECS stdout arrives in a FireLens
+    *     JSON envelope and EKS in the Fluent Bit kubernetes envelope
+    *     (reference ecs.ts:36 / eks-fargate-logging.ts); their inner
+    *     `log` line and container metadata are peeled out, EC2/lambda
+    *     lines pass through;
+    *  2. format dispatch on the (inner) line: access_log vs error_log —
+    *     the agent ships both into one stream; error lines become typed
+    *     rows (level/msg populated, access fields null), not DLQ
+    *     entries;
+    *  3. lines matching neither grammar keep their FULL original
+    *     payload (envelope included) for the dead-letter sink.
+    *
+    * All of it is one codegen'd projection — no shuffle, no UDF.
     */
   def transformed(raw: DataFrame): DataFrame =
     raw
-      .withColumn("access_ok", ApacheLog.isValid(col("value")))
+      .withColumn("_fl",
+        when(col("source") === "ecs", graft.sources.Envelopes.parseFirelens(col("value"))))
+      .withColumn("_fb",
+        when(col("source") === "eks", graft.sources.Envelopes.parseFluentBit(col("value"))))
+      .withColumn("inner",
+        coalesce(col("_fl.log"), col("_fb.log"), col("value")))
+      .withColumn("access_ok", ApacheLog.isValid(col("inner")))
       .withColumn("error_ok",
-        !col("access_ok") && ApacheErrorLog.isValid(col("value")))
+        !col("access_ok") && ApacheErrorLog.isValid(col("inner")))
       .withColumn("valid", col("access_ok") || col("error_ok"))
-      .withColumn("p", when(col("access_ok"), ApacheLog.parsed(col("value"))))
-      .withColumn("e", when(col("error_ok"), ApacheErrorLog.parsed(col("value"))))
+      .withColumn("p", when(col("access_ok"), ApacheLog.parsed(col("inner"))))
+      .withColumn("e", when(col("error_ok"), ApacheErrorLog.parsed(col("inner"))))
       .select(
         col("value").as("line"), col("source"), col("valid"),
         when(col("access_ok"), "access")
           .when(col("error_ok"), "error").as("format"),
+        coalesce(col("_fl.container_name"), col("_fb.kubernetes.container_name"))
+          .as("container"),
+        coalesce(col("_fl.source"), col("_fb.stream")).as("stream"),
         coalesce(col("p.ts"), col("e.ts")).as("ts"),
         coalesce(col("p.ip"), col("e.client_ip")).as("ip"),
         col("p.verb").as("verb"), col("p.path").as("path"),

@@ -48,6 +48,28 @@ class EnvelopeSpec extends AnyFunSuite {
     assert(!bad.getAs[Boolean]("valid") && bad.isNullAt(bad.fieldIndex("format")))
   }
 
+  test("stream transform unwraps ECS/EKS envelopes before format dispatch") {
+    val env = Seq(accessLine).toDF("l").select(
+      to_json(struct(
+        lit("abc").as("container_id"), lit("web").as("container_name"),
+        lit("prod").as("ecs_cluster"), lit("t1").as("ecs_task_arn"),
+        lit("stdout").as("source"), col("l").as("log"))).as("value"))
+      .withColumn("source", lit("ecs"))
+    val bare = Seq(errorLine).toDF("value").withColumn("source", lit("ec2"))
+    val out = LogPipeline.transformed(env.unionByName(bare)).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val ecs = out("ecs")
+    assert(ecs.getAs[Boolean]("valid") && ecs.getAs[String]("format") == "access")
+    assert(ecs.getAs[String]("container") == "web")
+    assert(ecs.getAs[String]("stream") == "stdout")
+    assert(ecs.getAs[Long]("status") == 200L)
+    // DLQ keeps the FULL envelope payload, not the inner line
+    assert(ecs.getAs[String]("line").startsWith("{\"container_id\""))
+    val ec2 = out("ec2")
+    assert(ec2.getAs[String]("format") == "error")
+    assert(ec2.isNullAt(ec2.fieldIndex("container")))
+  }
+
   test("FireLens envelope unwraps to container metadata + parseable inner line") {
     // the shape the FireLens log driver emits for ECS stdout; built via
     // to_json so the embedded quoted access line is escaped correctly
