@@ -151,6 +151,66 @@ object LogAnalytics {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  // ---- C2b: filters aggregation --------------------------------------
+
+  /** OpenSearch `filters` agg: named predicate buckets computed in ONE
+    * scan pass — each bucket is a conditional aggregate, then `stack`
+    * unpivots the single row to (bucket, n, total_value) rows. No
+    * shuffle beyond the scalar aggregate.
+    */
+  def filtersAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .agg(
+        sum(when(col("event_type") === "error", 1).otherwise(0)).cast("long").as("n_err"),
+        round(sum(when(col("event_type") === "error", col("value")).otherwise(0)), 2).as("v_err"),
+        sum(when(col("event_type") === "purchase" && col("value") > 50, 1).otherwise(0))
+          .cast("long").as("n_bigp"),
+        round(sum(when(col("event_type") === "purchase" && col("value") > 50, col("value"))
+          .otherwise(0)), 2).as("v_bigp"),
+        sum(when(col("value") >= 90, 1).otherwise(0)).cast("long").as("n_hi"),
+        round(sum(when(col("value") >= 90, col("value")).otherwise(0)), 2).as("v_hi"))
+      .selectExpr(
+        """stack(3, 'errors', n_err, v_err,
+          |         'large_purchases', n_bigp, v_bigp,
+          |         'high_value', n_hi, v_hi) AS (bucket, n, total_value)""".stripMargin)
+      .orderBy(col("bucket"))
+
+  val filtersAggSql: String =
+    """SELECT 'errors' AS bucket, CAST(count(*) AS BIGINT) AS n,
+      |  round(coalesce(sum(value), 0), 2) AS total_value
+      |FROM events WHERE event_type = 'error'
+      |UNION ALL
+      |SELECT 'large_purchases', CAST(count(*) AS BIGINT),
+      |  round(coalesce(sum(value), 0), 2)
+      |FROM events WHERE event_type = 'purchase' AND value > 50
+      |UNION ALL
+      |SELECT 'high_value', CAST(count(*) AS BIGINT),
+      |  round(coalesce(sum(value), 0), 2)
+      |FROM events WHERE value >= 90
+      |ORDER BY bucket""".stripMargin
+
+  // ---- C2c: rare terms ------------------------------------------------
+
+  /** OpenSearch `rare_terms` agg — the LONG tail (keys at or below a
+    * max doc count), the complement of C26's heavy hitters. One keyed
+    * aggregate then a cheap filter; no global sort of the key space —
+    * output is bounded by the rarity threshold.
+    */
+  def rareTerms(spark: SparkSession, dir: String, maxCount: Int = 55): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxCount)
+      .select(col("user_id"), col("n"))
+      .orderBy(col("n"), col("user_id"))
+
+  val rareTermsSql: String =
+    """SELECT user_id, count(*) AS n
+      |FROM events
+      |GROUP BY user_id
+      |HAVING count(*) <= 55
+      |ORDER BY n, user_id""".stripMargin
+
   // ---- C1: date_histogram -------------------------------------------
 
   def dateHistogram(spark: SparkSession, dir: String): DataFrame =

@@ -41,6 +41,55 @@ class KernelSpec extends AnyFunSuite {
     assert(got(1L) != got(2L))          // order matters
   }
 
+
+  test("lang-id kernel matches an independent reference over seeded random texts") {
+    import graft.functions.TextFns
+    val langRng = new scala.util.Random(13)
+    val profWords = TextFns.langProfiles.flatMap(_._2)
+    val triByLang = TextFns.trigramProfiles.toMap
+    val noise = Vector("qqq", "zzz7", "Mixed", "UPPER", "12,3", "x")
+    val seps = Vector(" ", "  ", "\t", " \n ")
+    def randText(): String = {
+      val n = langRng.nextInt(12)
+      val toks = Seq.fill(n)(
+        if (langRng.nextBoolean()) profWords(langRng.nextInt(profWords.length))
+        else noise(langRng.nextInt(noise.length)))
+      val lead = if (langRng.nextInt(4) == 0) " " else ""
+      val trail = if (langRng.nextInt(4) == 0) "\t" else ""
+      lead + toks.mkString(seps(langRng.nextInt(seps.length))) + trail
+    }
+    // independent reference: Java split semantics (limit -1 keeps boundary
+    // empties, like Spark's split), the documented score formula, and the
+    // fold's LAST-equal-wins argmax
+    def ref(text: String): String = {
+      val lowered = text.toLowerCase(java.util.Locale.ROOT)
+      val toks = lowered.split("\\s+", -1)
+      val n = math.max(toks.length, 1)
+      val scores = TextFns.langProfiles.map { case (lang, prof) =>
+        val cnt = toks.count(prof.contains)
+        val tri = triByLang(lang)
+        val hits = tri.count(lowered.contains).toDouble
+        (lang, cnt.toDouble / n + hits / tri.length * 0.3)
+      }
+      val best = scores.map(_._2).max
+      scores.foldLeft("und") { case (acc, (lang, s)) =>
+        if (s == best && s > 0) lang else acc
+      }
+    }
+    val texts = (1 to 300).map(i => (i.toLong, randText()))
+    val got = texts.toDF("id", "text")
+      .select(col("id"), TextFns.langId(col("text")).as("lang"))
+      .as[(Long, String)].collect().toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id) == ref(t), s"text #$id: ${t.take(60)}")
+    }
+    // explicit edge cases: empty text and pure whitespace score 0 -> und
+    val edge = Seq((1L, ""), (2L, "   "), (3L, "\t\n")).toDF("id", "text")
+      .select(col("id"), TextFns.langId(col("text")).as("lang"))
+      .as[(Long, String)].collect().toMap
+    assert(edge.values.forall(_ == "und"))
+  }
+
   test("minhash signature: k-wide, order- and multiplicity-invariant (a set function)") {
     val base = docs.map { case (i, toks) => (i, toks.map(t => t.hashCode.toLong)) }
     val variants = base.map { case (i, hs) =>
