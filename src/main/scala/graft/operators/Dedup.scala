@@ -111,6 +111,15 @@ object Dedup {
   /** E4 — exact n-gram Jaccard inside prefix blocks. Blocking key: the
     * first two words (cheap, deterministic, SQL-reproducible — so this
     * one IS oracle-checked; MinHash (E2) is the general-recall path).
+    *
+    * Skew guard: like E2/E3, blocks are capped at [[maxBucketSize]]
+    * docs — log corpora are exactly the domain where a hot two-word
+    * prefix ("GET /index", boilerplate headers) otherwise makes one
+    * block quadratic. The cap is a declared part of the operator's
+    * semantics and is mirrored in the DuckDB oracle (here and in
+    * canonicalCorpus's edge mining), so the query stays fully
+    * oracle-checked with the cap ACTIVE. Singleton blocks are pruned
+    * by the same count (they can't produce a pair).
     */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     // shingles carried as 64-bit hashes, not strings: set intersection
@@ -122,8 +131,13 @@ object Dedup {
       col("doc_id"),
       concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("block"),
       HashFns.shingleHashSet(col("text"), 3).as("sh"))
-    docs.select(col("block"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      .join(docs.select(col("block"), col("doc_id").as("doc_b"), col("sh").as("sh_b")), "block")
+    val okBlocks = docs.groupBy(col("block"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn").between(2, maxBucketSize))
+      .select(col("block"))
+    val inBlock = docs.join(okBlocks, "block")
+    inBlock.select(col("block"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      .join(inBlock.select(col("block"), col("doc_id").as("doc_b"), col("sh").as("sh_b")), "block")
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("jaccard",
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -197,12 +211,16 @@ object Dedup {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   val ngramJaccardSql: String =
-    """WITH t AS (
+    """WITH t0 AS (
       |  SELECT doc_id,
       |    concat_ws(' ', words[1], words[2]) AS block,
       |    list_distinct(list_transform(range(greatest(len(words) - 2, 1)),
       |      i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])) AS sh
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+      |ok AS (
+      |  SELECT block FROM t0 GROUP BY block HAVING count(*) BETWEEN 2 AND 200),
+      |t AS (
+      |  SELECT t0.* FROM t0 JOIN ok USING (block))
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
       |        len(list_distinct(a.sh || b.sh)), 4) AS jaccard
@@ -245,10 +263,20 @@ object Dedup {
     */
   def canonicalCorpus(spark: SparkSession, dir: String,
                       smallGraphMaxEdges: Long = 1000000L): DataFrame = {
-    // exact dups are a subset of the ngram pairs (identical texts share
-    // the prefix block and have Jaccard 1.0), so one mining pass suffices
-    val edges = ngramJaccard(spark, dir)
+    val nearEdges = ngramJaccard(spark, dir)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    // exact-dup edges are mined separately: identical texts share their
+    // prefix block, but E4's skew cap drops over-cap blocks, and exact
+    // dups must still link there. The hash groupBy emits STAR edges
+    // (group-min → member) — linear in group size, no pairwise join,
+    // so no cap is needed even for a degenerate million-copy document.
+    val hashed = Tables.documents(spark, dir)
+      .select(md5(col("text")).as("h"), col("doc_id"))
+    val exactEdges = hashed
+      .join(hashed.groupBy(col("h")).agg(min(col("doc_id")).as("a")), "h")
+      .filter(col("doc_id") =!= col("a"))
+      .select(col("a"), col("doc_id").as("b"))
+    val edges = nearEdges.unionByName(exactEdges)
     // symmetric edge list; iterate ONLY over docs that appear in the dup
     // graph — everything else is trivially its own keeper. At 100 TB the
     // dup graph is a small fraction of the corpus, so each propagation
@@ -353,8 +381,12 @@ object Dedup {
       |    list_distinct(list_transform(range(greatest(len(w) - 2, 1)),
       |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
       |  FROM words),
+      |ok AS (
+      |  SELECT block FROM t GROUP BY block HAVING count(*) BETWEEN 2 AND 200),
       |near AS (
-      |  SELECT a.doc_id AS a, b.doc_id AS b FROM t a JOIN t b
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM (SELECT t.* FROM t JOIN ok USING (block)) a
+      |  JOIN (SELECT t.* FROM t JOIN ok USING (block)) b
       |  ON a.block = b.block AND a.doc_id < b.doc_id
       |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
       |              len(list_distinct(a.sh || b.sh)), 4) >= 0.5),

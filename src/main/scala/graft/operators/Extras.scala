@@ -229,17 +229,57 @@ object Extras {
       |GROUP BY CUBE (c_mktsegment, CAST(year(o_orderdate) AS BIGINT))
       |ORDER BY c_mktsegment ASC NULLS FIRST, o_year ASC NULLS FIRST""".stripMargin
 
+  /** Distributed global rank: range-partition on the sort key, sort
+    * within partitions (parallel), then stamp contiguous global
+    * indices. `zipWithIndex` computes per-partition sizes in one
+    * lightweight pass (the range shuffle's output is reused, not
+    * recomputed) and adds each partition's prefix offset — the
+    * "range-partitioned sort + per-partition offset" plan, vs an
+    * empty-PARTITION-BY window which moves EVERY row into a single
+    * task. Range partition boundaries come from sampling, but the
+    * global index is invariant to where the cuts land because the
+    * ordering is total (callers must pass a unique sort key).
+    */
+  private def rankedByRange(df: DataFrame, sort: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val spark = df.sparkSession
+    val parts = math.max(spark.sparkContext.defaultParallelism / 2, 2)
+    val sorted = df.repartitionByRange(parts, sort: _*).sortWithinPartitions(sort: _*)
+    val schema = sorted.schema.add("rank", org.apache.spark.sql.types.LongType)
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** C22 — distribution ranks: quartile (ntile), percent_rank and
     * cume_dist of customers by account balance. Unique (balance, key)
     * ordering keeps every rank function deterministic cross-engine.
+    * Global ranks are the semantics, but the plan is the distributed
+    * `rankedByRange` (no single-partition sort); ntile/percent_rank/
+    * cume_dist derive from (rank, N) arithmetically — with a unique
+    * ordering there are no ties, so cume_dist = rank/N exactly and
+    * ntile follows the standard larger-buckets-first fill.
     */
   def windowRanks(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-    Tables.customer(spark, dir)
+    val base = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_acctbal"))
-      .withColumn("quartile", ntile(4).over(w).cast("long"))
-      .withColumn("pct_rank", round(percent_rank().over(w), 6))
-      .withColumn("cume", round(cume_dist().over(w), 6))
+    val n = base.agg(count(lit(1)).as("n_rows"))
+    rankedByRange(base, Seq(col("c_acctbal"), col("c_custkey")))
+      .crossJoin(broadcast(n))
+      // ntile(4): q = N div 4 rows per bucket, first r = N mod 4
+      // buckets take one extra row (greatest() guards the DIV when
+      // q = 0 — that branch is unreachable then, but ANSI division
+      // must not see a zero)
+      .withColumn("quartile",
+        when(col("rank") <= expr("(n_rows % 4) * (n_rows DIV 4 + 1)"),
+          expr("(rank - 1) DIV (n_rows DIV 4 + 1) + 1"))
+        .otherwise(expr(
+          "n_rows % 4 + (rank - (n_rows % 4) * (n_rows DIV 4 + 1) - 1) DIV greatest(n_rows DIV 4, 1) + 1"))
+        .cast("long"))
+      .withColumn("pct_rank",
+        round((col("rank") - 1).cast("double") / (col("n_rows") - 1), 6))
+      .withColumn("cume", round(col("rank").cast("double") / col("n_rows"), 6))
+      .select(col("c_custkey"), col("c_acctbal"), col("quartile"),
+        col("pct_rank"), col("cume"))
       .orderBy(col("c_custkey"))
   }
 

@@ -489,20 +489,29 @@ object LogAnalytics {
   /** C30 — terms agg with an "Other" bucket (OpenSearch terms agg
     * reports `sum_other_doc_count`): top-2 user_ids per count plus one
     * aggregated remainder row. Top-k and remainder come from the SAME
-    * per-key aggregate — the raw stream is shuffled once.
+    * one-row aggregate over the per-key counts: the raw stream is
+    * shuffled once, and the top-k is the F5 TopKAgg bounded aggregator
+    * (tie order n DESC, user_id ASC — identical to a rank window), so
+    * a key-cardinality-sized table never single-partition-sorts. The
+    * remainder is total − Σ(top-k n) from the same row.
     */
   def termsWithOther(spark: SparkSession, dir: String, k: Int = 2): DataFrame = {
     val perUser = Tables.events(spark, dir)
       .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-    val w = Window.orderBy(col("n").desc, col("user_id"))
-    val ranked = perUser.withColumn("rank", row_number().over(w))
-    val top = ranked.filter(col("rank") <= k)
-      .select(col("user_id").cast("string").as("term"), col("n"),
-        col("rank").cast("long").as("rank"))
-    val other = ranked.filter(col("rank") > k)
-      .agg(sum(col("n")).as("n"))
+    val topk = graft.plans.TopKAgg.udafFor(k)
+    // one pass over the per-key aggregate: bounded top-k buffer + total
+    val top = perUser
+      .agg(topk(col("user_id"), col("n").cast("double")).as("top"),
+        sum(col("n")).as("total"))
+      .select(col("total"), posexplode(col("top")))
+      .select(col("total"), col("col._2").as("user_id"),
+        col("col._1").cast("long").as("n"), (col("pos") + 1).cast("long").as("rank"))
+    val topOut = top.select(col("user_id").cast("string").as("term"),
+      col("n"), col("rank"))
+    val other = top
+      .agg((first(col("total")) - sum(col("n"))).as("n"))
       .select(lit("__other__").as("term"), col("n"), lit(k + 1).cast("long").as("rank"))
-    top.unionByName(other).orderBy(col("rank"))
+    topOut.unionByName(other).orderBy(col("rank"))
   }
 
   val termsWithOtherSql: String =

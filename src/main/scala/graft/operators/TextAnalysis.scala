@@ -212,8 +212,10 @@ object TextAnalysis {
     * term list is just a handful of conditional counts). Determinism:
     * tf/df/dl are integer counts, and the per-term score sum is a fixed
     * left-to-right expression, not a float aggregation over rows — so
-    * the result is hash-stable across engines and partitionings (at
-    * 100 TB swap the global rank window for the F5 TopKAgg).
+    * the result is hash-stable across engines and partitionings. The
+    * final top-k is the F5 TopKAgg bounded aggregator (same tie order
+    * as a rank window: score DESC, doc_id ASC) — map-side partials cut
+    * the exchange to O(k) rows and there is NO single-partition sort.
     */
   def searchRanked(spark: SparkSession, dir: String,
                    terms: Seq[String] = Seq("spark", "window", "merge"),
@@ -236,13 +238,14 @@ object TextAnalysis {
       log(lit(1.0) + (col("n_docs") - df + 0.5) / (df + 0.5)) *
         (tf * 2.2 / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
     }.reduce(_ + _)
-    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    val topk = graft.plans.TopKAgg.udafFor(k)
     perDoc.crossJoin(broadcast(stats))
       .withColumn("score", round(scoreExpr, 6))
       .filter(col("score") > 0)
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("doc_id"), col("score"), col("rank"))
+      .agg(topk(col("doc_id"), col("score")).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col._2").as("doc_id"), col("col._1").as("score"),
+        (col("pos") + 1).cast("long").as("rank"))
       .orderBy(col("rank"))
   }
 
@@ -282,7 +285,14 @@ object TextAnalysis {
   /** C24 — "significant terms" (OpenSearch significant_terms agg):
     * tokens over-represented in a foreground slice (source = src0) vs
     * the whole corpus, scored by relative frequency ratio. Background
-    * totals are broadcast; one shuffle on token.
+    * totals are broadcast; one shuffle on token. The top-k over the
+    * vocabulary-sized per-token aggregate is the string-keyed TopKAgg
+    * (bounded buffer, map-side partials) rather than a global rank
+    * window — at web scale the vocabulary is 10⁸⁺ rows, so a single-
+    * partition sort is exactly the plan that must not exist. The k
+    * winning tokens are then broadcast back onto the per-token
+    * aggregate to recover their fg/bg counts (k rows, no extra
+    * shuffle of the aggregate).
     */
   def significantTerms(spark: SparkSession, dir: String, k: Int = 15): DataFrame = {
     // pre-aggregate once on (token): conditional sums give foreground
@@ -297,16 +307,19 @@ object TextAnalysis {
       count(lit(1)).cast("double").as("bg"))
     val totals = perToken.agg(
       sum(col("fg")).as("fg_total"), sum(col("bg")).as("bg_total"))
-    val w = Window.orderBy(col("score").desc, col("token"))
-    perToken
+    val topk = graft.plans.TopKAgg.udafStrFor(k)
+    val ranked = perToken
       .filter(col("fg") >= 3)
       .crossJoin(broadcast(totals))
       .withColumn("score",
         round((col("fg") / col("fg_total")) / (col("bg") / col("bg_total")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .agg(topk(col("token"), col("score")).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col._2").as("token"), col("col._1").as("score"),
+        (col("pos") + 1).cast("long").as("rank"))
+    perToken.join(broadcast(ranked), "token")
       .select(col("token"), col("fg").cast("long").as("fg"),
-        col("bg").cast("long").as("bg"), col("score"), col("rank").cast("long").as("rank"))
+        col("bg").cast("long").as("bg"), col("score"), col("rank"))
       .orderBy(col("rank"))
   }
 

@@ -237,16 +237,22 @@ object Tpch {
       .filter(year(col("o_orderdate")) === 1996)
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
-    val w = Window.orderBy(col("revenue").desc, col("c_custkey"))
-    l.join(o, col("l_orderkey") === col("o_orderkey"))
+    // top-20 via orderBy().limit(): Spark plans TakeOrderedAndProject —
+    // each partition keeps a bounded 20-row heap and only those rows
+    // reach the driver-side merge, vs a rank window which moves the
+    // ENTIRE customer aggregate into one partition to sort. The rank
+    // column is a window over the 20 surviving rows (free).
+    val top = l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
       .agg((sum(round(col("l_extendedprice") * 100).cast("long") *
           (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
         .cast("double") / 1e6).as("revenue"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 20)
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+    val w = Window.orderBy(col("revenue").desc, col("c_custkey"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
       .orderBy(col("rank"))
   }
 

@@ -31,8 +31,36 @@ class TopKAgg(k: Int)
   override def outputEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
 }
 
+/** String-keyed TopKAgg twin: top-k (score DESC, term ASC) for queries
+  * that rank a string key (tokens, terms). Same bounded-buffer merge
+  * discipline — map-side partials reduce each partition to k rows, so a
+  * vocabulary-sized rank (10⁸⁺ tokens at web scale) never single-
+  * partition-sorts. Scala String ordering is per-char UTF-16 compare,
+  * which on the ASCII tokens used here matches SQL VARCHAR ordering.
+  */
+class TopKStrAgg(k: Int)
+    extends Aggregator[(String, Double), Seq[(Double, String)], Seq[(Double, String)]] {
+
+  private def best(xs: Seq[(Double, String)]): Seq[(Double, String)] =
+    xs.sortBy { case (score, id) => (-score, id) }.take(k)
+
+  override def zero: Seq[(Double, String)] = Nil
+  override def reduce(b: Seq[(Double, String)], a: (String, Double)): Seq[(Double, String)] =
+    best(b :+ ((a._2, a._1)))
+  override def merge(b1: Seq[(Double, String)], b2: Seq[(Double, String)]): Seq[(Double, String)] =
+    best(b1 ++ b2)
+  override def finish(b: Seq[(Double, String)]): Seq[(Double, String)] = b
+
+  override def bufferEncoder: Encoder[Seq[(Double, String)]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[(Double, String)]] = ExpressionEncoder()
+}
+
 object TopKAgg {
   /** Column-level UDAF: topk(idCol, scoreCol) → array<struct<score,id>>. */
   def udafFor(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     functions.udaf(new TopKAgg(k), ExpressionEncoder[(Long, Double)]())
+
+  /** String-keyed variant: topk(termCol, scoreCol) → array<struct<score,term>>. */
+  def udafStrFor(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    functions.udaf(new TopKStrAgg(k), ExpressionEncoder[(String, Double)]())
 }
