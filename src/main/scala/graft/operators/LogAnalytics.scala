@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.functions.{ApacheErrorLog, ApacheLog, LambdaLogs}
+import graft.functions.{ApacheErrorLog, ApacheLog, LambdaLogs, NginxErrorLog}
 import graft.sources.{LogLines, Tables}
 
 /** OpenSearch-Discover-style log analytics (SURVEY §2 B+C blocks).
@@ -117,6 +117,39 @@ object LogAnalytics {
       |       WHEN event_type = 'signup' THEN 'warn' ELSE 'notice' END AS level,
       |  concat('10.', user_id % 256, '.', event_id % 250, '.', (event_id * 7) % 250) AS client_ip,
       |  concat('File does not exist: /var/www/', event_type, '/', event_id % 100) AS msg
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  // ---- B1c: NGINX error_log parse ------------------------------------
+
+  /** EKS-path error battery: synthesize NGINX error lines from `events`
+    * and run the NginxErrorLog grammar over them. The oracle derives the
+    * same fields arithmetically from `events` — a round-trip proof of
+    * the parse without sharing a code path. One codegen'd projection.
+    */
+  def nginxErrorParse(spark: SparkSession, dir: String): DataFrame = {
+    val lines = LogLines.nginxErrorLines(spark, dir)
+    lines.select(
+        col("event_id"),
+        NginxErrorLog.ts(col("line")).as("ts_sec"),
+        NginxErrorLog.level(col("line")).as("level"),
+        NginxErrorLog.pid(col("line")).as("pid"),
+        NginxErrorLog.conn(col("line")).as("conn"),
+        NginxErrorLog.clientIp(col("line")).as("client_ip"),
+        NginxErrorLog.msg(col("line")).as("msg"))
+      .orderBy(col("event_id"))
+  }
+
+  val nginxErrorParseSql: String =
+    """SELECT event_id,
+      |  date_trunc('second', ts) AS ts_sec,
+      |  CASE WHEN event_type = 'error' THEN 'error'
+      |       WHEN event_type = 'signup' THEN 'warn' ELSE 'notice' END AS level,
+      |  CAST(event_id % 16 + 1 AS BIGINT) AS pid,
+      |  CAST(event_id AS BIGINT) AS conn,
+      |  concat('10.', user_id % 256, '.', event_id % 250, '.', (event_id * 7) % 250) AS client_ip,
+      |  concat('open() "/usr/share/nginx/html/', event_type, '/', event_id % 100,
+      |         '" failed (2: No such file or directory)') AS msg
       |FROM events
       |ORDER BY event_id""".stripMargin
 

@@ -86,6 +86,28 @@ object LogLines {
           lit("] [client "), ipCol,
           lit("] "), errorMsgCol).as("line"))
 
+  /** events → one NGINX error_log line per event.
+    * `2026/08/12 10:00:00 [error] 17#17: *42 open() "/usr/share/nginx/
+    *  html/click/42" failed (2: No such file or directory), client:
+    *  10.1.2.3, server: localhost`
+    * — the EKS workload's error stream (the reference runs NGINX on
+    * EKS: lib/computes/eks/nginx-service.ts:29-44).
+    */
+  def nginxErrorLines(spark: SparkSession, dir: String): DataFrame =
+    Tables.atComputeParallelism(Tables.events(spark, dir))
+      .select(
+        col("event_id"),
+        concat(
+          date_format(date_trunc("second", col("ts")), "yyyy/MM/dd HH:mm:ss"),
+          lit(" ["), errorLevelCol, lit("] "),
+          ((col("event_id") % 16) + 1).cast("string"), lit("#"),
+          ((col("event_id") % 16) + 1).cast("string"), lit(": *"),
+          col("event_id").cast("string"),
+          lit(" open() \"/usr/share/nginx/html/"), col("event_type"),
+          lit("/"), (col("event_id") % 100).cast("string"),
+          lit("\" failed (2: No such file or directory), client: "), ipCol,
+          lit(", server: localhost")).as("line"))
+
   /** events → one FireLens-wrapped Apache line per event: the envelope
     * ECS stdout actually arrives in (lib/computes/ecs.ts:36). to_json
     * handles the quoting of the embedded combined-log line.

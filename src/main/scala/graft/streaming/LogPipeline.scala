@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
-import graft.functions.{ApacheErrorLog, ApacheLog}
+import graft.functions.{ApacheErrorLog, ApacheLog, NginxErrorLog}
 
 /** Structured-Streaming log pipeline (SURVEY §2 A3–A5, C10–C11).
   *
@@ -41,10 +41,11 @@ object LogPipeline {
     *     (reference ecs.ts:36 / eks-fargate-logging.ts); their inner
     *     `log` line and container metadata are peeled out, EC2/lambda
     *     lines pass through;
-    *  2. format dispatch on the (inner) line: access_log vs error_log —
-    *     the agent ships both into one stream; error lines become typed
-    *     rows (level/msg populated, access fields null), not DLQ
-    *     entries;
+    *  2. format dispatch on the (inner) line: access_log vs Apache
+    *     error_log vs NGINX error_log (the EKS workload is NGINX —
+    *     reference lib/computes/eks/nginx-service.ts) — the agents ship
+    *     all of them into one stream; error lines become typed rows
+    *     (level/msg populated, access fields null), not DLQ entries;
     *  3. lines matching neither grammar keep their FULL original
     *     payload (envelope included) for the dead-letter sink.
     *
@@ -61,23 +62,28 @@ object LogPipeline {
       .withColumn("access_ok", ApacheLog.isValid(col("inner")))
       .withColumn("error_ok",
         !col("access_ok") && ApacheErrorLog.isValid(col("inner")))
-      .withColumn("valid", col("access_ok") || col("error_ok"))
+      .withColumn("nginx_ok",
+        !col("access_ok") && !col("error_ok") && NginxErrorLog.isValid(col("inner")))
+      .withColumn("valid", col("access_ok") || col("error_ok") || col("nginx_ok"))
       .withColumn("p", when(col("access_ok"), ApacheLog.parsed(col("inner"))))
       .withColumn("e", when(col("error_ok"), ApacheErrorLog.parsed(col("inner"))))
+      .withColumn("ng", when(col("nginx_ok"), NginxErrorLog.parsed(col("inner"))))
       .select(
         col("value").as("line"), col("source"), col("valid"),
         when(col("access_ok"), "access")
-          .when(col("error_ok"), "error").as("format"),
+          .when(col("error_ok"), "error")
+          .when(col("nginx_ok"), "nginx_error").as("format"),
         coalesce(col("_fl.container_name"), col("_fb.kubernetes.container_name"))
           .as("container"),
         coalesce(col("_fl.source"), col("_fb.stream")).as("stream"),
-        coalesce(col("p.ts"), col("e.ts")).as("ts"),
-        coalesce(col("p.ip"), col("e.client_ip")).as("ip"),
+        coalesce(col("p.ts"), col("e.ts"), col("ng.ts")).as("ts"),
+        coalesce(col("p.ip"), col("e.client_ip"), col("ng.client_ip")).as("ip"),
         col("p.verb").as("verb"), col("p.path").as("path"),
         col("p.proto").as("proto"), col("p.status").as("status"),
         col("p.bytes").as("bytes"), col("p.referrer").as("referrer"),
         col("p.agent").as("agent"),
-        col("e.level").as("level"), col("e.msg").as("msg"))
+        coalesce(col("e.level"), col("ng.level")).as("level"),
+        coalesce(col("e.msg"), col("ng.msg")).as("msg"))
       .withColumn("log_date", to_date(col("ts")))
 
   /** A3–A5: start the ingest query. Each micro-batch dual-writes:

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{ApacheErrorLog, ApacheLog}
+import graft.functions.{ApacheErrorLog, ApacheLog, NginxErrorLog}
 import graft.sources.Envelopes
 import graft.streaming.LogPipeline
 
@@ -68,6 +68,49 @@ class EnvelopeSpec extends AnyFunSuite {
     val ec2 = out("ec2")
     assert(ec2.getAs[String]("format") == "error")
     assert(ec2.isNullAt(ec2.fieldIndex("container")))
+  }
+
+  // the grammar NGINX's error logger emits (EKS runs NGINX in the
+  // reference: lib/computes/eks/nginx-service.ts)
+  val nginxLine =
+    "2026/08/12 10:00:01 [error] 31#31: *1021 open() \"/usr/share/nginx/html/x\" " +
+      "failed (2: No such file or directory), client: 10.1.2.3, server: localhost"
+
+  test("nginx error_log parse extracts ts/level/pid/conn/client/msg") {
+    val r = Seq(nginxLine).toDF("line")
+      .select(NginxErrorLog.parsed(col("line")).as("p")).select("p.*")
+      .collect().head
+    assert(r.getAs[String]("level") == "error")
+    assert(r.getAs[Long]("pid") == 31L)
+    assert(r.getAs[Long]("conn") == 1021L)
+    assert(r.getAs[String]("client_ip") == "10.1.2.3")
+    assert(r.getAs[String]("msg") ==
+      "open() \"/usr/share/nginx/html/x\" failed (2: No such file or directory)")
+    assert(r.getAs[java.sql.Timestamp]("ts").toInstant.toString == "2026-08-12T10:00:01Z")
+    // a message with no trailing client/server context keeps the full remainder
+    val bare = "2026/08/12 10:00:02 [notice] 1#1: *7 signal process started"
+    val b = Seq(bare).toDF("line")
+      .select(NginxErrorLog.parsed(col("line")).as("p")).select("p.*")
+      .collect().head
+    assert(b.getAs[String]("msg") == "signal process started")
+    assert(b.getAs[String]("client_ip") == "")
+  }
+
+  test("dispatch routes EKS nginx error lines to typed rows, not the DLQ") {
+    val env = Seq(nginxLine).toDF("l").select(
+      to_json(struct(
+        col("l").as("log"), lit("stderr").as("stream"),
+        struct(lit("nginx-7f9").as("pod_name"), lit("default").as("namespace_name"),
+          lit("nginx").as("container_name"), lit("ip-10-0-1-2").as("host"))
+          .as("kubernetes"))).as("value"))
+      .withColumn("source", lit("eks"))
+    val r = LogPipeline.transformed(env).collect().head
+    assert(r.getAs[Boolean]("valid") && r.getAs[String]("format") == "nginx_error")
+    assert(r.getAs[String]("level") == "error")
+    assert(r.getAs[String]("ip") == "10.1.2.3")
+    assert(r.getAs[String]("container") == "nginx")
+    assert(r.getAs[String]("msg").startsWith("open()"))
+    assert(r.isNullAt(r.fieldIndex("status")))
   }
 
   test("FireLens envelope unwraps to container metadata + parseable inner line") {
