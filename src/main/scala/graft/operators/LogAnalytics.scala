@@ -354,6 +354,37 @@ object LogAnalytics {
         expr("approx_percentile(value, 0.99, 10000)").as("p99"))
       .orderBy(col("event_type"))
 
+  /** C5c — percentile_ranks (OpenSearch's inverse-percentile metric):
+    * for fixed value thresholds, the fraction of each group at or below
+    * them — "what share of requests were under 200 ms". Exact one-pass
+    * conditional aggregate: each rank is a map-side-combined sum, so the
+    * whole metric costs one scan + one tiny shuffle at any scale (the
+    * same shape as C4's error rate, and cheaper than any percentile
+    * inversion — which is also why ApproxRewrite leaves reverse
+    * percentiles exact: THIS is the scale path for them).
+    */
+  def percentileRanks(spark: SparkSession, dir: String,
+                      thresholds: Seq[Int] = Seq(25, 50, 75)): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        thresholds.map(t =>
+          round(sum(when(col("value") <= t, 1).otherwise(0)).cast("double") /
+            count(lit(1)), 4).as(s"pr_$t")): _*)
+      .orderBy(col("event_type"))
+
+  val percentileRanksSql: String = {
+    val ranks = Seq(25, 50, 75).map(t =>
+      s"round(CAST(sum(CASE WHEN value <= $t THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS pr_$t")
+      .mkString(",\n      |  ")
+    s"""SELECT event_type, count(*) AS n,
+      |  $ranks
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+  }
+
   // ---- C6: cardinality metric ----------------------------------------
 
   def cardinality(spark: SparkSession, dir: String): DataFrame =
@@ -559,6 +590,55 @@ object LogAnalytics {
       |SELECT '__other__' AS term, CAST(sum(n) AS BIGINT) AS n, CAST(3 AS BIGINT) AS rank
       |FROM ranked WHERE rank > 2
       |ORDER BY rank""".stripMargin
+
+  /** C2d — composite aggregation with keyset pagination (OpenSearch
+    * `composite` + `after_key`): page a huge terms agg in key order
+    * without ever materializing the full bucket set in one result.
+    *
+    * The scale shape: each page is `orderBy(key).limit(pageSize)` over
+    * the aggregate — TakeOrderedAndProject, a bounded pageSize-row heap
+    * per partition, never a global sort or an OFFSET scan. The next
+    * page's `key > after_key` is a deterministic predicate on the
+    * GROUPING column, so Catalyst pushes it below the aggregate into
+    * the scan: page N+1 doesn't even aggregate the keys already paged
+    * out (with a key-sorted/partitioned store that's partition pruning).
+    * The after_key handoff is one scalar per page — exactly what the
+    * OpenSearch API returns to the client.
+    */
+  def termsPaged(spark: SparkSession, dir: String, pageSize: Int = 10): DataFrame = {
+    def bucketAgg = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 10).cast("long")).as("total"))
+    val page1 = bucketAgg.orderBy(col("user_id")).limit(pageSize)
+    // the API's after_key: the last key of the page just served (a
+    // pageSize-row driver action, same cost as returning the page)
+    val afterKey = page1.agg(max(col("user_id"))).collect()(0).getLong(0)
+    val page2 = bucketAgg
+      .filter(col("user_id") > afterKey) // pushed below the aggregate
+      .orderBy(col("user_id")).limit(pageSize)
+    page1.withColumn("page", lit(1L))
+      .unionByName(page2.withColumn("page", lit(2L)))
+      .orderBy(col("page"), col("user_id"))
+  }
+
+  val termsPagedSql: String =
+    """WITH agg AS (
+      |  SELECT user_id, count(*) AS n,
+      |    CAST(sum(CAST(floor(value * 10) AS BIGINT)) AS BIGINT) AS total
+      |  FROM events GROUP BY user_id),
+      |p1 AS (
+      |  SELECT user_id, n, total, CAST(1 AS BIGINT) AS page
+      |  FROM agg ORDER BY user_id LIMIT 10),
+      |k AS (SELECT max(user_id) AS after_key FROM p1),
+      |p2 AS (
+      |  SELECT user_id, n, total, CAST(2 AS BIGINT) AS page
+      |  FROM agg, k WHERE user_id > after_key
+      |  ORDER BY user_id LIMIT 10)
+      |SELECT * FROM p1
+      |UNION ALL
+      |SELECT * FROM p2
+      |ORDER BY page, user_id""".stripMargin
 
   /** C31 — date histogram with empty-bucket fill (OpenSearch
     * `min_doc_count: 0`): generate the full day sequence between min

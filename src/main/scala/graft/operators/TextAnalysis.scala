@@ -282,6 +282,43 @@ object TextAnalysis {
        |ORDER BY rank""".stripMargin
   }
 
+  /** C3c — fuzzy term search (OpenSearch `fuzzy` / Discover's query-bar
+    * fuzziness): docs containing any token within `maxDist` edits of the
+    * query term, with the best distance and match count per doc.
+    *
+    * Plan: tokenize (flatMap, no shuffle) → free length-gap pruning
+    * (edit distance ≥ |len(tok) − len(q)|, so most tokens skip the DP
+    * entirely) → banded 3-arg levenshtein (O(len × maxDist) per token,
+    * −1 above the threshold) → one partial-aggregated groupBy(doc_id).
+    * Brute token scan parallelizes linearly; a production search engine
+    * would serve this from a deletion-neighborhood index, but the scan
+    * is the honest one-pass shape for ad-hoc queries over raw parquet.
+    */
+  def searchFuzzy(spark: SparkSession, dir: String,
+                  q: String = "spak", maxDist: Int = 2): DataFrame = {
+    val qLen = q.length
+    Tables.atComputeParallelism(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(abs(length(col("tok")) - lit(qLen)) <= maxDist)
+      .withColumn("d", expr(s"levenshtein(tok, '$q', $maxDist)").cast("long"))
+      .filter(col("d") >= 0)
+      .groupBy(col("doc_id"))
+      .agg(min(col("d")).as("best_dist"), count(lit(1)).as("n_matches"))
+      .orderBy(col("doc_id"))
+  }
+
+  val searchFuzzySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, CAST(levenshtein(tok, 'spak') AS BIGINT) AS d
+      |  FROM toks
+      |  WHERE abs(length(tok) - 4) <= 2 AND levenshtein(tok, 'spak') <= 2)
+      |SELECT doc_id, min(d) AS best_dist, count(*) AS n_matches
+      |FROM m GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** C24 — "significant terms" (OpenSearch significant_terms agg):
     * tokens over-represented in a foreground slice (source = src0) vs
     * the whole corpus, scored by relative frequency ratio. Background
