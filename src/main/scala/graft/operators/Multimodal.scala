@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.ImageCodec
 import graft.sources.Tables
 
 /** Multimodal (binary) column plumbing (SURVEY §2 E12).
@@ -11,9 +12,13 @@ import graft.sources.Tables
   * `binary` payload column + typed metadata, with decode/feature-extract
   * running as a per-partition batch transform (`mapPartitions`) — the
   * Spark shape under which a real decoder (image/audio libs, GPU
-  * batches) would run. The container has no media libraries, so the
-  * decode step is a clearly-marked DETERMINISTIC STUB; the schema,
-  * partitioning, batch iteration, and typed-Dataset plumbing are real.
+  * batches) would run. The decode step is REAL for JDK-decodable
+  * formats (PNG/BMP/GIF via `javax.imageio` — see ImageCodec): bytes →
+  * pixels → channel statistics / interpolating resample → re-encoded
+  * payload. Payloads the JDK can't read (JPEG2000, video containers,
+  * audio, and this table's synthesized text bytes) fall back to a
+  * clearly-marked deterministic byte-level path — the production shape,
+  * where a codec plugin handles what it can and flags the rest.
   */
 object Multimodal {
 
@@ -35,27 +40,34 @@ object Multimodal {
       (lit(64) + col("doc_id") % 256).cast("int").as("height"),
       (col("doc_id") % 30 + 1).cast("int").as("n_frames"))
 
-  /** Per-partition batch "decode" + feature extraction.
+  /** Per-partition batch decode + feature extraction.
     *
-    * STUB: a real implementation decodes media bytes (JPEG/WAV/frames)
-    * and runs a feature model over fixed-size batches; this container
-    * has no codecs, so we compute a deterministic fake feature (rolling
-    * checksum + byte-histogram norm) with the SAME batch shape: iterate
-    * the partition, accumulate fixed-width buffers, emit one row per
-    * media item. Swap `decodeStub` for a real decoder to productionize.
+    * JDK-decodable payloads (PNG/BMP/GIF) take the REAL path: decode to
+    * pixels, feature = per-channel mean-intensity vector. Everything
+    * else falls back to `decodeStub`'s byte-histogram feature. Both
+    * paths share the batch shape — iterate the partition, emit one row
+    * per item, no shuffle — and the payload checksum is byte-level in
+    * both (it fingerprints the stored bytes, not the decoded pixels).
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
-        val (checksum, feat) = decodeStub(r.media)
-        MediaFeature(r.doc_id, r.kind, r.media.length, checksum,
-          math.sqrt(feat.map(x => x.toDouble * x).sum))
+        val (checksum, stubFeat) = decodeStub(r.media)
+        val featNorm = ImageCodec.decode(r.media) match {
+          case Some(img) =>
+            math.sqrt(ImageCodec.channelMeans(img).map(x => x * x).sum)
+          case None =>
+            math.sqrt(stubFeat.map(x => x.toDouble * x).sum)
+        }
+        MediaFeature(r.doc_id, r.kind, r.media.length, checksum, featNorm)
       }
     }.toDF()
   }
 
-  /** The deterministic stand-in for a media decoder (see above). */
+  /** The deterministic byte-level fallback for payloads no JDK codec
+    * reads (also supplies the payload checksum for every row).
+    */
   private def decodeStub(bytes: Array[Byte]): (Long, Array[Float]) = {
     val feat = new Array[Float](8)
     var sum = 0L
@@ -73,13 +85,14 @@ object Multimodal {
 
   /** Resize stage: scale each image payload to `targetW`×`targetH`.
     *
-    * STUB decode: without codecs the "pixels" are the raw payload bytes
-    * — nearest-neighbor sampling over the byte buffer stands in for a
-    * real interpolating resampler, with the REAL pipeline shape: the
-    * payload shrinks proportionally (output bytes scale with
-    * target/source area), metadata is rewritten alongside, and the
-    * transform is partition-local (no shuffle) — exactly how a batch
-    * image-resize stage feeds a fixed-input-size trainer.
+    * Decodable payloads take the REAL path: decode → area-averaging
+    * resample (ImageCodec.resample — deterministic pixel arithmetic)
+    * → PNG re-encode. Undecodable payloads fall back to
+    * nearest-neighbor sampling over the raw byte buffer, which keeps
+    * the proportional-shrink contract (output bytes scale with
+    * target/source area). Both paths are partition-local (no shuffle)
+    * — exactly how a batch image-resize stage feeds a
+    * fixed-input-size trainer.
     */
   def resize(spark: SparkSession, media: DataFrame,
              targetW: Int = 32, targetH: Int = 32): DataFrame = {
@@ -89,17 +102,24 @@ object Multimodal {
       .as[(Long, String, Array[Byte], Int, Int)]
       .mapPartitions { rows =>
         rows.map { case (id, kind, bytes, w, h) =>
-          val srcArea = math.max(w.toLong * h, 1L)
-          val outLen = math.max(
-            (bytes.length.toLong * targetW * targetH / srcArea).toInt, 1)
-          val out = new Array[Byte](math.min(outLen, bytes.length))
-          var i = 0
-          while (i < out.length) {
-            // nearest-neighbor over the byte buffer (stub resampler)
-            out(i) = bytes((i.toLong * bytes.length / out.length).toInt)
-            i += 1
+          ImageCodec.decode(bytes) match {
+            case Some(img) =>
+              Resized(id, kind,
+                ImageCodec.encodePng(ImageCodec.resample(img, targetW, targetH)),
+                targetW, targetH)
+            case None =>
+              val srcArea = math.max(w.toLong * h, 1L)
+              val outLen = math.max(
+                (bytes.length.toLong * targetW * targetH / srcArea).toInt, 1)
+              val out = new Array[Byte](math.min(outLen, bytes.length))
+              var i = 0
+              while (i < out.length) {
+                // nearest-neighbor over the byte buffer (fallback resampler)
+                out(i) = bytes((i.toLong * bytes.length / out.length).toInt)
+                i += 1
+              }
+              Resized(id, kind, out, targetW, targetH)
           }
-          Resized(id, kind, out, targetW, targetH)
         }
       }.toDF()
   }

@@ -50,6 +50,41 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("real PNG payloads decode through the feature pipeline (javax.imageio path)") {
+    import graft.functions.ImageCodec
+    // a genuine PNG payload, synthesized deterministically
+    val png = ImageCodec.syntheticPng(48, 32, seed = 7L)
+    val img = ImageCodec.decode(png).get
+    assert(img.getWidth == 48 && img.getHeight == 32)
+    val rows = Seq(Multimodal.MediaRow(1L, "image", png, 48, 32, 1)).toDF()
+    val out = Multimodal.extractFeatures(spark, rows).collect().head
+    // the feature is computed from DECODED PIXELS, not payload bytes:
+    // it must equal the norm of the channel-mean vector exactly
+    val expected = math.sqrt(ImageCodec.channelMeans(img).map(x => x * x).sum)
+    assert(out.getAs[Double]("feat_norm") == expected)
+    assert(out.getAs[Int]("n_bytes") == png.length)
+  }
+
+  test("real PNG resize decodes, area-resamples, and re-encodes") {
+    import graft.functions.ImageCodec
+    val png = ImageCodec.syntheticPng(64, 64, seed = 11L)
+    val rows = Seq(Multimodal.MediaRow(2L, "image", png, 64, 64, 1)).toDF()
+    val out = Multimodal.resize(spark, rows, 16, 16).collect().head
+    val decoded = ImageCodec.decode(out.getAs[Array[Byte]]("media")).get
+    assert(decoded.getWidth == 16 && decoded.getHeight == 16)
+    // area-averaging preserves overall brightness within integer-floor
+    // error: compare channel means of source and resampled image
+    val srcMeans = ImageCodec.channelMeans(ImageCodec.decode(png).get)
+    val dstMeans = ImageCodec.channelMeans(decoded)
+    srcMeans.zip(dstMeans).foreach { case (s, d) =>
+      assert(math.abs(s - d) < 0.02, s"channel mean drifted: $s vs $d")
+    }
+    // determinism: same input → byte-identical PNG
+    val again = Multimodal.resize(spark, rows, 16, 16).collect().head
+    assert(out.getAs[Array[Byte]]("media").toSeq ==
+      again.getAs[Array[Byte]]("media").toSeq)
+  }
+
   test("frame sampling reassembles to a prefix-consistent byte slicing") {
     val media = Multimodal.mediaTable(spark, TestSpark.sf)
     val frames = Multimodal.sampleFrames(spark, media, stride = 1)
