@@ -77,6 +77,108 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** DuckDB macro prelude shared by the E2/E3 oracle replicas: exact
+    * 64-bit WRAPPING arithmetic built on HUGEINT (128-bit) — `mul64`
+    * splits operands into 32-bit halves so no intermediate exceeds
+    * 2¹²⁸, `fmix64` is the splitmix finalizer (plans/Sketches.fmix64)
+    * bit-for-bit, `tok_hash` is the FNV-1a-over-bytes token hash
+    * (valid because the corpus is ASCII: code point == UTF-8 byte).
+    * Signed/unsigned bridges replicate the JVM's SIGNED long min/sort
+    * where the kernels compare. Statement-per-stage (temp tables, not
+    * one fused query) because DuckDB evaluates big macro expressions
+    * ~10× slower inside join/aggregate operators than over a
+    * materialized flat table.
+    */
+  private val sketchOracleMacros: String =
+    """CREATE OR REPLACE MACRO mul64(a, b) AS
+      |  ((a % 4294967296) * (b % 4294967296)
+      |   + (((a % 4294967296) * (b // 4294967296) + (a // 4294967296) * (b % 4294967296)) % 4294967296)
+      |     * 4294967296) % 18446744073709551616;
+      |CREATE OR REPLACE MACRO x33(v) AS xor(v, v // 8589934592);
+      |CREATE OR REPLACE MACRO fmix64(v) AS
+      |  x33(mul64(x33(mul64(x33(v), 18397679294719823053::HUGEINT)), 14181476777654086739::HUGEINT));
+      |CREATE OR REPLACE MACRO tok_hash(t) AS fmix64(
+      |  list_reduce(
+      |    list_prepend(14695981039346656037::HUGEINT,
+      |      list_transform(range(1, length(t) + 1),
+      |        i -> CAST(ord(substr(t, CAST(i AS INT), 1)) AS HUGEINT))),
+      |    (h, c) -> mul64(xor(h, c), 1099511628211::HUGEINT)));
+      |CREATE OR REPLACE MACRO to_signed(u) AS CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+      |  THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT);
+      |CREATE OR REPLACE MACRO to_u64(s) AS CASE WHEN s < 0
+      |  THEN CAST(s AS HUGEINT) + 18446744073709551616::HUGEINT ELSE CAST(s AS HUGEINT) END;
+      |""".stripMargin
+
+  /** Full independent replica of the E2 pipeline — NgramHashes(n=3,
+    * distinct) → MinHashSig(k=64) → BandKeys(16×4) → capped band
+    * buckets → exact-Jaccard verify — so the CANDIDATE GENERATION
+    * (signatures, banding, bucketing), not just the verified pairs, is
+    * oracle-checked. Constants (3-shingles, 64 seeds, 16 bands × 4
+    * rows, cap 200, threshold 0.7) mirror minhashPairs' defaults.
+    */
+  val minhashPairsSql: String = sketchOracleMacros +
+    """CREATE OR REPLACE TEMP TABLE g_mh_th AS
+      |SELECT doc_id, pos, tok_hash(tok) AS th
+      |FROM (SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents));
+      |CREATE OR REPLACE TEMP TABLE g_mh_thl AS
+      |SELECT doc_id, list(th ORDER BY pos) AS thl, count(*) AS len
+      |FROM g_mh_th GROUP BY doc_id;
+      |CREATE OR REPLACE TEMP TABLE g_mh_shset AS
+      |SELECT DISTINCT doc_id, fmix64(a3) AS sh FROM (
+      |  SELECT doc_id,
+      |    CASE WHEN w + 2 <= len THEN xor(mul64(a2, 1099511628211::HUGEINT), thl[CAST(w + 2 AS INT)])
+      |         ELSE a2 END AS a3
+      |  FROM (
+      |    SELECT doc_id, thl, len, w,
+      |      CASE WHEN w + 1 <= len THEN xor(mul64(a1, 1099511628211::HUGEINT), thl[CAST(w + 1 AS INT)])
+      |           ELSE a1 END AS a2
+      |    FROM (
+      |      SELECT doc_id, thl, len, w,
+      |        xor(mul64(11400714819323198485::HUGEINT, 1099511628211::HUGEINT),
+      |            thl[CAST(w AS INT)]) AS a1
+      |      FROM g_mh_thl, unnest(range(1, greatest(len - 2, 1) + 1)) AS u(w))));
+      |CREATE OR REPLACE TEMP TABLE g_mh_xor AS
+      |SELECT t.doc_id, sd.s, xor(t.sh, sd.seed) AS x
+      |FROM g_mh_shset t CROSS JOIN (
+      |  SELECT s, fmix64(mul64(11400714819323198485::HUGEINT, CAST(s AS HUGEINT))) AS seed
+      |  FROM unnest(range(1, 65)) AS u(s)) sd;
+      |CREATE OR REPLACE TEMP TABLE g_mh_fm AS
+      |SELECT doc_id, s, fmix64(x) AS v FROM g_mh_xor;
+      |CREATE OR REPLACE TEMP TABLE g_mh_sig AS
+      |SELECT doc_id, list(to_u64(minv) ORDER BY s) AS sig
+      |FROM (SELECT doc_id, s, min(to_signed(v)) AS minv FROM g_mh_fm GROUP BY doc_id, s)
+      |GROUP BY doc_id;
+      |CREATE OR REPLACE TEMP TABLE g_mh_bandacc AS
+      |SELECT doc_id, a4 FROM (
+      |  SELECT doc_id, xor(mul64(a3, 1099511628211::HUGEINT), sig[CAST((b-1)*4 + 4 AS INT)]) AS a4 FROM (
+      |    SELECT doc_id, b, sig, xor(mul64(a2, 1099511628211::HUGEINT), sig[CAST((b-1)*4 + 3 AS INT)]) AS a3 FROM (
+      |      SELECT doc_id, b, sig, xor(mul64(a1, 1099511628211::HUGEINT), sig[CAST((b-1)*4 + 2 AS INT)]) AS a2 FROM (
+      |        SELECT doc_id, b, sig,
+      |          xor(mul64(fmix64(mul64(11400714819323198485::HUGEINT, CAST(b AS HUGEINT))),
+      |                    1099511628211::HUGEINT), sig[CAST((b-1)*4 + 1 AS INT)]) AS a1
+      |        FROM g_mh_sig, unnest(range(1, 17)) AS u(b)))));
+      |CREATE OR REPLACE TEMP TABLE g_mh_bands AS
+      |SELECT doc_id, to_signed(fmix64(a4)) AS band FROM g_mh_bandacc;
+      |CREATE OR REPLACE TEMP TABLE g_mh_shl AS
+      |SELECT doc_id, list(sh) AS shl FROM g_mh_shset GROUP BY doc_id;
+      |WITH ok AS (
+      |  SELECT band FROM g_mh_bands GROUP BY band HAVING count(*) BETWEEN 2 AND 200),
+      |inb AS (SELECT c.* FROM g_mh_bands c JOIN ok USING (band)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM inb a JOIN inb b USING (band)
+      |  WHERE a.doc_id < b.doc_id),
+      |scored AS (
+      |  SELECT doc_a, doc_b,
+      |    round(CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE) /
+      |          (len(x.shl) + len(y.shl) - len(list_intersect(x.shl, y.shl))), 4) AS jaccard
+      |  FROM cand JOIN g_mh_shl x ON x.doc_id = doc_a
+      |            JOIN g_mh_shl y ON y.doc_id = doc_b)
+      |SELECT doc_a, doc_b, jaccard FROM scored
+      |WHERE jaccard >= 0.7
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** E3 — SimHash near-dup pairs: 64-bit signature, 4×16-bit chunk
     * blocking (pigeonhole: hamming ≤ 3 ⇒ ≥1 chunk equal), verify
     * hamming ≤ 3 on candidates.
@@ -107,6 +209,53 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Full independent replica of the E3 pipeline — token hashes →
+    * SimHash64 bit-majority signature → 4×16-bit chunk blocking
+    * (pigeonhole) → capped buckets → hamming ≤ 3 verify. Constants
+    * mirror simhashPairs' defaults (4 chunks, cap 200, maxHamming 3).
+    * The power-of-two table is built by recursive doubling because
+    * `2 ** b` in DuckDB is a DOUBLE (loses bits past 2⁵³).
+    */
+  val simhashPairsSql: String = sketchOracleMacros +
+    """CREATE OR REPLACE TEMP TABLE g_pow AS
+      |WITH RECURSIVE p(b, pw) AS (
+      |  SELECT 0, 1::HUGEINT UNION ALL SELECT b + 1, pw * 2 FROM p WHERE b < 63)
+      |SELECT b, pw FROM p;
+      |CREATE OR REPLACE TEMP TABLE g_sh_tok AS
+      |SELECT doc_id, tok_hash(tok) AS h
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents);
+      |CREATE OR REPLACE TEMP TABLE g_sh_th AS
+      |SELECT doc_id,
+      |  fmix64(xor(mul64(11400714819323198485::HUGEINT, 1099511628211::HUGEINT), h)) AS th
+      |FROM g_sh_tok;
+      |CREATE OR REPLACE TEMP TABLE g_sh_bit AS
+      |SELECT t.doc_id, p.b, p.pw, (t.th // p.pw) % 2 = 1 AS bit
+      |FROM g_sh_th t CROSS JOIN g_pow p;
+      |CREATE OR REPLACE TEMP TABLE g_sh_sig AS
+      |SELECT doc_id,
+      |  to_signed(CAST(sum(CASE WHEN cnt > 0 THEN pw ELSE 0 END) AS HUGEINT)) AS sig
+      |FROM (
+      |  SELECT doc_id, b, pw, sum(CASE WHEN bit THEN 1 ELSE -1 END) AS cnt
+      |  FROM g_sh_bit GROUP BY doc_id, b, pw) c
+      |GROUP BY doc_id;
+      |WITH chunked AS (
+      |  SELECT doc_id, sig, c.b // 16 AS chunk_id,
+      |    (to_u64(sig) // c.pw) % 65536 AS chunk_val
+      |  FROM g_sh_sig CROSS JOIN (SELECT b, pw FROM g_pow WHERE b % 16 = 0) c(b, pw)),
+      |ok AS (
+      |  SELECT chunk_id, chunk_val FROM chunked
+      |  GROUP BY chunk_id, chunk_val HAVING count(*) BETWEEN 2 AND 200),
+      |inb AS (
+      |  SELECT c.* FROM chunked c JOIN ok USING (chunk_id, chunk_val)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    bit_count(xor(a.sig, b.sig)) AS hamming
+      |  FROM inb a JOIN inb b USING (chunk_id, chunk_val)
+      |  WHERE a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming FROM cand
+      |WHERE hamming <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   /** E4 — exact n-gram Jaccard inside prefix blocks. Blocking key: the
     * first two words (cheap, deterministic, SQL-reproducible — so this
