@@ -591,6 +591,51 @@ object LogAnalytics {
       |FROM ranked WHERE rank > 2
       |ORDER BY rank""".stripMargin
 
+  /** C1b — auto_date_histogram (OpenSearch's adaptive-interval
+    * histogram): pick the smallest interval from a fixed ladder
+    * (1h/6h/1d/7d/30d) whose ALIGNED bucket count fits the target,
+    * then histogram at that interval. Two-phase single plan: a one-row
+    * min/max aggregate broadcast into the bucketing scan — the same
+    * one-row-stats shape as anomaly detection, so the whole query is
+    * two passes over the column and one tiny shuffle at any scale.
+    * Bucket count is computed on the aligned grid (`u1 div i − u0 div
+    * i + 1`), not the raw span, so the choice is exactly reproducible.
+    */
+  def autoDateHistogram(spark: SparkSession, dir: String,
+                        targetBuckets: Int = 25): DataFrame = {
+    val ladder = Seq(3600L, 21600L, 86400L, 604800L, 2592000L)
+    val ev = Tables.events(spark, dir)
+      .select(col("ts").cast("long").as("u"))
+    val fits = (i: Long) =>
+      expr(s"(u1 div $i) - (u0 div $i) + 1") <= targetBuckets
+    val interval = ladder.init.foldRight(lit(ladder.last)) {
+      (i, acc) => when(fits(i), lit(i)).otherwise(acc)
+    }
+    val stats = ev.agg(min(col("u")).as("u0"), max(col("u")).as("u1"))
+      .select(interval.as("ivl"))
+    ev.crossJoin(broadcast(stats))
+      .groupBy(expr("timestamp_seconds((u div ivl) * ivl)").as("bucket"),
+        col("ivl").cast("long").as("interval_sec"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"), col("n"), col("interval_sec"))
+      .orderBy(col("bucket"))
+  }
+
+  val autoDateHistogramSql: String =
+    """WITH u AS (SELECT epoch_us(ts) // 1000000 AS u FROM events),
+      |st AS (SELECT min(u) AS u0, max(u) AS u1 FROM u),
+      |iv AS (SELECT CASE
+      |    WHEN (u1 // 3600)   - (u0 // 3600)   + 1 <= 25 THEN 3600
+      |    WHEN (u1 // 21600)  - (u0 // 21600)  + 1 <= 25 THEN 21600
+      |    WHEN (u1 // 86400)  - (u0 // 86400)  + 1 <= 25 THEN 86400
+      |    WHEN (u1 // 604800) - (u0 // 604800) + 1 <= 25 THEN 604800
+      |    ELSE 2592000 END AS ivl FROM st)
+      |SELECT make_timestamp((u.u // iv.ivl) * iv.ivl * 1000000) AS bucket,
+      |  count(*) AS n, CAST(iv.ivl AS BIGINT) AS interval_sec
+      |FROM u, iv
+      |GROUP BY 1, 3
+      |ORDER BY bucket""".stripMargin
+
   /** C2d — composite aggregation with keyset pagination (OpenSearch
     * `composite` + `after_key`): page a huge terms agg in key order
     * without ever materializing the full bucket set in one result.

@@ -23,16 +23,13 @@ import graft.functions.{ApacheErrorLog, ApacheLog, NginxErrorLog}
   */
 object LogPipeline {
 
-  /** Raw stream: one row per log line; `source` (ec2/ecs/eks/lambda)
-    * recovered from the directory layout, as the reference derives it
-    * from the delivery-stream name.
+  /** Raw stream: one row per log line with its `source`
+    * (ec2/ecs/eks/lambda). Delegates to the [[FileLines]] binding —
+    * swap any other [[StreamSource]] (MemoryLines, KafkaLines) and the
+    * rest of the graph is unchanged.
     */
   def rawStream(spark: SparkSession, inDir: String): DataFrame =
-    spark.readStream
-      .option("recursiveFileLookup", "true")
-      .text(inDir)
-      .withColumn("source",
-        regexp_extract(input_file_name(), "/(ec2|ecs|eks|lambda)/", 1))
+    FileLines(inDir).load(spark)
 
   /** Transform stage — the full wire-shape dispatch, per row:
     *

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Pluggable ingest bindings (SURVEY §2 A3 completeness).
+  *
+  * The reference's ingest is four Kinesis Firehose delivery streams —
+  * one per compute source (reference: lib/common/utils.ts:40-66). The
+  * transform/sink graph in [[LogPipeline]] is source-agnostic: it only
+  * needs a streaming DataFrame with `value` (the raw line/envelope) and
+  * `source` (ec2|ecs|eks|lambda). This trait is the swap point — every
+  * binding yields that contract, so `transformed`/`startIngest` run
+  * unchanged against files, an in-memory test stream, or Kafka.
+  */
+trait StreamSource {
+  /** Streaming DataFrame with columns `value: string`, `source: string`. */
+  def load(spark: SparkSession): DataFrame
+}
+
+/** File-tail binding (the sandbox default): one directory per source,
+  * matching how the Kinesis agent tails one log path per flow. `source`
+  * is recovered from the directory layout, as the reference derives it
+  * from the delivery-stream name.
+  */
+final case class FileLines(inDir: String) extends StreamSource {
+  override def load(spark: SparkSession): DataFrame =
+    spark.readStream
+      .option("recursiveFileLookup", "true")
+      .text(inDir)
+      .withColumn("source",
+        regexp_extract(input_file_name(), "/(ec2|ecs|eks|lambda)/", 1))
+}
+
+/** In-memory binding for tests and embedded use: push (source, line)
+  * pairs and the same pipeline graph consumes them — the proof that the
+  * transform graph has no file-source dependency.
+  */
+final class MemoryLines(spark: SparkSession) extends StreamSource {
+  import spark.implicits._
+  private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+  private val stream = MemoryStream[(String, String)]
+  def add(pairs: (String, String)*): Unit = { stream.addData(pairs); () }
+  override def load(s: SparkSession): DataFrame =
+    stream.toDF().toDF("source", "value")
+}
+
+/** Kafka binding — topic-per-source (`logs-ec2`, `logs-ecs`, …), the
+  * direct analogue of the reference's stream-per-source layout. Builds
+  * the standard `format("kafka")` reader; the spark-sql-kafka connector
+  * jar is deployment-provided (not bundled in this sandbox), so this
+  * binding is the documented production swap-in, exercised only where
+  * that jar is on the classpath. Offsets/watermarks ride on Kafka's own
+  * storage — `startIngest`'s checkpointing is unchanged.
+  */
+final case class KafkaLines(bootstrapServers: String,
+                            topicPattern: String = "logs-.*",
+                            startingOffsets: String = "latest") extends StreamSource {
+  override def load(spark: SparkSession): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribePattern", topicPattern)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .select(
+        col("value").cast("string").as("value"),
+        regexp_extract(col("topic"), "logs-(.+)", 1).as("source"))
+}

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.LogPipeline
+import graft.streaming.{LogPipeline, MemoryLines}
 
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -40,6 +40,22 @@ class StreamingSpec extends AnyFunSuite {
     val dlq = spark.read.parquet(s"$out/dlq")
     assert(dlq.count() == 1)
     assert(dlq.select("line").as[String].collect().head == badLine)
+  }
+
+  test("transform graph is source-agnostic: MemoryLines binding feeds the same pipeline") {
+    val src = new MemoryLines(spark)
+    src.add("ec2" -> goodLine, "ec2" -> badLine)
+    val q = LogPipeline.transformed(src.load(spark)).writeStream
+      .format("memory").queryName("memlines_out")
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("memlines_out").collect()
+    assert(rows.length == 2)
+    val byLine = rows.map(r => r.getAs[String]("line") -> r).toMap
+    assert(byLine(goodLine).getAs[Boolean]("valid"))
+    assert(byLine(goodLine).getAs[String]("format") == "access")
+    assert(byLine(goodLine).getAs[Long]("status") == 200L)
+    assert(!byLine(badLine).getAs[Boolean]("valid"))
   }
 
   test("watermarked windowed aggregation over the parsed stream") {
