@@ -319,6 +319,63 @@ object TextAnalysis {
       |FROM m GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** E19 — unigram language-model quality score (the CCNet-style
+    * perplexity filter, public: Wenzek et al. 2020): score each doc by
+    * its per-token negative log-likelihood under an add-one-smoothed
+    * unigram model of the corpus itself. Low NLL ≈ stereotypical text,
+    * high NLL ≈ rare-token soup — the standard LM-based quality cut.
+    *
+    * Scale shape: token counts are ONE shuffle of (doc,token) pairs;
+    * the count join is pinned shuffle_hash (a web-scale vocabulary
+    * cannot broadcast — same reasoning as TF-IDF); corpus totals are a
+    * one-row broadcast. Cross-engine parity: per-token log-probs are
+    * quantized to integer micro-nats with floor() BEFORE the per-doc
+    * sum — identical IEEE doubles floor identically, and an INTEGER sum
+    * is order-independent, where a float sum over a doc's tokens would
+    * diverge in final ulps between engines.
+    */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_toks"),
+        explode(col("toks")).as("token"))
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).as("n_total"), count(lit(1)).as("v"))
+    toks.join(counts.hint("shuffle_hash"), "token")
+      .crossJoin(broadcast(totals))
+      .withColumn("lp_micro",
+        floor(log((col("c") + 1).cast("double") /
+          (col("n_total") + col("v")).cast("double")) * 1e6).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_toks")).cast("long").as("n_toks"),
+        sum(col("lp_micro")).as("s"))
+      // NO final round(): s and n_toks are identical integers in both
+      // engines, so the division is bit-identical — while round(,4) of a
+      // half-boundary double diverges between Spark (BigDecimal HALF_UP)
+      // and DuckDB (binary rounding); observed on 1 doc in 5000 at sf0.1
+      .select(col("doc_id"), col("n_toks"),
+        (-col("s").cast("double") / 1e6 / col("n_toks")).as("nll_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  val unigramLogprobSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_toks,
+      |    unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |counts AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS v FROM counts),
+      |scored AS (
+      |  SELECT t.doc_id, CAST(any_value(t.n_toks) AS BIGINT) AS n_toks,
+      |    CAST(sum(CAST(floor(ln(CAST(c.c + 1 AS DOUBLE) /
+      |      CAST(tot.n_total + tot.v AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS s
+      |  FROM toks t JOIN counts c USING (token) CROSS JOIN tot
+      |  GROUP BY t.doc_id)
+      |SELECT doc_id, n_toks,
+      |  -CAST(s AS DOUBLE) / 1000000.0 / n_toks AS nll_per_token
+      |FROM scored
+      |ORDER BY doc_id""".stripMargin
+
   /** C24 — "significant terms" (OpenSearch significant_terms agg):
     * tokens over-represented in a foreground slice (source = src0) vs
     * the whole corpus, scored by relative frequency ratio. Background
