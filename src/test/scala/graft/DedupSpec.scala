@@ -44,6 +44,38 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("ngram jaccard drops an over-cap hot prefix block but keeps normal blocks") {
+    // a corpus where one two-word prefix is degenerate-hot (above
+    // maxBucketSize) — the log-domain skew case the cap exists for
+    // every hot doc is a true near-dup of every other (shared 30-token
+    // body, one unique token) — uncapped, the block would emit
+    // (210+ choose 2) ≈ 22k pairs; the cap must emit zero
+    val hotBody = (1 to 30).map(j => s"common$j").mkString(" ")
+    val hot = (1L to (Dedup.maxBucketSize + 10L)).map { i =>
+      (i, s"hot prefix $hotBody unique$i")
+    }
+    val cold = Seq(
+      (9001L, "cold block " + (1 to 30).map(j => s"shared$j").mkString(" ")),
+      (9002L, "cold block " + (1 to 30).map(j => s"shared$j").mkString(" ") + " tail"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-hotblock").toString
+    (hot ++ cold).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.ngramJaccard(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // the cold pair survives; the hot block contributes NO pairs — the
+    // cap turned a (210 choose 2) quadratic block into zero work
+    assert(pairs == Set((9001L, 9002L)), s"got $pairs")
+    // exact dups planted INSIDE a hot block still link via canonical
+    // corpus' separate star-edge mining (linear, uncapped)
+    val hotDup = hot :+ (8000L -> hot.head._2) :+ (8001L -> hot.head._2)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-hotdup").toString
+    (hotDup ++ cold).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val labels = Dedup.canonicalCorpus(spark, dir2).as[(Long, Long)].collect().toMap
+    assert(labels(8000L) == 1L && labels(8001L) == 1L,
+      "exact dups in an over-cap block must still share a keeper")
+  }
+
   test("canonical corpus matches union-find over the mined pair graph") {
     val labels = Dedup.canonicalCorpus(spark, TestSpark.sf)
       .as[(Long, Long)].collect().toMap
