@@ -49,6 +49,46 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** E13b — token-BUDGET mixture sampling: where E13 samples by RATE,
+    * a training run is specified by per-domain token budgets ("5M
+    * English tokens, 15M of everything else"). Deterministic greedy
+    * fill: per language, take docs in content-hash order until the
+    * running token total exceeds the budget (the doc that crosses the
+    * line is kept — budgets are floors, standard for mixture specs).
+    *
+    * Scale shape: ONE window partitioned by language — each language's
+    * cumulative sum is independent, so the shuffle is by-lang and no
+    * single partition holds the corpus. Hash order makes the selection
+    * reproducible on any engine at any parallelism, like E13.
+    */
+  def tokenBudgetMix(spark: SparkSession, dir: String,
+                     enBudget: Long = 5000, otherBudget: Long = 15000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(md5(col("text")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        col("text"))
+      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+      .filter(col("cum_toks") - col("n_toks") <
+        when(col("lang") === "en", enBudget).otherwise(otherBudget))
+      .select(col("doc_id"), col("lang"), col("n_toks"), col("cum_toks"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tokenBudgetMixSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |    CAST(sum(len(string_split(text, ' ')))
+      |      OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS BIGINT) AS cum_toks
+      |  FROM documents)
+      |SELECT doc_id, lang, n_toks, cum_toks
+      |FROM t
+      |WHERE cum_toks - n_toks < CASE WHEN lang = 'en' THEN 5000 ELSE 15000 END
+      |ORDER BY doc_id""".stripMargin
+
   /** E14 — quality-filter battery (Gopher-style rules, Rae et al. 2021,
     * public): word-count bounds, mean-word-length bounds, symbol ratio,
     * stopword presence. Flags are kept per-rule (a real pipeline audits

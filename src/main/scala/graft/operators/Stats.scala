@@ -107,6 +107,68 @@ object Stats {
       |        (v1 * v1 / (n1 * n1 * (n1 - 1)) + v2 * v2 / (n2 * n2 * (n2 - 1))), 4) AS df
       |FROM s""".stripMargin
 
+  /** C2e — adjacency_matrix agg (OpenSearch `adjacency_matrix`):
+    * counts for each named filter AND each pairwise intersection, in
+    * ONE scan pass — every cell is a conditional aggregate over the
+    * same row stream, then `stack` unpivots the single row to
+    * (bucket, n) rows. The OpenSearch shape for "how do my segments
+    * overlap" without N scans.
+    */
+  def adjacencyMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val a = col("event_type") === "error" // filter a: errors
+    val b = col("value") >= 250           // filter b: high-value
+    val c = hour(col("ts")) >= 12         // filter c: afternoon
+    Tables.events(spark, dir)
+      .agg(
+        sum(when(a, 1).otherwise(0)).as("na"),
+        sum(when(b, 1).otherwise(0)).as("nb"),
+        sum(when(c, 1).otherwise(0)).as("nc"),
+        sum(when(a && b, 1).otherwise(0)).as("nab"),
+        sum(when(a && c, 1).otherwise(0)).as("nac"),
+        sum(when(b && c, 1).otherwise(0)).as("nbc"))
+      .select(expr(
+        "stack(6, 'a', na, 'b', nb, 'c', nc, 'a&b', nab, 'a&c', nac, 'b&c', nbc) AS (bucket, n)"))
+      .orderBy(col("bucket"))
+  }
+
+  val adjacencyMatrixSql: String =
+    """WITH m AS (
+      |  SELECT
+      |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS na,
+      |    sum(CASE WHEN value >= 250 THEN 1 ELSE 0 END) AS nb,
+      |    sum(CASE WHEN hour(ts) >= 12 THEN 1 ELSE 0 END) AS nc,
+      |    sum(CASE WHEN event_type = 'error' AND value >= 250 THEN 1 ELSE 0 END) AS nab,
+      |    sum(CASE WHEN event_type = 'error' AND hour(ts) >= 12 THEN 1 ELSE 0 END) AS nac,
+      |    sum(CASE WHEN value >= 250 AND hour(ts) >= 12 THEN 1 ELSE 0 END) AS nbc
+      |  FROM events)
+      |SELECT bucket, CAST(n AS BIGINT) AS n FROM (
+      |  SELECT 'a' AS bucket, na AS n FROM m
+      |  UNION ALL SELECT 'b', nb FROM m
+      |  UNION ALL SELECT 'c', nc FROM m
+      |  UNION ALL SELECT 'a&b', nab FROM m
+      |  UNION ALL SELECT 'a&c', nac FROM m
+      |  UNION ALL SELECT 'b&c', nbc FROM m)
+      |ORDER BY bucket""".stripMargin
+
+  /** C2f — multi_terms agg (OpenSearch `multi_terms`): terms over a
+    * COMPOSITE key, top-k buckets by doc count. `orderBy().limit()`
+    * plans TakeOrderedAndProject — a bounded k-row heap per partition
+    * after the one keyed aggregate, never a global sort.
+    */
+  def multiTerms(spark: SparkSession, dir: String, k: Int = 12): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), (col("user_id") % 8).as("cohort"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("event_type"), col("cohort"))
+      .limit(k)
+
+  val multiTermsSql: String =
+    """SELECT event_type, user_id % 8 AS cohort, count(*) AS n
+      |FROM events
+      |GROUP BY event_type, user_id % 8
+      |ORDER BY n DESC, event_type, cohort
+      |LIMIT 12""".stripMargin
+
   /** C5g — rate (OpenSearch `rate` agg): events per day per group,
     * normalized by the group's own active day span (first to last day
     * inclusive). One aggregate pass; the span comes from the same
