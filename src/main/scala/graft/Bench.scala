@@ -4,15 +4,31 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every SparkEntry query at the given SF dir and
   * emits EXACTLY ONE compact JSON line as the last thing on stdout.
   *
-  * The driver parses that line from captured process output, and its
-  * capture window is finite — so timings are rounded to milliseconds
-  * (3 decimals, shortest-round-trip toString keeps them short), the line
-  * is printed after `spark.stop()` so no log output can follow it, and
-  * the same JSON is also written to `bench_out.json` in the working
-  * directory as a redundant, truncation-proof copy.
+  * The driver parses that line from a FINITE tail-capture of process
+  * output — a ~2.2 KB line lost its head once the query count grew, so
+  * the line is kept aggressively small:
+  *   - per-query values are INTEGER MILLISECONDS (`"datehis":272`), with
+  *     `"qunit":"ms"` declaring the unit; the headline `value` stays in
+  *     seconds per the driver contract;
+  *   - keys are deterministic abbreviations of the query names: strip
+  *     the `q_` prefix, then first 3 chars of each `_`-word (single-word
+  *     names keep 6 chars); verified collision-free, with a numeric
+  *     suffix as a safeguard if a future name collides.
+  * The FULL names and 3-decimal-second timings are always written to
+  * `bench_out.json` in the working directory as the lossless copy, and
+  * the line is printed after `spark.stop()` so no log output follows it.
+  *
+  * A query whose every rep throws reports -1 (ms) and contributes 0 to
+  * the total — a broken query must look broken, not fast.
   */
 object Bench {
   private def ms3(v: Double): Double = math.round(v * 1000) / 1000.0
+
+  /** q_date_histogram_filled -> dathisfil ; q_search -> search */
+  private[graft] def shortKey(name: String): String = {
+    val ws = name.stripPrefix("q_").split('_')
+    if (ws.length == 1) ws(0).take(6) else ws.map(_.take(3)).mkString
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
@@ -44,32 +60,49 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
-    // Each query is timed REPS times and the MEDIAN is reported: a single
-    // sample per query proved untrustworthy (an 11x swing was observed on
-    // byte-identical code between two runs — GC debt from earlier queries
-    // and JIT/AQE variance land on whichever query is unlucky). A GC+pause
-    // before each query's runs keeps one query's garbage from being
-    // charged to the next one's wall-clock.
-    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      System.gc()
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(times.length / 2)
+    // Each query is timed REPS times and the MEDIAN of SUCCESSFUL runs is
+    // reported: a single sample per query proved untrustworthy (an 11x
+    // swing was observed on byte-identical code between two runs — GC
+    // debt from earlier queries and JIT/AQE variance land on whichever
+    // query is unlucky). A GC before each query's runs keeps one query's
+    // garbage from being charged to the next one's wall-clock.
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0).getOrElse(3)
+    val results: Seq[(String, Option[Double])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        System.gc()
+        val times = (1 to reps).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case _: Throwable => None }
+        }.sorted
+        name -> (if (times.isEmpty) None else Some(times(times.length / 2)))
+      }
+    // Collision safeguard: suffix 2nd+ holders of a short key with 2,3,…
+    val shortKeys = {
+      val seen = scala.collection.mutable.Map.empty[String, Int]
+      results.map { case (name, _) =>
+        val k = shortKey(name)
+        val n = seen.getOrElse(k, 0); seen(k) = n + 1
+        if (n == 0) k else s"$k$n"
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms3(v) }
-      .mkString("{", ",", "}")
-    val total = ms3(results.map(_._2).sum)
+    val qs = results.zip(shortKeys).map { case ((_, v), k) =>
+      "\"" + k + "\":" + v.map(t => math.round(t * 1000).toString).getOrElse("-1")
+    }.mkString("{", ",", "}")
+    val total = ms3(results.flatMap(_._2).sum)
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sfNum}"""
-    // Redundant full copy on disk (survives any stdout truncation).
+      s"""{"metric":"total","value":$total,"unit":"sec","qunit":"ms","queries":$qs,"sf":$sfNum}"""
+    // Lossless copy on disk: FULL query names, seconds at 3 decimals.
     try {
+      val fullQs = results.map { case (name, v) =>
+        "\"" + name + "\":" + v.map(t => ms3(t).toString).getOrElse("-1")
+      }.mkString("{", ",", "}")
       val w = new java.io.PrintWriter("bench_out.json")
-      try w.println(line) finally w.close()
+      try w.println(
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":$sfNum}""")
+      finally w.close()
     } catch { case _: Throwable => () }
     // Stop Spark BEFORE printing so its shutdown logging (if any escapes
     // the ERROR level) cannot land after the JSON line in the capture.

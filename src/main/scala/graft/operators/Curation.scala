@@ -56,23 +56,51 @@ object Curation {
     * running token total exceeds the budget (the doc that crosses the
     * line is kept — budgets are floors, standard for mixture specs).
     *
-    * Scale shape: ONE window partitioned by language — each language's
-    * cumulative sum is independent, so the shuffle is by-lang and no
-    * single partition holds the corpus. Hash order makes the selection
-    * reproducible on any engine at any parallelism, like E13.
+    * Scale shape — two-pass bucket-offset cumsum, NOT a per-language
+    * window: language cardinality is tiny, so `PARTITION BY lang` would
+    * put the dominant language's ENTIRE corpus (50+ TB of English at
+    * web scale) into one window task. Instead the md5 sort order is cut
+    * into 4096 contiguous ranges by its first 3 hex chars (a PREFIX of
+    * the sort key, so buckets are ranges of the order, not arbitrary
+    * hash bins): (1) per-(lang, bucket) token sums — a tiny partial
+    * aggregate; (2) prefix offsets cumsum'd on that langs×4096-row
+    * frame and broadcast back; (3) the wide window runs only within
+    * (lang, bucket) with each row's global cumsum = bucket offset +
+    * within-bucket cumsum. Identical result to the single window —
+    * the oracle SQL is unchanged. Bonus prune: a bucket whose offset
+    * already meets the budget can't contribute a kept row
+    * (cum − n_toks ≥ off), so it's filtered BEFORE the window — at
+    * scale only ~budget's worth of head buckets pay the sort.
+    * Hash order makes the selection reproducible on any engine at any
+    * parallelism, like E13.
     */
   def tokenBudgetMix(spark: SparkSession, dir: String,
                      enBudget: Long = 5000, otherBudget: Long = 15000): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang"))
-      .orderBy(md5(col("text")), col("doc_id"))
-    Tables.documents(spark, dir)
+    import org.apache.spark.sql.expressions.Window
+    val budget = when(col("lang") === "en", enBudget).otherwise(otherBudget)
+    val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_toks"),
-        col("text"))
-      .withColumn("cum_toks", sum(col("n_toks")).over(w))
-      .filter(col("cum_toks") - col("n_toks") <
-        when(col("lang") === "en", enBudget).otherwise(otherBudget))
+        md5(col("text")).as("h"))
+      // 3 lowercase hex chars: lexicographic == numeric, so bucket
+      // order is exactly the h order cut at 4096 boundaries.
+      .withColumn("bkt", conv(substring(col("h"), 1, 3), 16, 10).cast("long"))
+    val offsets = docs
+      .groupBy(col("lang"), col("bkt"))
+      .agg(sum(col("n_toks")).as("b_toks"))
+      .withColumn("off",
+        coalesce(
+          sum(col("b_toks")).over(
+            Window.partitionBy(col("lang")).orderBy(col("bkt"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("lang"), col("bkt"), col("off"))
+    val w = Window.partitionBy(col("lang"), col("bkt"))
+      .orderBy(col("h"), col("doc_id"))
+    docs.join(broadcast(offsets), Seq("lang", "bkt"))
+      .filter(col("off") < budget)
+      .withColumn("cum_toks", col("off") + sum(col("n_toks")).over(w))
+      .filter(col("cum_toks") - col("n_toks") < budget)
       .select(col("doc_id"), col("lang"), col("n_toks"), col("cum_toks"))
       .orderBy(col("doc_id"))
   }

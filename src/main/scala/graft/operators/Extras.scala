@@ -231,23 +231,61 @@ object Extras {
 
   /** Distributed global rank: range-partition on the sort key, sort
     * within partitions (parallel), then stamp contiguous global
-    * indices. `zipWithIndex` computes per-partition sizes in one
-    * lightweight pass (the range shuffle's output is reused, not
-    * recomputed) and adds each partition's prefix offset — the
-    * "range-partitioned sort + per-partition offset" plan, vs an
-    * empty-PARTITION-BY window which moves EVERY row into a single
-    * task. Range partition boundaries come from sampling, but the
-    * global index is invariant to where the cuts land because the
+    * indices — the "range-partitioned sort + per-partition offset"
+    * plan, vs an empty-PARTITION-BY window which moves EVERY row into
+    * a single task. Range partition boundaries come from sampling, but
+    * the global index is invariant to where the cuts land because the
     * ordering is total (callers must pass a unique sort key).
+    *
+    * The sort is paid ONCE: per-partition sizes are counted on the
+    * UNSORTED shuffle output (the partitioner alone fixes them), and
+    * the single sorted pass reuses that shuffle's map files (both jobs
+    * hang off the same RDD lineage) while stamping each partition's
+    * prefix offset. The earlier `zipWithIndex` shape ran the post-
+    * shuffle sort twice — once inside zipWithIndex's size job, once in
+    * the real pass. The local sort is in-memory per range partition;
+    * `parts` tracks cluster parallelism, so partitions stay at N/parts
+    * rows — the same working set a window task would hold.
+    *
+    * Returns the ranked frame plus the total row count (free from the
+    * size pass — callers need N for percent_rank/ntile arithmetic and
+    * would otherwise pay a separate counting scan).
     */
-  private def rankedByRange(df: DataFrame, sort: Seq[org.apache.spark.sql.Column]): DataFrame = {
+  private def rankedByRange(df: DataFrame, sortCols: Seq[String]): (DataFrame, Long) = {
     val spark = df.sparkSession
     val parts = math.max(spark.sparkContext.defaultParallelism / 2, 2)
-    val sorted = df.repartitionByRange(parts, sort: _*).sortWithinPartitions(sort: _*)
-    val schema = sorted.schema.add("rank", org.apache.spark.sql.types.LongType)
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) }
-    spark.createDataFrame(rdd, schema)
+    val parted = df.repartitionByRange(parts, sortCols.map(col): _*)
+    val rdd0 = parted.rdd
+    val sizes = rdd0
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    val idxs = sortCols.map(df.schema.fieldIndex).toArray
+    val ord: Ordering[org.apache.spark.sql.Row] =
+      new Ordering[org.apache.spark.sql.Row] {
+        def compare(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row): Int = {
+          var i = 0
+          while (i < idxs.length) {
+            val x = a.get(idxs(i)); val y = b.get(idxs(i))
+            val c =
+              if (x == null && y == null) 0
+              else if (x == null) -1
+              else if (y == null) 1
+              else x.asInstanceOf[Comparable[Any]].compareTo(y)
+            if (c != 0) return c
+            i += 1
+          }
+          0
+        }
+      }
+    val outSchema = df.schema.add("rank", org.apache.spark.sql.types.LongType)
+    val rdd = rdd0.mapPartitionsWithIndex { (pid, it) =>
+      var r = offsets(pid)
+      it.toArray.sorted(ord).iterator.map { row =>
+        r += 1; org.apache.spark.sql.Row.fromSeq(row.toSeq :+ r)
+      }
+    }
+    (spark.createDataFrame(rdd, outSchema), offsets.last)
   }
 
   /** C22 — distribution ranks: quartile (ntile), percent_rank and
@@ -262,9 +300,9 @@ object Extras {
   def windowRanks(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_acctbal"))
-    val n = base.agg(count(lit(1)).as("n_rows"))
-    rankedByRange(base, Seq(col("c_acctbal"), col("c_custkey")))
-      .crossJoin(broadcast(n))
+    val (ranked, nRows) = rankedByRange(base, Seq("c_acctbal", "c_custkey"))
+    ranked
+      .withColumn("n_rows", lit(nRows))
       // ntile(4): q = N div 4 rows per bucket, first r = N mod 4
       // buckets take one extra row (greatest() guards the DIV when
       // q = 0 — that branch is unreachable then, but ANSI division
@@ -275,8 +313,11 @@ object Extras {
         .otherwise(expr(
           "n_rows % 4 + (rank - (n_rows % 4) * (n_rows DIV 4 + 1) - 1) DIV greatest(n_rows DIV 4, 1) + 1"))
         .cast("long"))
+      // greatest(n-1, 1) guards the single-row frame: percent_rank
+      // defines 0.0 there (rank-1 = 0 regardless of the divisor), while
+      // a bare n-1 divisor yields 0/0 = NaN and diverges from SQL.
       .withColumn("pct_rank",
-        round((col("rank") - 1).cast("double") / (col("n_rows") - 1), 6))
+        round((col("rank") - 1).cast("double") / greatest(col("n_rows") - 1, lit(1L)), 6))
       .withColumn("cume", round(col("rank").cast("double") / col("n_rows"), 6))
       .select(col("c_custkey"), col("c_acctbal"), col("quartile"),
         col("pct_rank"), col("cume"))

@@ -572,8 +572,12 @@ object LogAnalytics {
         col("col._1").cast("long").as("n"), (col("pos") + 1).cast("long").as("rank"))
     val topOut = top.select(col("user_id").cast("string").as("term"),
       col("n"), col("rank"))
+    // Degenerate case (distinct keys <= k): the remainder is an empty
+    // set, and SQL sum() over zero rows is NULL — emit NULL, not 0, so
+    // both engines agree. nullif is safe because every surviving key
+    // has n >= 1: a zero remainder can only mean "no keys left".
     val other = top
-      .agg((first(col("total")) - sum(col("n"))).as("n"))
+      .agg(nullif(first(col("total")) - sum(col("n")), lit(0L)).as("n"))
       .select(lit("__other__").as("term"), col("n"), lit(k + 1).cast("long").as("rank"))
     topOut.unionByName(other).orderBy(col("rank"))
   }

@@ -300,7 +300,10 @@ object TextAnalysis {
     Tables.atComputeParallelism(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
       .filter(abs(length(col("tok")) - lit(qLen)) <= maxDist)
-      .withColumn("d", expr(s"levenshtein(tok, '$q', $maxDist)").cast("long"))
+      // call_function keeps q out of SQL-string space: a quote in the
+      // query term must be data, never expression syntax.
+      .withColumn("d",
+        call_function("levenshtein", col("tok"), lit(q), lit(maxDist)).cast("long"))
       .filter(col("d") >= 0)
       .groupBy(col("doc_id"))
       .agg(min(col("d")).as("best_dist"), count(lit(1)).as("n_matches"))

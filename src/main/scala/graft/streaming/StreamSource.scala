@@ -42,8 +42,15 @@ final class MemoryLines(spark: SparkSession) extends StreamSource {
   private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
   private val stream = MemoryStream[(String, String)]
   def add(pairs: (String, String)*): Unit = { stream.addData(pairs); () }
-  override def load(s: SparkSession): DataFrame =
+  override def load(s: SparkSession): DataFrame = {
+    // The MemoryStream is bound to the constructor session; silently
+    // serving a DIFFERENT session's load() would run against the wrong
+    // session's state store. Fail loudly instead.
+    require(s eq spark,
+      "MemoryLines is bound to the SparkSession it was constructed with; " +
+        "load() was passed a different session")
     stream.toDF().toDF("source", "value")
+  }
 }
 
 /** Kafka binding — topic-per-source (`logs-ec2`, `logs-ecs`, …), the
