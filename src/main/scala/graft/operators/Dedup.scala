@@ -557,4 +557,68 @@ object Dedup {
       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
       |ORDER BY vec_a, vec_b""".stripMargin
+
+  // ---- E20: passage-level exact dedup --------------------------------
+
+  /** Words per passage window. Public anchor: Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * dedups repeated ~50-token spans ACROSS otherwise-distinct
+    * documents — document-level near-dup (E2–E5b) misses a boilerplate
+    * paragraph pasted into thousands of unique pages. The corpus here
+    * is single-line (no '\n' paragraph breaks), so the passage unit is
+    * a fixed non-overlapping window of consecutive words.
+    */
+  val passageWords = 10
+
+  /** E20 — per-document duplicated-passage profile.
+    *
+    * Scale shape: passages are cut with pure array expressions inside
+    * the scan (no shuffle), corpus-wide occurrence counts are one
+    * map-side-combined groupBy on the passage hash, and the flag join
+    * is hash-to-hash — both sides arrive partitioned by `h`, so the
+    * exchange is reused. Nothing is ever joined doc×doc; shuffle
+    * volume is O(total passages), invariant to how duplicated the
+    * corpus is.
+    */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
+    paragraphDedupDf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core of E20 — any (doc_id, text) input. */
+  def paragraphDedupDf(documents: DataFrame): DataFrame = {
+    val P = passageWords
+    val ws = split(col("text"), " ")
+    // ceil(n/P) windows of P words; the tail window keeps its remnant
+    val passages = transform(
+      sequence(lit(0), floor((size(ws) - 1) / P).cast("int")),
+      i => array_join(slice(ws, i * P + lit(1), lit(P)), " "))
+    val paras = Tables.atComputeParallelism(documents)
+      .select(col("doc_id"), explode(passages).as("para"))
+      .select(col("doc_id"), md5(col("para")).as("h"))
+    val counts = paras.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    paras.join(counts, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_paragraphs"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_paragraphs"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_paragraphs").cast("double") / col("n_paragraphs"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle: identical window cut via list slicing, identical
+    * md5-count-join; CASTs pin BIGINT/DOUBLE to Spark's output types.
+    */
+  val paragraphDedupSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |paras AS (
+      |  SELECT doc_id, md5(array_to_string(ws[(i*10+1):(i*10+10)], ' ')) AS h
+      |  FROM w, unnest(range(0, CAST(floor((len(ws) - 1) / 10) AS BIGINT) + 1)) AS t(i)),
+      |counts AS (SELECT h, count(*) AS c FROM paras GROUP BY 1)
+      |SELECT p.doc_id,
+      |  count(*) AS n_paragraphs,
+      |  CAST(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paragraphs,
+      |  round(CAST(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_ratio
+      |FROM paras p JOIN counts c USING (h)
+      |GROUP BY p.doc_id
+      |ORDER BY doc_id""".stripMargin
 }

@@ -302,6 +302,34 @@ object LogAnalytics {
       |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
       |ORDER BY event_id""".stripMargin
 
+  // ---- C3d: wildcard / prefix / regexp search ------------------------
+
+  /** C3d — the last OpenSearch query-bar family member: wildcard
+    * (`event_type:pu*`), and regexp (`props:/"k": ?1[0-9]/`) terms.
+    *
+    * Scale shape: the prefix arm is `like 'pu%'`, which Catalyst turns
+    * into a `StartsWith` data-source filter PUSHED INTO the parquet
+    * scan (EntrySpec asserts `PushedFilters` contains it) — row groups
+    * whose event_type min/max excludes the prefix are skipped before a
+    * single row is materialized. The regexp arm can't push (parquet has
+    * no regexp predicate), so it runs as the residual filter on the
+    * survivors of the pushed prefix — order matters at 100 TB.
+    */
+  def searchWildcard(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(
+        col("event_type").like("pu%") &&
+        col("props").rlike("\"k\": ?1[0-9]"))
+      .select(col("event_id"), col("event_type"), col("props"))
+      .orderBy(col("event_id"))
+
+  val searchWildcardSql: String =
+    """SELECT event_id, event_type, props
+      |FROM events
+      |WHERE event_type LIKE 'pu%'
+      |  AND regexp_matches(props, '"k": ?1[0-9]')
+      |ORDER BY event_id""".stripMargin
+
   // ---- C4: error-rate monitoring -------------------------------------
 
   def errorRate(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ApacheLog
+import graft.sources.LogLines
+
+/** Network-range enrichment (SURVEY §2 C41).
+  *
+  * The reference's dashboards segment traffic by client network — the
+  * unified-log use case maps B1's parsed client IPs onto CIDR-style
+  * address blocks (GeoIP / allocation tables are range keyed, not
+  * equi-keyed, so C9's equi-join enrichment can't express it).
+  *
+  * Scale design — prefix-bucketed range join, NOT a cross join: a
+  * BETWEEN-only join degenerates to BroadcastNestedLoopJoin (every row
+  * against every block). Instead each block is EXPLODED onto the /16
+  * buckets it overlaps (a block spans ≤4 here; GeoIP blocks are almost
+  * always sub-/16), each event computes its /16 bucket with one shift,
+  * and the join is an EQUI-join on the bucket with the residual
+  * `BETWEEN` as a post-join filter. Catalyst picks BroadcastHashJoin
+  * (the exploded dim stays tiny); on a 100 TB fact side the probe is
+  * map-side with zero fact shuffle — the aggregation afterwards is the
+  * only exchange.
+  */
+object Network {
+
+  /** 10.0.0.0/8 block table: 64 slots of 4×/16 each; block i occupies
+    * the low (i%4)+1 /16s of its slot, so widths vary 1–4 /16s and
+    * ~37% of the space is intentionally unrouted (inner-join drops it,
+    * like an IP absent from a GeoIP table).
+    */
+  val nBlocks = 64
+  private val base = 10L << 24
+  private val slot = 1L << 18 // 4 /16s per slot
+
+  def ipBlocks(spark: SparkSession): DataFrame =
+    spark.range(nBlocks).select(
+      concat(lit("blk-"), lpad(col("id").cast("string"), 2, "0")).as("block"),
+      (col("id") * slot + base).as("ip_start"),
+      (col("id") * slot + base + (col("id") % 4 + 1) * 65536L - 1).as("ip_end"))
+
+  /** Dotted-quad string → 32-bit integer, pure builtin arithmetic. */
+  def ipToInt(ip: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val o = split(ip, "\\.")
+    element_at(o, 1).cast("long") * 16777216L +
+      element_at(o, 2).cast("long") * 65536L +
+      element_at(o, 3).cast("long") * 256L +
+      element_at(o, 4).cast("long")
+  }
+
+  /** C41 — requests and distinct clients per network block, from the
+    * PARSED access-log ip (the full B1 path, not the synthesis cols).
+    */
+  def ipEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val evs = LogLines.apacheLines(spark, dir)
+      .select(ApacheLog.ip(col("line")).as("ip"))
+      .withColumn("ip_int", ipToInt(col("ip")))
+      .withColumn("bucket", shiftright(col("ip_int"), 16))
+    val blocks = ipBlocks(spark)
+      .withColumn("bucket",
+        explode(sequence(shiftright(col("ip_start"), 16), shiftright(col("ip_end"), 16))))
+    evs.join(blocks, Seq("bucket"))
+      .filter(col("ip_int").between(col("ip_start"), col("ip_end")))
+      .groupBy(col("block"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("ip")).as("n_ips"))
+      .orderBy(col("block"))
+  }
+
+  /** DuckDB oracle: plain BETWEEN range join over the same block table,
+    * ips derived straight from the events columns (no shared code).
+    */
+  val ipEnrichSql: String =
+    """WITH ips AS (
+      |  SELECT concat('10.', user_id % 256, '.', event_id % 250, '.', (event_id * 7) % 250) AS ip,
+      |         167772160 + (user_id % 256) * 65536 + (event_id % 250) * 256 + (event_id * 7) % 250 AS ip_int
+      |  FROM events),
+      |blocks AS (
+      |  SELECT concat('blk-', lpad(CAST(i AS VARCHAR), 2, '0')) AS block,
+      |         167772160 + i * 262144 AS ip_start,
+      |         167772160 + i * 262144 + (i % 4 + 1) * 65536 - 1 AS ip_end
+      |  FROM range(64) t(i))
+      |SELECT b.block, count(*) AS n, count(DISTINCT e.ip) AS n_ips
+      |FROM ips e JOIN blocks b ON e.ip_int BETWEEN b.ip_start AND b.ip_end
+      |GROUP BY 1
+      |ORDER BY block""".stripMargin
+}

@@ -27,6 +27,23 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** E10b — budget-grade token counts from the real BPE kernel
+    * (plans/BpeTokenizer, Sennrich et al. 2016) next to the regex
+    * pre-token count it refines; `fertility` (BPE tokens per word, the
+    * standard tokenizer metric) shows how finely the merge table splits
+    * each document. ☆ rows-only: the greedy merge loop is deliberately
+    * not replicated in SQL — KernelSpec pins exact token vectors
+    * instead.
+    */
+  def tokenCountBpe(spark: SparkSession, dir: String): DataFrame =
+    Tables.atComputeParallelism(Tables.documents(spark, dir)).select(
+      col("doc_id"),
+      graft.plans.BpeTokenizer.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"),
+      TextFns.bpeTokenCount(col("text")).cast("long").as("pre_tokens"))
+    .withColumn("fertility",
+      round(col("bpe_tokens").cast("double") / col("pre_tokens"), 4))
+    .orderBy(col("doc_id"))
+
   /** E9 — quality scoring: log-length × vocab diversity × stopword factor. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(

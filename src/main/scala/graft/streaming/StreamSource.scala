@@ -64,14 +64,28 @@ final class MemoryLines(spark: SparkSession) extends StreamSource {
 final case class KafkaLines(bootstrapServers: String,
                             topicPattern: String = "logs-.*",
                             startingOffsets: String = "latest") extends StreamSource {
+  /** The exact option map handed to the kafka reader — exposed so the
+    * wiring is spec-asserted even where the connector jar is absent.
+    */
+  def readerOptions: Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "subscribePattern" -> topicPattern,
+    "startingOffsets" -> startingOffsets)
+
   override def load(spark: SparkSession): DataFrame =
-    spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribePattern", topicPattern)
-      .option("startingOffsets", startingOffsets)
-      .load()
-      .select(
-        col("value").cast("string").as("value"),
-        regexp_extract(col("topic"), "logs-(.+)", 1).as("source"))
+    KafkaLines.contract(
+      spark.readStream.format("kafka").options(readerOptions).load())
+}
+
+object KafkaLines {
+  /** Kafka wire schema (binary `value`, string `topic`) → the
+    * (`value`, `source`) contract. Factored out of `load` so the
+    * projection half of the binding is testable against a static frame
+    * with the same wire schema — StreamingSpec runs it without a
+    * broker, the closest the sandbox gets to exercising the binding.
+    */
+  def contract(raw: DataFrame): DataFrame =
+    raw.select(
+      col("value").cast("string").as("value"),
+      regexp_extract(col("topic"), "logs-(.+)", 1).as("source"))
 }

@@ -98,6 +98,34 @@ class DedupSpec extends AnyFunSuite {
     assert(distributed == labels)
   }
 
+  test("paragraph dedup flags a passage shared across otherwise-distinct docs") {
+    // one exact 10-word passage pasted into two unique documents — the
+    // boilerplate case document-level near-dup misses (Lee et al. 2022)
+    val shared = (1 to 10).map(i => s"shared$i").mkString(" ")
+    val tailA = (1 to 10).map(i => s"aonly$i").mkString(" ")
+    val tailB = (1 to 10).map(i => s"bonly$i").mkString(" ")
+    val clean = (1 to 20).map(i => s"clean$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$shared $tailA"), (2L, s"$shared $tailB"), (3L, clean)
+    ).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedupDf(df)
+      .select("doc_id", "n_paragraphs", "n_dup_paragraphs")
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, n, dup) => d -> ((n, dup)) }.toMap
+    assert(got(1L) == ((2L, 1L)) && got(2L) == ((2L, 1L)) && got(3L) == ((2L, 0L)))
+  }
+
+  test("paragraph dedup: a remnant tail window still counts; within-doc repeats flagged") {
+    // 25 words -> 3 windows (10, 10, 5); windows 1 and 2 are identical
+    val rep = (1 to 10).map(i => s"r$i").mkString(" ")
+    val tail = (1 to 5).map(i => s"t$i").mkString(" ")
+    val df = Seq((7L, s"$rep $rep $tail")).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedupDf(df)
+      .select("doc_id", "n_paragraphs", "n_dup_paragraphs", "dup_ratio")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((7L, 3L, 2L, 0.6667)))
+  }
+
   test("exact dedup groups identical texts") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "different")).toDF("doc_id", "text")
     val groups = df.groupBy(md5(col("text"))).agg(min("doc_id").as("keep"), count(lit(1)).as("n"))

@@ -23,4 +23,20 @@ class EntrySpec extends AnyFunSuite {
       assert(n > 0, s"$name returned no rows")
     }
   }
+
+  test("q_search_wildcard pushes the LIKE prefix into the parquet scan") {
+    val plan = graft.operators.LogAnalytics.searchWildcard(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    // the prefix arm must reach the scan as a StartsWith data-source
+    // filter; the regexp arm stays a residual filter above it
+    assert(plan.contains("StartsWith(event_type,pu"), s"no pushed prefix in:\n$plan")
+  }
+
+  test("q_ip_enrich is a bucketed hash join, not a nested-loop range join") {
+    val plan = graft.operators.Network.ipEnrich(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      s"no equi-join on the /16 bucket in:\n$plan")
+  }
 }

@@ -120,6 +120,51 @@ class KernelSpec extends AnyFunSuite {
     assert(twin(1L) == twin(2L))
   }
 
+  test("BPE kernel: pinned token vectors (values cross-checked against an independent python replica)") {
+    import graft.plans.BpeTokenizer
+    assert(BpeTokenizer.encodeWord("the") == List("the"))
+    assert(BpeTokenizer.encodeWord("hash") == List("hash"))
+    assert(BpeTokenizer.encodeWord("table") == List("table"))
+    assert(BpeTokenizer.encodeWord("merge") == List("merge"))
+    assert(BpeTokenizer.encodeWord("batch") == List("batch"))
+    assert(BpeTokenizer.encodeWord("key") == List("key"))
+    assert(BpeTokenizer.encodeWord("dup") == List("dup"))
+    assert(BpeTokenizer.encodeWord("fast") == List("fa", "st"))
+    assert(BpeTokenizer.encodeWord("stream") == List("stre", "a", "m"))
+    assert(BpeTokenizer.encodeWord("window") == List("w", "in", "d", "o", "w"))
+    assert(BpeTokenizer.encodeWord("order") == List("or", "d", "er"))
+    assert(BpeTokenizer.encodeWord("100") == List("1", "00"))
+    assert(BpeTokenizer.encodeWord("antidisestablishment") ==
+      List("an", "t", "i", "d", "is", "es", "tab", "l", "is", "h", "m", "ent"))
+    // full-text path: pre-tokenizer + per-word encode, punctuation kept
+    assert(BpeTokenizer.encode("the fast key order sort, 100 windows!") ==
+      List("the", "fa", "st", "key", "or", "d", "er", "s", "ort", ",",
+        "1", "00", "w", "in", "d", "o", "w", "s", "!"))
+  }
+
+  test("BPE kernel properties: bounds, additivity, and expression == JVM path") {
+    import graft.plans.BpeTokenizer
+    val texts = (1 to 100).map(i => randDoc(20).mkString(" ") + s" id$i 4711 !")
+    texts.foreach { t =>
+      val pre = BpeTokenizer.preTokenize(t)
+      val toks = BpeTokenizer.encode(t)
+      // every word yields >=1 token and <= its char count; concatenating
+      // a word's tokens reconstructs the word (BPE never loses bytes)
+      assert(toks.length >= pre.length && toks.length == BpeTokenizer.countTokens(t))
+      pre.foreach { w =>
+        val e = BpeTokenizer.encodeWord(w)
+        assert(e.nonEmpty && e.length <= w.length && e.mkString == w)
+      }
+    }
+    val viaExpr = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), BpeTokenizer.bpeTokenCount(col("text")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(viaExpr(i.toLong) == BpeTokenizer.countTokens(t), s"text $i")
+    }
+  }
+
   test("simhash: equal token multisets agree; near-identical docs are close, unrelated far") {
     val doc = randDoc(60)
     val near = doc.updated(0, "CHANGED")
