@@ -184,6 +184,52 @@ object Similarity {
         .withColumn("cos_sim", round(CosineSim(col("q_emb"), col("n_emb")), 6)))
   }
 
+  /** E7d — incremental index maintenance (streaming ingest path).
+    *
+    * A continuously-ingesting pipeline can't afford a full k-means
+    * rebuild per micro-batch (public practice: IVF engines à la Faiss
+    * assign new vectors to FROZEN coarse centroids and re-train
+    * offline). New vectors get argmax-cosine assigned to the existing
+    * centroid table — a broadcast join plus a per-vector window over
+    * nCells rows, zero corpus shuffle — and appended to their cell's
+    * partition; probes see them immediately (IvfIndexSpec asserts a
+    * just-appended duplicate of a query surfaces at rank 1).
+    */
+  def appendToIvfIndex(spark: SparkSession, indexPath: String,
+                       newVectors: DataFrame): Unit = {
+    CosineSim.register(spark)
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+    val w = Window.partitionBy(col("n_id")).orderBy(col("c_sim").desc, col("cell"))
+    newVectors.select(col("n_id"), col("n_emb"))
+      .join(broadcast(centroids))
+      .withColumn("c_sim", CosineSim(col("n_emb"), col("centroid")))
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("n_id"), col("n_emb"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexPath/cells")
+  }
+
+  /** E7d — periodic recentering: after enough appends the frozen
+    * centroids drift from their members' mass. Recompute each centroid
+    * as the mean of its CURRENT members — one aggregate over the cell
+    * store (cells × dims rows after posexplode, trivially partial-
+    * aggregated), no Lloyd restarts, assignments untouched. The tiny
+    * centroid table is rewritten in place.
+    */
+  def recenterIvfIndex(spark: SparkSession, indexPath: String): Unit = {
+    val cells = spark.read.parquet(s"$indexPath/cells")
+    val next = cells
+      .select(col("cell"), posexplode(col("n_emb")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("m"))
+      .groupBy(col("cell")).agg(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m").cast("float")).as("centroid"))
+    // materialize BEFORE the overwrite: the plan reads nothing from the
+    // centroids dir, but localCheckpoint severs any future lazy re-read
+    next.localCheckpoint(eager = true)
+      .write.mode("overwrite").parquet(s"$indexPath/centroids")
+  }
+
   /** Deterministic random hyperplanes (seeded — identical on every JVM). */
   val nPlanes = 16
   lazy val hyperplanes: Array[Array[Float]] = {

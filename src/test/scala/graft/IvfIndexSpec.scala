@@ -46,4 +46,66 @@ class IvfIndexSpec extends AnyFunSuite {
       spark.read.parquet(s"$idx/cells").filter(col("cell").isin(0, 1)))
     assert(pruned > 0 && pruned < allFiles, s"pruned=$pruned all=$allFiles")
   }
+
+  test("incremental append assigns to nearest frozen centroid and is probe-visible; recenter = member means") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft-ivf-inc").toString
+    Similarity.writeIvfIndex(spark, TestSpark.sf, idx, nCells = 8)
+
+    // append exact duplicates of the query vectors under fresh ids —
+    // after the append, each query's rank-1 neighbor MUST be its
+    // duplicate at cos_sim 1.0 (immediate probe visibility, and the
+    // duplicate's assigned cell necessarily equals the query's first
+    // probe cell)
+    val dupBase = 100000L
+    val fresh = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+      .filter(col("vec_id") < Similarity.nQueries)
+      .select((col("vec_id") + dupBase).as("n_id"), col("embedding").as("n_emb"))
+    Similarity.appendToIvfIndex(spark, idx, fresh)
+
+    // every appended vector sits in its argmax-cosine cell (recomputed
+    // locally against the centroid table)
+    val cents = spark.read.parquet(s"$idx/centroids")
+      .as[(Int, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val appended = spark.read.parquet(s"$idx/cells")
+      .filter(col("n_id") >= dupBase)
+      .select("n_id", "n_emb", "cell").as[(Long, Array[Float], Int)].collect()
+    assert(appended.length == Similarity.nQueries)
+    appended.foreach { case (id, emb, cell) =>
+      val best = cents.maxBy { case (c, v) => (cos(emb, v), -c) }._1
+      assert(cell == best, s"vec $id in cell $cell, nearest centroid $best")
+    }
+
+    val probed = Similarity.probeIvfIndex(spark, TestSpark.sf, idx, nProbe = 2).collect()
+    probed.filter(_.getAs[Int]("rank") == 1).foreach { r =>
+      assert(r.getAs[Long]("n_id") == r.getAs[Long]("q_id") + dupBase,
+        s"query ${r.getAs[Long]("q_id")} rank-1 is not its appended duplicate")
+      assert(r.getAs[Double]("cos_sim") == 1.0)
+    }
+
+    // recenter: each centroid becomes the mean of its current members
+    Similarity.recenterIvfIndex(spark, idx)
+    val members = spark.read.parquet(s"$idx/cells")
+      .select("cell", "n_emb").as[(Int, Array[Float])].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val after = spark.read.parquet(s"$idx/centroids")
+      .as[(Int, Array[Float])].collect().toMap
+    after.foreach { case (cell, cent) =>
+      val vs = members(cell)
+      cent.indices.foreach { d =>
+        val mean = vs.map(_(d).toDouble).sum / vs.length
+        assert(math.abs(cent(d) - mean) < 1e-4, s"cell $cell dim $d")
+      }
+    }
+    // probes still run against the recentered table
+    assert(Similarity.probeIvfIndex(spark, TestSpark.sf, idx, nProbe = 2)
+      .count() == Similarity.nQueries * Similarity.topK)
+  }
 }
