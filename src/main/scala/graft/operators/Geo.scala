@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Geo aggregations (SURVEY §2 C46–C48) — OpenSearch's geo family
+  * (geotile_grid, geo_distance, geo_bounds/geo_centroid) over client
+  * coordinates.
+  *
+  * The events table carries no coordinates, so lat/lon are synthesized
+  * DETERMINISTICALLY from event columns on a 0.1° grid (same pattern as
+  * the log-line synthesis: the oracle derives identical values from the
+  * same integer arithmetic, so the geo math — not the synthesis — is
+  * what's verified).
+  *
+  * Cross-engine float note: tile/ring math runs through libm
+  * transcendentals (tan/ln/sin); JVM and DuckDB agree to ~1 ulp, which
+  * only matters when a value lands within 1e-15 of a floor() boundary.
+  * Every floor/bucket input is therefore rounded to 9 decimals first —
+  * beyond any libm divergence, far finer than the 0.1° input grid.
+  *
+  * Scale: all three are single map-side-combined aggregations over
+  * pure column arithmetic — no shuffle beyond the final small groupBy.
+  */
+object Geo {
+
+  /** Synthesized coordinates: lat ∈ [-80, 79.9], lon ∈ [-180, 179.9]
+    * on a 0.1° grid (clear of the ±85.0511° web-mercator cut).
+    */
+  def latCol: Column = ((col("user_id") * 13) % 1600) / 10.0 - 80.0
+  def lonCol: Column = ((col("event_id") * 17) % 3600) / 10.0 - 180.0
+
+  private val latSql = "((user_id * 13) % 1600) / 10.0 - 80.0"
+  private val lonSql = "((event_id * 17) % 3600) / 10.0 - 180.0"
+
+  /** C46 — geotile_grid at zoom z: standard web-mercator (slippy-map)
+    * tile indices, the exact arithmetic OpenSearch's geotile_grid keys
+    * encode (`z/x/y`).
+    */
+  def geotileGrid(spark: SparkSession, dir: String, zoom: Int = 4): DataFrame = {
+    val nTiles = 1 << zoom
+    val latR = radians(latCol)
+    val xScale = (lonCol + 180.0) / 360.0 * nTiles
+    val yScale = (lit(1.0) - log(tan(latR) + lit(1.0) / cos(latR)) / lit(math.Pi)) / 2.0 * nTiles
+    Tables.events(spark, dir)
+      .select(
+        floor(round(xScale, 9)).cast("long").as("tile_x"),
+        floor(round(yScale, 9)).cast("long").as("tile_y"))
+      .groupBy(col("tile_x"), col("tile_y"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("tile_x"), col("tile_y"))
+  }
+
+  val geotileGridSql: String =
+    s"""WITH g AS (
+       |  SELECT radians($latSql) AS lat_r, $lonSql AS lon FROM events)
+       |SELECT
+       |  CAST(floor(round((lon + 180.0) / 360.0 * 16, 9)) AS BIGINT) AS tile_x,
+       |  CAST(floor(round((1.0 - ln(tan(lat_r) + 1.0 / cos(lat_r)) / pi()) / 2.0 * 16, 9)) AS BIGINT) AS tile_y,
+       |  count(*) AS n
+       |FROM g
+       |GROUP BY 1, 2
+       |ORDER BY tile_x, tile_y""".stripMargin
+
+  /** C47 — geo_distance rings: haversine km from a fixed origin
+    * (0°, 0°), bucketed into OpenSearch-style distance rings. The
+    * distance is quantized to INTEGER km (floor over a 6-decimal
+    * round) before anything is compared: km-wide quanta put every
+    * bucket/min/max boundary ~11 orders of magnitude beyond libm's
+    * cross-engine divergence, where 3-decimal floats would not.
+    */
+  def geoDistance(spark: SparkSession, dir: String): DataFrame = {
+    val latR = radians(latCol)
+    val lonR = radians(lonCol)
+    // haversine with origin (0,0): cos(phi1) = 1, deltas = coords
+    val sLat = sin(latR / 2)
+    val sLon = sin(lonR / 2)
+    val a = sLat * sLat + cos(latR) * sLon * sLon
+    val dKm = floor(round(lit(2 * 6371.0) * asin(sqrt(a)), 6)).cast("long")
+    Tables.events(spark, dir)
+      .select(dKm.as("d_km"))
+      .withColumn("ring",
+        when(col("d_km") < 2500, "lt2500")
+          .when(col("d_km") < 7500, "2500-7500")
+          .when(col("d_km") < 12500, "7500-12500")
+          .otherwise("gte12500"))
+      .groupBy(col("ring"))
+      .agg(count(lit(1)).as("n"),
+        min(col("d_km")).as("min_km"), max(col("d_km")).as("max_km"))
+      .orderBy(col("ring"))
+  }
+
+  val geoDistanceSql: String =
+    s"""WITH g AS (
+       |  SELECT CAST(floor(round(2 * 6371.0 * asin(sqrt(
+       |      sin(radians($latSql) / 2) * sin(radians($latSql) / 2)
+       |      + cos(radians($latSql)) * sin(radians($lonSql) / 2) * sin(radians($lonSql) / 2))), 6)) AS BIGINT) AS d_km
+       |  FROM events)
+       |SELECT CASE WHEN d_km < 2500 THEN 'lt2500'
+       |            WHEN d_km < 7500 THEN '2500-7500'
+       |            WHEN d_km < 12500 THEN '7500-12500'
+       |            ELSE 'gte12500' END AS ring,
+       |  count(*) AS n, min(d_km) AS min_km, max(d_km) AS max_km
+       |FROM g
+       |GROUP BY 1
+       |ORDER BY ring""".stripMargin
+
+  /** C48 — geo_bounds + geo_centroid per event_type: bounding box
+    * (order-free min/max on grid doubles) and centroid (mean rounded
+    * to 4 decimals — 0.1°-grid inputs leave summation-order noise ~9
+    * orders of magnitude below the rounding cut).
+    */
+  def geoBounds(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), latCol.as("lat"), lonCol.as("lon"))
+      .groupBy(col("event_type"))
+      .agg(
+        min(col("lat")).as("min_lat"), max(col("lat")).as("max_lat"),
+        min(col("lon")).as("min_lon"), max(col("lon")).as("max_lon"),
+        round(avg(col("lat")), 4).as("centroid_lat"),
+        round(avg(col("lon")), 4).as("centroid_lon"))
+      .orderBy(col("event_type"))
+
+  val geoBoundsSql: String =
+    s"""SELECT event_type,
+       |  min($latSql) AS min_lat, max($latSql) AS max_lat,
+       |  min($lonSql) AS min_lon, max($lonSql) AS max_lon,
+       |  round(avg($latSql), 4) AS centroid_lat,
+       |  round(avg($lonSql), 4) AS centroid_lon
+       |FROM events
+       |GROUP BY 1
+       |ORDER BY event_type""".stripMargin
+}

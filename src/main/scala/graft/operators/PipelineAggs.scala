@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** OpenSearch pipeline aggregations (SURVEY §2 C42–C45).
+  *
+  * OpenSearch's pipeline aggs post-process the BUCKETS of a parent
+  * aggregation (date_histogram here), not the raw documents — so every
+  * operator below is: one partial-aggregated groupBy down to the
+  * day-bucket series, then window/filter arithmetic over that BOUNDED
+  * aggregate (≤ days-in-range rows, like C15/C28). The unpartitioned
+  * window never sees raw data — at 100 TB the series is still ~365
+  * rows/year; the heavy lifting stays in the map-side-combined
+  * aggregate below it.
+  */
+object PipelineAggs {
+
+  private def dailyBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"),
+        round(sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(0.0)), 4).as("purchase_value"),
+        round(sum(when(col("event_type") === "view", col("value"))
+          .otherwise(0.0)), 4).as("view_value"))
+
+  private val dailyBucketsSql: String =
+    """SELECT date_trunc('day', ts) AS day, count(*) AS n,
+      |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
+      |    round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 4) AS purchase_value,
+      |    round(sum(CASE WHEN event_type = 'view' THEN value ELSE 0 END), 4) AS view_value
+      |  FROM events GROUP BY 1""".stripMargin
+
+  /** C42 — cumulative_sum: running total over the parent histogram. */
+  def cumulativeSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dailyBuckets(spark, dir)
+      .select(col("day"), col("n"), sum(col("n")).over(w).as("cum_n"))
+      .orderBy(col("day"))
+  }
+
+  val cumulativeSumSql: String =
+    s"""WITH b AS ($dailyBucketsSql)
+       |SELECT day, n,
+       |  CAST(sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+       |FROM b ORDER BY day""".stripMargin
+
+  /** C43 — serial_diff: lag-k differencing of the bucket series
+    * (k=7 strips weekly seasonality); null for the warm-up buckets,
+    * exactly as OpenSearch emits no value there.
+    */
+  def serialDiff(spark: SparkSession, dir: String, lagK: Int = 7): DataFrame = {
+    val w = Window.orderBy(col("day"))
+    dailyBuckets(spark, dir)
+      .select(col("day"), col("n"),
+        (col("n") - lag(col("n"), lagK).over(w)).as("diff_n"))
+      .orderBy(col("day"))
+  }
+
+  val serialDiffSql: String =
+    s"""WITH b AS ($dailyBucketsSql)
+       |SELECT day, n, n - lag(n, 7) OVER (ORDER BY day) AS diff_n
+       |FROM b ORDER BY day""".stripMargin
+
+  /** C44 — bucket_script: a per-bucket metric computed FROM sibling
+    * metrics (purchase-to-view value ratio per day); null where the
+    * denominator bucket is empty, as the script path does.
+    */
+  def bucketScript(spark: SparkSession, dir: String): DataFrame =
+    dailyBuckets(spark, dir)
+      .select(col("day"), col("purchase_value"), col("view_value"),
+        when(col("view_value") =!= 0.0,
+          round(col("purchase_value") / col("view_value"), 4)).as("pv_ratio"))
+      .orderBy(col("day"))
+
+  val bucketScriptSql: String =
+    s"""WITH b AS ($dailyBucketsSql)
+       |SELECT day, purchase_value, view_value,
+       |  CASE WHEN view_value <> 0 THEN round(purchase_value / view_value, 4) END AS pv_ratio
+       |FROM b ORDER BY day""".stripMargin
+
+  /** C45 — bucket_selector: drop parent buckets failing a metric
+    * predicate (days whose error share clears the alert line). The
+    * predicate runs on the aggregated series — a HAVING, not a raw-row
+    * filter, so the full day still aggregates before being judged.
+    */
+  def bucketSelector(spark: SparkSession, dir: String,
+                     minErrShare: Double = 0.198): DataFrame =
+    dailyBuckets(spark, dir)
+      .withColumn("err_share", round(col("n_err").cast("double") / col("n"), 6))
+      .filter(col("err_share") >= minErrShare)
+      .select(col("day"), col("n"), col("n_err"), col("err_share"))
+      .orderBy(col("day"))
+
+  val bucketSelectorSql: String =
+    s"""WITH b AS ($dailyBucketsSql)
+       |SELECT day, n, n_err, round(CAST(n_err AS DOUBLE) / n, 6) AS err_share
+       |FROM b
+       |WHERE round(CAST(n_err AS DOUBLE) / n, 6) >= 0.198
+       |ORDER BY day""".stripMargin
+}
