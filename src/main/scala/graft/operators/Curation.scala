@@ -28,10 +28,13 @@ object Curation {
     * rates, unlike an ascii-pair bucket (256 combos onto 100 buckets =
     * 2/256-vs-3/256 per-bucket bias, i.e. 8.6–11.7% for a nominal 10%).
     */
-  private val bucketExpr: String =
+  /** First four md5 hex nibbles decoded to a uniform 0..65535 value. */
+  private val bucket16Expr: String =
     Seq(1, 2, 3, 4).map(i =>
       s"(instr('0123456789abcdef', substr(md5(text), $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
-      .mkString("(", " + ", ") % 100")
+      .mkString("(", " + ", ")")
+
+  private val bucketExpr: String = s"$bucket16Expr % 100"
 
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -115,6 +118,109 @@ object Curation {
       |SELECT doc_id, lang, n_toks, cum_toks
       |FROM t
       |WHERE cum_toks - n_toks < CASE WHEN lang = 'en' THEN 5000 ELSE 15000 END
+      |ORDER BY doc_id""".stripMargin
+
+  /** E13c — temperature-based mixture sampling (public anchor: the
+    * multilingual (n_l/N)^α sampling of Conneau & Lample 2019 / mT5):
+    * per-language keep rates ∝ sqrt(share), upweighting low-resource
+    * languages relative to proportional sampling. α is fixed at 0.5 so
+    * every float step is a correctly-rounded IEEE op (sqrt/div/mul),
+    * and the denominator is a FIXED-ORDER alphabetical fold on both
+    * engines — the 16-bit cutoffs are bit-identical cross-engine.
+    *
+    * The per-language count collect is bounded by language cardinality
+    * (same driver-bounded class as composite pagination's after_key);
+    * selection is one broadcast-joined scan filter.
+    */
+  def temperatureMix(spark: SparkSession, dir: String, target: Long = 250): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("bkt16", expr(bucket16Expr))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val denom = counts.foldLeft(0.0) { case (a, (_, n)) => a + math.sqrt(n.toDouble) }
+    val cutoffs = counts.map { case (l, n) =>
+      val rate = math.min(1.0, target * (math.sqrt(n.toDouble) / denom) / n)
+      (l, n, math.floor(rate * 65536).toLong)
+    }
+    val cutoffDf = spark.createDataFrame(cutoffs.toIndexedSeq)
+      .toDF("lang", "n_docs", "cutoff")
+    val kept = docs.join(broadcast(cutoffDf.select(col("lang"), col("cutoff"))), "lang")
+      .filter(col("bkt16") < col("cutoff"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("k"))
+    cutoffDf.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("cutoff"),
+        coalesce(col("k"), lit(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  /** DuckDB oracle: same α=0.5 arithmetic; the denominator fold is
+    * pinned to alphabetical order via an ordered list aggregate +
+    * list_reduce, matching the Scala foldLeft exactly.
+    */
+  val temperatureMixSql: String =
+    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+       |d AS (SELECT list_reduce(
+       |        list_prepend(0.0, list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang)),
+       |        (a, b) -> a + b) AS denom FROM c),
+       |k AS (SELECT lang, n,
+       |        CAST(floor(least(1.0, 250 * (sqrt(CAST(n AS DOUBLE)) / denom) / n) * 65536) AS BIGINT) AS cutoff
+       |      FROM c, d),
+       |b AS (SELECT doc_id, lang, $bucket16Expr AS bkt FROM documents),
+       |kept AS (
+       |  SELECT b.lang, count(*) AS n_kept
+       |  FROM b JOIN k USING (lang) WHERE b.bkt < k.cutoff GROUP BY 1)
+       |SELECT k.lang, k.n AS n_docs, k.cutoff, COALESCE(kept.n_kept, 0) AS n_kept
+       |FROM k LEFT JOIN kept USING (lang)
+       |ORDER BY lang""".stripMargin.replace("instr", "strpos")
+
+  /** E13d — sequence packing (concatenate-then-chop, the standard
+    * GPT-style pretraining packing): per language, docs concatenate in
+    * content-hash order and are chopped into fixed seqLen-token
+    * training sequences; each doc reports the sequence it starts in
+    * and its offset there. Same two-pass bucket-offset cumsum shape as
+    * E13b — the dominant language never lands in one window partition.
+    */
+  def sequencePack(spark: SparkSession, dir: String, seqLen: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        md5(col("text")).as("h"))
+      .withColumn("bkt", conv(substring(col("h"), 1, 3), 16, 10).cast("long"))
+    val offsets = docs
+      .groupBy(col("lang"), col("bkt"))
+      .agg(sum(col("n_toks")).as("b_toks"))
+      .withColumn("off",
+        coalesce(
+          sum(col("b_toks")).over(
+            Window.partitionBy(col("lang")).orderBy(col("bkt"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("lang"), col("bkt"), col("off"))
+    val w = Window.partitionBy(col("lang"), col("bkt"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.join(broadcast(offsets), Seq("lang", "bkt"))
+      .withColumn("start", col("off") + coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_toks"),
+        floor(col("start") / seqLen).cast("long").as("seq_no"),
+        (col("start") % seqLen).as("seq_off"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle: one plain per-lang window (the oracle may be
+    * lazy; the ENGINE may not) — same order key (md5, doc_id).
+    */
+  val sequencePackSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |    COALESCE(CAST(sum(len(string_split(text, ' ')))
+      |      OVER (PARTITION BY lang ORDER BY md5(text), doc_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS s
+      |  FROM documents)
+      |SELECT doc_id, lang, n_toks, s // 512 AS seq_no, s % 512 AS seq_off
+      |FROM t
       |ORDER BY doc_id""".stripMargin
 
   /** E14 — quality-filter battery (Gopher-style rules, Rae et al. 2021,

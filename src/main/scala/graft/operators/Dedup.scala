@@ -591,15 +591,24 @@ object Dedup {
     val passages = transform(
       sequence(lit(0), floor((size(ws) - 1) / P).cast("int")),
       i => array_join(slice(ws, i * P + lit(1), lit(P)), " "))
-    val paras = Tables.atComputeParallelism(documents)
+    // Two-level count — the skew armor this operator specifically
+    // needs (Lee et al. found single passages repeated millions of
+    // times at web scale): first collapse WITHIN-doc occurrences
+    // (doc-bounded, can't skew), so the hottest passage hash carries at
+    // most one row per containing doc into the global count and its
+    // count-back JOIN — which AQE skew-splits if even that is hot,
+    // where a window partitioned by h could not be split.
+    val perDoc = Tables.atComputeParallelism(documents)
       .select(col("doc_id"), explode(passages).as("para"))
       .select(col("doc_id"), md5(col("para")).as("h"))
-    val counts = paras.groupBy(col("h")).agg(count(lit(1)).as("c"))
-    paras.join(counts, "h")
+      .groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("k"))
+    val global = perDoc.groupBy(col("h")).agg(sum(col("k")).as("c"))
+    perDoc.join(global, "h")
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_paragraphs"),
-        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_paragraphs"))
+        sum(col("k")).as("n_paragraphs"),
+        sum(when(col("c") > 1, col("k")).otherwise(0L)).as("n_dup_paragraphs"))
       .withColumn("dup_ratio",
         round(col("n_dup_paragraphs").cast("double") / col("n_paragraphs"), 4))
       .orderBy(col("doc_id"))

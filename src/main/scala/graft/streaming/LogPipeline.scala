@@ -88,6 +88,20 @@ object LogPipeline {
     * unparseable rows → dead-letter parquet. The batch is persisted so
     * the split doesn't recompute the parse.
     */
+  /** C49 streaming arm — percolate the parsed stream against a static
+    * stored-rule table (stream-static join, rule side broadcast; as in
+    * the batch operator the term predicate is the equi key and the
+    * status band rides as a join residual). One alert row per
+    * (matching rule, event), append mode — stateless, no watermark.
+    * Rule schema: (rule_id, r_verb, min_status, max_status).
+    */
+  def percolateStream(parsed: DataFrame, rules: DataFrame): DataFrame =
+    parsed.filter(col("format") === "access")
+      .join(broadcast(rules),
+        col("verb") === col("r_verb") &&
+        col("status") >= col("min_status") && col("status") < col("max_status"))
+      .select(col("rule_id"), col("ts"), col("ip"), col("path"), col("status"))
+
   def startIngest(spark: SparkSession, inDir: String, outDir: String,
                   checkpointDir: String): StreamingQuery =
     transformed(rawStream(spark, inDir)).writeStream

@@ -58,6 +58,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(!byLine(badLine).getAs[Boolean]("valid"))
   }
 
+  test("streaming percolate fires stored rules against the parsed stream") {
+    val err500 =
+      """1.2.3.4 - - [29/Jul/2021:15:32:33 +0000] "GET /boom HTTP/1.1" 500 0 "-" "curl/7.68.0""""
+    val post201 =
+      """5.6.7.8 - - [29/Jul/2021:15:32:34 +0000] "POST /signup HTTP/1.1" 201 42 "-" "curl/7.68.0""""
+    val rules = Seq(
+      (0L, "GET", 500L, 600L),  // server errors on GETs
+      (1L, "POST", 200L, 300L)  // successful POSTs
+    ).toDF("rule_id", "r_verb", "min_status", "max_status")
+    val src = new MemoryLines(spark)
+    src.add("ec2" -> goodLine, "ec2" -> err500, "ec2" -> post201, "ec2" -> badLine)
+    val q = LogPipeline.percolateStream(LogPipeline.transformed(src.load(spark)), rules)
+      .writeStream.format("memory").queryName("alerts")
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    val alerts = spark.table("alerts")
+      .select("rule_id", "ip", "status").as[(Long, String, Long)].collect().toSet
+    // goodLine (GET 200) matches no rule; the junk line never reaches the join
+    assert(alerts == Set((0L, "1.2.3.4", 500L), (1L, "5.6.7.8", 201L)))
+  }
+
   test("KafkaLines binding: option wiring, contract projection, and DataSource resolution") {
     val k = KafkaLines("broker-1:9092,broker-2:9092",
       topicPattern = "logs-.*", startingOffsets = "earliest")
