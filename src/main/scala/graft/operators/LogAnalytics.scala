@@ -330,6 +330,37 @@ object LogAnalytics {
       |  AND regexp_matches(props, '"k": ?1[0-9]')
       |ORDER BY event_id""".stripMargin
 
+  // ---- C3e: search with field collapsing -----------------------------
+
+  /** C3e — OpenSearch `collapse`: dedupe the hit list on a field,
+    * keeping each group's best hit plus the group's total hit count
+    * (the inner_hits summary). The rank window partitions by the
+    * collapse FIELD — per-user partitions, high cardinality, no global
+    * sort; scales like C7/C17.
+    */
+  def searchCollapse(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "click" && col("value") >= 100)
+      .withColumn("r", row_number().over(w))
+      .withColumn("n_hits", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .filter(col("r") === 1)
+      .select(col("user_id"), col("event_id"), col("value"), col("n_hits"))
+      .orderBy(col("user_id"))
+  }
+
+  val searchCollapseSql: String =
+    """SELECT user_id, event_id, value, n_hits
+      |FROM (
+      |  SELECT user_id, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS r,
+      |    count(*) OVER (PARTITION BY user_id) AS n_hits
+      |  FROM events
+      |  WHERE event_type = 'click' AND value >= 100)
+      |WHERE r = 1
+      |ORDER BY user_id""".stripMargin
+
   // ---- C4: error-rate monitoring -------------------------------------
 
   def errorRate(spark: SparkSession, dir: String): DataFrame =

@@ -105,4 +105,52 @@ object PipelineAggs {
        |FROM b
        |WHERE round(CAST(n_err AS DOUBLE) / n, 6) >= 0.198
        |ORDER BY day""".stripMargin
+
+  /** C45b — moving_fn: arbitrary window functions over the bucket
+    * series (OpenSearch's generic replacement for moving_avg). Shown
+    * with the two scripts a dashboard actually uses — trailing max and
+    * trailing min over a 7-bucket window (order-free stats: no float
+    * summation divergence to manage).
+    */
+  def movingFn(spark: SparkSession, dir: String, window: Int = 7): DataFrame = {
+    val w = Window.orderBy(col("day")).rowsBetween(-(window - 1), Window.currentRow)
+    dailyBuckets(spark, dir)
+      .select(col("day"), col("n"),
+        max(col("n")).over(w).as("mov_max"),
+        min(col("n")).over(w).as("mov_min"))
+      .orderBy(col("day"))
+  }
+
+  val movingFnSql: String =
+    s"""WITH b AS ($dailyBucketsSql)
+       |SELECT day, n,
+       |  max(n) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS mov_max,
+       |  min(n) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS mov_min
+       |FROM b ORDER BY day""".stripMargin
+
+  /** C45c — top_hits: each bucket carries its top documents (here: the
+    * 2 highest-value events per event_type, with their fields). Scale
+    * shape: rank window partitioned by the BUCKET KEY — per-partition
+    * heap depth k, no global sort; ties broken by event_id for a
+    * deterministic result set.
+    */
+  def topHits(spark: SparkSession, dir: String, k: Int = 2): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("hit_rank", row_number().over(w))
+      .filter(col("hit_rank") <= k)
+      .select(col("event_type"), col("hit_rank"), col("event_id"),
+        col("user_id"), col("value"))
+      .orderBy(col("event_type"), col("hit_rank"))
+  }
+
+  val topHitsSql: String =
+    """SELECT event_type, hit_rank, event_id, user_id, value
+      |FROM (
+      |  SELECT event_type, event_id, user_id, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS hit_rank
+      |  FROM events)
+      |WHERE hit_rank <= 2
+      |ORDER BY event_type, hit_rank""".stripMargin
 }

@@ -119,6 +119,39 @@ object TextAnalysis {
     * magnitude cheaper); FingerprintSpec asserts its near-dup-overlap
     * semantics.
     */
+  /** E21 — overlapping retrieval chunking (RAG indexing prep): fixed
+    * 64-word windows at stride 48 (16-word overlap so a fact spanning a
+    * boundary survives in one chunk whole). Pure array expressions
+    * inside the scan — chunk cutting never shuffles; the output is the
+    * (doc_id, chunk) table an embedding/indexing stage consumes.
+    */
+  def chunkOverlap(spark: SparkSession, dir: String,
+                   window: Int = 64, stride: Int = 48): DataFrame = {
+    val ws = split(col("text"), " ")
+    val nChunks = lit(1) +
+      ceil(greatest(size(ws) - window, lit(0)).cast("double") / stride).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(ws, i * stride + lit(1), lit(window)), " "))
+    Tables.atComputeParallelism(Tables.documents(spark, dir))
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(split(col("chunk"), " ")).cast("long").as("n_words"),
+        md5(col("chunk")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val chunkOverlapSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |c AS (
+      |  SELECT doc_id, i AS chunk_id,
+      |         array_to_string(ws[(i*48+1):(i*48+64)], ' ') AS chunk
+      |  FROM w, unnest(range(0, 1 + CAST(ceil(greatest(len(ws) - 64, 0) / 48.0) AS BIGINT))) AS t(i))
+      |SELECT doc_id, chunk_id,
+      |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_words,
+      |  md5(chunk) AS chunk_hash
+      |FROM c
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     val words = split(col("text"), " ")
     val hs = transform(
