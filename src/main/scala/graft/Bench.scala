@@ -11,9 +11,9 @@ import org.apache.spark.sql.SparkSession
   *     `"qunit":"ms"` declaring the unit; the headline `value` stays in
   *     seconds per the driver contract;
   *   - keys are deterministic abbreviations of the query names: strip
-  *     the `q_` prefix, then first 3 chars of each `_`-word (single-word
-  *     names keep 6 chars); verified collision-free, with a numeric
-  *     suffix as a safeguard if a future name collides.
+  *     the `q_` prefix, then 3 chars of the first `_`-word + 2 of each
+  *     later word (single-word names keep 5); verified collision-free,
+  *     with a numeric suffix as a safeguard if a future name collides.
   * The FULL names and 3-decimal-second timings are always written to
   * `bench_out.json` in the working directory as the lossless copy, and
   * the line is printed after `spark.stop()` so no log output follows it.
@@ -24,10 +24,15 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private def ms3(v: Double): Double = math.round(v * 1000) / 1000.0
 
-  /** q_date_histogram_filled -> dathisfil ; q_search -> search */
+  /** q_date_histogram_filled -> dathifi ; q_search -> searc.
+    * First word keeps 3 chars, later words 2, single-word names 5 —
+    * verified collision-free at 110 queries (~1.4 KB line), with
+    * headroom to ~130 before nearing the ~1.8 KB that last parsed.
+    */
   private[graft] def shortKey(name: String): String = {
     val ws = name.stripPrefix("q_").split('_')
-    if (ws.length == 1) ws(0).take(6) else ws.map(_.take(3)).mkString
+    if (ws.length == 1) ws(0).take(5)
+    else ws(0).take(3) + ws.iterator.drop(1).map(_.take(2)).mkString
   }
 
   def main(args: Array[String]): Unit = {
