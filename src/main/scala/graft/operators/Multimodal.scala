@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.ImageCodec
+import graft.functions.{AudioCodec, ImageCodec}
 import graft.sources.Tables
 
 /** Multimodal (binary) column plumbing (SURVEY §2 E12).
@@ -27,18 +27,36 @@ object Multimodal {
   case class MediaFeature(doc_id: Long, kind: String, n_bytes: Int,
                           checksum: Long, feat_norm: Double)
 
-  /** Synthesize the media table: payload bytes from the document text,
-    * typed metadata derived deterministically from doc_id.
+  /** Synthesize the media table with REAL payloads where a JDK codec
+    * exists: image rows carry an actual PNG (ImageCodec.syntheticPng),
+    * audio rows an actual 16-bit WAV (AudioCodec.syntheticWav, pitch
+    * and length varying by doc_id), video rows the document bytes (no
+    * JDK video codec — the documented sandbox boundary). Payload
+    * synthesis is partition-local codec work — the same mapPartitions
+    * batch shape the decode stage uses.
     */
-  def mediaTable(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3).cast("int") + 1).as("kind"),
-      col("text").cast("binary").as("media"),
-      (lit(64) + col("doc_id") % 512).cast("int").as("width"),
-      (lit(64) + col("doc_id") % 256).cast("int").as("height"),
-      (col("doc_id") % 30 + 1).cast("int").as("n_frames"))
+  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val kind = (id % 3) match {
+            case 0 => "image"; case 1 => "audio"; case _ => "video"
+          }
+          val width = (64 + id % 512).toInt
+          val height = (64 + id % 256).toInt
+          val media: Array[Byte] = kind match {
+            case "image" =>
+              ImageCodec.syntheticPng(math.min(width, 96), math.min(height, 96), id)
+            case "audio" =>
+              AudioCodec.syntheticWav(200.0 + (id % 20) * 40.0, (2000 + (id % 10) * 400).toInt)
+            case _ => text.getBytes("UTF-8")
+          }
+          MediaRow(id, kind, media, width, height, (id % 30 + 1).toInt)
+        }
+      }.toDF()
+  }
 
   /** Per-partition batch decode + feature extraction.
     *
@@ -54,11 +72,19 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
         val (checksum, stubFeat) = decodeStub(r.media)
+        // codec dispatch by sniffing: image readers, then audio
+        // readers, then the byte-level fallback — a plugin chain
         val featNorm = ImageCodec.decode(r.media) match {
           case Some(img) =>
             math.sqrt(ImageCodec.channelMeans(img).map(x => x * x).sum)
-          case None =>
-            math.sqrt(stubFeat.map(x => x.toDouble * x).sum)
+          case None => AudioCodec.decode(r.media) match {
+            case Some(a) =>
+              val f = Array(AudioCodec.rms(a), AudioCodec.peak(a),
+                AudioCodec.zeroCrossRate(a) / 1000.0, AudioCodec.durationSec(a))
+              math.sqrt(f.map(x => x * x).sum)
+            case None =>
+              math.sqrt(stubFeat.map(x => x.toDouble * x).sum)
+          }
         }
         MediaFeature(r.doc_id, r.kind, r.media.length, checksum, featNorm)
       }

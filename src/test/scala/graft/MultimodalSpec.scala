@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.functions.{AudioCodec, ImageCodec}
 import graft.operators.Multimodal
 
 class MultimodalSpec extends AnyFunSuite {
@@ -16,38 +17,61 @@ class MultimodalSpec extends AnyFunSuite {
     assert(kinds == Set("image", "audio", "video"))
   }
 
-  test("feature extraction is deterministic and byte-length preserving") {
+  test("feature extraction is deterministic; payloads are real per kind (PNG/WAV magic, video=doc bytes)") {
     val f1 = Multimodal.features(spark, TestSpark.sf).collect()
     val f2 = Multimodal.features(spark, TestSpark.sf).collect()
     assert(f1.sameElements(f2))
-    // n_bytes equals the document length (ascii text payload)
     val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
       .select(col("doc_id"), length(col("text")).as("n")).as[(Long, Int)].collect().toMap
-    f1.foreach(r => assert(r.getAs[Int]("n_bytes") == docs(r.getAs[Long]("doc_id"))))
+    val payloads = Multimodal.mediaTable(spark, TestSpark.sf)
+      .select(col("doc_id"), col("kind"), col("media"))
+      .as[(Long, String, Array[Byte])].collect()
+    assert(payloads.map(_._2).toSet == Set("image", "audio", "video"))
+    payloads.foreach { case (id, kind, bytes) =>
+      kind match {
+        case "image" => // PNG signature
+          assert((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+        case "audio" => // RIFF/WAVE container
+          assert(bytes.take(4).map(_.toChar).mkString == "RIFF" &&
+            bytes.slice(8, 12).map(_.toChar).mkString == "WAVE")
+        case _ => // video falls back to the document bytes (no JDK codec)
+          assert(bytes.length == docs(id))
+      }
+    }
   }
 
-  test("resize scales payload bytes proportionally to target area and is deterministic") {
+  test("resize takes the real decode path for PNG payloads; byte fallback keeps the shrink contract") {
     val media = Multimodal.mediaTable(spark, TestSpark.sf)
-    def canon(rows: Array[org.apache.spark.sql.Row]) = rows
-      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Array[Byte]]("media").toSeq))
-      .sortBy(_._1)
     val r1 = Multimodal.resize(spark, media, 32, 32).collect()
     val r2 = Multimodal.resize(spark, media, 32, 32).collect()
     assert(r1.nonEmpty)
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Array[Byte]]("media").toSeq))
+      .sortBy(_._1)
     assert(canon(r1).sameElements(canon(r2)))
-    val srcDims = media.filter(col("kind") === "image")
-      .select(col("doc_id"), col("media"), col("width"), col("height"))
-      .as[(Long, Array[Byte], Int, Int)].collect()
-      .map(t => t._1 -> t).toMap
+    // every image payload is a real PNG now: output must decode at 32x32
     r1.foreach { row =>
-      val id = row.getAs[Long]("doc_id")
-      val (_, bytes, w, h) = srcDims(id)
-      assert(row.getAs[Int]("width") == 32 && row.getAs[Int]("height") == 32)
-      val expected = math.min(
-        math.max((bytes.length.toLong * 32 * 32 / (w.toLong * h)).toInt, 1),
-        bytes.length)
-      assert(row.getAs[Array[Byte]]("media").length == expected, s"doc $id")
+      val img = ImageCodec.decode(row.getAs[Array[Byte]]("media"))
+      assert(img.isDefined && img.get.getWidth == 32 && img.get.getHeight == 32,
+        s"doc ${row.getAs[Long]("doc_id")}")
     }
+    // undecodable payload: proportional byte-sample fallback
+    val fake = Seq((1L, "image", Array.fill[Byte](2000)(7), 100, 100, 1))
+      .toDF("doc_id", "kind", "media", "width", "height", "n_frames")
+    val fb = Multimodal.resize(spark, fake, 32, 32).collect().head
+    assert(fb.getAs[Array[Byte]]("media").length == 2000L * 32 * 32 / (100L * 100))
+  }
+
+  test("real WAV payloads decode through the audio codec (javax.sound path)") {
+    val wav = AudioCodec.syntheticWav(440.0, 8000, 8000f, 0.5)
+    val a = AudioCodec.decode(wav).get
+    assert(a.sampleRate == 8000f && a.channels == 1 && a.nSamples == 8000)
+    assert(math.abs(AudioCodec.durationSec(a) - 1.0) < 1e-9)
+    // sine RMS = amp/sqrt(2); zero-cross rate = 2f; peak <= amp
+    assert(math.abs(AudioCodec.rms(a) - 0.5 / math.sqrt(2)) < 0.01)
+    assert(math.abs(AudioCodec.zeroCrossRate(a) - 880.0) < 20.0)
+    assert(AudioCodec.peak(a) <= 0.501)
+    assert(AudioCodec.decode("definitely not audio bytes".getBytes("UTF-8")).isEmpty)
   }
 
   test("real PNG payloads decode through the feature pipeline (javax.imageio path)") {
