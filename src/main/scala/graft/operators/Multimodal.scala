@@ -37,7 +37,10 @@ object Multimodal {
     */
   def mediaTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // codec synthesis is per-row CPU work: run at compute parallelism,
+    // not scan-split parallelism (one parquet file = one task)
+    Tables.atComputeParallelism(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
@@ -47,8 +50,8 @@ object Multimodal {
           val width = (64 + id % 512).toInt
           val height = (64 + id % 256).toInt
           val media: Array[Byte] = kind match {
-            case "image" =>
-              ImageCodec.syntheticPng(math.min(width, 96), math.min(height, 96), id)
+            case "image" => // BMP: real JDK codec, no deflate cost
+              ImageCodec.syntheticBmp(math.min(width, 96), math.min(height, 96), id)
             case "audio" =>
               AudioCodec.syntheticWav(200.0 + (id % 20) * 40.0, (2000 + (id % 10) * 400).toInt)
             case _ => text.getBytes("UTF-8")

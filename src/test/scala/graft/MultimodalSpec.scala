@@ -29,8 +29,8 @@ class MultimodalSpec extends AnyFunSuite {
     assert(payloads.map(_._2).toSet == Set("image", "audio", "video"))
     payloads.foreach { case (id, kind, bytes) =>
       kind match {
-        case "image" => // PNG signature
-          assert((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+        case "image" => // BMP container magic
+          assert(bytes(0) == 'B' && bytes(1) == 'M')
         case "audio" => // RIFF/WAVE container
           assert(bytes.take(4).map(_.toChar).mkString == "RIFF" &&
             bytes.slice(8, 12).map(_.toChar).mkString == "WAVE")
