@@ -108,4 +108,43 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(Similarity.probeIvfIndex(spark, TestSpark.sf, idx, nProbe = 2)
       .count() == Similarity.nQueries * Similarity.topK)
   }
+
+  test("streaming ingest maintains the index: foreachBatch append, probe sees each batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val idx = Files.createTempDirectory("graft-ivf-stream").toString
+    Similarity.writeIvfIndex(spark, TestSpark.sf, idx, nCells = 8)
+    val before = spark.read.parquet(s"$idx/cells").count()
+
+    // stream exact duplicates of the first two query vectors in two
+    // micro-batches; each batch is appended by the maintenance sink
+    val qVecs = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+      .filter(col("vec_id") < 2)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = ms.toDS().toDF("n_id", "n_emb").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Similarity.appendToIvfIndex(spark, idx, batch)
+      }
+      .start()
+    try {
+      ms.addData((200000L + qVecs(0)._1, qVecs(0)._2))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$idx/cells").count() == before + 1)
+      ms.addData((200000L + qVecs(1)._1, qVecs(1)._2))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$idx/cells").count() == before + 2)
+    } finally q.stop()
+
+    // the streamed duplicates are immediately probe-visible at rank 1
+    val rank1 = Similarity.probeIvfIndex(spark, TestSpark.sf, idx, nProbe = 2)
+      .filter(col("rank") === 1 && col("q_id") < 2)
+      .select(col("q_id"), col("n_id")).as[(Long, Long)].collect().toMap
+    assert(rank1 == Map(0L -> 200000L, 1L -> 200001L))
+  }
 }
