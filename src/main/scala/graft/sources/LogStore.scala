@@ -113,6 +113,26 @@ object LogStore {
     fs.delete(tmpPath, true)
   }
 
+  /** A10 — reindex (the OpenSearch `_reindex` API re-expressed):
+    * rewrite a store into a NEW root applying a per-row transform —
+    * mapping fixes, enrichment backfills, schema migrations. The
+    * destination keeps the date/source partitioning (transforms may
+    * add/drop payload columns but not the partition keys), writes are
+    * committed to the new root only (the source store stays live and
+    * untouched — reindex-then-alias-swap, as the reference's operators
+    * would run it), and the copy streams partition-parallel with no
+    * shuffle unless the transform itself needs one.
+    */
+  def reindex(spark: SparkSession, srcRoot: String, dstRoot: String)
+             (transform: DataFrame => DataFrame): Unit = {
+    val out = transform(spark.read.parquet(srcRoot))
+    require(Seq("log_date", "source").forall(out.columns.contains),
+      "reindex transform must preserve the log_date/source partition keys")
+    out.write.mode("overwrite")
+      .partitionBy("log_date", "source")
+      .parquet(dstRoot)
+  }
+
   /** Retention: drop whole log_date partitions older than `beforeDate`
     * — the lifecycle half of the reference's daily index rotation
     * (README:30), where indexes age out after their retention window.

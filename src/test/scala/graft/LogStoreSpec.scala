@@ -92,6 +92,34 @@ class LogStoreSpec extends AnyFunSuite {
     assert(left.select(max(col("log_date")).cast("string")).as[String].head() == "2024-01-02")
   }
 
+  test("reindex rewrites into a new root with a transform; source store untouched") {
+    val base = Files.createTempDirectory("graft-reindex").toString
+    val src = s"$base/logs"; val dst = s"$base/logs-v2"
+    val batch = (1 to 6).map(i =>
+        (s"9.9.9.$i", java.sql.Timestamp.valueOf(s"2024-02-0${i % 2 + 1} 0$i:00:00"), 200L + i * 30))
+      .toDF("ip", "ts", "status").withColumn("source", lit("ec2"))
+    LogStore.write(batch, src)
+    val srcRows = spark.read.parquet(src).count()
+
+    // migration-style transform: derive a status class, drop raw status
+    LogStore.reindex(spark, src, dst) { df =>
+      df.withColumn("status_class", (col("status") / 100).cast("int") * 100)
+        .drop("status")
+    }
+    val out = spark.read.parquet(dst)
+    assert(out.count() == srcRows)
+    assert(out.columns.contains("status_class") && !out.columns.contains("status"))
+    assert(out.select("status_class").distinct().as[Int].collect().toSet == Set(200, 300))
+    // destination keeps the partition layout; source unchanged
+    assert(Files.exists(Paths.get(s"$dst/log_date=2024-02-01/source=ec2")))
+    assert(spark.read.parquet(src).count() == srcRows &&
+      spark.read.parquet(src).columns.contains("status"))
+    // a transform that drops a partition key must refuse
+    intercept[IllegalArgumentException] {
+      LogStore.reindex(spark, src, s"$base/bad")(_.drop("source"))
+    }
+  }
+
   test("json-lines and csv readers honor the explicit schema") {
     val dir = Files.createTempDirectory("graft-fmt").toString
     java.nio.file.Paths.get(dir)
