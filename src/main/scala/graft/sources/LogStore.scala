@@ -133,6 +133,85 @@ object LogStore {
       .parquet(dstRoot)
   }
 
+  /** A11 — snapshot: point-in-time copy of the store's partition dirs
+    * plus a manifest naming them (the restore contract). Partition
+    * granularity means an object-store implementation can copy
+    * server-side and incrementally; restore materializes into a FRESH
+    * root (never over a live store), manifest-driven so a partial
+    * snapshot dir is detected rather than silently half-restored.
+    */
+  def snapshot(spark: SparkSession, root: String, snapDir: String): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val snapPath = new org.apache.hadoop.fs.Path(snapDir)
+    val fs = rootPath.getFileSystem(conf)
+    fs.mkdirs(snapPath)
+    val parts = fs.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("log_date="))
+      .map(_.getPath)
+    parts.foreach { p =>
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, p, fs, new org.apache.hadoop.fs.Path(snapPath, p.getName),
+        false, conf)
+    }
+    val names = parts.map(_.getName).sorted
+    val out = fs.create(new org.apache.hadoop.fs.Path(snapPath, "_MANIFEST"), true)
+    try out.write((names.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+    names
+  }
+
+  def restore(spark: SparkSession, snapDir: String, newRoot: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val snapPath = new org.apache.hadoop.fs.Path(snapDir)
+    val rootPath = new org.apache.hadoop.fs.Path(newRoot)
+    val fs = snapPath.getFileSystem(conf)
+    val manifest = new org.apache.hadoop.fs.Path(snapPath, "_MANIFEST")
+    require(fs.exists(manifest), s"no _MANIFEST in $snapDir — not a snapshot")
+    val names = {
+      val in = fs.open(manifest)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    }
+    names.foreach { n =>
+      val src = new org.apache.hadoop.fs.Path(snapPath, n)
+      require(fs.exists(src), s"snapshot partition $n named in manifest is missing")
+    }
+    require(!fs.exists(rootPath), s"restore target $newRoot already exists")
+    fs.mkdirs(rootPath)
+    names.foreach { n =>
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(snapPath, n),
+        fs, new org.apache.hadoop.fs.Path(rootPath, n), false, conf)
+    }
+  }
+
+  /** A12 — index alias: a named pointer file resolving to a store root,
+    * swapped with write-temp-then-rename (atomic on HDFS-like
+    * filesystems) — the final step of reindex-then-alias-swap: readers
+    * hold the alias, the swap retargets every subsequent read with no
+    * window where the alias is missing or half-written.
+    */
+  def setAlias(spark: SparkSession, aliasFile: String, root: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val alias = new org.apache.hadoop.fs.Path(aliasFile)
+    val tmp = new org.apache.hadoop.fs.Path(aliasFile + ".tmp")
+    val fs = alias.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write(root.getBytes("UTF-8")) finally out.close()
+    fs.delete(alias, false)
+    require(fs.rename(tmp, alias), s"alias swap rename failed for $aliasFile")
+  }
+
+  def resolveAlias(spark: SparkSession, aliasFile: String): String = {
+    val alias = new org.apache.hadoop.fs.Path(aliasFile)
+    val fs = alias.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(alias)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+  }
+
+  def readAlias(spark: SparkSession, aliasFile: String): DataFrame =
+    spark.read.parquet(resolveAlias(spark, aliasFile))
+
   /** Retention: drop whole log_date partitions older than `beforeDate`
     * — the lifecycle half of the reference's daily index rotation
     * (README:30), where indexes age out after their retention window.

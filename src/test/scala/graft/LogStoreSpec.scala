@@ -120,6 +120,34 @@ class LogStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot/restore round-trips partitions via the manifest; alias swap retargets readers") {
+    val base = Files.createTempDirectory("graft-snap").toString
+    val v1 = s"$base/logs"; val snap = s"$base/snap"; val v2 = s"$base/logs-restored"
+    val batch = (1 to 6).map(i =>
+        (s"8.8.8.$i", java.sql.Timestamp.valueOf(s"2024-03-0${i % 2 + 1} 0$i:00:00"), 200L))
+      .toDF("ip", "ts", "status").withColumn("source", lit("ec2"))
+    LogStore.write(batch, v1)
+
+    val parts = LogStore.snapshot(spark, v1, snap)
+    assert(parts == Seq("log_date=2024-03-01", "log_date=2024-03-02"))
+
+    // disaster: the live store loses a partition; restore to a fresh root
+    LogStore.expire(spark, v1, "2024-03-02")
+    assert(spark.read.parquet(v1).count() == 3)
+    LogStore.restore(spark, snap, v2)
+    assert(spark.read.parquet(v2).count() == 6)
+    // restore refuses an existing target (never clobbers a live store)
+    intercept[IllegalArgumentException] { LogStore.restore(spark, snap, v2) }
+
+    // alias: readers follow the pointer; swap retargets them atomically
+    val alias = s"$base/logs.alias"
+    LogStore.setAlias(spark, alias, v1)
+    assert(LogStore.readAlias(spark, alias).count() == 3)
+    LogStore.setAlias(spark, alias, v2)
+    assert(LogStore.resolveAlias(spark, alias) == v2)
+    assert(LogStore.readAlias(spark, alias).count() == 6)
+  }
+
   test("json-lines and csv readers honor the explicit schema") {
     val dir = Files.createTempDirectory("graft-fmt").toString
     java.nio.file.Paths.get(dir)
