@@ -37,8 +37,9 @@ object Alerting {
   /** C49 — match every event against every stored rule; per-rule match
     * and distinct-user counts, zero-match rules included.
     */
-  def percolate(spark: SparkSession, dir: String): DataFrame = {
-    val r = rules(spark)
+  def percolate(spark: SparkSession, dir: String,
+                ruleTable: Option[DataFrame] = None): DataFrame = {
+    val r = ruleTable.getOrElse(rules(spark))
     val matched = Tables.events(spark, dir)
       .join(broadcast(r),
         col("event_type") === col("etype") &&
