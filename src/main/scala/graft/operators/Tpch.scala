@@ -354,4 +354,115 @@ object Tpch {
       |WHERE p_type = 'ECONOMY'
       |GROUP BY 1, 2
       |ORDER BY nation, l_year""".stripMargin
+
+  /** Integer-cents revenue term — exact longs, so sums are
+    * order-independent and ratios divide two exact integers (one
+    * correctly-rounded IEEE division → cross-engine deterministic).
+    */
+  private def centsRevenue: Column =
+    round(col("l_extendedprice") * 100).cast("long") *
+      (lit(10000L) - round(col("l_discount") * 10000).cast("long"))
+
+  /** D11 — TPCH Q8 shape (national market share): one nation's share of
+    * supplier revenue within one region's customer market, per year.
+    * All dims broadcast down a snowflake (region→nation→customer and
+    * nation→supplier); the only fact-fact shuffle is lineitem⋈orders;
+    * the share divides two exact integer-cents sums.
+    */
+  def marketShare(spark: SparkSession, dir: String,
+                  nation: String = "NATION_0", region: String = "ASIA"): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name") === region)
+      .select(col("r_regionkey"))
+    val custInRegion = Tables.customer(spark, dir)
+      .join(broadcast(n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val suppNat = Tables.supplier(spark, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val o = Tables.orders(spark, dir)
+      .join(broadcast(custInRegion), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === nation, centsRevenue).otherwise(0L)).cast("double") /
+          sum(centsRevenue), 6).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  val marketShareSql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  round(CAST(sum(CASE WHEN sn.n_name = 'NATION_0'
+      |      THEN CAST(round(l_extendedprice * 100) AS BIGINT) * (10000 - CAST(round(l_discount * 10000) AS BIGINT))
+      |      ELSE 0 END) AS DOUBLE)
+      |    / sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (10000 - CAST(round(l_discount * 10000) AS BIGINT))), 6) AS mkt_share
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |JOIN region ON cn.n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY 1
+      |ORDER BY o_year""".stripMargin
+
+  /** D12 — TPCH Q14 shape (promotion effect): PROMO-type parts' percent
+    * of revenue per ship month. One broadcast dim join, conditional
+    * exact-cents sums in one aggregation pass.
+    */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+      .agg(round(
+        sum(when(col("p_type") === "PROMO", centsRevenue).otherwise(0L)).cast("double") * 100 /
+          sum(centsRevenue), 6).as("promo_pct"))
+      .orderBy(col("ship_month"))
+  }
+
+  val promoRevenueSql: String =
+    """SELECT date_trunc('month', l_shipdate) AS ship_month,
+      |  round(CAST(sum(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(round(l_extendedprice * 100) AS BIGINT) * (10000 - CAST(round(l_discount * 10000) AS BIGINT))
+      |      ELSE 0 END) AS DOUBLE) * 100
+      |    / sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (10000 - CAST(round(l_discount * 10000) AS BIGINT))), 6) AS promo_pct
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1
+      |ORDER BY ship_month""".stripMargin
+
+  /** D13 — TPCH Q19 shape (disjunctive brand/quantity bands): three
+    * OR'd (brand, quantity-band) conjunctions — the disjunction stays
+    * one post-join filter over a single broadcast part join; the scan
+    * still prunes on the quantity envelope (1..35) because Catalyst
+    * extracts the common bound from the OR.
+    */
+  def brandBandRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 15)) ||
+        (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 25)) ||
+        (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 35)))
+      .agg(
+        (sum(centsRevenue).cast("double") / 1e6).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val brandBandRevenueSql: String =
+    """SELECT
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (10000 - CAST(round(l_discount * 10000) AS BIGINT))) AS DOUBLE) / 1000000.0 AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 15)
+      |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 25)
+      |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 35)""".stripMargin
 }
