@@ -16,7 +16,7 @@ class InvertedIndexSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def scannedFiles(df: DataFrame): Long = {
+  private def fileScans(df: DataFrame): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
     df.collect()
     val plan = df.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
@@ -24,9 +24,19 @@ class InvertedIndexSpec extends AnyFunSuite {
     }
     plan.collectLeaves().collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec
-          if s.tableIdentifier.isEmpty => s.metrics("numFiles").value
-    }.sum
+          if s.tableIdentifier.isEmpty => s
+    }
   }
+
+  private def scannedFiles(df: DataFrame): Long =
+    fileScans(df).map(_.metrics("numFiles").value).sum
+
+  /** Rows the parquet reader actually emitted — row groups/pages pruned
+    * by pushed predicates never contribute, so this measures the layout's
+    * pruning, not the post-scan filter.
+    */
+  private def scanOutputRows(df: DataFrame): Long =
+    fileScans(df).map(_.metrics("numOutputRows").value).sum
 
   test("driver-side bucket replica matches the engine's crc32 bucketing") {
     val engine = Seq("spark", "hash", "join", "the", "zz9")
@@ -55,6 +65,56 @@ class InvertedIndexSpec extends AnyFunSuite {
       .filter(col("tok") === "spark")
       .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
     assert(viaIndex == direct)
+  }
+
+  test("probe reads row-group-pruned, posting-list-sized data inside a bucket") {
+    // A wide synthetic vocabulary (testdata has only 31 tokens, which
+    // would let directory pruning alone pass): 4000 tokens spread over
+    // 16 buckets = ~250 tokens per bucket. With token-sorted row groups
+    // a term probe must emit ~only its posting rows; the round-5 layout
+    // (unsorted within bucket) emitted the whole bucket.
+    val docs = spark.range(800).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 50).map(i =>
+        format_string("tok%04d", (col("id") * 7 + lit(i)) % 4000)): _*).as("text"))
+    val idx = Files.createTempDirectory("graft-invidx-prune").toString
+    InvertedIndex.build(spark, docs, idx, rowGroupBytes = 16L << 10)
+
+    val term = "tok0700"
+    val bucketRows = spark.read.parquet(idx)
+      .filter(col("tb") === InvertedIndex.bucketOf(term)).count()
+    val postingRows = InvertedIndex.postings(spark, idx, term).count()
+    val probeScanRows = scanOutputRows(InvertedIndex.postings(spark, idx, term))
+    assert(postingRows > 0)
+    assert(probeScanRows >= postingRows, "scan can't emit fewer rows than survive")
+    assert(probeScanRows * 4 <= bucketRows,
+      s"probe emitted $probeScanRows of $bucketRows bucket rows — no sub-bucket pruning")
+  }
+
+  test("queries memoize the build: second invocation probes the existing index") {
+    InvertedIndex.searchIndexed(spark, TestSpark.sf).collect()
+    val marker = new java.io.File(InvertedIndex.defaultPath(TestSpark.sf), "_SUCCESS")
+    assert(marker.exists())
+    val built = marker.lastModified()
+    InvertedIndex.searchIndexed(spark, TestSpark.sf).collect()
+    assert(marker.lastModified() == built, "second invocation rebuilt the index")
+  }
+
+  test("prefix suggester pushes StartsWith and matches a direct token scan") {
+    val q = InvertedIndex.suggestPrefix(spark, TestSpark.sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("StartsWith(token,s)"), s"no pushed prefix in:\n$plan")
+
+    val viaIndex = q.as[(String, Long, Long)].collect().toSeq
+    val direct = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").startsWith("s"))
+      .groupBy(col("doc_id"), col("tok")).count()
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("count")).as("total_tf"))
+      .orderBy(col("df").desc, col("tok")).limit(5)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(viaIndex == direct && viaIndex.nonEmpty)
   }
 
   test("phrase adjacency from positions matches a direct sliding scan") {
