@@ -361,6 +361,46 @@ object LogAnalytics {
       |WHERE r = 1
       |ORDER BY user_id""".stripMargin
 
+  // ---- C3f: search-result highlighting --------------------------------
+
+  /** C3f — hit highlighting: the snippet Discover renders beside every
+    * hit (reference README:295-312's analyze step) — a fixed-width
+    * window around the FIRST match with the matched term bracketed.
+    *
+    * Pure codegen'd string builtins evaluated in the scan's project
+    * (locate + two substrings + concat), zero shuffle, and the
+    * `contains` pre-filter means position arithmetic only runs on
+    * actual hits. Snippet width is character-based (OpenSearch's
+    * highlighter fragment_size) — deterministic, no tokenization
+    * needed.
+    */
+  def searchHighlight(spark: SparkSession, dir: String,
+                      term: String = "merge", width: Int = 40): DataFrame = {
+    val pos = locate(term, col("text"))
+    val start = greatest(pos - width, lit(1))
+    Tables.documents(spark, dir)
+      .filter(col("text").contains(term))
+      .select(
+        col("doc_id"),
+        pos.cast("long").as("pos"),
+        concat(
+          col("text").substr(start, pos - start),
+          lit(s"[$term]"),
+          col("text").substr(pos + term.length, lit(width))).as("highlight"))
+      .orderBy(col("doc_id"))
+  }
+
+  val searchHighlightSql: String =
+    """SELECT doc_id,
+      |  CAST(strpos(text, 'merge') AS BIGINT) AS pos,
+      |  substr(text, greatest(strpos(text, 'merge') - 40, 1),
+      |         strpos(text, 'merge') - greatest(strpos(text, 'merge') - 40, 1))
+      |    || '[merge]'
+      |    || substr(text, strpos(text, 'merge') + 5, 40) AS highlight
+      |FROM documents
+      |WHERE strpos(text, 'merge') > 0
+      |ORDER BY doc_id""".stripMargin
+
   // ---- C4: error-rate monitoring -------------------------------------
 
   def errorRate(spark: SparkSession, dir: String): DataFrame =

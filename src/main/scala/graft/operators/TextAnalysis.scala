@@ -250,6 +250,86 @@ object TextAnalysis {
       |FROM ranked WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
+  /** C52 — more_like_this (the OpenSearch MLT query behind Discover's
+    * "find documents like this one"): pick the seed document's
+    * `nTerms` most characteristic terms by tf-idf (MLT's "interesting
+    * terms" step), then rank the corpus by how strongly it matches
+    * them — score = Σ_matched tc(doc,term) × idf(term).
+    *
+    * Scale shape: the (doc,token) tf aggregate is the one token
+    * shuffle; df derives from tf (Catalyst reuses the exchange). The
+    * seed's tf rows are doc-length-bounded — broadcast onto the
+    * vocabulary-sized df aggregate, so term selection never shuffles
+    * the vocabulary; the selected ≤nTerms rows broadcast back onto tf,
+    * so scoring is a map-side semi-join + one doc_id aggregate. Final
+    * top-k is the bounded mergeable TopKAgg — no global sort.
+    * Cross-engine parity: idf is floored to integer micro-nats BEFORE
+    * the per-doc sum (integer sums are order-independent; the
+    * unigram-LM playbook), and the score re-derives from the integer.
+    */
+  def moreLikeThis(spark: SparkSession, dir: String, seedId: Long = 7,
+                   nTerms: Int = 5, k: Int = 20): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_toks"),
+        explode(col("toks")).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tc"), first(col("n_toks")).as("n_toks"))
+    val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).cast("double").as("n_docs"))
+    val seedTerms = dfT
+      .join(broadcast(tf.filter(col("doc_id") === seedId)), "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round((col("tc").cast("double") / col("n_toks")) * log(col("n_docs") / col("df")), 6))
+      .withColumn("idf_u", floor(log(col("n_docs") / col("df")) * 1e6).cast("long"))
+      .orderBy(col("tfidf").desc, col("token"))
+      .limit(nTerms)
+      .select(col("token"), col("idf_u"))
+    val topk = graft.plans.TopKAgg.udafFor(k)
+    tf.filter(col("doc_id") =!= seedId)
+      .join(broadcast(seedTerms), "token")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tc") * col("idf_u")).as("s_u"))
+      .agg(topk(col("doc_id"), col("s_u").cast("double")).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col._2").as("doc_id"),
+        (col("col._1") / 1e6).as("score"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy(col("rank"))
+  }
+
+  val moreLikeThisSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_toks,
+      |    unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, token, count(*) AS tc, any_value(n_toks) AS n_toks
+      |  FROM toks GROUP BY doc_id, token),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+      |seed AS (
+      |  SELECT df.token,
+      |    round((CAST(tc AS DOUBLE) / n_toks) * ln(n_docs / df), 6) AS tfidf,
+      |    CAST(floor(ln(n_docs / df) * 1000000) AS BIGINT) AS idf_u
+      |  FROM df JOIN tf USING (token) CROSS JOIN n
+      |  WHERE tf.doc_id = 7
+      |  ORDER BY tfidf DESC, df.token
+      |  LIMIT 5),
+      |scored AS (
+      |  SELECT tf.doc_id, CAST(sum(tc * idf_u) AS BIGINT) AS s_u
+      |  FROM tf JOIN seed USING (token)
+      |  WHERE tf.doc_id <> 7
+      |  GROUP BY 1),
+      |ranked AS (
+      |  SELECT doc_id, s_u / 1000000.0 AS score,
+      |    row_number() OVER (ORDER BY s_u DESC, doc_id) AS rank
+      |  FROM scored)
+      |SELECT doc_id, score, CAST(rank AS BIGINT) AS rank
+      |FROM ranked WHERE rank <= 20
+      |ORDER BY rank""".stripMargin
+
   /** C3b — relevance-RANKED full-text search: BM25 (Robertson/Spärck
     * Jones, the scoring OpenSearch's `match` query uses; k1=1.2,
     * b=0.75). The boolean `search` query answers "which docs match";
