@@ -630,4 +630,56 @@ object Dedup {
       |FROM paras p JOIN counts c USING (h)
       |GROUP BY p.doc_id
       |ORDER BY doc_id""".stripMargin
+
+  /** E22 core — SemDeDup's within-cell keep rule (public anchor: Abbas
+    * et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication", arXiv:2303.09540). Input: one row
+    * per vector with its cell assignment and centroid similarity
+    * `c_sim`. A vector is DROPPED iff some same-cell neighbor above the
+    * cosine threshold ranks more keepable — the paper keeps the member
+    * with the LOWEST centroid similarity (retains the most diverse
+    * representative), tie-broken on id. The keep rule is a per-row
+    * existential test: one cell-keyed left-semi join mines the dropped
+    * set, one left-anti subtracts it — no connected components, exactly
+    * the paper's per-neighborhood semantics.
+    *
+    * Candidate pairs are CELL-bounded: the self-join is an equi-join on
+    * cell, so pair volume is Σ|cell|² — at 100 TB, nCells scales with
+    * the corpus (the paper runs 50k clusters on LAION) to keep cells
+    * bounded, and the equi-join shuffles each cell to one task (AQE
+    * skew-split handles hot cells).
+    */
+  def semanticDedupWithin(cells: DataFrame, tau: Double): DataFrame = {
+    val b = cells.select(col("cell").as("b_cell"), col("n_id").as("b_id"),
+      col("n_emb").as("b_emb"), col("c_sim").as("b_cs"))
+    val dropped = cells.join(b,
+        col("cell") === col("b_cell") && col("n_id") =!= col("b_id") &&
+          CosineSim(col("n_emb"), col("b_emb")) >= tau &&
+          (col("b_cs") < col("c_sim") ||
+            (col("b_cs") === col("c_sim") && col("b_id") < col("n_id"))),
+        "left_semi")
+      .select(col("n_id"))
+    cells.join(dropped, Seq("n_id"), "left_anti")
+      .select(col("n_id"), col("cell"), col("c_sim"))
+      .orderBy(col("n_id"))
+  }
+
+  /** E22 — semantic dedup over the embeddings corpus: the E7 IVF cell
+    * machinery supplies the k-means cells (seeded, deterministic), the
+    * centroid-similarity ranking, and the cell-bounded candidate
+    * generation. τ = 0.4 is calibrated to this table's planted near-dup
+    * level (the same threshold E5's pairwise kernel mines at; real
+    * text/image embeddings run ~0.9+). ☆ no_oracle — DuckDB cannot
+    * replicate the k-means fit; SemDedupSpec pins the keep rule on
+    * planted cells and the end-to-end path on real data.
+    */
+  def semanticDedup(spark: SparkSession, dir: String, nCells: Int = 16,
+                    tau: Double = 0.4): DataFrame = {
+    CosineSim.register(spark)
+    val (corpusCells, centroids) = Similarity.ivfParts(spark, dir, nCells)
+    val cells = corpusCells.join(broadcast(centroids), "cell")
+      .withColumn("c_sim", round(CosineSim(col("n_emb"), col("centroid")), 6))
+      .select(col("cell"), col("n_id"), col("n_emb"), col("c_sim"))
+    semanticDedupWithin(cells, tau)
+  }
 }
