@@ -7,13 +7,18 @@ import org.apache.spark.sql.SparkSession
   * The driver parses that line from a FINITE tail-capture of process
   * output — a ~2.2 KB line lost its head once the query count grew, so
   * the line is kept aggressively small:
-  *   - per-query values are INTEGER MILLISECONDS (`"datehis":272`), with
-  *     `"qunit":"ms"` declaring the unit; the headline `value` stays in
-  *     seconds per the driver contract;
+  *   - per-query values are INTEGER MILLISECONDS (`"dah":272`); the
+  *     headline `value` stays in seconds per the driver contract (the
+  *     round-5 `"qunit":"ms"` marker was redundant with it and is
+  *     dropped — the lossless copy below carries the full precision);
   *   - keys are deterministic abbreviations of the query names: strip
-  *     the `q_` prefix, then 3 chars of the first `_`-word + 2 of each
-  *     later word (single-word names keep 5); verified collision-free,
-  *     with a numeric suffix as a safeguard if a future name collides.
+  *     the `q_` prefix, then 2 chars of the first `_`-word + 1 of each
+  *     later word (single-word names keep 3), numeric-suffixed on
+  *     collision. Measured 1.31 KB at 119 queries; projected ~1.48 KiB
+  *     at 140 realistic names — inside the ≤1.6 KB envelope that has
+  *     always parsed. The next step, if the count ever nears 150, is
+  *     the two-array form (`"qk":"a,b,…","qv":[…]`, ~-280 bytes) —
+  *     decided now so it never blocks a round again.
   * The FULL names and 3-decimal-second timings are always written to
   * `bench_out.json` in the working directory as the lossless copy, and
   * the line is printed after `spark.stop()` so no log output follows it.
@@ -24,15 +29,16 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private def ms3(v: Double): Double = math.round(v * 1000) / 1000.0
 
-  /** q_date_histogram_filled -> dathifi ; q_search -> searc.
-    * First word keeps 3 chars, later words 2, single-word names 5 —
-    * verified collision-free at 110 queries (~1.4 KB line), with
-    * headroom to ~130 before nearing the ~1.8 KB that last parsed.
+  /** q_date_histogram_filled -> dahf ; q_search -> sea.
+    * First word keeps 2 chars, later words 1, single-word names 3;
+    * collisions get a numeric suffix from the sorted-name order (the
+    * suffix assignment is stable across rounds as long as names sort
+    * the same; bench_out.json is the authoritative name map).
     */
   private[graft] def shortKey(name: String): String = {
     val ws = name.stripPrefix("q_").split('_')
-    if (ws.length == 1) ws(0).take(5)
-    else ws(0).take(3) + ws.iterator.drop(1).map(_.take(2)).mkString
+    if (ws.length == 1) ws(0).take(3)
+    else ws(0).take(2) + ws.iterator.drop(1).map(_.take(1)).mkString
   }
 
   def main(args: Array[String]): Unit = {
@@ -98,7 +104,7 @@ object Bench {
     val total = ms3(results.flatMap(_._2).sum)
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","qunit":"ms","queries":$qs,"sf":$sfNum}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sfNum}"""
     // Lossless copy on disk: FULL query names, seconds at 3 decimals.
     try {
       val fullQs = results.map { case (name, v) =>

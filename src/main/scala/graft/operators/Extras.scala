@@ -237,55 +237,47 @@ object Extras {
     * the global index is invariant to where the cuts land because the
     * ordering is total (callers must pass a unique sort key).
     *
-    * The sort is paid ONCE: per-partition sizes are counted on the
-    * UNSORTED shuffle output (the partitioner alone fixes them), and
-    * the single sorted pass reuses that shuffle's map files (both jobs
-    * hang off the same RDD lineage) while stamping each partition's
-    * prefix offset. The earlier `zipWithIndex` shape ran the post-
-    * shuffle sort twice — once inside zipWithIndex's size job, once in
-    * the real pass. The local sort is in-memory per range partition;
-    * `parts` tracks cluster parallelism, so partitions stay at N/parts
-    * rows — the same working set a window task would hold.
+    * The whole thing is ONE SQL-visible query, fully codegen'd — no
+    * RDD drop, no driver collect:
+    *   1. range-shuffle + in-partition sort, then stamp
+    *      `monotonically_increasing_id()` — its documented layout
+    *      (partition index in the upper bits, a 0-based row counter in
+    *      the lower 33) gives (pid, local_rank) for free in row order;
+    *   2. per-pid counts feed a `parts`-row cumulative window — the
+    *      only single-partition step, over one row PER RANGE PARTITION
+    *      (thousands at cluster scale, never data-sized) — yielding
+    *      each partition's prefix offset and the global total;
+    *   3. a broadcast join on pid stamps rank = offset + local + 1 and
+    *      `n_rows` (callers need N for percent_rank/ntile arithmetic).
     *
-    * Returns the ranked frame plus the total row count (free from the
-    * size pass — callers need N for percent_rank/ntile arithmetic and
-    * would otherwise pay a separate counting scan).
+    * The shuffle+sort is paid once: both consumers (counts and the
+    * final stamping) sit over the SAME range exchange, which Spark
+    * de-duplicates via ReusedExchange (windowRanks' EntrySpec test
+    * asserts it). Determinism does not hinge on that reuse, though:
+    * the caller passes a TOTAL sort order, so per-partition row order
+    * — and therefore every stamped id — is identical on any
+    * re-evaluation. The explicit numPartitions pins the partitioning
+    * against AQE re-planning (REPARTITION_BY_NUM is never coalesced),
+    * keeping pid meanings identical across the two sides of the join.
     */
-  private def rankedByRange(df: DataFrame, sortCols: Seq[String]): (DataFrame, Long) = {
-    val spark = df.sparkSession
-    val parts = math.max(spark.sparkContext.defaultParallelism / 2, 2)
-    val parted = df.repartitionByRange(parts, sortCols.map(col): _*)
-    val rdd0 = parted.rdd
-    val sizes = rdd0
-      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = sizes.scanLeft(0L)(_ + _)
-    val idxs = sortCols.map(df.schema.fieldIndex).toArray
-    val ord: Ordering[org.apache.spark.sql.Row] =
-      new Ordering[org.apache.spark.sql.Row] {
-        def compare(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row): Int = {
-          var i = 0
-          while (i < idxs.length) {
-            val x = a.get(idxs(i)); val y = b.get(idxs(i))
-            val c =
-              if (x == null && y == null) 0
-              else if (x == null) -1
-              else if (y == null) 1
-              else x.asInstanceOf[Comparable[Any]].compareTo(y)
-            if (c != 0) return c
-            i += 1
-          }
-          0
-        }
-      }
-    val outSchema = df.schema.add("rank", org.apache.spark.sql.types.LongType)
-    val rdd = rdd0.mapPartitionsWithIndex { (pid, it) =>
-      var r = offsets(pid)
-      it.toArray.sorted(ord).iterator.map { row =>
-        r += 1; org.apache.spark.sql.Row.fromSeq(row.toSeq :+ r)
-      }
-    }
-    (spark.createDataFrame(rdd, outSchema), offsets.last)
+  private def rankedByRange(df: DataFrame, sortCols: Seq[String]): DataFrame = {
+    val parts = math.max(df.sparkSession.sparkContext.defaultParallelism / 2, 2)
+    val localMask = (1L << 33) - 1
+    val stamped = df
+      .repartitionByRange(parts, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .withColumn("mid", monotonically_increasing_id())
+      .withColumn("pid", shiftright(col("mid"), 33))
+    val cumW = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = stamped.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(cumW), lit(0L)))
+      .withColumn("n_rows", sum(col("cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("pid"), col("off"), col("n_rows"))
+    stamped.join(broadcast(offsets), "pid")
+      .withColumn("rank", col("off") + col("mid").bitwiseAND(lit(localMask)) + 1)
+      .drop("mid", "pid", "off")
   }
 
   /** C22 — distribution ranks: quartile (ntile), percent_rank and
@@ -300,9 +292,7 @@ object Extras {
   def windowRanks(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_acctbal"))
-    val (ranked, nRows) = rankedByRange(base, Seq("c_acctbal", "c_custkey"))
-    ranked
-      .withColumn("n_rows", lit(nRows))
+    rankedByRange(base, Seq("c_acctbal", "c_custkey"))
       // ntile(4): q = N div 4 rows per bucket, first r = N mod 4
       // buckets take one extra row (greatest() guards the DIV when
       // q = 0 — that branch is unreachable then, but ANSI division

@@ -39,4 +39,15 @@ class EntrySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
       s"no equi-join on the /16 bucket in:\n$plan")
   }
+
+  test("q_window_ranks is SQL-native: no RDD scan, range shuffle paid once") {
+    val df = graft.operators.Extras.windowRanks(spark, TestSpark.sf)
+    df.collect() // finalize the adaptive plan before inspecting it
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan ExistingRDD") && !plan.contains("RDDScan"),
+      s"RDD drop in:\n$plan")
+    // both consumers of the range exchange (per-pid counts and the rank
+    // stamping) must share ONE shuffle
+    assert(plan.contains("ReusedExchange"), s"range exchange not reused in:\n$plan")
+  }
 }
