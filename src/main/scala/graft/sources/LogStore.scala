@@ -212,6 +212,24 @@ object LogStore {
   def readAlias(spark: SparkSession, aliasFile: String): DataFrame =
     spark.read.parquet(resolveAlias(spark, aliasFile))
 
+  /** A13 — federated read: one query over SEVERAL aliased stores
+    * (Discover's "Change index pattern" selecting a multi-index
+    * pattern, README:312). Stores are unioned by column NAME with
+    * missing columns null-filled, so schema evolution across stores
+    * behaves like the single-store mergeSchema read (A7). Filters
+    * above the union are pushed into EVERY branch by Catalyst, so a
+    * log_date predicate still prunes partitions independently in each
+    * store — federation costs no pruning (LogStoreSpec proves it on
+    * per-branch scan file counts).
+    */
+  def readAliases(spark: SparkSession, aliasFiles: Seq[String]): DataFrame = {
+    require(aliasFiles.nonEmpty, "readAliases needs at least one alias")
+    aliasFiles
+      .map(f => spark.read.option("mergeSchema", "true")
+        .parquet(resolveAlias(spark, f)))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Retention: drop whole log_date partitions older than `beforeDate`
     * — the lifecycle half of the reference's daily index rotation
     * (README:30), where indexes age out after their retention window.

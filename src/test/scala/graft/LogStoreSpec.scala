@@ -148,6 +148,44 @@ class LogStoreSpec extends AnyFunSuite {
     assert(LogStore.readAlias(spark, alias).count() == 6)
   }
 
+  test("federated alias read: schema-merged union with pruning intact in every store") {
+    val base = Files.createTempDirectory("graft-fed").toString
+    // two stores with drifted schemas: store B grew a `region` column
+    val a = (1 to 4).map(i =>
+        (s"1.1.1.$i", java.sql.Timestamp.valueOf(s"2024-04-0${i % 2 + 1} 0$i:00:00"), 200L))
+      .toDF("ip", "ts", "status").withColumn("source", lit("ec2"))
+    val b = (1 to 4).map(i =>
+        (s"2.2.2.$i", java.sql.Timestamp.valueOf(s"2024-04-0${i % 2 + 1} 0$i:00:00"), 500L, "eu"))
+      .toDF("ip", "ts", "status", "region").withColumn("source", lit("lambda"))
+    LogStore.write(a, s"$base/storeA")
+    LogStore.write(b, s"$base/storeB")
+    LogStore.setAlias(spark, s"$base/a.alias", s"$base/storeA")
+    LogStore.setAlias(spark, s"$base/b.alias", s"$base/storeB")
+
+    val fed = LogStore.readAliases(spark, Seq(s"$base/a.alias", s"$base/b.alias"))
+    assert(fed.count() == 8)
+    // schema merge: store A rows surface the missing column as null
+    assert(fed.filter(col("region").isNull).count() == 4)
+    assert(fed.filter(col("region") === "eu").count() == 4)
+
+    // a date predicate above the union prunes partitions in BOTH stores
+    def branchFiles(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => ad.executedPlan
+        case p => p
+      }
+      plan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s.metrics("numFiles").value
+      }
+    }
+    val all = branchFiles(fed)
+    val pruned = branchFiles(fed.filter(col("log_date") === lit("2024-04-01")))
+    assert(all.size == 2 && pruned.size == 2)
+    assert(pruned.zip(all).forall { case (p, t) => p > 0 && p < t },
+      s"pruned=$pruned all=$all — a branch lost partition pruning")
+  }
+
   test("json-lines and csv readers honor the explicit schema") {
     val dir = Files.createTempDirectory("graft-fmt").toString
     java.nio.file.Paths.get(dir)
