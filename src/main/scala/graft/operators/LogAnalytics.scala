@@ -361,6 +361,67 @@ object LogAnalytics {
       |WHERE r = 1
       |ORDER BY user_id""".stripMargin
 
+  // ---- C2g: range aggregation -----------------------------------------
+
+  /** C2g — range agg (OpenSearch `range` with explicit bounds): value
+    * buckets with irregular, user-supplied edges — the latency-band /
+    * price-band dashboard tile that a fixed-interval histogram (C16)
+    * can't express. One conditional bucket label in the scan projection
+    * + one map-side-combined aggregate; the float sum is rounded per
+    * the cross-partition-order playbook.
+    */
+  def rangeAgg(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = when(col("value") < 50, "*-50")
+      .when(col("value") < 200, "50-200")
+      .when(col("value") < 500, "200-500")
+      .otherwise("500-*")
+    Tables.events(spark, dir)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("bucket"))
+  }
+
+  val rangeAggSql: String =
+    """SELECT CASE WHEN value < 50 THEN '*-50'
+      |            WHEN value < 200 THEN '50-200'
+      |            WHEN value < 500 THEN '200-500'
+      |            ELSE '500-*' END AS bucket,
+      |  count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
+  // ---- C3g: search_after deep pagination -------------------------------
+
+  /** C3g — search_after: cursor pagination over a sorted hit list (the
+    * scalable replacement for from+size deep paging — OpenSearch
+    * forbids from beyond 10k precisely because a global skip-sort
+    * cannot scale). The cursor is the LAST HIT's sort key, so the page
+    * predicate `(value, event_id) after (v0, e0)` filters BEFORE the
+    * top-k: Spark plans orderBy+limit as TakeOrderedAndProject (a
+    * per-partition heap + k-row merge), and the value half of the
+    * cursor is a pushable range predicate — each page reads less, not
+    * more, as paging deepens.
+    */
+  def searchAfter(spark: SparkSession, dir: String,
+                  afterValue: Double = 400.0, afterId: Long = 0L,
+                  pageSize: Int = 20): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "click" &&
+        (col("value") < afterValue ||
+          (col("value") === afterValue && col("event_id") > afterId)))
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("value").desc, col("event_id"))
+      .limit(pageSize)
+
+  val searchAfterSql: String =
+    """SELECT event_id, user_id, value
+      |FROM events
+      |WHERE event_type = 'click'
+      |  AND (value < 400.0 OR (value = 400.0 AND event_id > 0))
+      |ORDER BY value DESC, event_id
+      |LIMIT 20""".stripMargin
+
   // ---- C3f: search-result highlighting --------------------------------
 
   /** C3f — hit highlighting: the snippet Discover renders beside every

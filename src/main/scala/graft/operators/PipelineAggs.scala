@@ -153,4 +153,45 @@ object PipelineAggs {
       |  FROM events)
       |WHERE hit_rank <= 2
       |ORDER BY event_type, hit_rank""".stripMargin
+
+  /** C45d — sibling bucket aggregations (avg_bucket / min_bucket /
+    * max_bucket / sum_bucket / stats_bucket): one scalar summary OVER
+    * the parent histogram's bucket metric. The day series is already
+    * the bounded aggregate, so the sibling pass is a single-row
+    * reduction of ≤ days rows; counts are integers, so the average is
+    * one deterministic int/int division — no float-order management
+    * needed.
+    */
+  def bucketStats(spark: SparkSession, dir: String): DataFrame =
+    dailyBuckets(spark, dir)
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("n")).as("sum_n"),
+        min(col("n")).as("min_n"),
+        max(col("n")).as("max_n"),
+        (sum(col("n")).cast("double") / count(lit(1))).as("avg_n"))
+
+  val bucketStatsSql: String =
+    s"""WITH b AS ($dailyBucketsSql)
+       |SELECT count(*) AS n_buckets,
+       |  CAST(sum(n) AS BIGINT) AS sum_n, min(n) AS min_n, max(n) AS max_n,
+       |  CAST(sum(n) AS DOUBLE) / count(*) AS avg_n
+       |FROM b""".stripMargin
+
+  /** C45e — bucket_sort: reorder and TRUNCATE the parent's buckets by a
+    * sibling metric (the "worst 5 days by error count" dashboard tile).
+    * Runs on the bounded day series, and Spark plans orderBy+limit as
+    * TakeOrderedAndProject (a top-k heap, no global sort) — the same
+    * shape it would keep if the parent series were larger.
+    */
+  def bucketSort(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    dailyBuckets(spark, dir)
+      .select(col("day"), col("n"), col("n_err"))
+      .orderBy(col("n_err").desc, col("day"))
+      .limit(k)
+
+  val bucketSortSql: String =
+    s"""WITH b AS ($dailyBucketsSql)
+       |SELECT day, n, n_err
+       |FROM b ORDER BY n_err DESC, day LIMIT 5""".stripMargin
 }

@@ -193,4 +193,86 @@ object Stats {
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
+
+  /** C5h — median_absolute_deviation (OpenSearch `median_absolute_
+    * deviation` agg, exact flavor): MAD = median(|x − median(x)|) per
+    * group. Two grouped exact-percentile passes with the tiny per-group
+    * median BROADCAST back between them — the fact table shuffles on
+    * the group key twice, never globally. Determinism: quantities are
+    * integral doubles, so the interpolated median is x or x+0.5 exactly
+    * and deviations stay exact halves — both engines compute identical
+    * bits with no quantization needed.
+    */
+  def mad(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity"))
+    val med = q.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("med_qty"))
+    q.join(broadcast(med), "l_returnflag")
+      .select(col("l_returnflag"), col("med_qty"),
+        abs(col("l_quantity") - col("med_qty")).as("dev"))
+      .groupBy(col("l_returnflag"))
+      .agg(first(col("med_qty")).as("med_qty"),
+        expr("percentile(dev, 0.5)").as("mad_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val madSql: String =
+    """WITH med AS (
+      |  SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med_qty
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l.l_returnflag, any_value(med_qty) AS med_qty,
+      |  quantile_cont(abs(l_quantity - med_qty), 0.5) AS mad_qty
+      |FROM lineitem l JOIN med USING (l_returnflag)
+      |GROUP BY l.l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** C5i — string_stats (OpenSearch `string_stats` agg with
+    * show_distribution's entropy): count, length min/max/avg, and the
+    * Shannon entropy of the field's CHARACTER distribution. Lengths
+    * aggregate in one pass; entropy needs the per-character counts —
+    * a second aggregate over exploded characters, whose key space is
+    * the alphabet (bounded), so the explode collapses map-side.
+    * Cross-engine floats: each character class's −p·ln(p) term is
+    * computed from INTEGER (c, n) identically in both engines and
+    * floored to integer micro-nats BEFORE the sum (the unigram-LM
+    * playbook) — the final entropy re-derives from that integer sum.
+    */
+  def stringStats(spark: SparkSession, dir: String, field: String = "event_type"): DataFrame = {
+    val vals = Tables.events(spark, dir).select(col(field).as("s"))
+    val lens = vals.agg(
+      count(lit(1)).as("n_values"),
+      min(length(col("s"))).cast("long").as("min_len"),
+      max(length(col("s"))).cast("long").as("max_len"),
+      (sum(length(col("s"))).cast("double") / count(lit(1))).as("avg_len"))
+    // the empty-string filter guards Spark's regex-split trailing
+    // artifact; DuckDB's char split never emits one
+    val chars = vals.select(explode(split(col("s"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("ch")).agg(count(lit(1)).as("c"))
+    val entropy = chars
+      .crossJoin(broadcast(chars.agg(sum(col("c")).as("n"))))
+      .select(floor((col("c").cast("double") / col("n")) *
+        log(col("n").cast("double") / col("c")) * 1e6).cast("long").as("e_u"))
+      .agg((sum(col("e_u")).cast("double") / 1e6).as("entropy"))
+    lens.crossJoin(broadcast(entropy))
+  }
+
+  val stringStatsSql: String =
+    """WITH chars AS (
+      |  SELECT ch, count(*) AS c
+      |  FROM events, unnest(string_split(event_type, '')) AS t(ch)
+      |  GROUP BY ch),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM chars),
+      |ent AS (
+      |  SELECT CAST(sum(CAST(floor((CAST(c AS DOUBLE) / n) *
+      |      ln(CAST(n AS DOUBLE) / c) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000
+      |    AS entropy
+      |  FROM chars CROSS JOIN tot)
+      |SELECT count(*) AS n_values,
+      |  CAST(min(len(event_type)) AS BIGINT) AS min_len,
+      |  CAST(max(len(event_type)) AS BIGINT) AS max_len,
+      |  CAST(sum(len(event_type)) AS DOUBLE) / count(*) AS avg_len,
+      |  any_value(entropy) AS entropy
+      |FROM events CROSS JOIN ent""".stripMargin
 }

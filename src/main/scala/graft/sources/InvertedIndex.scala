@@ -147,6 +147,46 @@ object InvertedIndex {
       |WHERE len(list_filter(range(1, len(ws)), i -> ws[i] = 'hash' AND ws[i+1] = 'join')) > 0
       |ORDER BY doc_id""".stripMargin
 
+  /** C50c — span_near (OpenSearch span_near / intervals query): the
+    * two terms within `slop` positions, in order — the generalization
+    * of the phrase query's adjacency. Same two pruned posting reads +
+    * doc_id join; the span count folds over the position lists with a
+    * higher-order aggregate (codegen'd array kernel, no explode):
+    * n_span = Σ_{x∈p1} |{y∈p2 : x < y ≤ x+slop}|.
+    */
+  def searchNear(spark: SparkSession, dir: String,
+                 t1: String = "hash", t2: String = "join", slop: Int = 3): DataFrame = {
+    val path = ensureIndex(spark, dir)
+    val p1 = postings(spark, path, t1).select(col("doc_id"), col("positions").as("p1"))
+    val p2 = postings(spark, path, t2).select(col("doc_id"), col("positions").as("p2"))
+    p1.join(p2, "doc_id")
+      .withColumn("n_span",
+        aggregate(col("p1"), lit(0),
+          (acc, x) => acc + size(filter(col("p2"), y => y > x && y <= x + slop)))
+          .cast("long"))
+      .filter(col("n_span") > 0)
+      .select(col("doc_id"), col("n_span"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Replica recomputes positions from the text (1-based; the constant
+    * shift cancels in the distance test).
+    */
+  val searchNearSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |pos AS (
+      |  SELECT doc_id,
+      |    list_filter(range(1, len(ws) + 1), i -> ws[i] = 'hash') AS p1,
+      |    list_filter(range(1, len(ws) + 1), i -> ws[i] = 'join') AS p2
+      |  FROM toks)
+      |SELECT doc_id,
+      |  CAST(coalesce(list_sum(list_transform(p1,
+      |    x -> len(list_filter(p2, y -> y > x AND y <= x + 3)))), 0) AS BIGINT) AS n_span
+      |FROM pos
+      |WHERE CAST(coalesce(list_sum(list_transform(p1,
+      |    x -> len(list_filter(p2, y -> y > x AND y <= x + 3)))), 0) AS BIGINT) > 0
+      |ORDER BY doc_id""".stripMargin
+
   /** C51 — completion/term suggester: top-k index terms for a query-bar
     * prefix, weighted by document frequency (what OpenSearch's term and
     * completion suggesters read from the terms dictionary).
@@ -181,5 +221,41 @@ object InvertedIndex {
       |SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
       |FROM tf GROUP BY token
       |ORDER BY df DESC, token
+      |LIMIT 5""".stripMargin
+
+  /** C51b — term suggester ("did you mean"): dictionary terms within
+    * edit distance `maxDist` of a misspelled term, ranked by distance
+    * then document frequency — OpenSearch's term suggester over the
+    * terms dictionary. The length-window pre-filter (|len(token) −
+    * len(term)| ≤ maxDist, a necessary condition for the edit bound)
+    * prunes the dictionary scan before any DP runs — the standard
+    * candidate cut fuzzy matching uses when no n-gram index exists;
+    * levenshtein then runs only on survivors, and df aggregates only
+    * their posting rows.
+    */
+  def suggestFuzzy(spark: SparkSession, dir: String,
+                   term: String = "jion", maxDist: Int = 2, k: Int = 5): DataFrame = {
+    val path = ensureIndex(spark, dir)
+    spark.read.parquet(path)
+      .filter(abs(length(col("token")) - term.length) <= maxDist &&
+        col("token") =!= term &&
+        levenshtein(col("token"), lit(term)) <= maxDist)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .withColumn("dist", levenshtein(col("token"), lit(term)).cast("long"))
+      .select(col("token"), col("dist"), col("df"))
+      .orderBy(col("dist"), col("df").desc, col("token"))
+      .limit(k)
+  }
+
+  val suggestFuzzySql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, tok AS token
+      |  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+      |  WHERE abs(len(tok) - 4) <= 2 AND tok <> 'jion' AND levenshtein(tok, 'jion') <= 2
+      |  GROUP BY doc_id, tok)
+      |SELECT token, CAST(levenshtein(token, 'jion') AS BIGINT) AS dist, count(*) AS df
+      |FROM tf GROUP BY token
+      |ORDER BY dist, df DESC, token
       |LIMIT 5""".stripMargin
 }
