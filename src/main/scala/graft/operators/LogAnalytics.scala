@@ -391,6 +391,126 @@ object LogAnalytics {
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin
 
+  // ---- C2h: date_range aggregation ------------------------------------
+
+  /** C2h — date_range agg (OpenSearch `date_range`): irregular,
+    * user-supplied DATE bounds — the "this week / last week / older"
+    * dashboard tile C1's fixed interval can't express. Same shape as
+    * C2g: one conditional label in the scan projection, one map-side-
+    * combined aggregate; the timestamp comparisons are pushable range
+    * predicates if a bucket filter is added above.
+    */
+  def dateRangeAgg(spark: SparkSession, dir: String): DataFrame = {
+    def d(s: String) = lit(s).cast("timestamp")
+    val bucket = when(col("ts") < d("2024-01-08"), "*-01-08")
+      .when(col("ts") < d("2024-01-15"), "01-08-01-15")
+      .when(col("ts") < d("2024-01-22"), "01-15-01-22")
+      .otherwise("01-22-*")
+    Tables.events(spark, dir)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("bucket"))
+  }
+
+  val dateRangeAggSql: String =
+    """SELECT CASE WHEN ts < TIMESTAMP '2024-01-08 00:00:00' THEN '*-01-08'
+      |            WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN '01-08-01-15'
+      |            WHEN ts < TIMESTAMP '2024-01-22 00:00:00' THEN '01-15-01-22'
+      |            ELSE '01-22-*' END AS bucket,
+      |  count(*) AS n, count(DISTINCT user_id) AS n_users
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
+  // ---- C2i: missing aggregation ---------------------------------------
+
+  /** C2i — missing agg (OpenSearch `missing`): per bucket, how many
+    * documents LACK a field. The field here is the OS extracted from
+    * the parsed user-agent — curl UAs genuinely carry no OS token, so
+    * the extraction yields null for them (the honest missing-field
+    * case in this corpus, matching OpenSearch's dynamic-mapping
+    * behavior where unparseable fields are simply absent). The whole
+    * parse battery runs in the scan projection; one aggregate.
+    */
+  def missingAgg(spark: SparkSession, dir: String): DataFrame = {
+    val agent = ApacheLog.agent(col("line"))
+    val osOrNull = when(agent.contains("Windows"), "Windows")
+      .when(agent.contains("Mac OS X"), "macOS")
+      .when(agent.contains("Linux") || agent.contains("X11"), "Linux")
+    LogLines.apacheLines(spark, dir)
+      .select(ApacheLog.browser(agent).as("browser"), osOrNull.as("os"))
+      .groupBy(col("browser"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("os").isNull, 1L).otherwise(0L)).as("n_missing"),
+        count(col("os")).as("n_present"))
+      .orderBy(col("browser"))
+  }
+
+  val missingAggSql: String =
+    """SELECT
+      |  CASE user_id % 4 WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Safari'
+      |                   WHEN 2 THEN 'curl' ELSE 'Firefox' END AS browser,
+      |  count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN user_id % 4 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+      |  CAST(sum(CASE WHEN user_id % 4 = 2 THEN 0 ELSE 1 END) AS BIGINT) AS n_present
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY browser""".stripMargin
+
+  // ---- C2k: sampler / diversified_sampler -----------------------------
+
+  /** C2k — sampler + diversified_sampler aggs: a bounded, DETERMINISTIC
+    * per-bucket document sample (OpenSearch's sampler caps docs per
+    * shard; diversified_sampler additionally caps docs per key to
+    * de-bias the sample). Random-but-reproducible order comes from an
+    * md5 over the row id — a seeded hash, not rand(), so both engines
+    * and every rerun agree. The rank windows partition by event_type
+    * (bounded cardinality × depth-k heaps); diversification first
+    * collapses to one best row per (bucket, user) then re-ranks.
+    */
+  def samplerAgg(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val h = md5(concat(lit("smp"), col("event_id").cast("string")))
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("user_id"), h.as("h"))
+    val plain = base
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("h"), col("event_id"))))
+      .filter(col("r") <= k)
+      .select(lit("sampler").as("mode"), col("event_type"), col("event_id"), col("user_id"))
+    val perUser = base
+      .withColumn("ru", row_number().over(
+        Window.partitionBy(col("event_type"), col("user_id")).orderBy(col("h"), col("event_id"))))
+      .filter(col("ru") === 1)
+    val divers = perUser
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("h"), col("event_id"))))
+      .filter(col("r") <= k)
+      .select(lit("diversified").as("mode"), col("event_type"), col("event_id"), col("user_id"))
+    plain.unionByName(divers).orderBy(col("mode"), col("event_type"), col("event_id"))
+  }
+
+  val samplerAggSql: String =
+    """WITH base AS (
+      |  SELECT event_type, event_id, user_id,
+      |    md5(concat('smp', CAST(event_id AS VARCHAR))) AS h
+      |  FROM events),
+      |plain AS (
+      |  SELECT 'sampler' AS mode, event_type, event_id, user_id,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) AS r
+      |  FROM base),
+      |peruser AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type, user_id ORDER BY h, event_id) AS ru
+      |  FROM base),
+      |divers AS (
+      |  SELECT 'diversified' AS mode, event_type, event_id, user_id,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) AS r
+      |  FROM peruser WHERE ru = 1)
+      |SELECT mode, event_type, event_id, user_id FROM plain WHERE r <= 5
+      |UNION ALL
+      |SELECT mode, event_type, event_id, user_id FROM divers WHERE r <= 5
+      |ORDER BY mode, event_type, event_id""".stripMargin
+
   // ---- C3g: search_after deep pagination -------------------------------
 
   /** C3g — search_after: cursor pagination over a sorted hit list (the

@@ -92,4 +92,41 @@ object Network {
       |FROM ips e JOIN blocks b ON e.ip_int BETWEEN b.ip_start AND b.ip_end
       |GROUP BY 1
       |ORDER BY block""".stripMargin
+
+  /** C2l — ip_range agg (OpenSearch `ip_range`): requests bucketed by
+    * user-supplied address ranges — the "which quarter of our address
+    * space" tile, range-keyed like C41 but with FIXED user bounds, so
+    * it needs no block table at all: one conditional label over the
+    * parsed ip's integer form in the scan projection, one map-side-
+    * combined aggregate. Bounds are /10 quarters of the 10.0.0.0/8
+    * space the synthetic fleet lives in.
+    */
+  def ipRangeAgg(spark: SparkSession, dir: String): DataFrame = {
+    val q = 1L << 22 // a /10: quarter of the /8
+    val ipInt = ipToInt(ApacheLog.ip(col("line")))
+    val off = ipInt - lit(10L << 24)
+    val bucket = when(off < q, "10.0.0.0/10")
+      .when(off < 2 * q, "10.64.0.0/10")
+      .when(off < 3 * q, "10.128.0.0/10")
+      .otherwise("10.192.0.0/10")
+    LogLines.apacheLines(spark, dir)
+      .select(bucket.as("bucket"), ipInt.as("ip_int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("ip_int")).as("n_ips"))
+      .orderBy(col("bucket"))
+  }
+
+  val ipRangeAggSql: String =
+    """WITH ips AS (
+      |  SELECT (user_id % 256) * 65536 + (event_id % 250) * 256 + (event_id * 7) % 250 AS off,
+      |         167772160 + (user_id % 256) * 65536 + (event_id % 250) * 256 + (event_id * 7) % 250 AS ip_int
+      |  FROM events)
+      |SELECT CASE WHEN off < 4194304 THEN '10.0.0.0/10'
+      |            WHEN off < 8388608 THEN '10.64.0.0/10'
+      |            WHEN off < 12582912 THEN '10.128.0.0/10'
+      |            ELSE '10.192.0.0/10' END AS bucket,
+      |  count(*) AS n, count(DISTINCT ip_int) AS n_ips
+      |FROM ips
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
 }

@@ -194,4 +194,61 @@ object PipelineAggs {
     s"""WITH b AS ($dailyBucketsSql)
        |SELECT day, n, n_err
        |FROM b ORDER BY n_err DESC, day LIMIT 5""".stripMargin
+
+  /** C5j — top_metrics agg (the metric value at the row with the max
+    * sort field, per bucket — "the latest reading per host" tile;
+    * top_hits returns whole sample documents, top_metrics exactly one
+    * scalar). One `max_by` per bucket — a single map-side-combined
+    * aggregate, no window, no per-bucket sort. The sort key is the
+    * timestamp serialized to a fixed-width string with the unique
+    * event_id appended, so selection is total-ordered and both engines
+    * pick the identical row even on timestamp ties.
+    */
+  def topMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val sortKey = concat(
+      date_format(col("ts"), "yyyyMMddHHmmssSSSSSS"),
+      lpad(col("event_id").cast("string"), 12, "0"))
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("ts")).as("latest_ts"),
+        max_by(col("value"), sortKey).as("latest_value"),
+        max_by(col("user_id"), sortKey).as("latest_user"))
+      .orderBy(col("event_type"))
+  }
+
+  val topMetricsSql: String =
+    """WITH keyed AS (
+      |  SELECT event_type, ts, value, user_id,
+      |    concat(strftime(ts, '%Y%m%d%H%M%S%f'),
+      |           lpad(CAST(event_id AS VARCHAR), 12, '0')) AS sk
+      |  FROM events)
+      |SELECT event_type, max(ts) AS latest_ts,
+      |  arg_max(value, sk) AS latest_value,
+      |  arg_max(user_id, sk) AS latest_user
+      |FROM keyed
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** C45f — normalize pipeline agg (percent_of_sum): each parent
+    * bucket's share of the series total. The total is a one-row
+    * broadcast over the bounded day series; the share divides the
+    * bucket's exact integer count by the exact integer total — one
+    * correctly-rounded IEEE division per bucket, deterministic
+    * cross-engine.
+    */
+  def normalizeAgg(spark: SparkSession, dir: String): DataFrame = {
+    val b = dailyBuckets(spark, dir).select(col("day"), col("n"))
+    b.crossJoin(broadcast(b.agg(sum(col("n")).as("total"))))
+      .select(col("day"), col("n"),
+        (col("n").cast("double") * 100 / col("total")).as("pct_of_sum"))
+      .orderBy(col("day"))
+  }
+
+  val normalizeAggSql: String =
+    s"""WITH b AS ($dailyBucketsSql),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM b)
+       |SELECT day, n, CAST(n AS DOUBLE) * 100 / total AS pct_of_sum
+       |FROM b CROSS JOIN tot
+       |ORDER BY day""".stripMargin
 }

@@ -258,4 +258,78 @@ object InvertedIndex {
       |FROM tf GROUP BY token
       |ORDER BY dist, df DESC, token
       |LIMIT 5""".stripMargin
+
+  /** C51c — phrase suggester ("did you mean" for a whole phrase):
+    * candidate corrections for each word (C51b's length-window +
+    * levenshtein cut over the terms dictionary), with candidate PAIRS
+    * ranked by how often they actually occur ADJACENT in the corpus —
+    * the real-bigram evidence OpenSearch's phrase suggester gets from
+    * its bigram ("shingle") field, served here from the positional
+    * index: the pair frequency is C50b's adjacency fold over the two
+    * candidates' position lists.
+    *
+    * Two-step probe shape: the candidate sets are collected first
+    * (BOUNDED: dictionary terms within maxDist edits of one word —
+    * dozens of rows; the after_key pattern), so the posting read is a
+    * single literal `tb IN (...) AND token IN (...)` probe that
+    * partition- and row-group-prunes exactly like a hand-written term
+    * probe. Without the collect the candidate join would full-scan the
+    * index — the literal probe IS the scalable deployment shape.
+    */
+  def suggestPhrase(spark: SparkSession, dir: String,
+                    w1: String = "hash", w2: String = "jion",
+                    maxDist: Int = 2, k: Int = 3): DataFrame = {
+    val path = ensureIndex(spark, dir)
+    val idx = spark.read.parquet(path)
+    def candidates(w: String): Array[(String, Long)] =
+      idx.filter(abs(length(col("token")) - w.length) <= maxDist &&
+          levenshtein(col("token"), lit(w)) <= maxDist)
+        .select(col("token"),
+          levenshtein(col("token"), lit(w)).cast("long").as("d"))
+        .distinct().collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+    def probe(cand: Array[(String, Long)], tokAs: String, dAs: String): DataFrame = {
+      import spark.implicits._
+      val lookup = broadcast(cand.toSeq.toDF(tokAs, dAs))
+      idx.filter(col("tb").isin(cand.map(c => bucketOf(c._1)).distinct.toSeq: _*) &&
+          col("token").isin(cand.map(_._1).toSeq: _*))
+        .join(lookup, col("token") === col(tokAs))
+        .select(col("doc_id"), col("positions"), col(tokAs), col(dAs))
+    }
+    val (c1, c2) = (candidates(w1), candidates(w2))
+    if (c1.isEmpty || c2.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(String, Long, Long)].toDF("phrase", "dist", "freq")
+    }
+    val p1 = probe(c1, "t1", "d1").withColumnRenamed("positions", "p1")
+    val p2 = probe(c2, "t2", "d2").withColumnRenamed("positions", "p2")
+    p1.join(p2, "doc_id")
+      .withColumn("n_occ",
+        aggregate(col("p1"), lit(0), (acc, x) =>
+          acc + when(array_contains(col("p2"), x + 1), 1).otherwise(0)))
+      .groupBy(col("t1"), col("d1"), col("t2"), col("d2"))
+      .agg(sum(col("n_occ")).as("freq"))
+      .filter(col("freq") > 0)
+      .select(concat(col("t1"), lit(" "), col("t2")).as("phrase"),
+        (col("d1") + col("d2")).as("dist"), col("freq"))
+      .orderBy(col("dist"), col("freq").desc, col("phrase"))
+      .limit(k)
+  }
+
+  val suggestPhraseSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |dict AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents),
+      |c1 AS (SELECT token AS t1, CAST(levenshtein(token, 'hash') AS BIGINT) AS d1
+      |  FROM dict WHERE abs(len(token) - 4) <= 2 AND levenshtein(token, 'hash') <= 2),
+      |c2 AS (SELECT token AS t2, CAST(levenshtein(token, 'jion') AS BIGINT) AS d2
+      |  FROM dict WHERE abs(len(token) - 4) <= 2 AND levenshtein(token, 'jion') <= 2),
+      |big AS (
+      |  SELECT t1, d1, t2, d2,
+      |    CAST(sum(len(list_filter(range(1, len(ws)), i -> ws[i] = t1 AND ws[i+1] = t2))) AS BIGINT) AS freq
+      |  FROM toks CROSS JOIN c1 CROSS JOIN c2
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT concat(t1, ' ', t2) AS phrase, dist, freq
+      |FROM (SELECT *, d1 + d2 AS dist FROM big WHERE freq > 0)
+      |ORDER BY dist, freq DESC, phrase
+      |LIMIT 3""".stripMargin
 }
