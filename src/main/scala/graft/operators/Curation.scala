@@ -360,6 +360,120 @@ object Curation {
     * streaming scan at any scale. Overlap counts are hash-set
     * cardinalities, so the string-based DuckDB oracle agrees.
     */
+  // ---- E23: URL canonicalization + URL-level dedup --------------------
+
+  /** Deterministic raw-URL synthesis from doc columns (the LogLines
+    * pattern: the corpus has no URL column, so one is derived with the
+    * messy variants a crawler actually sees — uppercase hosts, utm_*
+    * tracking params, fragments, trailing slashes, a cdn subdomain).
+    * The oracle derives the expected CANONICAL form straight from the
+    * same columns, so the parse+canonicalize round-trip is verified
+    * without shared code.
+    */
+  private def rawUrl = {
+    val num = col("doc_id")
+    val hostBase = concat(col("source"), lit(".example.com"))
+    val host0 = when(num % 9 === 0, concat(lit("cdn."), hostBase)).otherwise(hostBase)
+    val host = when(num % 5 === 0, upper(host0)).otherwise(host0)
+    val path = concat(lit("/docs/"), (num % 100).cast("string"),
+      when(num % 4 === 0, "/").otherwise(""))
+    val query = when(num % 6 === 0, "?ref=kept&utm_campaign=x")
+      .when(num % 3 === 0, "?utm_source=feed")
+      .otherwise("")
+    val frag = when(num % 7 === 0, "#sec2").otherwise("")
+    concat(lit("https://"), host, path, query, frag)
+  }
+
+  /** E23 — URL canonicalization + exact URL dedup (the FIRST dedup
+    * stage of every web-crawl pipeline — e.g. Common Crawl dedups on
+    * canonical URL before any content pass). Canonicalize = lowercase
+    * host, drop the fragment, strip utm_* tracking params (keeping
+    * real params), strip the trailing slash — all `parse_url` + array
+    * builtins in the scan projection. Dedup = one groupBy on the
+    * canonical key keeping the smallest doc_id (deterministic keeper),
+    * exactly E1's shape with the canonical URL as the hash key.
+    */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val url = rawUrl
+    val host = lower(parse_url(url, lit("HOST")))
+    val path = regexp_replace(parse_url(url, lit("PATH")), "/$", "")
+    val keptQ = array_join(
+      filter(split(parse_url(url, lit("QUERY")), "&"),
+        t => !t.startsWith("utm_")), "&")
+    val canon = concat(lit("https://"), host, path,
+      when(keptQ.isNotNull && keptQ =!= "", concat(lit("?"), keptQ)).otherwise(""))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), canon.as("url_canon"))
+      .groupBy(col("url_canon"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_variants"))
+      .orderBy(col("url_canon"))
+  }
+
+  val urlDedupSql: String =
+    """WITH canon AS (
+      |  SELECT doc_id,
+      |    concat('https://',
+      |      CASE WHEN doc_id % 9 = 0 THEN 'cdn.' ELSE '' END,
+      |      source, '.example.com/docs/', CAST(doc_id % 100 AS VARCHAR),
+      |      CASE WHEN doc_id % 6 = 0 THEN '?ref=kept' ELSE '' END) AS url_canon
+      |  FROM documents)
+      |SELECT url_canon, min(doc_id) AS keeper, count(*) AS n_variants
+      |FROM canon
+      |GROUP BY url_canon
+      |ORDER BY url_canon""".stripMargin
+
+  /** E24 — domain blocklist filter (the quality pipeline's allowlist/
+    * blocklist pass): a host is blocked when it EQUALS a blocklist
+    * entry or is a subdomain of one (dot-suffix match — the public-
+    * suffix rule, not substring match: "example.com" must not block
+    * "notexample.com"). The blocklist is a literal array broadcast
+    * into the scan as an `exists` over suffix tests — zero joins,
+    * zero shuffles before the summary aggregate.
+    */
+  def domainFilter(spark: SparkSession, dir: String,
+                   blocklist: Seq[String] = Seq("src3.example.com", "src7.example.com")): DataFrame = {
+    val host = lower(parse_url(rawUrl, lit("HOST")))
+    val entries = array(blocklist.map(lit): _*)
+    val blocked = exists(entries,
+      b => host === b || host.endsWith(concat(lit("."), b)))
+    Tables.documents(spark, dir)
+      .select(col("source"), blocked.as("blocked"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked"))
+      .orderBy(col("source"))
+  }
+
+  val domainFilterSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN source IN ('src3', 'src7') THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  /** E25 — seeded deterministic global shuffle (every training run
+    * needs a reproducible corpus order — same seed, same order, on
+    * any engine at any parallelism). Order key = md5(seed ‖ doc_id);
+    * the global position comes from the distributed range-partitioned
+    * rank (Extras.rankedByRange — per-partition offsets + local ids),
+    * NOT a single-partition row_number: a global sort at 100 TB is a
+    * range-partitioned sort, and this is exactly that plan.
+    */
+  def shuffleOrder(spark: SparkSession, dir: String, seed: String = "seed42"): DataFrame =
+    Extras.rankedByRange(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          md5(concat(lit(seed + "-"), col("doc_id").cast("string"))).as("h")),
+      Seq("h", "doc_id"))
+      .select(col("doc_id"), col("rank").as("pos"))
+      .orderBy(col("pos"))
+
+  val shuffleOrderSql: String =
+    """SELECT doc_id,
+      |  CAST(row_number() OVER (ORDER BY md5(concat('seed42-', CAST(doc_id AS VARCHAR))), doc_id) AS BIGINT) AS pos
+      |FROM documents
+      |ORDER BY pos""".stripMargin
+
   def contamination(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
     val docs = Tables.atComputeParallelism(Tables.documents(spark, dir))
       .filter(size(split(col("text"), " ")) >= n)

@@ -260,7 +260,7 @@ object Extras {
     * against AQE re-planning (REPARTITION_BY_NUM is never coalesced),
     * keeping pid meanings identical across the two sides of the join.
     */
-  private def rankedByRange(df: DataFrame, sortCols: Seq[String]): DataFrame = {
+  private[operators] def rankedByRange(df: DataFrame, sortCols: Seq[String]): DataFrame = {
     val parts = math.max(df.sparkSession.sparkContext.defaultParallelism / 2, 2)
     val localMask = (1L << 33) - 1
     val stamped = df
