@@ -14,11 +14,12 @@ import org.apache.spark.sql.SparkSession
   *   - keys are deterministic abbreviations of the query names: strip
   *     the `q_` prefix, then 2 chars of the first `_`-word + 1 of each
   *     later word (single-word names keep 3), numeric-suffixed on
-  *     collision. Measured 1.31 KB at 119 queries; projected ~1.48 KiB
-  *     at 140 realistic names — inside the ≤1.6 KB envelope that has
-  *     always parsed. The next step, if the count ever nears 150, is
-  *     the two-array form (`"qk":"a,b,…","qv":[…]`, ~-280 bytes) —
-  *     decided now so it never blocks a round again.
+  *     collision;
+  *   - at 147 queries the per-query object crossed ~1.57 KB, so the
+  *     reserved two-array step is now taken: `"qk":"a,b,…"` holds the
+  *     comma-joined short keys and `"qv":[…]` the integer-ms medians
+  *     in the same order (~2 bytes/entry saved — no quotes/colon) —
+  *     ~1.27 KB at 147 queries, ~1.4 KB projected at 165.
   * The FULL names and 3-decimal-second timings are always written to
   * `bench_out.json` in the working directory as the lossless copy, and
   * the line is printed after `spark.stop()` so no log output follows it.
@@ -98,13 +99,20 @@ object Bench {
         if (n == 0) k else s"$k$n"
       }
     }
-    val qs = results.zip(shortKeys).map { case ((_, v), k) =>
-      "\"" + k + "\":" + v.map(t => math.round(t * 1000).toString).getOrElse("-1")
-    }.mkString("{", ",", "}")
+    // Two-array form (the compression step the 140-query projection
+    // reserved, taken at 147): "qk" carries the comma-joined short
+    // keys, "qv" the integer-ms medians in the same order — ~2 bytes
+    // per entry under the per-query object (no quotes/colon), keeping
+    // the line ~1.27 KB at 147 queries, ~1.4 KB at 165.
+    // bench_out.json remains the lossless full-name, 3-decimal copy.
+    val qk = shortKeys.mkString(",")
+    val qv = results.map { case (_, v) =>
+      v.map(t => math.round(t * 1000).toString).getOrElse("-1")
+    }.mkString("[", ",", "]")
     val total = ms3(results.flatMap(_._2).sum)
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sfNum}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","qk":"$qk","qv":$qv,"sf":$sfNum}"""
     // Lossless copy on disk: FULL query names, seconds at 3 decimals.
     try {
       val fullQs = results.map { case (name, v) =>

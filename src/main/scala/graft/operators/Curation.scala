@@ -474,6 +474,68 @@ object Curation {
       |FROM documents
       |ORDER BY pos""".stripMargin
 
+  // ---- E26: DSIR-style importance resampling ---------------------------
+
+  /** E26 — importance resampling (DSIR, Xie et al. 2023: select raw
+    * data whose unigram distribution looks like a TARGET corpus, by
+    * importance weight p_target(x)/p_raw(x)). Target here = the
+    * English slice; raw = the whole corpus. Both unigram LMs share one
+    * vocabulary pass: conditional counts give target and raw in the
+    * SAME token aggregate (one shuffle, the E19 shape), each token's
+    * log-ratio is floored to integer micro-nats BEFORE the per-doc sum
+    * (order-independent — the cross-engine float playbook), and the
+    * top-N selection is orderBy+limit = TakeOrderedAndProject, a
+    * bounded heap.
+    */
+  def importanceResample(spark: SparkSession, dir: String, n: Int = 50): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang") === "en", explode(split(col("text"), " ")).as("token"))
+      .toDF("doc_id", "is_tgt", "token")
+    val counts = toks.groupBy(col("token")).agg(
+      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val totals = counts.agg(
+      sum(col("ct")).as("nt"), sum(col("cr")).as("nr"), count(lit(1)).as("v"))
+    // add-1 smoothing on the shared vocabulary; the log-ratio is one
+    // fixed expression over exact integers, so both engines compute
+    // identical doubles before the floor
+    val wMicro = floor(
+      (log((col("ct") + 1).cast("double") / (col("nt") + col("v")).cast("double")) -
+       log((col("cr") + 1).cast("double") / (col("nr") + col("v")).cast("double"))) * 1e6)
+      .cast("long")
+    toks.join(counts.hint("shuffle_hash"), "token")
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(sum(wMicro).as("s"), count(lit(1)).cast("long").as("n_toks"))
+      .select(col("doc_id"), col("n_toks"),
+        (col("s").cast("double") / 1e6).as("log_importance"))
+      .orderBy(col("log_importance").desc, col("doc_id"))
+      .limit(n)
+  }
+
+  val importanceResampleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang = 'en' AS is_tgt,
+      |    unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |counts AS (
+      |  SELECT token,
+      |    CAST(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+      |    count(*) AS cr
+      |  FROM toks GROUP BY token),
+      |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr,
+      |               count(*) AS v FROM counts),
+      |scored AS (
+      |  SELECT t.doc_id, count(*) AS n_toks,
+      |    CAST(sum(CAST(floor((ln(CAST(c.ct + 1 AS DOUBLE) / CAST(tot.nt + tot.v AS DOUBLE)) -
+      |      ln(CAST(c.cr + 1 AS DOUBLE) / CAST(tot.nr + tot.v AS DOUBLE))) * 1000000) AS BIGINT)) AS BIGINT) AS s
+      |  FROM toks t JOIN counts c USING (token) CROSS JOIN tot
+      |  GROUP BY t.doc_id)
+      |SELECT doc_id, n_toks, CAST(s AS DOUBLE) / 1000000.0 AS log_importance
+      |FROM scored
+      |ORDER BY log_importance DESC, doc_id
+      |LIMIT 50""".stripMargin
+
   def contamination(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
     val docs = Tables.atComputeParallelism(Tables.documents(spark, dir))
       .filter(size(split(col("text"), " ")) >= n)

@@ -109,6 +109,36 @@ object Extras {
       |GROUP BY 1
       |ORDER BY bin""".stripMargin
 
+  /** C16b — histogram with extended_bounds (OpenSearch `histogram` +
+    * `extended_bounds`/`min_doc_count: 0`): EMPTY bins materialize over
+    * the user-declared range, so chart axes stay stable when data is
+    * sparse. The bin skeleton is a `spark.range` (20 rows), the counts
+    * are one map-side-combined aggregate, and the gap-fill is a left
+    * join of two bounded aggregates — C31's shape with numeric bins.
+    */
+  def histogramBounds(spark: SparkSession, dir: String,
+                      lo: Long = 0, hi: Long = 1000, width: Long = 50): DataFrame = {
+    val bins = spark.range(lo / width, hi / width)
+      .select((col("id") * width).as("bin"))
+    val counts = Tables.events(spark, dir)
+      .filter(col("value") >= lo && col("value") < hi)
+      .groupBy((floor(col("value") / width) * width).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    bins.join(counts, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("cnt"), lit(0L)).as("n"))
+      .orderBy(col("bin"))
+  }
+
+  val histogramBoundsSql: String =
+    """WITH bins AS (SELECT i * 50 AS bin FROM range(0, 20) t(i)),
+      |counts AS (
+      |  SELECT CAST(floor(value / 50) * 50 AS BIGINT) AS bin, count(*) AS cnt
+      |  FROM events WHERE value >= 0 AND value < 1000
+      |  GROUP BY 1)
+      |SELECT b.bin, coalesce(cnt, 0) AS n
+      |FROM bins b LEFT JOIN counts c ON b.bin = c.bin
+      |ORDER BY b.bin""".stripMargin
+
   /** C18 — as-of join: for every purchase, the latest view by the same
     * user at-or-before the purchase time (attribution: "which page view
     * led to this purchase").

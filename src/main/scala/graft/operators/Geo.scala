@@ -35,6 +35,100 @@ object Geo {
   private val latSql = "((user_id * 13) % 1600) / 10.0 - 80.0"
   private val lonSql = "((event_id * 17) % 3600) / 10.0 - 180.0"
 
+  /** C46b — geohash_grid at precision 4 (OpenSearch's other grid agg —
+    * base-32 geohash cells instead of web-mercator tiles). A geohash
+    * is bit-interleaved lat/lon fractions; the 20 bits (10 lon + 10
+    * lat at precision 4) are extracted and interleaved with pure
+    * integer shift/mask column arithmetic — exact in both engines, no
+    * transcendentals at all — and the base-32 alphabet lookup is an
+    * `element_at` on a literal char array. One codegen'd projection +
+    * one map-side-combined aggregate.
+    */
+  private val b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  def geohashGrid(spark: SparkSession, dir: String): DataFrame = {
+    val nb = 10 // bits per axis at precision 4
+    val lonI = least(floor(round((lonCol + 180.0) / 360.0 * (1 << nb), 9)).cast("long"),
+      lit((1L << nb) - 1))
+    val latI = least(floor(round((latCol + 90.0) / 180.0 * (1 << nb), 9)).cast("long"),
+      lit((1L << nb) - 1))
+    // MSB-first interleave, lon leads (the geohash convention)
+    val combined = (0 until 2 * nb).map { k =>
+      val (src, b) = if (k % 2 == 0) (lonI, nb - 1 - k / 2) else (latI, nb - 1 - k / 2)
+      shiftright(src, b).bitwiseAND(lit(1L)) * lit(1L << (2 * nb - 1 - k))
+    }.reduce(_ + _)
+    val alphabet = array(b32.map(ch => lit(ch.toString)): _*)
+    val hash = concat((0 until 4).map { c =>
+      element_at(alphabet,
+        (shiftright(combined, 5 * (3 - c)).bitwiseAND(lit(31L)) + 1).cast("int"))
+    }: _*)
+    Tables.events(spark, dir)
+      .select(hash.as("geohash"))
+      .groupBy(col("geohash"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("geohash"))
+  }
+
+  val geohashGridSql: String = {
+    val nb = 10
+    val interleave = (0 until 2 * nb).map { k =>
+      val (src, b) = if (k % 2 == 0) ("lon_i", nb - 1 - k / 2) else ("lat_i", nb - 1 - k / 2)
+      s"((($src >> $b) & 1) * ${1L << (2 * nb - 1 - k)})"
+    }.mkString(" + ")
+    val chars = (0 until 4).map { c =>
+      s"substr('$b32', CAST(((combined >> ${5 * (3 - c)}) & 31) AS INT) + 1, 1)"
+    }.mkString(", ")
+    s"""WITH g AS (
+       |  SELECT
+       |    least(CAST(floor(round((($lonSql) + 180.0) / 360.0 * ${1 << nb}, 9)) AS BIGINT), ${(1L << nb) - 1}) AS lon_i,
+       |    least(CAST(floor(round((($latSql) + 90.0) / 180.0 * ${1 << nb}, 9)) AS BIGINT), ${(1L << nb) - 1}) AS lat_i
+       |  FROM events),
+       |c AS (SELECT $interleave AS combined FROM g)
+       |SELECT concat($chars) AS geohash, count(*) AS n
+       |FROM c
+       |GROUP BY 1
+       |ORDER BY geohash""".stripMargin
+  }
+
+  /** C46c — geo_line agg (OpenSearch `geo_line`: the sorted track of a
+    * group's points — fleet paths in dashboards). Points sort by a
+    * fixed-width timestamp+rowid key inside `sort_array` (total order,
+    * tie-proof — the C5j trick), and coordinates stay INTEGER
+    * deci-degrees end to end, so the assembled line string is
+    * byte-identical cross-engine. One groupBy; each track's array is
+    * bounded by the group's own event count.
+    */
+  def geoLine(spark: SparkSession, dir: String, maxUsers: Int = 12): DataFrame = {
+    val latD = (col("user_id") * 13) % 1600 - 800
+    val lonD = (col("event_id") * 17) % 3600 - 1800
+    val sk = concat(
+      date_format(col("ts"), "yyyyMMddHHmmssSSSSSS"),
+      lpad(col("event_id").cast("string"), 12, "0"))
+    val pt = concat(lonD.cast("string"), lit(" "), latD.cast("string"))
+    Tables.events(spark, dir)
+      .filter(col("user_id") < maxUsers)
+      .select(col("user_id"), struct(sk.as("sk"), pt.as("p")).as("kp"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_points"),
+        concat(lit("LINESTRING("),
+          array_join(transform(sort_array(collect_list(col("kp"))),
+            x => x.getItem("p")), ","),
+          lit(")")).as("line"))
+      .orderBy(col("user_id"))
+  }
+
+  val geoLineSql: String =
+    """SELECT user_id, count(*) AS n_points,
+      |  concat('LINESTRING(',
+      |    string_agg(concat(CAST((event_id * 17) % 3600 - 1800 AS VARCHAR), ' ',
+      |                      CAST((user_id * 13) % 1600 - 800 AS VARCHAR)),
+      |               ',' ORDER BY ts, event_id),
+      |    ')') AS line
+      |FROM events
+      |WHERE user_id < 12
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   /** C46 — geotile_grid at zoom z: standard web-mercator (slippy-map)
     * tile indices, the exact arithmetic OpenSearch's geotile_grid keys
     * encode (`z/x/y`).

@@ -251,4 +251,25 @@ object PipelineAggs {
        |SELECT day, n, CAST(n AS DOUBLE) * 100 / total AS pct_of_sum
        |FROM b CROSS JOIN tot
        |ORDER BY day""".stripMargin
+
+  /** C45g — moving_percentiles pipeline agg: a trailing-window exact
+    * median over the parent histogram's metric (the robust cousin of
+    * C15's moving average — outlier days don't drag it). `percentile`
+    * runs as a window aggregate over the bounded day series; counts
+    * are integers, so the interpolated median is n or n+0.5 exactly —
+    * bit-identical cross-engine with no quantization.
+    */
+  def movingPercentile(spark: SparkSession, dir: String): DataFrame =
+    dailyBuckets(spark, dir)
+      .withColumn("p50_7d", expr("percentile(n, 0.5)").over(
+        Window.orderBy(col("day")).rowsBetween(-6, 0)))
+      .select(col("day"), col("n"), col("p50_7d"))
+      .orderBy(col("day"))
+
+  val movingPercentileSql: String =
+    s"""WITH b AS ($dailyBucketsSql)
+       |SELECT day, n,
+       |  quantile_cont(n, 0.5) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS p50_7d
+       |FROM b
+       |ORDER BY day""".stripMargin
 }
