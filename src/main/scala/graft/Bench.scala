@@ -53,6 +53,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // static conf, must precede session creation: the generated-class
+      // cache defaults to 100 entries — thrashing at 152 queries × many
+      // codegen stages each (measured: ~+0.1-0.15 s additive on every
+      // small query once the battery outgrew the cache)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // Warm the JVM before timing: codegen compilation, classloading, and

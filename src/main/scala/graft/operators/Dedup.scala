@@ -33,6 +33,41 @@ object Dedup {
       |GROUP BY 1
       |ORDER BY keep_id""".stripMargin
 
+  /** E27 — dedup audit report (the per-source duplication-rate table
+    * every pipeline run publishes before committing a corpus — which
+    * sources are worth crawling, which are mirror farms). Two exchanges
+    * total: the E1 hash aggregate, then its counts joined back to the
+    * docs on the same hash key (exchange reuse) and rolled up by
+    * source. dup_rate divides two exact integers.
+    */
+  def dedupStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val groups = docs.groupBy(col("h"))
+      .agg(count(lit(1)).as("c"), min(col("doc_id")).as("keeper"))
+    docs.join(groups.hint("shuffle_hash"), "h")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_in_dup_groups"),
+        sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L)).as("n_removed"))
+      .withColumn("dup_rate", col("n_removed").cast("double") / col("n_docs"))
+      .orderBy(col("source"))
+  }
+
+  val dedupStatsSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, source, md5(text) AS h FROM documents),
+      |groups AS (
+      |  SELECT h, count(*) AS c, min(doc_id) AS keeper FROM docs GROUP BY h)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_dup_groups,
+      |  CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_rate
+      |FROM docs JOIN groups USING (h)
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   /** Max docs an LSH/simhash bucket may hold before it is dropped as
     * degenerate (near-constant content). Keeps pair generation from
     * going quadratic on skewed buckets.

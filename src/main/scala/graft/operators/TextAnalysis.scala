@@ -412,6 +412,79 @@ object TextAnalysis {
        |ORDER BY rank""".stripMargin
   }
 
+  /** C3h — terms_set query (OpenSearch `terms_set`: match documents
+    * containing at least `minimum_should_match` of a term list). The
+    * match count is `size(array_intersect(tokens, terms))` — a pure
+    * array expression in the scan projection, ZERO shuffle and zero
+    * explode: the distinct-terms-present semantics (a term counts once
+    * however often it repeats) is exactly what array_intersect
+    * computes.
+    */
+  def termsSet(spark: SparkSession, dir: String,
+               terms: Seq[String] = Seq("spark", "hash", "merge"),
+               minMatch: Int = 2): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(array_intersect(split(col("text"), " "),
+          array(terms.map(lit): _*))).cast("long").as("n_matched"))
+      .filter(col("n_matched") >= minMatch)
+      .orderBy(col("doc_id"))
+
+  val termsSetSql: String =
+    """SELECT doc_id,
+      |  CAST(len(list_intersect(string_split(text, ' '), ['spark', 'hash', 'merge'])) AS BIGINT) AS n_matched
+      |FROM documents
+      |WHERE len(list_intersect(string_split(text, ' '), ['spark', 'hash', 'merge'])) >= 2
+      |ORDER BY doc_id""".stripMargin
+
+  /** C3j — rank_eval (the OpenSearch `_rank_eval` API: score a query's
+    * ranking against relevance judgments). System = C3b's BM25 top-k;
+    * judgments = binary token-presence relevance (docs containing the
+    * held-out term). Metrics: precision@10, recall@10, MRR, DCG@10 —
+    * all computed from integer ranks and counts; the DCG discount
+    * 1/log2(rank+1) is rounded to integer micro-units per rank (small
+    * identical libm inputs) before the order-free sum. One row out;
+    * everything joins against the ≤k-row system ranking.
+    */
+  def rankEval(spark: SparkSession, dir: String,
+               relTerm: String = "merge", k: Int = 10): DataFrame = {
+    val rel = Tables.documents(spark, dir)
+      .filter(array_contains(split(col("text"), " "), relTerm))
+      .select(col("doc_id"))
+    val nRel = rel.agg(count(lit(1)).as("n_rel"))
+    val sys = searchRanked(spark, dir)
+      .join(rel.withColumn("rel", lit(1L)), Seq("doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+    val discountMicro = round(lit(1e6) * log(lit(2.0)) / log(col("rank") + 1.0)).cast("long")
+    sys.crossJoin(broadcast(nRel))
+      .agg(
+        (sum(when(col("rel") === 1 && col("rank") <= k, 1L).otherwise(0L))
+          .cast("double") / k).as("precision_at_10"),
+        (sum(when(col("rel") === 1 && col("rank") <= k, 1L).otherwise(0L))
+          .cast("double") / first(col("n_rel"))).as("recall_at_10"),
+        max(when(col("rel") === 1, lit(1.0) / col("rank"))).as("mrr"),
+        (sum(when(col("rel") === 1 && col("rank") <= k, discountMicro).otherwise(0L))
+          .cast("double") / 1e6).as("dcg_at_10"))
+  }
+
+  val rankEvalSql: String =
+    s"""WITH sys AS (SELECT * FROM ($searchRankedSql)),
+       |rel AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE list_contains(string_split(text, ' '), 'merge')),
+       |nrel AS (SELECT count(*) AS n_rel FROM rel),
+       |flagged AS (
+       |  SELECT s.doc_id, s.rank,
+       |    CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS rel
+       |  FROM sys s LEFT JOIN rel r ON s.doc_id = r.doc_id)
+       |SELECT
+       |  CAST(sum(CASE WHEN rel = 1 AND rank <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / 10 AS precision_at_10,
+       |  CAST(sum(CASE WHEN rel = 1 AND rank <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / any_value(n_rel) AS recall_at_10,
+       |  max(CASE WHEN rel = 1 THEN 1.0 / rank END) AS mrr,
+       |  CAST(sum(CASE WHEN rel = 1 AND rank <= 10
+       |    THEN CAST(round(1000000 * ln(2.0) / ln(rank + 1.0)) AS BIGINT) ELSE 0 END) AS DOUBLE) / 1000000.0 AS dcg_at_10
+       |FROM flagged CROSS JOIN nrel""".stripMargin
+
   /** C3c — fuzzy term search (OpenSearch `fuzzy` / Discover's query-bar
     * fuzziness): docs containing any token within `maxDist` edits of the
     * query term, with the best distance and match count per doc.

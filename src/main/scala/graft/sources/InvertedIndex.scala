@@ -223,6 +223,42 @@ object InvertedIndex {
       |ORDER BY df DESC, token
       |LIMIT 5""".stripMargin
 
+  /** C50d — match_phrase_prefix ("hash jo…": a phrase whose LAST term
+    * is a prefix — the search-as-you-type query). First term = one
+    * bucket-pruned posting read (C50a); prefix term = a pushed
+    * `StringStartsWith` probe (C51's layout win: token-sorted row
+    * groups prune the prefix range inside every bucket); adjacency =
+    * C50b's position fold per (doc, completed token). Returns which
+    * completion matched where — the hit list Discover renders while
+    * typing.
+    */
+  def searchPhrasePrefix(spark: SparkSession, dir: String,
+                         t1: String = "hash", prefix: String = "jo"): DataFrame = {
+    val path = ensureIndex(spark, dir)
+    val p1 = postings(spark, path, t1).select(col("doc_id"), col("positions").as("p1"))
+    val p2 = spark.read.parquet(path)
+      .filter(col("token").startsWith(prefix))
+      .select(col("doc_id"), col("token").as("completion"), col("positions").as("p2"))
+    p1.join(p2, "doc_id")
+      .withColumn("n_occ",
+        aggregate(col("p1"), lit(0), (acc, x) =>
+          acc + when(array_contains(col("p2"), x + 1), 1).otherwise(0)).cast("long"))
+      .filter(col("n_occ") > 0)
+      .select(col("doc_id"), col("completion"), col("n_occ"))
+      .orderBy(col("doc_id"), col("completion"))
+  }
+
+  val searchPhrasePrefixSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |hits AS (
+      |  SELECT doc_id, ws[i+1] AS completion
+      |  FROM toks, unnest(list_filter(range(1, len(ws)),
+      |    i -> ws[i] = 'hash' AND ws[i+1] LIKE 'jo%')) AS t(i))
+      |SELECT doc_id, completion, count(*) AS n_occ
+      |FROM hits
+      |GROUP BY doc_id, completion
+      |ORDER BY doc_id, completion""".stripMargin
+
   /** C51b — term suggester ("did you mean"): dictionary terms within
     * edit distance `maxDist` of a misspelled term, ranked by distance
     * then document frequency — OpenSearch's term suggester over the

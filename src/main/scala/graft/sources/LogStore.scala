@@ -75,6 +75,54 @@ object LogStore {
     source.fold(base)(s => base.filter(col("source") === s))
   }
 
+  /** A4b — size-based rollover (the ISM `rollover` action: an index
+    * rolls to a new generation when it exceeds a size threshold, so no
+    * single index grows unbounded even under skewed daily volume —
+    * date rotation alone can't cap a hot day). Generations are
+    * `gen=NNNNNN` directories under the root; a batch appends to the
+    * CURRENT generation, and the NEXT batch opens a fresh generation
+    * if the current one has crossed `maxBytes` (OpenSearch semantics:
+    * rollover happens on the management call, so a generation may
+    * exceed the threshold by at most one batch — never torn across
+    * two). Readers glob all generations; per-generation layout is the
+    * same (log_date, source) partitioning, so pruning is unchanged.
+    */
+  def rolloverWrite(parsed: DataFrame, root: String, maxBytes: Long): String = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(parsed.sparkSession.sparkContext.hadoopConfiguration)
+    val gens = {
+      val p = new org.apache.hadoop.fs.Path(root)
+      if (fs.exists(p))
+        fs.listStatus(p).map(_.getPath.getName).filter(_.startsWith("gen=")).sorted
+      else Array.empty[String]
+    }
+    val current = gens.lastOption.getOrElse("gen=000001")
+    val target =
+      if (gens.isEmpty) current
+      else {
+        val size = fs.getContentSummary(
+          new org.apache.hadoop.fs.Path(root, current)).getLength
+        if (size >= maxBytes)
+          f"gen=${current.stripPrefix("gen=").toInt + 1}%06d"
+        else current
+      }
+    write(parsed, s"$root/$target")
+    target
+  }
+
+  /** Read across every generation of a rolled-over store, pruning
+    * intact per generation (the same multi-root union as A13).
+    */
+  def readRollover(spark: SparkSession, root: String,
+                   fromDate: String, untilDate: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.toString).filter(_.contains("gen=")).sorted
+    gens.map(g => read(spark, g, fromDate, untilDate))
+      .reduce(_.unionByName(_))
+  }
+
   /** Compaction: streaming micro-batches append one file per batch per
     * partition — at 100 TB the small-files problem makes listing and
     * scanning the store the bottleneck, so a periodic compactor
@@ -183,6 +231,33 @@ object LogStore {
         fs, new org.apache.hadoop.fs.Path(snapPath, n),
         fs, new org.apache.hadoop.fs.Path(rootPath, n), false, conf)
     }
+  }
+
+  /** A11b — searchable snapshot: query a snapshot DIRECTLY from its
+    * manifest, no restore (OpenSearch searchable snapshots — the cold
+    * tier answers queries from repository storage). The manifest names
+    * the valid partitions, so a partially-copied snapshot is refused
+    * exactly like restore would; `basePath` keeps the `log_date=`
+    * directory names materializing as the partition column, and date
+    * predicates prune snapshot partitions the same as live ones.
+    */
+  def readSnapshot(spark: SparkSession, snapDir: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val snapPath = new org.apache.hadoop.fs.Path(snapDir)
+    val fs = snapPath.getFileSystem(conf)
+    val manifest = new org.apache.hadoop.fs.Path(snapPath, "_MANIFEST")
+    require(fs.exists(manifest), s"no _MANIFEST in $snapDir — not a snapshot")
+    val names = {
+      val in = fs.open(manifest)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    }
+    names.foreach { n =>
+      require(fs.exists(new org.apache.hadoop.fs.Path(snapPath, n)),
+        s"snapshot partition $n named in manifest is missing")
+    }
+    spark.read.option("basePath", snapDir)
+      .parquet(names.map(n => s"$snapDir/$n"): _*)
   }
 
   /** A12 — index alias: a named pointer file resolving to a store root,

@@ -117,6 +117,33 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(viaIndex == direct && viaIndex.nonEmpty)
   }
 
+  test("phrase suggester ranks real bigrams of candidate corrections (brute-force parity)") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .as[(Long, Seq[String])].collect()
+    val vocab = docs.flatMap(_._2).distinct
+    def cands(w: String) = vocab
+      .filter(t => math.abs(t.length - w.length) <= 2 && lev(t, w) <= 2)
+      .map(t => (t, lev(t, w).toLong))
+    val bigrams = docs.iterator
+      .flatMap { case (_, ws) => ws.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))) }
+      .toSeq.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val expected = (for ((t1, d1) <- cands("hash"); (t2, d2) <- cands("jion"))
+      yield (s"$t1 $t2", d1 + d2, bigrams.getOrElse((t1, t2), 0L)))
+      .filter(_._3 > 0)
+      .sortBy { case (p, d, f) => (d, -f, p) }.take(3).toSeq
+    val res = InvertedIndex.suggestPhrase(spark, TestSpark.sf)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(res == expected && res.nonEmpty)
+  }
+
   test("phrase adjacency from positions matches a direct sliding scan") {
     val viaIndex = InvertedIndex.searchPhrase(spark, TestSpark.sf)
       .as[(Long, Long)].collect().toMap

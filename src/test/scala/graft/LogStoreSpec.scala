@@ -139,6 +139,13 @@ class LogStoreSpec extends AnyFunSuite {
     // restore refuses an existing target (never clobbers a live store)
     intercept[IllegalArgumentException] { LogStore.restore(spark, snap, v2) }
 
+    // searchable snapshot: query the snapshot directly from its
+    // manifest (no restore), partition column intact and date-prunable
+    val direct = LogStore.readSnapshot(spark, snap)
+    assert(direct.count() == 6)
+    assert(direct.columns.contains("log_date"))
+    assert(direct.filter(col("log_date") === "2024-03-02").count() == 3)
+
     // alias: readers follow the pointer; swap retargets them atomically
     val alias = s"$base/logs.alias"
     LogStore.setAlias(spark, alias, v1)
@@ -184,6 +191,31 @@ class LogStoreSpec extends AnyFunSuite {
     assert(all.size == 2 && pruned.size == 2)
     assert(pruned.zip(all).forall { case (p, t) => p > 0 && p < t },
       s"pruned=$pruned all=$all — a branch lost partition pruning")
+  }
+
+  test("size-based rollover opens new generations; rollover read unions all with pruning") {
+    val root = Files.createTempDirectory("graft-roll").toString + "/logs"
+    def batch(day: Int, n: Int) = spark.range(n).select(
+      concat(lit("10.0.0."), col("id") % 250).as("ip"),
+      lit(java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")).as("ts"),
+      lit(200L).as("status"),
+      lit("ec2").as("source"))
+    // tiny threshold: every batch after the first crosses it, so each
+    // write opens a fresh generation
+    val g1 = LogStore.rolloverWrite(batch(1, 500), root, maxBytes = 1)
+    val g2 = LogStore.rolloverWrite(batch(2, 500), root, maxBytes = 1)
+    val g3 = LogStore.rolloverWrite(batch(3, 500), root, maxBytes = 1)
+    assert(Set(g1, g2, g3).size == 3, s"expected 3 generations, got $g1 $g2 $g3")
+    // a huge threshold keeps appending to the current generation
+    val g4 = LogStore.rolloverWrite(batch(4, 10), root, maxBytes = Long.MaxValue)
+    assert(g4 == g3, "small batch must not roll over")
+
+    val all = LogStore.readRollover(spark, root, "2024-01-01", "2024-02-01")
+    assert(all.count() == 1510)
+    // per-generation partition pruning still applies
+    val day2 = LogStore.readRollover(spark, root, "2024-01-02", "2024-01-03")
+    assert(day2.count() == 500)
+    assert(day2.filter(to_date(col("ts")) =!= "2024-01-02").count() == 0)
   }
 
   test("json-lines and csv readers honor the explicit schema") {
