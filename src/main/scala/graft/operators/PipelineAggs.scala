@@ -272,4 +272,42 @@ object PipelineAggs {
        |  quantile_cont(n, 0.5) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS p50_7d
        |FROM b
        |ORDER BY day""".stripMargin
+
+  /** C45h — moving_fn EWMA model (OpenSearch `MovingFunctions.ewma`):
+    * exponentially-weighted trailing average over the parent buckets,
+    * truncated at the series start like OpenSearch's shrinking window.
+    * The 7 weight literals are Scala-computed doubles embedded
+    * IDENTICALLY in both engines' expressions, and the weighted sum is
+    * a fixed-order 7-term chain over integer counts — every IEEE op
+    * matches bit-for-bit cross-engine, no rounding dance needed.
+    */
+  def movingEwma(spark: SparkSession, dir: String, beta: Double = 0.7): DataFrame = {
+    val w = Window.orderBy(col("day"))
+    val terms = (0 to 6).map { k =>
+      val lagN = lag(col("n"), k).over(w)
+      (when(lagN.isNotNull, lagN.cast("double") * lit(math.pow(beta, k))).otherwise(0.0),
+        when(lagN.isNotNull, lit(math.pow(beta, k))).otherwise(0.0))
+    }
+    dailyBuckets(spark, dir)
+      .withColumn("ewma_7d",
+        terms.map(_._1).reduce(_ + _) / terms.map(_._2).reduce(_ + _))
+      .select(col("day"), col("n"), col("ewma_7d"))
+      .orderBy(col("day"))
+  }
+
+  val movingEwmaSql: String = {
+    val num = (0 to 6).map { k =>
+      val lit = s"%.17g".format(math.pow(0.7, k)).trim
+      s"(CASE WHEN lag(n, $k) OVER w IS NOT NULL THEN CAST(lag(n, $k) OVER w AS DOUBLE) * $lit ELSE 0.0 END)"
+    }.mkString(" + ")
+    val den = (0 to 6).map { k =>
+      val lit = s"%.17g".format(math.pow(0.7, k)).trim
+      s"(CASE WHEN lag(n, $k) OVER w IS NOT NULL THEN $lit ELSE 0.0 END)"
+    }.mkString(" + ")
+    s"""WITH b AS ($dailyBucketsSql)
+       |SELECT day, n, ($num) / ($den) AS ewma_7d
+       |FROM b
+       |WINDOW w AS (ORDER BY day)
+       |ORDER BY day""".stripMargin
+  }
 }

@@ -582,6 +582,32 @@ object TextAnalysis {
       |FROM scored
       |ORDER BY doc_id""".stripMargin
 
+  /** E28 — language-mismatch audit (the per-source label-quality table
+    * a curation run publishes: which sources' declared languages
+    * disagree with the detector — mislabeled crawls poison per-language
+    * mixtures). Reuses E8's native lang-id kernel scoring; one join to
+    * recover the source, one bounded aggregate. The oracle wraps the
+    * same independently-replicated scoring SQL q_lang_id verifies.
+    */
+  def langMismatch(spark: SparkSession, dir: String): DataFrame =
+    langId(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("predicted_lang") =!= col("labeled_lang"), 1L).otherwise(0L))
+          .as("n_mismatch"))
+      .withColumn("mismatch_rate", col("n_mismatch").cast("double") / col("n_docs"))
+      .orderBy(col("source"))
+
+  val langMismatchSql: String =
+    s"""WITH pred AS ($langIdSql)
+       |SELECT d.source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN predicted_lang <> labeled_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+       |  CAST(sum(CASE WHEN predicted_lang <> labeled_lang THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS mismatch_rate
+       |FROM pred JOIN documents d USING (doc_id)
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
+
   /** C24 — "significant terms" (OpenSearch significant_terms agg):
     * tokens over-represented in a foreground slice (source = src0) vs
     * the whole corpus, scored by relative frequency ratio. Background
