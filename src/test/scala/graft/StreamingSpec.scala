@@ -104,6 +104,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(err.contains("kafka"), s"unexpected failure: $err")
   }
 
+  test("streaming sink rolls generations by size via foreachBatch (A3 + A4b)") {
+    import org.apache.spark.sql.types._
+    val in = tmpDir("roll-in"); val ckpt = tmpDir("roll-ckpt")
+    val root = tmpDir("roll-store") + "/logs"
+    def row(day: Int, i: Int) =
+      s"""{"ip":"10.0.0.$i","ts":"2024-01-0${day}T00:0$i:00.000Z","status":200,"source":"ec2"}"""
+    Files.writeString(Paths.get(s"$in/f1.json"), (1 to 5).map(row(1, _)).mkString("\n"))
+    Files.writeString(Paths.get(s"$in/f2.json"), (1 to 5).map(row(2, _)).mkString("\n"))
+    val schema = StructType(Seq(
+      StructField("ip", StringType), StructField("ts", TimestampType),
+      StructField("status", LongType), StructField("source", StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.sources.LogStore.rolloverWrite(df, root, maxBytes = 1); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("gen="))
+    assert(gens.length >= 2, s"expected multiple generations, got ${gens.toSeq}")
+    val all = graft.sources.LogStore.readRollover(spark, root, "2024-01-01", "2024-02-01")
+    assert(all.count() == 10)
+  }
+
   test("watermarked windowed aggregation over the parsed stream") {
     val in = tmpDir("in2"); val ckpt = tmpDir("ckpt2")
     Files.createDirectories(Paths.get(s"$in/ecs"))
