@@ -139,6 +139,45 @@ object Extras {
       |FROM bins b LEFT JOIN counts c ON b.bin = c.bin
       |ORDER BY b.bin""".stripMargin
 
+  /** C16c — variable-width histogram (OpenSearch
+    * `variable_width_histogram`: bucket bounds adapt to the data).
+    * The deterministic Spark-first form is equal-frequency binning:
+    * cut points are the exact k-quantiles (ONE aggregate row,
+    * broadcast), each row's bin = how many cuts lie below it — an
+    * array fold in the scan projection, no second shuffle before the
+    * final bounded groupBy. The interpolated quantile doubles are
+    * bit-identical cross-engine (the C5 percentile parity), so bin
+    * assignment is exact.
+    */
+  def histogramVarWidth(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val fracs = (1 until k).map(i => i.toDouble / k).mkString(", ")
+    val cuts = Tables.events(spark, dir)
+      .agg(expr(s"percentile(value, array($fracs))").as("cuts"))
+    Tables.events(spark, dir)
+      .crossJoin(broadcast(cuts))
+      .select(
+        aggregate(col("cuts"), lit(0),
+          (acc, c) => acc + when(col("value") > c, 1).otherwise(0))
+          .cast("long").as("bin"),
+        col("value"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")), 4).as("lo"),
+        round(max(col("value")), 4).as("hi"))
+      .orderBy(col("bin"))
+  }
+
+  val histogramVarWidthSql: String = {
+    val fracs = (1 until 8).map(i => i / 8.0).mkString(", ")
+    s"""WITH cuts AS (
+       |  SELECT quantile_cont(value, [$fracs]) AS qs FROM events)
+       |SELECT CAST(len(list_filter(qs, c -> value > c)) AS BIGINT) AS bin,
+       |  count(*) AS n, round(min(value), 4) AS lo, round(max(value), 4) AS hi
+       |FROM events CROSS JOIN cuts
+       |GROUP BY 1
+       |ORDER BY bin""".stripMargin
+  }
+
   /** C18 — as-of join: for every purchase, the latest view by the same
     * user at-or-before the purchase time (attribution: "which page view
     * led to this purchase").
