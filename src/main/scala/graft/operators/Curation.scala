@@ -474,6 +474,76 @@ object Curation {
       |FROM documents
       |ORDER BY pos""".stripMargin
 
+  // ---- E29: distribution drift (PSI) -----------------------------------
+
+  /** E29 — population stability index between a reference and a
+    * current window (the drift monitor every continuously-ingesting
+    * training pipeline runs: has this week's data shifted against the
+    * reference distribution?). Bins = the REFERENCE window's exact
+    * deciles (one broadcast aggregate row — the C16c machinery); each
+    * window bins with the same array fold, so both histograms share
+    * boundaries by construction. PSI term per bin =
+    * (p_cur − p_ref)·ln(p_cur/p_ref) with Laplace smoothing — every
+    * probability derives from exact integers, both engines compute
+    * identical doubles, and the term is floored at 1e-9 so the
+    * reported values are bit-stable. Σ(psi_term) is the headline PSI
+    * (>0.2 = action threshold in common practice).
+    */
+  def distributionDrift(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    def window(from: String, until: String) = Tables.events(spark, dir)
+      .filter(col("ts") >= lit(from).cast("timestamp") &&
+        col("ts") < lit(until).cast("timestamp"))
+    val ref = window("2024-01-01", "2024-01-08")
+    val cur = window("2024-01-22", "2024-01-29")
+    val fracs = (1 until k).map(i => i.toDouble / k).mkString(", ")
+    val cuts = ref.agg(expr(s"percentile(value, array($fracs))").as("cuts"))
+    def binned(df: DataFrame, as: String) = df.crossJoin(broadcast(cuts))
+      .select(aggregate(col("cuts"), lit(0),
+        (acc, c) => acc + when(col("value") > c, 1).otherwise(0))
+        .cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as(as))
+    val joined = binned(ref, "n_ref")
+      .join(binned(cur, "n_cur"), Seq("bin"), "full")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(
+      sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc"))
+    val pRef = (col("n_ref") + 1).cast("double") / (col("tr") + k)
+    val pCur = (col("n_cur") + 1).cast("double") / (col("tc") + k)
+    joined.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        (floor((pCur - pRef) * log(pCur / pRef) * 1e9) / 1e9).as("psi_term"))
+      .orderBy(col("bin"))
+  }
+
+  val distributionDriftSql: String = {
+    val fracs = (1 until 10).map(i => i / 10.0).mkString(", ")
+    s"""WITH ref AS (
+       |  SELECT value FROM events
+       |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-08 00:00:00'),
+       |cur AS (
+       |  SELECT value FROM events
+       |  WHERE ts >= TIMESTAMP '2024-01-22 00:00:00' AND ts < TIMESTAMP '2024-01-29 00:00:00'),
+       |cuts AS (SELECT quantile_cont(value, [$fracs]) AS qs FROM ref),
+       |br AS (
+       |  SELECT CAST(len(list_filter(qs, c -> value > c)) AS BIGINT) AS bin, count(*) AS n_ref
+       |  FROM ref CROSS JOIN cuts GROUP BY 1),
+       |bc AS (
+       |  SELECT CAST(len(list_filter(qs, c -> value > c)) AS BIGINT) AS bin, count(*) AS n_cur
+       |  FROM cur CROSS JOIN cuts GROUP BY 1),
+       |j AS (
+       |  SELECT coalesce(br.bin, bc.bin) AS bin,
+       |    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+       |  FROM br FULL JOIN bc ON br.bin = bc.bin),
+       |tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr, CAST(sum(n_cur) AS BIGINT) AS tc FROM j)
+       |SELECT bin, n_ref, n_cur,
+       |  floor((CAST(n_cur + 1 AS DOUBLE) / (tc + 10) - CAST(n_ref + 1 AS DOUBLE) / (tr + 10)) *
+       |    ln((CAST(n_cur + 1 AS DOUBLE) / (tc + 10)) / (CAST(n_ref + 1 AS DOUBLE) / (tr + 10))) * 1000000000) / 1000000000 AS psi_term
+       |FROM j CROSS JOIN tot
+       |ORDER BY bin""".stripMargin
+  }
+
   // ---- E26: DSIR-style importance resampling ---------------------------
 
   /** E26 — importance resampling (DSIR, Xie et al. 2023: select raw
