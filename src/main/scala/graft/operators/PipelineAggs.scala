@@ -273,6 +273,39 @@ object PipelineAggs {
        |FROM b
        |ORDER BY day""".stripMargin
 
+  /** C45i — percentiles_bucket + extended_stats_bucket: distribution
+    * summaries OVER the parent histogram's bucket metric (which day
+    * sizes are typical / how spread out are they). Quartiles are exact
+    * percentiles of the ≤days-rows series; the std is derived from
+    * exact INTEGER sums (n·Σx² − (Σx)² under one sqrt) rather than a
+    * streaming stddev, whose partition-order float accumulation
+    * diverges cross-engine.
+    */
+  def percentilesBucket(spark: SparkSession, dir: String): DataFrame =
+    dailyBuckets(spark, dir)
+      .agg(
+        expr("percentile(n, array(0.25, 0.5, 0.75))").as("ps"),
+        count(lit(1)).as("nb"),
+        sum(col("n")).as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+      .select(
+        element_at(col("ps"), 1).as("p25"),
+        element_at(col("ps"), 2).as("p50"),
+        element_at(col("ps"), 3).as("p75"),
+        (sqrt((col("nb") * col("s2") - col("s1") * col("s1")).cast("double")) /
+          col("nb")).as("std_n"))
+
+  val percentilesBucketSql: String =
+    s"""WITH b AS ($dailyBucketsSql),
+       |agg AS (
+       |  SELECT quantile_cont(n, [0.25, 0.5, 0.75]) AS ps,
+       |    count(*) AS nb, CAST(sum(n) AS BIGINT) AS s1,
+       |    CAST(sum(n * n) AS BIGINT) AS s2
+       |  FROM b)
+       |SELECT ps[1] AS p25, ps[2] AS p50, ps[3] AS p75,
+       |  sqrt(CAST(nb * s2 - s1 * s1 AS DOUBLE)) / nb AS std_n
+       |FROM agg""".stripMargin
+
   /** C45h — moving_fn EWMA model (OpenSearch `MovingFunctions.ewma`):
     * exponentially-weighted trailing average over the parent buckets,
     * truncated at the series start like OpenSearch's shrinking window.

@@ -51,4 +51,38 @@ class EndToEndSpec extends AnyFunSuite {
     LogStore.expire(spark, s"$out/logs", "2021-08-02")
     assert(errorRatePerDay() == before.filter(_._1 == "2021-08-02"))
   }
+
+  test("lifecycle chain: rollover ingest -> compact gens -> snapshot -> searchable read -> federated alias") {
+    val base = Files.createTempDirectory("graft-e2e-life").toString
+    val root = s"$base/logs"
+    def batch(day: Int, n: Int) = spark.range(n).select(
+      concat(lit("10.1.0."), col("id") % 250).as("ip"),
+      lit(java.sql.Timestamp.valueOf(f"2024-02-$day%02d 00:00:00")).as("ts"),
+      (lit(200L) + (col("id") % 2) * 300).as("status"),
+      lit("ec2").as("source"))
+    // three batches roll three generations (tiny threshold)
+    (1 to 3).foreach(d => LogStore.rolloverWrite(batch(d, 200), root, maxBytes = 1))
+    val gens = new java.io.File(root).list().filter(_.startsWith("gen=")).sorted
+    assert(gens.length == 3)
+
+    // compact one generation; full read across gens unchanged
+    LogStore.compact(spark, s"$root/${gens.head}")
+    val all = LogStore.readRollover(spark, root, "2024-02-01", "2024-03-01")
+    assert(all.count() == 600)
+
+    // snapshot a generation, query it directly (searchable snapshot)
+    val snap = s"$base/snap"
+    LogStore.snapshot(spark, s"$root/${gens.last}", snap)
+    val direct = LogStore.readSnapshot(spark, snap)
+    assert(direct.count() == 200)
+    assert(direct.filter(col("log_date") === "2024-02-03").count() == 200)
+
+    // alias each generation and federate across them like multi-index
+    val aliases = gens.zipWithIndex.map { case (g, i) =>
+      val a = s"$base/gen$i.alias"; LogStore.setAlias(spark, a, s"$root/$g"); a
+    }
+    val federated = LogStore.readAliases(spark, aliases.toIndexedSeq)
+    assert(federated.count() == 600)
+    assert(federated.filter(col("status") >= 400).count() == 300)
+  }
 }
