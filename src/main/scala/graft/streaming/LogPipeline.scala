@@ -124,6 +124,23 @@ object LogPipeline {
       }
       .start()
 
+  /** A5b — idempotent micro-batch sink (exactly-once on top of
+    * foreachBatch's at-least-once): a crashed batch RE-RUNS with the
+    * same batchId, so a plain append duplicates its rows. The sink
+    * keys the layout on `epoch=batchId` and overwrites ONLY that
+    * epoch's directory — redelivery replaces its own previous (maybe
+    * partial) output instead of appending beside it, the standard
+    * partition-by-batch-id idempotence pattern. Readers treat `epoch`
+    * as one more partition column; downstream compaction (A8) folds
+    * epochs into the date layout on its own schedule.
+    */
+  def idempotentBatchWrite(batch: DataFrame, root: String, batchId: Long): Unit =
+    batch
+      .withColumn("log_date", to_date(col("ts")))
+      .write.mode("overwrite")
+      .partitionBy("log_date")
+      .parquet(s"$root/epoch=$batchId")
+
   /** C10: near-real-time dashboard aggregation — watermarked 5-minute
     * windows per (source, status).
     */

@@ -133,6 +133,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(all.count() == 10)
   }
 
+  test("idempotent sink: redelivered batch replaces its epoch instead of duplicating (A5b)") {
+    val root = tmpDir("idem") + "/logs"
+    def batch(n: Int) = spark.range(n).select(
+      concat(lit("10.2.0."), col("id")).as("ip"),
+      lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00")).as("ts"),
+      lit(200L).as("status"))
+    LogPipeline.idempotentBatchWrite(batch(5), root, batchId = 0)
+    LogPipeline.idempotentBatchWrite(batch(7), root, batchId = 1)
+    assert(spark.read.parquet(root).count() == 12)
+    // crash-redelivery of batch 1: same id re-runs, maybe with a
+    // different (recovered) row set — it must REPLACE, not append
+    LogPipeline.idempotentBatchWrite(batch(6), root, batchId = 1)
+    val after = spark.read.parquet(root)
+    assert(after.count() == 11)
+    assert(after.filter(col("epoch") === 1).count() == 6)
+  }
+
   test("watermarked windowed aggregation over the parsed stream") {
     val in = tmpDir("in2"); val ckpt = tmpDir("ckpt2")
     Files.createDirectories(Paths.get(s"$in/ecs"))
