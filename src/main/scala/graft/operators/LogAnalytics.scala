@@ -511,6 +511,28 @@ object LogAnalytics {
       |SELECT mode, event_type, event_id, user_id FROM divers WHERE r <= 5
       |ORDER BY mode, event_type, event_id""".stripMargin
 
+  // ---- C3i: ids query ---------------------------------------------------
+
+  /** C3i — ids query (OpenSearch `ids`: fetch documents by id list —
+    * the "open these N hits" round-trip every Discover click issues).
+    * The literal id list pushes into the parquet scan as an `In`
+    * filter (row-group stats prune on the id range); nothing else
+    * runs. Trivial by design — the point is that point lookups stay
+    * scan-pruned reads, not jobs.
+    */
+  def idsQuery(spark: SparkSession, dir: String,
+               ids: Seq[Long] = Seq(3, 11, 4242, 77, 5000)): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_id").isin(ids: _*))
+      .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+      .orderBy(col("event_id"))
+
+  val idsQuerySql: String =
+    """SELECT event_id, event_type, user_id, value
+      |FROM events
+      |WHERE event_id IN (3, 11, 4242, 77, 5000)
+      |ORDER BY event_id""".stripMargin
+
   // ---- C3g: search_after deep pagination -------------------------------
 
   /** C3g — search_after: cursor pagination over a sorted hit list (the
