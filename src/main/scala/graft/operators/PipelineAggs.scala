@@ -273,6 +273,76 @@ object PipelineAggs {
        |FROM b
        |ORDER BY day""".stripMargin
 
+  /** C45j — cumulative_cardinality pipeline agg (running distinct-user
+    * count per day — the "total unique users to date" dashboard line).
+    * The naive plan (per-day distinct over an expanding window) re-scans
+    * every prefix; the scalable shape is FIRST-SEEN: one groupBy(user)
+    * min(day) collapses the fact table to user-cardinality rows, a
+    * bounded per-day count of first appearances follows, and the
+    * cumulative sum runs over the ≤days series (left-joined onto the
+    * full day skeleton so zero-new-user days still emit a bucket).
+    */
+  def cumulativeCardinality(spark: SparkSession, dir: String): DataFrame = {
+    val firstSeen = Tables.events(spark, dir)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    val days = dailyBuckets(spark, dir).select(col("day"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.join(firstSeen, Seq("day"), "left")
+      .select(col("day"), coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .orderBy(col("day"))
+  }
+
+  val cumulativeCardinalitySql: String =
+    s"""WITH fs AS (
+       |  SELECT user_id, min(date_trunc('day', ts)) AS day FROM events GROUP BY 1),
+       |perday AS (SELECT day, count(*) AS new_users FROM fs GROUP BY 1),
+       |days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events)
+       |SELECT d.day, coalesce(new_users, 0) AS new_users,
+       |  CAST(sum(coalesce(new_users, 0)) OVER (ORDER BY d.day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+       |FROM days d LEFT JOIN perday p ON d.day = p.day
+       |ORDER BY d.day""".stripMargin
+
+  /** C45k — bucket_correlation (the OpenSearch ML `bucket_correlation`
+    * pipeline agg): Pearson r between two sibling metric series of the
+    * parent histogram (do error counts track traffic?). Both series
+    * are integer counts, so all five moment sums are exact longs and
+    * the closed-form r — (nΣxy−ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)) —
+    * computes identical doubles in both engines. One bounded-series
+    * aggregate row out.
+    */
+  def bucketCorrelation(spark: SparkSession, dir: String): DataFrame =
+    dailyBuckets(spark, dir)
+      .agg(
+        count(lit(1)).as("nb"),
+        sum(col("n")).as("sx"), sum(col("n_err")).as("sy"),
+        sum(col("n") * col("n")).as("sxx"),
+        sum(col("n_err") * col("n_err")).as("syy"),
+        sum(col("n") * col("n_err")).as("sxy"))
+      .select(col("nb"),
+        ((col("nb") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("nb") * col("sxx") - col("sx") * col("sx")).cast("double") *
+               (col("nb") * col("syy") - col("sy") * col("sy")).cast("double")))
+          .as("r"))
+
+  val bucketCorrelationSql: String =
+    s"""WITH b AS ($dailyBucketsSql),
+       |m AS (
+       |  SELECT count(*) AS nb,
+       |    CAST(sum(n) AS BIGINT) AS sx, CAST(sum(n_err) AS BIGINT) AS sy,
+       |    CAST(sum(n * n) AS BIGINT) AS sxx,
+       |    CAST(sum(n_err * n_err) AS BIGINT) AS syy,
+       |    CAST(sum(n * n_err) AS BIGINT) AS sxy
+       |  FROM b)
+       |SELECT nb,
+       |  CAST(nb * sxy - sx * sy AS DOUBLE) /
+       |    sqrt(CAST(nb * sxx - sx * sx AS DOUBLE) * CAST(nb * syy - sy * sy AS DOUBLE)) AS r
+       |FROM m""".stripMargin
+
   /** C45i — percentiles_bucket + extended_stats_bucket: distribution
     * summaries OVER the parent histogram's bucket metric (which day
     * sizes are typical / how spread out are they). Quartiles are exact
