@@ -582,6 +582,61 @@ object TextAnalysis {
       |FROM scored
       |ORDER BY doc_id""".stripMargin
 
+  /** E30 — bigram-LM quality score (the KenLM-style perplexity filter
+    * of CCNet-class pipelines, at bigram order; E19 is the unigram
+    * floor). MLE with add-1 smoothing: p(w2|w1) = (c(w1w2)+1)/(c(w1·)+V)
+    * where c(w1·) counts bigram STARTS. Bigrams are cut as array
+    * expressions in the scan (sequence + element_at — no self-join);
+    * the conditional-count joins are shuffle-hash on the bigram/prefix
+    * keys (web-scale bigram vocabularies must never broadcast); each
+    * log-prob floors to integer micro-nats BEFORE the per-doc sum.
+    */
+  def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("w1"),
+            element_at(col("ws"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bi = toks.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val uni = toks.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val v = uni.agg(count(lit(1)).as("v"))
+    toks.join(bi.hint("shuffle_hash"), Seq("w1", "w2"))
+      .join(uni.hint("shuffle_hash"), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("lp_micro",
+        floor(log((col("cb") + 1).cast("double") /
+          (col("cu") + col("v")).cast("double")) * 1e6).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (-col("s").cast("double") / 1e6 / col("n_bigrams")).as("nll_per_bigram"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bigramLogprobSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |toks AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      |  FROM docs, unnest(range(1, len(ws))) AS t(i)),
+      |bi AS (SELECT w1, w2, count(*) AS cb FROM toks GROUP BY 1, 2),
+      |uni AS (SELECT w1, count(*) AS cu FROM toks GROUP BY 1),
+      |vv AS (SELECT count(*) AS v FROM uni),
+      |scored AS (
+      |  SELECT t.doc_id, count(*) AS n_bigrams,
+      |    CAST(sum(CAST(floor(ln(CAST(cb + 1 AS DOUBLE) /
+      |      CAST(cu + v AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS s
+      |  FROM toks t JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vv
+      |  GROUP BY t.doc_id)
+      |SELECT doc_id, n_bigrams,
+      |  -CAST(s AS DOUBLE) / 1000000.0 / n_bigrams AS nll_per_bigram
+      |FROM scored
+      |ORDER BY doc_id""".stripMargin
+
   /** E28 — language-mismatch audit (the per-source label-quality table
     * a curation run publishes: which sources' declared languages
     * disagree with the detector — mislabeled crawls poison per-language
