@@ -474,6 +474,42 @@ object Curation {
       |FROM documents
       |ORDER BY pos""".stripMargin
 
+  // ---- E31: n-gram diversity audit -------------------------------------
+
+  /** E31 — n-gram diversity (trigram type-token ratio per source — the
+    * corpus-diversity audit beside E18's within-doc repetition: a
+    * source whose TTR collapses is template spam even when individual
+    * docs look clean). Trigrams are cut in the scan as array
+    * expressions (the E30 sequence+element_at shape); one source-keyed
+    * aggregate with a distinct count; ttr divides two exact integers.
+    */
+  def ngramDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("source"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("source"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 2),
+          i => concat_ws(" ", element_at(col("ws"), i),
+            element_at(col("ws"), i + 1), element_at(col("ws"), i + 2)))).as("gram"))
+    grams.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("gram")).as("n_distinct"))
+      .withColumn("ttr", col("n_distinct").cast("double") / col("n_grams"))
+      .orderBy(col("source"))
+  }
+
+  val ngramDiversitySql: String =
+    """WITH grams AS (
+      |  SELECT source, concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]) AS gram
+      |  FROM (SELECT source, string_split(text, ' ') AS ws FROM documents
+      |        WHERE len(string_split(text, ' ')) >= 3) d,
+      |       unnest(range(1, len(ws) - 1)) AS t(i))
+      |SELECT source, count(*) AS n_grams, count(DISTINCT gram) AS n_distinct,
+      |  CAST(count(DISTINCT gram) AS DOUBLE) / count(*) AS ttr
+      |FROM grams
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   // ---- E29: distribution drift (PSI) -----------------------------------
 
   /** E29 — population stability index between a reference and a

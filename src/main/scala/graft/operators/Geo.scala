@@ -129,6 +129,38 @@ object Geo {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** C47b — geo_distance SORT (the other half of C47's rings: hits
+    * ordered by distance from a point — "nearest events first" in
+    * Discover). Haversine runs as one fixed column expression (both
+    * engines compute identical doubles from the same 0.1°-grid
+    * inputs), and orderBy+limit plans as TakeOrderedAndProject — a
+    * bounded heap per partition + k-row merge, never a global sort.
+    * event_id tiebreak keeps equal-distance grid points deterministic.
+    */
+  def geoSort(spark: SparkSession, dir: String,
+              lat0: Double = 10.0, lon0: Double = 20.0, k: Int = 25): DataFrame = {
+    val dLat = radians(latCol - lat0)
+    val dLon = radians(lonCol - lon0)
+    val a = pow(sin(dLat / 2), 2) +
+      cos(radians(lit(lat0))) * cos(radians(latCol)) * pow(sin(dLon / 2), 2)
+    val dist = round(lit(2 * 6371.0) * asin(sqrt(a)), 6)
+    Tables.events(spark, dir)
+      .select(col("event_id"), dist.as("dist_km"))
+      .orderBy(col("dist_km"), col("event_id"))
+      .limit(k)
+  }
+
+  val geoSortSql: String =
+    s"""WITH g AS (
+       |  SELECT event_id, $latSql AS lat, $lonSql AS lon FROM events)
+       |SELECT event_id,
+       |  round(2 * 6371.0 * asin(sqrt(
+       |    pow(sin(radians(lat - 10.0) / 2), 2) +
+       |    cos(radians(10.0)) * cos(radians(lat)) * pow(sin(radians(lon - 20.0) / 2), 2))), 6) AS dist_km
+       |FROM g
+       |ORDER BY dist_km, event_id
+       |LIMIT 25""".stripMargin
+
   /** C46 — geotile_grid at zoom z: standard web-mercator (slippy-map)
     * tile indices, the exact arithmetic OpenSearch's geotile_grid keys
     * encode (`z/x/y`).
