@@ -510,6 +510,40 @@ object Curation {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // ---- E32: compression-ratio quality signal ---------------------------
+
+  /** E32 — compression-ratio filter (the Gopher/C4-class rule: text
+    * that deflates too well is boilerplate or repetition; too poorly,
+    * binary junk). The JDK Deflater is a per-row native kernel exactly
+    * like E12's image/audio codecs — `mapPartitions` with ONE reused
+    * Deflater per partition (allocation amortized, fully parallel, no
+    * shuffle). ☆ no_oracle: DuckDB has no deflate — `TextFnsSpec` pins
+    * the signal's direction on planted repetitive vs varied text.
+    */
+  def compressionRatio(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    Tables.atComputeParallelism(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+        val buf = new Array[Byte](1 << 16)
+        rows.map { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var comp = 0L
+          while (!deflater.finished()) comp += deflater.deflate(buf)
+          (id, raw.length.toLong, comp,
+            math.round(comp.toDouble / math.max(raw.length, 1) * 1e4) / 1e4)
+        }
+      }
+      .toDF("doc_id", "raw_bytes", "deflate_bytes", "ratio")
+      .orderBy(col("doc_id"))
+  }
+
   // ---- E29: distribution drift (PSI) -----------------------------------
 
   /** E29 — population stability index between a reference and a

@@ -511,6 +511,47 @@ object LogAnalytics {
       |SELECT mode, event_type, event_id, user_id FROM divers WHERE r <= 5
       |ORDER BY mode, event_type, event_id""".stripMargin
 
+  // ---- C8b: session-duration statistics ---------------------------------
+
+  /** C8b — session statistics (the dashboard beside C8's session list:
+    * how long and how big is a typical session). Composes C8's
+    * sessionization with C5's exact percentiles: duration percentiles
+    * over the session-cardinality aggregate (already far smaller than
+    * the fact table), durations in integral seconds so the
+    * interpolated quartiles stay bit-exact cross-engine.
+    */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame =
+    sessionize(spark, dir)
+      .select(
+        (unix_timestamp(col("session_end")) - unix_timestamp(col("session_start")))
+          .as("dur_s"),
+        col("n_events"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        expr("percentile(dur_s, array(0.5, 0.9, 0.99))").as("ps"),
+        (sum(col("n_events")).cast("double") / count(lit(1))).as("avg_events"))
+      .select(col("n_sessions"),
+        element_at(col("ps"), 1).as("dur_p50"),
+        element_at(col("ps"), 2).as("dur_p90"),
+        element_at(col("ps"), 3).as("dur_p99"),
+        col("avg_events"))
+
+  // lazy: sessionizeSql is declared later in the file — an eager val
+  // here would capture null during object init
+  lazy val sessionStatsSql: String =
+    s"""WITH sess AS ($sessionizeSql),
+       |d AS (
+       |  SELECT epoch(session_end) - epoch(session_start) AS dur_s, n_events
+       |  FROM sess),
+       |agg AS (
+       |  SELECT count(*) AS n_sessions,
+       |    quantile_cont(dur_s, [0.5, 0.9, 0.99]) AS ps,
+       |    CAST(sum(n_events) AS DOUBLE) / count(*) AS avg_events
+       |  FROM d)
+       |SELECT n_sessions, ps[1] AS dur_p50, ps[2] AS dur_p90, ps[3] AS dur_p99,
+       |  avg_events
+       |FROM agg""".stripMargin
+
   // ---- C3i: ids query ---------------------------------------------------
 
   /** C3i — ids query (OpenSearch `ids`: fetch documents by id list —

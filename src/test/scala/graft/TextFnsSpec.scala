@@ -9,6 +9,21 @@ class TextFnsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("compression-ratio signal: repetitive text deflates far better than varied text (E32)") {
+    val spam = ("buy now " * 200).trim
+    val varied = (1 to 200).map(i => s"w${i * 7919 % 9973}x$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-comp").toString
+    Seq((0L, spam, "en", "s", spam.length.toLong),
+        (1L, varied, "en", "s", varied.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.operators.Curation.compressionRatio(spark, dir)
+      .select("doc_id", "ratio").as[(Long, Double)].collect().toMap
+    assert(r(0L) < 0.1, s"template spam should collapse under deflate, got ${r(0L)}")
+    assert(r(1L) > 0.3, s"varied text should resist, got ${r(1L)}")
+    assert(r(0L) < r(1L) / 3)
+  }
+
   test("langId picks the right profile on crafted sentences") {
     val df = Seq(
       ("the cat and the dog is in the house", "en"),
