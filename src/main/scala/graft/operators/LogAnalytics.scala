@@ -511,6 +511,37 @@ object LogAnalytics {
       |SELECT mode, event_type, event_id, user_id FROM divers WHERE r <= 5
       |ORDER BY mode, event_type, event_id""".stripMargin
 
+  // ---- C53: categorize_text (log-template mining) ------------------------
+
+  /** C53 — categorize_text (the OpenSearch ML agg that clusters raw
+    * log MESSAGES into templates — "group my million errors into the
+    * twelve distinct failures"). The deterministic Spark-first core of
+    * Drain-class template miners: mask the variable parts (digit runs
+    * → `<num>`), group by the masked skeleton. Parse battery + mask
+    * run in the scan projection; one map-side-combined aggregate; the
+    * example is the lexicographic min (deterministic, no first()).
+    */
+  def categorizeText(spark: SparkSession, dir: String): DataFrame = {
+    val msg = ApacheErrorLog.msg(col("line"))
+    LogLines.errorLines(spark, dir)
+      .select(msg.as("msg"),
+        regexp_replace(msg, "[0-9]+", "<num>").as("template"))
+      .groupBy(col("template"))
+      .agg(count(lit(1)).as("n"), min(col("msg")).as("example"))
+      .orderBy(col("n").desc, col("template"))
+  }
+
+  val categorizeTextSql: String =
+    """WITH msgs AS (
+      |  SELECT concat('File does not exist: /var/www/', event_type, '/',
+      |                CAST(event_id % 100 AS VARCHAR)) AS msg,
+      |         concat('File does not exist: /var/www/', event_type, '/<num>') AS template
+      |  FROM events)
+      |SELECT template, count(*) AS n, min(msg) AS example
+      |FROM msgs
+      |GROUP BY template
+      |ORDER BY n DESC, template""".stripMargin
+
   // ---- C8b: session-duration statistics ---------------------------------
 
   /** C8b — session statistics (the dashboard beside C8's session list:

@@ -273,6 +273,51 @@ object PipelineAggs {
        |FROM b
        |ORDER BY day""".stripMargin
 
+  /** C45l — change_point detection (the OpenSearch ML agg: where did
+    * the series shift?). Deterministic mean-shift scan: for every
+    * split of the day series, the |mean(before) − mean(after)| gap,
+    * argmax wins — CUSUM's exhaustive cousin, exact on the bounded
+    * aggregate. Cumulative sums come from one window over the ≤days
+    * series; every mean divides exact longs, so scores are identical
+    * doubles cross-engine and the argmax (day-tiebroken) picks the
+    * same split. The raw data contributes one map-side-combined
+    * aggregate — the scan never sees the quadratic-looking split loop.
+    */
+  def changePoint(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Window.orderBy(col("day"))
+    val s = dailyBuckets(spark, dir).select(col("day"), col("n"))
+      .withColumn("i", row_number().over(byDay).cast("long"))
+      .withColumn("cum", sum(col("n")).over(
+        byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = s.agg(max(col("i")).as("nd"), sum(col("n")).as("total"))
+    s.crossJoin(broadcast(tot))
+      .filter(col("i") < col("nd"))
+      .select(col("day"),
+        (col("cum").cast("double") / col("i")).as("before_mean"),
+        ((col("total") - col("cum")).cast("double") / (col("nd") - col("i"))).as("after_mean"))
+      .withColumn("shift", abs(col("after_mean") - col("before_mean")))
+      .orderBy(col("shift").desc, col("day"))
+      .limit(1)
+  }
+
+  val changePointSql: String =
+    s"""WITH b AS ($dailyBucketsSql),
+       |s AS (
+       |  SELECT day, n,
+       |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+       |    CAST(sum(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM b),
+       |tot AS (SELECT max(i) AS nd, CAST(sum(n) AS BIGINT) AS total FROM s)
+       |SELECT day, before_mean, after_mean,
+       |  abs(after_mean - before_mean) AS shift
+       |FROM (
+       |  SELECT day,
+       |    CAST(cum AS DOUBLE) / i AS before_mean,
+       |    CAST(total - cum AS DOUBLE) / (nd - i) AS after_mean
+       |  FROM s CROSS JOIN tot WHERE i < nd)
+       |ORDER BY shift DESC, day
+       |LIMIT 1""".stripMargin
+
   /** C45j — cumulative_cardinality pipeline agg (running distinct-user
     * count per day — the "total unique users to date" dashboard line).
     * The naive plan (per-day distinct over an expanding window) re-scans

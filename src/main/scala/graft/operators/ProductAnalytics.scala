@@ -12,6 +12,46 @@ import graft.sources.Tables
   */
 object ProductAnalytics {
 
+  /** C54 — frequent_item_sets (the OpenSearch ML association-rules
+    * agg: which event types co-occur in the same user's behavior).
+    * Baskets = distinct (user, type) — one aggregate collapses the
+    * fact table to user×type cardinality; the pair self-join is
+    * user-keyed (co-located in one exchange) with `t1 < t2` halving
+    * the pair space; support is a RATIO (cnt·10 ≥ users·3, integer
+    * cross-multiplied) so the threshold is scale-stable where a fixed
+    * count thins to nothing or everything.
+    */
+  def frequentItemSets(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val nUsers = baskets.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val b2 = baskets.select(col("user_id"), col("event_type").as("t2"))
+    baskets.join(b2, Seq("user_id"))
+      .filter(col("event_type") < col("t2"))
+      .groupBy(col("event_type").as("t1"), col("t2"))
+      .agg(count(lit(1)).as("support_cnt"))
+      .crossJoin(broadcast(nUsers))
+      .filter(col("support_cnt") * 10 >= col("n_users") * 3)
+      .select(col("t1"), col("t2"), col("support_cnt"),
+        (col("support_cnt").cast("double") / col("n_users")).as("support"))
+      .orderBy(col("support_cnt").desc, col("t1"), col("t2"))
+  }
+
+  val frequentItemSetsSql: String =
+    """WITH baskets AS (SELECT DISTINCT user_id, event_type FROM events),
+      |nu AS (SELECT count(DISTINCT user_id) AS n_users FROM baskets),
+      |pairs AS (
+      |  SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS support_cnt
+      |  FROM baskets a JOIN baskets b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT t1, t2, support_cnt,
+      |  CAST(support_cnt AS DOUBLE) / n_users AS support
+      |FROM pairs CROSS JOIN nu
+      |WHERE support_cnt * 10 >= n_users * 3
+      |ORDER BY support_cnt DESC, t1, t2""".stripMargin
+
   /** C35 — ordered funnel: view → click-after-view →
     * purchase-after-that-click, counted per step. Each step is an
     * aggregate on user_id joined to the next event slice — three
