@@ -412,6 +412,34 @@ object TextAnalysis {
        |ORDER BY rank""".stripMargin
   }
 
+  /** C3k — term vectors (the `_termvectors` API: one document's term
+    * statistics — tf and positions per token, the payload OpenSearch
+    * computes from stored fields on demand). The doc_id literal pushes
+    * into the scan (row-group pruned point read, the C3i shape); the
+    * single surviving row tokenizes and aggregates in one task. No
+    * index involved — exactly how the real API re-analyzes on the fly.
+    */
+  def termVectors(spark: SparkSession, dir: String, docId: Long = 7): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") === docId)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .groupBy(col("doc_id"), col("token"))
+      // positions serialize as a comma-joined string: the oracle
+      // comparator sorts rows on every cell and array cells don't hash
+      .agg(count(lit(1)).as("tf"),
+        array_join(sort_array(collect_list(col("pos").cast("long"))), ",").as("positions"))
+      .orderBy(col("token"))
+
+  val termVectorsSql: String =
+    """SELECT doc_id, tok AS token, count(*) AS tf,
+      |  array_to_string(list_sort(list(CAST(i - 1 AS BIGINT))), ',') AS positions
+      |FROM (
+      |  SELECT doc_id, ws[i] AS tok, i
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id = 7) d,
+      |       unnest(range(1, len(ws) + 1)) AS t(i))
+      |GROUP BY doc_id, tok
+      |ORDER BY token""".stripMargin
+
   /** C3h — terms_set query (OpenSearch `terms_set`: match documents
     * containing at least `minimum_should_match` of a term list). The
     * match count is `size(array_intersect(tokens, terms))` — a pure
