@@ -24,6 +24,43 @@ class EntrySpec extends AnyFunSuite {
     }
   }
 
+  test("search_after pages are disjoint and stitch into the global top-k (C3g contract)") {
+    import org.apache.spark.sql.functions._
+    val ops = graft.operators.LogAnalytics
+    val page1 = ops.searchAfter(spark, TestSpark.sf,
+      afterValue = Double.MaxValue, afterId = 0L, pageSize = 20).collect()
+    val last = page1.last
+    val page2 = ops.searchAfter(spark, TestSpark.sf,
+      afterValue = last.getAs[Double]("value"),
+      afterId = last.getAs[Long]("event_id"), pageSize = 20).collect()
+    val ids1 = page1.map(_.getAs[Long]("event_id")).toSet
+    val ids2 = page2.map(_.getAs[Long]("event_id")).toSet
+    assert((ids1 & ids2).isEmpty, "pages overlap")
+    val top40 = graft.sources.Tables.events(spark, TestSpark.sf)
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("value"))
+      .orderBy(col("value").desc, col("event_id"))
+      .limit(40).collect().map(_.getAs[Long]("event_id")).toSeq
+    assert((page1 ++ page2).map(_.getAs[Long]("event_id")).toSeq == top40,
+      "stitched pages differ from the direct global top-40")
+  }
+
+  test("top_metrics picks the max-sort-key row even on timestamp ties (C5j contract)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ts = java.sql.Timestamp.valueOf("2024-01-05 10:00:00")
+    val df = Seq(
+      (1L, ts, 10L, "a", 1.0, "{}"), (2L, ts, 20L, "a", 2.0, "{}"),
+      (3L, ts, 30L, "a", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft-topm").toString
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.operators.PipelineAggs.topMetrics(spark, dir).collect().head
+    // all three share the timestamp: the event_id suffix of the sort
+    // key must break the tie toward the HIGHEST id
+    assert(r.getAs[Double]("latest_value") == 3.0 && r.getAs[Long]("latest_user") == 30L)
+  }
+
   test("q_search_wildcard pushes the LIKE prefix into the parquet scan") {
     val plan = graft.operators.LogAnalytics.searchWildcard(spark, TestSpark.sf)
       .queryExecution.executedPlan.toString
