@@ -513,6 +513,38 @@ object TextAnalysis {
        |    THEN CAST(round(1000000 * ln(2.0) / ln(rank + 1.0)) AS BIGINT) ELSE 0 END) AS DOUBLE) / 1000000.0 AS dcg_at_10
        |FROM flagged CROSS JOIN nrel""".stripMargin
 
+  /** C3l — hybrid search via reciprocal-rank fusion (the OpenSearch
+    * 2.x `hybrid` query: fuse a lexical ranking with a second
+    * retriever; RRF is the rank-only combiner that needs no score
+    * normalization across retrievers). rrf(d) = Σ 1/(k0 + rank_r(d))
+    * over C3b's BM25 list and C52's more_like_this list — a full-outer
+    * join of two BOUNDED (≤20-row) rankings, reciprocals of exact
+    * integer ranks (identical doubles cross-engine), top-N by fused
+    * score with doc_id tiebreak. The heavy retrieval work happened in
+    * the two retrievers; fusion itself is list-sized.
+    */
+  lazy val searchHybridRrf: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val k0 = 60
+    val lex = searchRanked(spark, dir).select(col("doc_id"), col("rank").as("r_lex"))
+    val sem = moreLikeThis(spark, dir).select(col("doc_id"), col("rank").as("r_mlt"))
+    lex.join(sem, Seq("doc_id"), "full")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (col("r_lex") + k0), lit(0.0)) +
+        coalesce(lit(1.0) / (col("r_mlt") + k0), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), col("r_lex"), col("r_mlt"), col("rrf"))
+  }
+
+  lazy val searchHybridRrfSql: String =
+    s"""WITH lex AS (SELECT doc_id, rank AS r_lex FROM ($searchRankedSql)),
+       |sem AS (SELECT doc_id, rank AS r_mlt FROM ($moreLikeThisSql))
+       |SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, r_lex, r_mlt,
+       |  round(coalesce(1.0 / (r_lex + 60), 0) + coalesce(1.0 / (r_mlt + 60), 0), 6) AS rrf
+       |FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
+       |ORDER BY rrf DESC, doc_id
+       |LIMIT 10""".stripMargin
+
   /** C3c — fuzzy term search (OpenSearch `fuzzy` / Discover's query-bar
     * fuzziness): docs containing any token within `maxDist` edits of the
     * query term, with the best distance and match count per doc.
