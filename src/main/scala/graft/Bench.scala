@@ -18,8 +18,13 @@ import org.apache.spark.sql.SparkSession
   *   - at 147 queries the per-query object crossed ~1.57 KB, so the
   *     reserved two-array step is now taken: `"qk":"a,b,…"` holds the
   *     comma-joined short keys and `"qv":[…]` the integer-ms medians
-  *     in the same order (~2 bytes/entry saved — no quotes/colon) —
-  *     ~1.27 KB at 147 queries, ~1.4 KB projected at 165.
+  *     in the same order (~2 bytes/entry saved — no quotes/colon).
+  *     Measured 1.51 KB at 174 queries (~8.3 B/entry) — ~185 queries
+  *     fit the ≤1.6 KB envelope. The NEXT step, decided now so it
+  *     never blocks a round: drop `qk` from stdout entirely and keep
+  *     only `qv` (bench_out.json already carries the authoritative
+  *     name map; keys are recoverable as the sorted query names) —
+  *     ~-750 bytes, headroom to 300+ queries.
   * The FULL names and 3-decimal-second timings are always written to
   * `bench_out.json` in the working directory as the lossless copy, and
   * the line is printed after `spark.stop()` so no log output follows it.

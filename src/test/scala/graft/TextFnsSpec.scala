@@ -24,6 +24,19 @@ class TextFnsSpec extends AnyFunSuite {
     assert(r(0L) < r(1L) / 3)
   }
 
+  test("domain blocklist is dot-suffix, not substring (E24 rule pin)") {
+    // hosts are src<N>.example.com (+ cdn. prefix on doc_id%9==0)
+    val full = graft.operators.Curation
+      .domainFilter(spark, TestSpark.sf, blocklist = Seq("example.com"))
+      .agg(sum(col("n_docs")).as("d"), sum(col("n_blocked")).as("b"))
+      .as[(Long, Long)].collect().head
+    assert(full._1 == full._2, "every host is a subdomain of example.com — all must block")
+    val sub = graft.operators.Curation
+      .domainFilter(spark, TestSpark.sf, blocklist = Seq("xample.com"))
+      .agg(sum(col("n_blocked")).as("b")).as[Long].collect().head
+    assert(sub == 0L, "substring tail 'xample.com' must NOT block (no dot boundary)")
+  }
+
   test("langId picks the right profile on crafted sentences") {
     val df = Seq(
       ("the cat and the dog is in the house", "en"),
