@@ -90,6 +90,51 @@ object ProductAnalytics {
       |SELECT CAST(3 AS BIGINT) AS step, 'purchase_after_click' AS event, count(*) AS n FROM t3
       |ORDER BY step""".stripMargin
 
+  /** C35b — conversion-window funnel (C35 with the constraint real
+    * funnels always carry: each step must follow the previous WITHIN a
+    * window — a purchase three weeks after the click is not that
+    * click's conversion). Same decorrelated min-time chain as C35,
+    * with the window bound as one more join-filter conjunct — the
+    * per-step joins stay user-keyed in one exchange lineage; nothing
+    * new shuffles.
+    */
+  def funnelWindowed(spark: SparkSession, dir: String, days: Int = 7): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), date_trunc("second", col("ts")).as("tss"))
+    val bound = expr(s"INTERVAL $days DAYS")
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tss")).as("t1"))
+    val t2 = e.filter(col("event_type") === "click")
+      .join(t1, "user_id")
+      .filter(col("tss") > col("t1") && col("tss") <= col("t1") + bound)
+      .groupBy(col("user_id")).agg(min(col("tss")).as("t2"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t2, "user_id")
+      .filter(col("tss") > col("t2") && col("tss") <= col("t2") + bound)
+      .groupBy(col("user_id")).agg(min(col("tss")).as("t3"))
+    val n1 = t1.agg(count(lit(1)).as("n")).select(lit(1L).as("step"), lit("view").as("event"), col("n"))
+    val n2 = t2.agg(count(lit(1)).as("n")).select(lit(2L).as("step"), lit("click_within_7d").as("event"), col("n"))
+    val n3 = t3.agg(count(lit(1)).as("n")).select(lit(3L).as("step"), lit("purchase_within_7d").as("event"), col("n"))
+    n1.unionByName(n2).unionByName(n3).orderBy(col("step"))
+  }
+
+  val funnelWindowedSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, date_trunc('second', ts) AS tss FROM events),
+      |t1 AS (SELECT user_id, min(tss) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (SELECT e.user_id, min(tss) AS t2 FROM e JOIN t1 USING (user_id)
+      |       WHERE event_type = 'click' AND tss > t1 AND tss <= t1 + INTERVAL 7 DAY
+      |       GROUP BY e.user_id),
+      |t3 AS (SELECT e.user_id, min(tss) AS t3 FROM e JOIN t2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND tss > t2 AND tss <= t2 + INTERVAL 7 DAY
+      |       GROUP BY e.user_id)
+      |SELECT CAST(1 AS BIGINT) AS step, 'view' AS event, count(*) AS n FROM t1
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT) AS step, 'click_within_7d' AS event, count(*) AS n FROM t2
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT) AS step, 'purchase_within_7d' AS event, count(*) AS n FROM t3
+      |ORDER BY step""".stripMargin
+
   /** C36 — event-type transition matrix (Markov counts): consecutive
     * event pairs per user timeline, one lag window per user partition
     * with a unique tiebreak.
