@@ -391,6 +391,36 @@ object LogAnalytics {
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin
 
+  // ---- C2m: global aggregation ----------------------------------------
+
+  /** C2m — global agg (OpenSearch `global`: a bucket that ignores the
+    * query scope, so a tile can say "errors are X of ALL Y events"
+    * while the rest of the dashboard stays filtered). Spark-first this
+    * is ONE conditional-aggregate pass — the scoped metrics are
+    * when()-guarded sums beside the unguarded globals, no second scan
+    * and no join; the share divides two exact longs.
+    */
+  def globalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val scoped = col("event_type") === "error"
+    Tables.events(spark, dir)
+      .agg(
+        sum(when(scoped, 1L).otherwise(0L)).as("n_scoped"),
+        count(lit(1)).as("n_global"),
+        round(sum(when(scoped, col("value")).otherwise(0.0)), 4).as("scoped_value"),
+        round(sum(col("value")), 4).as("global_value"))
+      .withColumn("scoped_share",
+        col("n_scoped").cast("double") / col("n_global"))
+  }
+
+  val globalAggSql: String =
+    """SELECT
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_scoped,
+      |  count(*) AS n_global,
+      |  round(sum(CASE WHEN event_type = 'error' THEN value ELSE 0 END), 4) AS scoped_value,
+      |  round(sum(value), 4) AS global_value,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS scoped_share
+      |FROM events""".stripMargin
+
   // ---- C2h: date_range aggregation ------------------------------------
 
   /** C2h — date_range agg (OpenSearch `date_range`): irregular,
