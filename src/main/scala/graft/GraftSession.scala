@@ -20,6 +20,10 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // native expressions available from SQL without registration calls
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // static conf (must precede session creation): the generated-class
+      // cache defaults to 100 entries — query batteries the size of this
+      // library's thrash it (~+0.1 s per small query once exceeded)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
 
   def get(master: String = "local[*]"): SparkSession = {
