@@ -529,15 +529,26 @@ object Curation {
       .mapPartitions { rows =>
         val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
         val buf = new Array[Byte](1 << 16)
-        rows.map { case (id, text) =>
-          val raw = text.getBytes("UTF-8")
-          deflater.reset()
-          deflater.setInput(raw)
-          deflater.finish()
-          var comp = 0L
-          while (!deflater.finished()) comp += deflater.deflate(buf)
-          (id, raw.length.toLong, comp,
-            math.round(comp.toDouble / math.max(raw.length, 1) * 1e4) / 1e4)
+        // native zlib memory is reclaimed only at finalization unless
+        // end() is called — release it deterministically when the
+        // partition's iterator drains (hasNext turning false)
+        new Iterator[(Long, Long, Long, Double)] {
+          def hasNext: Boolean = {
+            val h = rows.hasNext
+            if (!h) deflater.end()
+            h
+          }
+          def next(): (Long, Long, Long, Double) = {
+            val (id, text) = rows.next()
+            val raw = text.getBytes("UTF-8")
+            deflater.reset()
+            deflater.setInput(raw)
+            deflater.finish()
+            var comp = 0L
+            while (!deflater.finished()) comp += deflater.deflate(buf)
+            (id, raw.length.toLong, comp,
+              math.round(comp.toDouble / math.max(raw.length, 1) * 1e4) / 1e4)
+          }
         }
       }
       .toDF("doc_id", "raw_bytes", "deflate_bytes", "ratio")

@@ -445,11 +445,11 @@ object PipelineAggs {
 
   val movingEwmaSql: String = {
     val num = (0 to 6).map { k =>
-      val lit = s"%.17g".format(math.pow(0.7, k)).trim
+      val lit = String.format(java.util.Locale.ROOT, "%.17g", Double.box(math.pow(0.7, k))).trim
       s"(CASE WHEN lag(n, $k) OVER w IS NOT NULL THEN CAST(lag(n, $k) OVER w AS DOUBLE) * $lit ELSE 0.0 END)"
     }.mkString(" + ")
     val den = (0 to 6).map { k =>
-      val lit = s"%.17g".format(math.pow(0.7, k)).trim
+      val lit = String.format(java.util.Locale.ROOT, "%.17g", Double.box(math.pow(0.7, k))).trim
       s"(CASE WHEN lag(n, $k) OVER w IS NOT NULL THEN $lit ELSE 0.0 END)"
     }.mkString(" + ")
     s"""WITH b AS ($dailyBucketsSql)

@@ -162,6 +162,12 @@ object Similarity {
     corpusCells.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexPath/cells")
     centroids.write.mode("overwrite").parquet(s"$indexPath/centroids")
+    // completion marker written LAST: a crash between the two writes
+    // above must not leave a 'complete' index with cells but no
+    // centroids (ensureIvfIndex checks only this marker)
+    val done = new org.apache.hadoop.fs.Path(s"$indexPath/_COMPLETE")
+    done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(done, true).close()
   }
 
   /** Build-once-probe-many for the benched entries (the InvertedIndex
@@ -171,11 +177,31 @@ object Similarity {
     * The key carries a layout version; content lives under tmpdir,
     * never inside the read-only data dir.
     */
+  /** Digest of the source table's file listing (path, length, mtime):
+    * regenerating the data in-place changes the key, so a memoized
+    * index can never serve stale cell assignments for new data.
+    */
+  private def dataFingerprint(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    if (fs.exists(p)) {
+      fs.listStatus(p).sortBy(_.getPath.getName).foreach { st =>
+        md.update(s"${st.getPath.getName}#${st.getLen}#${st.getModificationTime};"
+          .getBytes("UTF-8"))
+      }
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   def ensureIvfIndex(spark: SparkSession, dir: String, nCells: Int = 16): String = {
+    val fp = dataFingerprint(spark, dir)
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir#$nCells".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val path = new java.io.File(sys.props("java.io.tmpdir"), s"graft-ivfidx-v1-$key").getPath
-    val marker = new org.apache.hadoop.fs.Path(s"$path/cells/_SUCCESS")
+      .digest(s"$dir#$nCells#$fp".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val path = new java.io.File(sys.props("java.io.tmpdir"), s"graft-ivfidx-v2-$key").getPath
+    // _COMPLETE is written by writeIvfIndex only AFTER both the cells
+    // and the centroids land — a half-written index is rebuilt, not read
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_COMPLETE")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) writeIvfIndex(spark, dir, path, nCells)
     path

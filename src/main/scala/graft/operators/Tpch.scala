@@ -233,8 +233,14 @@ object Tpch {
     */
   def returnedItems(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    // half-open date range, NOT year(o_orderdate)===1996: a function-
+    // wrapped column is a residual filter the parquet reader can't use,
+    // so every row group of a 100 TB orders table would be decoded; the
+    // range form reaches PushedFilters and prunes on min-max stats
+    // (EntrySpec asserts the pushdown).
     val o = Tables.orders(spark, dir)
-      .filter(year(col("o_orderdate")) === 1996)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
     // top-20 via orderBy().limit(): Spark plans TakeOrderedAndProject —
@@ -296,7 +302,10 @@ object Tpch {
       .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .filter(col("supp_nation") =!= col("cust_nation"))
-      .filter(year(col("l_shipdate")) >= fromYear && year(col("l_shipdate")) < untilYear)
+      // range predicate pushes to the lineitem scan (row-group pruning);
+      // year() survives only in the groupBy projection below.
+      .filter(col("l_shipdate") >= lit(s"$fromYear-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit(s"$untilYear-01-01").cast("timestamp"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("long").as("l_year"))
       .agg((sum(round(col("l_extendedprice") * 100).cast("long") *

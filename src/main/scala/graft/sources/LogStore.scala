@@ -115,10 +115,16 @@ object LogStore {
     */
   def readRollover(spark: SparkSession, root: String,
                    fromDate: String, untilDate: String): DataFrame = {
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val gens = fs.listStatus(new org.apache.hadoop.fs.Path(root))
-      .map(_.getPath.toString).filter(_.contains("gen=")).sorted
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(rootPath), s"rollover root does not exist: $root")
+    // match on the entry NAME, not the full path: an ancestor directory
+    // containing 'gen=' must not make unrelated entries look like
+    // generations
+    val gens = fs.listStatus(rootPath)
+      .filter(_.getPath.getName.startsWith("gen="))
+      .map(_.getPath.toString).sorted
+    require(gens.nonEmpty, s"no gen=* generations under rollover root: $root")
     gens.map(g => read(spark, g, fromDate, untilDate))
       .reduce(_.unionByName(_))
   }

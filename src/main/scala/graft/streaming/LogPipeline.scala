@@ -138,6 +138,11 @@ object LogPipeline {
     batch
       .withColumn("log_date", to_date(col("ts")))
       .write.mode("overwrite")
+      // pinned per-write: a session-level partitionOverwriteMode=dynamic
+      // would only replace the log_date partitions present in the RETRY,
+      // letting partitions from a partial first attempt survive and
+      // duplicate — static replaces the whole epoch directory
+      .option("partitionOverwriteMode", "static")
       .partitionBy("log_date")
       .parquet(s"$root/epoch=$batchId")
 

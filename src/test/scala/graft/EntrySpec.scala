@@ -69,6 +69,23 @@ class EntrySpec extends AnyFunSuite {
     assert(plan.contains("StartsWith(event_type,pu"), s"no pushed prefix in:\n$plan")
   }
 
+  test("q_returned_items / q_nation_volume push their date filters into the scan") {
+    // D7/D8 carried year()-wrapped filters through round 6 — residual
+    // filters parquet row-group pruning never sees. The fix is half-open
+    // timestamp ranges; these asserts pin the pushdown so it can't
+    // silently regress back to a function-wrapped column.
+    val d7 = graft.operators.Tpch.returnedItems(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(d7.contains("GreaterThanOrEqual(o_orderdate") &&
+      d7.contains("LessThan(o_orderdate"),
+      s"o_orderdate range not pushed in:\n$d7")
+    val d8 = graft.operators.Tpch.nationVolume(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(d8.contains("GreaterThanOrEqual(l_shipdate") &&
+      d8.contains("LessThan(l_shipdate"),
+      s"l_shipdate range not pushed in:\n$d8")
+  }
+
   test("q_ip_enrich is a bucketed hash join, not a nested-loop range join") {
     val plan = graft.operators.Network.ipEnrich(spark, TestSpark.sf)
       .queryExecution.executedPlan.toString

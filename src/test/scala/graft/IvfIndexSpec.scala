@@ -47,6 +47,29 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(pruned > 0 && pruned < allFiles, s"pruned=$pruned all=$allFiles")
   }
 
+  test("ensureIvfIndex: _COMPLETE marks a fully-written index and a half-written one rebuilds") {
+    // a crash between the cells and centroids writes must not leave a
+    // readable-looking index: _COMPLETE is only written after BOTH
+    val path = Similarity.ensureIvfIndex(spark, TestSpark.sf)
+    val complete = new java.io.File(path, "_COMPLETE")
+    val centroids = new java.io.File(path, "centroids")
+    assert(complete.exists(), "ensureIvfIndex did not leave a _COMPLETE marker")
+    assert(centroids.exists(), "no centroids dir beside _COMPLETE")
+
+    // simulate the crash window: cells landed, centroids + marker did not
+    assert(complete.delete())
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(centroids)
+    assert(!centroids.exists())
+    val rebuilt = Similarity.ensureIvfIndex(spark, TestSpark.sf)
+    assert(rebuilt == path, "cache key changed for unchanged data")
+    assert(complete.exists() && centroids.exists(),
+      "half-written index was not rebuilt")
+  }
+
   test("incremental append assigns to nearest frozen centroid and is probe-visible; recenter = member means") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
