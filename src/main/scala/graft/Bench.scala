@@ -74,9 +74,12 @@ object Bench {
       val p = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
       if (p.isDirectory && p.getPath != sfDir) p.getPath else sfDir
     }
+    val onlyWarm = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).toSet).filter(_.nonEmpty)
     if (warmDir != sfDir)
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      SparkEntry.queries.foreach { case (n, fn) =>
+        if (onlyWarm.forall(_.contains(n)))
+          try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     graft.sources.Tables.all.foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
@@ -90,8 +93,14 @@ object Bench {
     // garbage from being charged to the next one's wall-clock.
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0).getOrElse(3)
+    // Diagnostic subset (comma-separated names): times ONLY those
+    // queries — for isolating battery-interaction effects (JIT/code
+    // cache). Never set by the driver; full battery is the default.
+    val only = onlyWarm
+    val battery = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val results: Seq[(String, Option[Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      battery.map { case (name, fn) =>
         System.gc()
         val times = (1 to reps).flatMap { _ =>
           val t0 = System.nanoTime()
