@@ -655,4 +655,53 @@ object Extras {
       |  ON p.user_id = v.user_id AND v.vts <= p.pts AND v.vts > p.pts - INTERVAL 1 HOUR
       |GROUP BY p.purchase_id, p.user_id, p.pts
       |ORDER BY purchase_id""".stripMargin
+
+  /** C55 — nested/object-field query (OpenSearch `nested` mapping +
+    * query semantics, ref README.md:295-314 dashboards over JSON docs):
+    * each user's events become an array-of-structs column, and the
+    * nested query requires ONE element to satisfy the whole conjunction
+    * (event_type='purchase' AND value>200). The `object_match` column
+    * evaluates the same conjunction under flattened object-field
+    * semantics — each predicate may match a DIFFERENT element — which
+    * is exactly the false-positive class nested mappings exist to
+    * eliminate; the output keeps flat-matching users so the gap is
+    * visible (nested_match=false rows are the false positives).
+    *
+    * Scale shape: one user_id exchange builds the arrays; all
+    * per-element work is codegen'd higher-order functions
+    * (exists/filter/aggregate) over the array — no explode, no second
+    * shuffle. Matching revenue accumulates in exact integer cents so
+    * both engines agree bit-for-bit.
+    */
+  def nestedField(spark: SparkSession, dir: String): DataFrame = {
+    val nested = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(collect_list(struct(col("event_type"), col("value"))).as("items"),
+        count(lit(1)).as("n_items"))
+    val isHit = (e: org.apache.spark.sql.Column) =>
+      e.getField("event_type") === "purchase" && e.getField("value") > 200
+    nested.select(
+        col("user_id"),
+        col("n_items"),
+        exists(col("items"), isHit).as("nested_match"),
+        (exists(col("items"), e => e.getField("event_type") === "purchase") &&
+          exists(col("items"), e => e.getField("value") > 200)).as("object_match"),
+        aggregate(filter(col("items"), isHit), lit(0L),
+          (acc, e) => acc + round(e.getField("value") * 100).cast("long"))
+          .as("match_cents"))
+      .filter(col("object_match"))
+      .orderBy(col("user_id"))
+  }
+
+  val nestedFieldSql: String =
+    """SELECT user_id,
+      |  count(*) AS n_items,
+      |  bool_or(event_type = 'purchase' AND value > 200) AS nested_match,
+      |  (bool_or(event_type = 'purchase') AND bool_or(value > 200)) AS object_match,
+      |  CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+      |    FILTER (WHERE event_type = 'purchase' AND value > 200), 0) AS BIGINT) AS match_cents
+      |FROM events
+      |GROUP BY user_id
+      |HAVING object_match
+      |ORDER BY user_id""".stripMargin
 }

@@ -86,6 +86,22 @@ class EntrySpec extends AnyFunSuite {
       s"l_shipdate range not pushed in:\n$d8")
   }
 
+  test("q_nested_field distinguishes nested from flattened object semantics") {
+    val rows = graft.operators.Extras.nestedField(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    // every row flat-matches by construction; the nested semantics must
+    // strictly refine it (false positives the nested mapping eliminates)
+    val nestedHits = rows.count(_.getAs[Boolean]("nested_match"))
+    assert(nestedHits < rows.length, "nested set should be a strict subset")
+    // a single-element conjunction hit implies cents were accumulated
+    rows.filter(_.getAs[Boolean]("nested_match"))
+      .foreach(r => assert(r.getAs[Long]("match_cents") > 0))
+    // no explode: per-element work stays as higher-order functions
+    val plan = graft.operators.Extras.nestedField(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"explode in plan:\n$plan")
+  }
+
   test("q_ip_enrich is a bucketed hash join, not a nested-loop range join") {
     val plan = graft.operators.Network.ipEnrich(spark, TestSpark.sf)
       .queryExecution.executedPlan.toString
