@@ -314,16 +314,27 @@ object InvertedIndex {
     */
   def suggestPhrase(spark: SparkSession, dir: String,
                     w1: String = "hash", w2: String = "jion",
-                    maxDist: Int = 2, k: Int = 3): DataFrame = {
+                    maxDist: Int = 2, k: Int = 3,
+                    maxCandidates: Int = 10000): DataFrame = {
     val path = ensureIndex(spark, dir)
     val idx = spark.read.parquet(path)
-    def candidates(w: String): Array[(String, Long)] =
-      idx.filter(abs(length(col("token")) - w.length) <= maxDist &&
+    // The collect is bounded by the edit-distance neighborhood of one
+    // word in the terms dictionary — dozens of rows in practice. The
+    // explicit cap (mirror of Dedup.smallGraphMaxEdges) turns a
+    // pathological dictionary (e.g. maxDist raised on a web-scale
+    // vocabulary) into a clear error instead of a silent driver OOM.
+    def candidates(w: String): Array[(String, Long)] = {
+      val c = idx.filter(abs(length(col("token")) - w.length) <= maxDist &&
           levenshtein(col("token"), lit(w)) <= maxDist)
         .select(col("token"),
           levenshtein(col("token"), lit(w)).cast("long").as("d"))
-        .distinct().collect()
+        .distinct().limit(maxCandidates + 1).collect()
         .map(r => (r.getString(0), r.getLong(1)))
+      require(c.length <= maxCandidates,
+        s"suggestPhrase: >$maxCandidates correction candidates for " +
+          s"'$w' (maxDist=$maxDist) — tighten maxDist or raise maxCandidates")
+      c
+    }
     def probe(cand: Array[(String, Long)], tokAs: String, dAs: String): DataFrame = {
       import spark.implicits._
       val lookup = broadcast(cand.toSeq.toDF(tokAs, dAs))

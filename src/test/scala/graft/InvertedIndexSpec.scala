@@ -144,6 +144,13 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(res == expected && res.nonEmpty)
   }
 
+  test("phrase suggester candidate collect is explicitly bounded") {
+    val e = intercept[IllegalArgumentException] {
+      InvertedIndex.suggestPhrase(spark, TestSpark.sf, maxCandidates = 0)
+    }
+    assert(e.getMessage.contains("correction candidates"))
+  }
+
   test("phrase adjacency from positions matches a direct sliding scan") {
     val viaIndex = InvertedIndex.searchPhrase(spark, TestSpark.sf)
       .as[(Long, Long)].collect().toMap
