@@ -666,6 +666,82 @@ object Dedup {
       |GROUP BY p.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---- E20b: multi-scale passage dedup -------------------------------
+
+  /** Window sizes for the multi-scale sweep. Fixed-width windows (E20)
+    * only catch overlaps that align to ONE width; the real pipeline
+    * tool for any-length exact-substring dedup is a suffix array (Lee
+    * et al. 2022 §4). A multi-scale sweep narrows the gap cheaply:
+    * short scales catch small repeated fragments, long scales catch
+    * whole-passage/whole-doc copies, and the per-scale decay curve is
+    * itself the useful audit signal (how much duplication lives at
+    * which granularity). Scales are tuned to the corpus (10–99-word
+    * docs): a scale beyond max doc length degenerates to whole-doc
+    * hashing.
+    */
+  val passageScales = Seq(5, 10, 25, 50)
+
+  /** E20b — corpus duplication profile per window scale, one scan.
+    *
+    * Scale shape: every (scale, window) pair is cut by pure array
+    * expressions inside the scan — the scan is read ONCE for all
+    * scales (a `flatten` over per-scale `transform`s, then one
+    * explode); the count and count-back join run on (scale, hash)
+    * keys, so the shuffle is O(Σ_s passages_s) and partitions by the
+    * compound key — a hot passage at one scale can't skew another
+    * scale's bucket. Same two-level count as E20: within-doc collapse
+    * first, so the hottest (scale, hash) carries ≤1 row per containing
+    * doc into the global count.
+    */
+  def passageScaleProfile(spark: SparkSession, dir: String): DataFrame =
+    passageScaleProfileDf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core of E20b — any (doc_id, text) input. */
+  def passageScaleProfileDf(documents: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    def cut(p: Int) = transform(
+      sequence(lit(0), floor((size(ws) - 1) / p).cast("int")),
+      i => struct(lit(p).as("scale"),
+        md5(array_join(slice(ws, i * p + lit(1), lit(p)), " ")).as("h")))
+    val allScales = flatten(array(passageScales.map(cut): _*))
+    val perDoc = Tables.atComputeParallelism(documents)
+      .select(col("doc_id"), explode(allScales).as("ph"))
+      .select(col("doc_id"), col("ph.scale").as("scale"), col("ph.h").as("h"))
+      .groupBy(col("scale"), col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("k"))
+    val global = perDoc.groupBy(col("scale"), col("h")).agg(sum(col("k")).as("c"))
+    perDoc.join(global, Seq("scale", "h"))
+      .groupBy(col("scale"))
+      .agg(
+        sum(col("k")).as("n_passages"),
+        sum(when(col("c") > 1, col("k")).otherwise(0L)).as("n_dup_passages"),
+        countDistinct(when(col("c") > 1, col("doc_id"))).as("n_docs_affected"))
+      .select(col("scale").cast("long").as("scale"),
+        col("n_passages"), col("n_dup_passages"), col("n_docs_affected"),
+        round(col("n_dup_passages").cast("double") / col("n_passages"), 4)
+          .as("dup_ratio"))
+      .orderBy(col("scale"))
+  }
+
+  /** DuckDB oracle: the same per-scale window cut via list slicing and
+    * a VALUES scale list; occurrence rows count directly (Spark's
+    * within-doc collapse then sum is arithmetically identical).
+    */
+  val passageScaleProfileSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |paras AS (
+      |  SELECT doc_id, scale,
+      |    md5(array_to_string(ws[(i*scale+1):(i*scale+scale)], ' ')) AS h
+      |  FROM w CROSS JOIN (VALUES (5),(10),(25),(50)) AS s(scale),
+      |    unnest(range(0, CAST(floor((len(ws) - 1) / scale) AS BIGINT) + 1)) AS t(i)),
+      |counts AS (SELECT scale, h, count(*) AS c FROM paras GROUP BY 1, 2)
+      |SELECT CAST(p.scale AS BIGINT) AS scale, count(*) AS n_passages,
+      |  CAST(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages,
+      |  CAST(count(DISTINCT CASE WHEN c.c > 1 THEN p.doc_id END) AS BIGINT) AS n_docs_affected,
+      |  round(CAST(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_ratio
+      |FROM paras p JOIN counts c USING (scale, h)
+      |GROUP BY p.scale ORDER BY scale""".stripMargin
+
   /** E22 core — SemDeDup's within-cell keep rule (public anchor: Abbas
     * et al. 2023, "SemDeDup: Data-efficient learning at web-scale
     * through semantic deduplication", arXiv:2303.09540). Input: one row

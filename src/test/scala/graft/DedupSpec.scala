@@ -126,6 +126,26 @@ class DedupSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((7L, 3L, 2L, 0.6667)))
   }
 
+  test("multi-scale passage profile: short-scale overlap invisible at longer scales") {
+    // a 5-word fragment shared by two otherwise-unique 25-word docs is
+    // a dup ONLY at scale 5 (longer windows absorb the unique tails);
+    // two identical 50-word docs duplicate at every scale
+    val sh = (1 to 5).map(i => s"s$i").mkString(" ")
+    val a = (1 to 20).map(i => s"a$i").mkString(" ")
+    val b = (1 to 20).map(i => s"b$i").mkString(" ")
+    val c = (1 to 50).map(i => s"c$i").mkString(" ")
+    val df = Seq((1L, s"$sh $a"), (2L, s"$sh $b"), (3L, c), (4L, c))
+      .toDF("doc_id", "text")
+    val got = Dedup.passageScaleProfileDf(df)
+      .select("scale", "n_passages", "n_dup_passages", "n_docs_affected")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (5L, 30L, 22L, 4L),   // shared fragment + both copies of c
+      (10L, 16L, 10L, 2L),  // only the identical docs still collide
+      (25L, 6L, 4L, 2L),
+      (50L, 4L, 2L, 2L)))
+  }
+
   test("exact dedup groups identical texts") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "different")).toDF("doc_id", "text")
     val groups = df.groupBy(md5(col("text"))).agg(min("doc_id").as("keep"), count(lit(1)).as("n"))
