@@ -165,6 +165,60 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE training matches an independent in-memory replica; learned table feeds the kernel") {
+    import graft.plans.BpeTokenizer
+    // deliberately repetitive corpus so early merges are unambiguous
+    val corpus = Seq(
+      "the cat sat on the mat the cat sat",
+      "the hatter chatted that the cat heard",
+      "that mat sat flat that mat sat flat",
+      "chat chat chatter chatted scatter")
+    // ---- independent replica (recursion + sorting, no shared code) ----
+    val pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]".r
+    def mergeSeq(s: List[String], a: String, b: String): List[String] = s match {
+      case x :: y :: rest if x == a && y == b => (a + b) :: mergeSeq(rest, a, b)
+      case x :: rest => x :: mergeSeq(rest, a, b)
+      case Nil => Nil
+    }
+    var vocab: Map[List[String], Long] = corpus.flatMap(t => pat.findAllIn(t))
+      .groupBy(identity).map { case (w, g) => w.map(_.toString).toList -> g.size.toLong }
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var stop = false
+    while (expected.length < 12 && !stop) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case List(a, b) => counts((a, b)) += f
+          case _ =>
+        }
+      }
+      val ranked = counts.toSeq.sortBy { case ((a, b), w) => (-w, a, b) }
+      if (ranked.isEmpty || ranked.head._2 < 2) stop = true
+      else {
+        val ((a, b), w) = ranked.head
+        expected += ((expected.length.toLong, a, b, w))
+        vocab = vocab.toSeq.map { case (syms, f) => mergeSeq(syms, a, b) -> f }
+          .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+      }
+    }
+    // ---- engine ----
+    val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = graft.operators.BpeTrain.learnMergesDf(df, 12)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got == expected.toSeq, s"got=$got\nexpected=$expected")
+    // ---- learned table through the inference kernel ----
+    val tbl = BpeTokenizer.ranksOf(got.map(m => (m._2, m._3)))
+    val learnedTokens = BpeTokenizer.preTokenize(corpus.mkString(" "))
+      .map(w => BpeTokenizer.encodeWord(w, tbl).length).sum
+    val charTokens = BpeTokenizer.preTokenize(corpus.mkString(" "))
+      .map(_.length).sum
+    assert(learnedTokens < charTokens, "learned merges must compress the training corpus")
+    // the corpus's dominant pairs must surface in the first merges
+    val firstPairs = got.take(4).map(m => m._2 + m._3)
+    assert(firstPairs.exists(p => p.contains("at") || p.contains("th")),
+      s"unexpected head of merge table: $firstPairs")
+  }
+
   test("simhash: equal token multisets agree; near-identical docs are close, unrelated far") {
     val doc = randDoc(60)
     val near = doc.updated(0, "CHANGED")
