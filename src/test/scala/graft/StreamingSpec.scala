@@ -150,6 +150,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(after.filter(col("epoch") === 1).count() == 6)
   }
 
+  test("rollup store: epoch partials merge to the raw aggregate; redelivery and compaction safe (A14)") {
+    import graft.sources.RollupStore
+    val root = tmpDir("rollup") + "/summary"
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+    val b0 = Seq((ts(0, 5), "view", 1.10), (ts(0, 20), "click", 2.50), (ts(1, 0), "view", 3.25))
+      .toDF("ts", "event_type", "value")
+    val b1 = Seq((ts(0, 40), "view", 4.00), (ts(1, 30), "click", 0.55))
+      .toDF("ts", "event_type", "value")
+    // incremental maintenance across micro-batches through the real
+    // streaming writer (foreachBatch -> epoch-idempotent partials)
+    val ckpt = tmpDir("rollup-ckpt")
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[(java.sql.Timestamp, String, Double)]
+    src.addData((ts(0, 5), "view", 1.10), (ts(0, 20), "click", 2.50), (ts(1, 0), "view", 3.25))
+    val q1 = RollupStore.startRollup(
+      src.toDF.toDF("ts", "event_type", "value"), root, ckpt)
+    try q1.awaitTermination() finally q1.stop()
+    src.addData((ts(0, 40), "view", 4.00), (ts(1, 30), "click", 0.55))
+    // SAME checkpoint: the restarted query resumes past batch 0, so the
+    // second micro-batch writes ONLY the new rows' partials (epoch 1)
+    val q2 = RollupStore.startRollup(
+      src.toDF.toDF("ts", "event_type", "value"), root, ckpt)
+    try q2.awaitTermination() finally q2.stop()
+    def summarize() = RollupStore.readSummary(spark, root)
+      .select(col("hour"), col("event_type"), col("n"), col("value_cents"))
+      .as[(java.sql.Timestamp, String, Long, Long)].collect().toSet
+    val expected = Set(
+      (ts(0, 0), "view", 2L, 510L),   // 1.10 + 4.00
+      (ts(0, 0), "click", 1L, 250L),
+      (ts(1, 0), "view", 1L, 325L),
+      (ts(1, 0), "click", 1L, 55L))
+    assert(summarize() == expected, s"got ${summarize()}")
+    // a redelivered batch REPLACES its epoch's partials — no double count
+    RollupStore.rollupBatch(b1, root, 1)
+    assert(summarize() == expected, "redelivery must be idempotent")
+    // compaction folds partials under a NEW root; the summary is unchanged
+    val dst = tmpDir("rollup-compact") + "/summary"
+    RollupStore.compactInto(spark, root, dst)
+    val compacted = RollupStore.readSummary(spark, dst)
+      .select(col("hour"), col("event_type"), col("n"), col("value_cents"))
+      .as[(java.sql.Timestamp, String, Long, Long)].collect().toSet
+    assert(compacted == expected)
+    // parity with the direct aggregate over the full raw history
+    val raw = b0.unionByName(b1)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .as[(java.sql.Timestamp, String, Long, Long)].collect().toSet
+    assert(raw == expected)
+  }
+
   test("watermarked windowed aggregation over the parsed stream") {
     val in = tmpDir("in2"); val ckpt = tmpDir("ckpt2")
     Files.createDirectories(Paths.get(s"$in/ecs"))
