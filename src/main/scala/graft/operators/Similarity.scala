@@ -22,7 +22,7 @@ object Similarity {
   val nQueries = 10
   val topK = 5
 
-  private def queryCorpus(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[operators] def queryCorpus(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     CosineSim.register(spark)
     val e = Tables.embeddings(spark, dir)
     // corpus stays at scan parallelism: the scoring kernel is a few
@@ -35,7 +35,7 @@ object Similarity {
        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb")))
   }
 
-  private def rankTopK(scored: DataFrame): DataFrame = {
+  private[operators] def rankTopK(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -133,7 +133,7 @@ object Similarity {
   /** Probe-cell selection: the nProbe nearest centroids per query
     * (queries × centroids is tiny — broadcast, window-ranked).
     */
-  private def probeCells(q: DataFrame, centroids: DataFrame, nProbe: Int): DataFrame = {
+  private[operators] def probeCells(q: DataFrame, centroids: DataFrame, nProbe: Int): DataFrame = {
     val probeW = Window.partitionBy(col("q_id")).orderBy(col("c_sim").desc, col("cell"))
     q.join(broadcast(centroids))
       .withColumn("c_sim", CosineSim(col("q_emb"), col("centroid")))
@@ -181,7 +181,7 @@ object Similarity {
     * regenerating the data in-place changes the key, so a memoized
     * index can never serve stale cell assignments for new data.
     */
-  private def dataFingerprint(spark: SparkSession, dir: String): String = {
+  private[operators] def dataFingerprint(spark: SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -50,4 +50,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall")
     assert(ivf.size <= exact.size)
   }
+
+  test("graph ANN (NN-descent) recall meets or beats the LSH and IVF paths; deterministic") {
+    import graft.operators.GraphAnn
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val exact = hits(Similarity.annTopK(spark, TestSpark.sf))
+    val graph = hits(GraphAnn.annGraph(spark, TestSpark.sf))
+    val lsh = hits(Similarity.annLsh(spark, TestSpark.sf))
+    val ivf = hits(Similarity.annIvf(spark, TestSpark.sf))
+    def recall(s: Set[(Long, Long)]) = (exact & s).size.toDouble / exact.size
+    // comparable candidate budgets: graph scores ≤ |entry cell| +
+    // hops·beam·degree ≈ an IVF probe's cell share; it must not do
+    // worse than either baseline bucketing on the same corpus
+    assert(recall(graph) >= recall(lsh),
+      s"graph ${recall(graph)} < lsh ${recall(lsh)}")
+    assert(recall(graph) >= recall(ivf),
+      s"graph ${recall(graph)} < ivf ${recall(ivf)}")
+    assert(recall(graph) >= 0.5, s"graph recall ${recall(graph)}")
+    // rerun is identical: seeded k-means cells + deterministic tiebreaks
+    assert(hits(GraphAnn.annGraph(spark, TestSpark.sf)) == graph)
+  }
 }
