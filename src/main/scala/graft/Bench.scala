@@ -7,24 +7,17 @@ import org.apache.spark.sql.SparkSession
   * The driver parses that line from a FINITE tail-capture of process
   * output — a ~2.2 KB line lost its head once the query count grew, so
   * the line is kept aggressively small:
-  *   - per-query values are INTEGER MILLISECONDS (`"dah":272`); the
-  *     headline `value` stays in seconds per the driver contract (the
-  *     round-5 `"qunit":"ms"` marker was redundant with it and is
-  *     dropped — the lossless copy below carries the full precision);
-  *   - keys are deterministic abbreviations of the query names: strip
-  *     the `q_` prefix, then 2 chars of the first `_`-word + 1 of each
-  *     later word (single-word names keep 3), numeric-suffixed on
-  *     collision;
-  *   - at 147 queries the per-query object crossed ~1.57 KB, so the
-  *     reserved two-array step is now taken: `"qk":"a,b,…"` holds the
-  *     comma-joined short keys and `"qv":[…]` the integer-ms medians
-  *     in the same order (~2 bytes/entry saved — no quotes/colon).
-  *     Measured 1.51 KB at 174 queries (~8.3 B/entry) — ~185 queries
-  *     fit the ≤1.6 KB envelope. The NEXT step, decided now so it
-  *     never blocks a round: drop `qk` from stdout entirely and keep
-  *     only `qv` (bench_out.json already carries the authoritative
-  *     name map; keys are recoverable as the sorted query names) —
-  *     ~-750 bytes, headroom to 300+ queries.
+  *   - per-query values are INTEGER MILLISECONDS; the headline `value`
+  *     stays in seconds per the driver contract;
+  *   - the line carries values ONLY: `"qv":[…]` holds the integer-ms
+  *     medians in sorted-query-name order and `"nq"` the count (a
+  *     parse sanity check). Query names are recoverable by sorting
+  *     `SparkEntry.queries.keys`; `bench_out.json` is the
+  *     authoritative name→seconds map. History: a per-query object
+  *     crossed ~1.57 KB at 147 queries → two-array `qk`/`qv` form;
+  *     at 182 queries that form neared its ~1.6 KB envelope → `qk`
+  *     dropped (this step was pre-decided in round 6). ~4.6 B/entry:
+  *     headroom to 300+ queries.
   * The FULL names and 3-decimal-second timings are always written to
   * `bench_out.json` in the working directory as the lossless copy, and
   * the line is printed after `spark.stop()` so no log output follows it.
@@ -34,18 +27,6 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   private def ms3(v: Double): Double = math.round(v * 1000) / 1000.0
-
-  /** q_date_histogram_filled -> dahf ; q_search -> sea.
-    * First word keeps 2 chars, later words 1, single-word names 3;
-    * collisions get a numeric suffix from the sorted-name order (the
-    * suffix assignment is stable across rounds as long as names sort
-    * the same; bench_out.json is the authoritative name map).
-    */
-  private[graft] def shortKey(name: String): String = {
-    val ws = name.stripPrefix("q_").split('_')
-    if (ws.length == 1) ws(0).take(3)
-    else ws(0).take(2) + ws.iterator.drop(1).map(_.take(1)).mkString
-  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
@@ -109,29 +90,20 @@ object Bench {
         }.sorted
         name -> (if (times.isEmpty) None else Some(times(times.length / 2)))
       }
-    // Collision safeguard: suffix 2nd+ holders of a short key with 2,3,…
-    val shortKeys = {
-      val seen = scala.collection.mutable.Map.empty[String, Int]
-      results.map { case (name, _) =>
-        val k = shortKey(name)
-        val n = seen.getOrElse(k, 0); seen(k) = n + 1
-        if (n == 0) k else s"$k$n"
-      }
-    }
-    // Two-array form (the compression step the 140-query projection
-    // reserved, taken at 147): "qk" carries the comma-joined short
-    // keys, "qv" the integer-ms medians in the same order — ~2 bytes
-    // per entry under the per-query object (no quotes/colon), keeping
-    // the line ~1.27 KB at 147 queries, ~1.4 KB at 165.
+    // Round-6's pre-decided step, taken at 182 entries (the two-array
+    // form would cross its ~1.6 KB envelope near 185): `qk` is DROPPED
+    // from stdout — `qv` carries the integer-ms medians in sorted-name
+    // order plus an `nq` count as a parse sanity check, and the keys
+    // are recoverable as the sorted query names (exactly how `battery`
+    // is built above). ~8.3 B/entry → ~4.6: headroom to 300+ queries.
     // bench_out.json remains the lossless full-name, 3-decimal copy.
-    val qk = shortKeys.mkString(",")
     val qv = results.map { case (_, v) =>
       v.map(t => math.round(t * 1000).toString).getOrElse("-1")
     }.mkString("[", ",", "]")
     val total = ms3(results.flatMap(_._2).sum)
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","qk":"$qk","qv":$qv,"sf":$sfNum}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.length},"qv":$qv,"sf":$sfNum}"""
     // Lossless copy on disk: FULL query names, seconds at 3 decimals.
     try {
       val fullQs = results.map { case (name, v) =>
