@@ -693,6 +693,46 @@ object Extras {
       .orderBy(col("user_id"))
   }
 
+  /** C55b — nested + reverse_nested AGGREGATION: bucket the nested
+    * elements themselves (per-element value bands × event_type),
+    * compute metrics in the nested context, then `reverse_nested` back
+    * to the parent level (how many parent docs contribute to each
+    * nested bucket). The explode is not incidental — per-element
+    * bucketing over separate hidden documents IS how OpenSearch
+    * executes nested aggs; here it feeds one hash aggregate, and the
+    * parent count rides the same pass as a distinct-count.
+    */
+  def nestedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val nested = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(collect_list(struct(col("event_type"), col("value"))).as("items"))
+    nested
+      .select(col("user_id"), explode(col("items")).as("e"))
+      .select(col("user_id"), col("e.event_type").as("event_type"),
+        // range-agg bands within the nested context
+        when(col("e.value") < 10, "lt10")
+          .when(col("e.value") < 100, "10-100")
+          .otherwise("gte100").as("value_band"),
+        col("e.value").as("value"))
+      .groupBy(col("event_type"), col("value_band"))
+      .agg(count(lit(1)).as("n_elements"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"),
+        countDistinct(col("user_id")).as("n_parent_docs"))
+      .orderBy(col("event_type"), col("value_band"))
+  }
+
+  val nestedAggSql: String =
+    """SELECT event_type,
+      |  CASE WHEN value < 10 THEN 'lt10'
+      |       WHEN value < 100 THEN '10-100'
+      |       ELSE 'gte100' END AS value_band,
+      |  count(*) AS n_elements,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+      |  count(DISTINCT user_id) AS n_parent_docs
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY event_type, value_band""".stripMargin
+
   val nestedFieldSql: String =
     """SELECT user_id,
       |  count(*) AS n_items,
