@@ -693,6 +693,28 @@ object Extras {
       .orderBy(col("user_id"))
   }
 
+  /** C56 — query_string / DQL search (the Discover search-bar grammar)
+    * compiled by functions/QueryString into a NATIVE Column predicate:
+    * the grammar below lands in the parquet scan as ordinary
+    * PushedFilters (EntrySpec asserts the value range is pushed) — the
+    * DSL costs nothing at execution time.
+    */
+  val queryStringDemo =
+    "(event_type:p* OR event_type:view) AND value:[100 TO 300} AND NOT user_id:<10"
+
+  def queryStringSearch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.filter(graft.functions.QueryString.compile(ev, queryStringDemo))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  val queryStringSearchSql: String =
+    """SELECT event_id, user_id, event_type, value FROM events
+      |WHERE (event_type LIKE 'p%' OR event_type = 'view')
+      |  AND value >= 100 AND value < 300 AND NOT user_id < 10
+      |ORDER BY event_id""".stripMargin
+
   /** C55b — nested + reverse_nested AGGREGATION: bucket the nested
     * elements themselves (per-element value bands × event_type),
     * compute metrics in the nested context, then `reverse_nested` back
