@@ -1,0 +1,235 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** C57 — PPL (Piped Processing Language) runner. OpenSearch ships a
+  * PPL plugin and its Observability UI speaks it; a user of the
+  * reference stack queries the aggregated indexes with exactly this
+  * pipe grammar. Supported core (the public PPL command set's head):
+  *
+  *   search source=<table> | where <expr> | eval <name> = <expr>
+  *     | fields [+|-] f1, f2 | dedup f1 [, f2] | stats <aggs> [by f1, f2]
+  *     | sort [+|-]f1 [, ...] | head N
+  *
+  * aggs: count(), sum(x), avg(x), min(x), max(x), dc(x) with
+  * `as alias`; where/eval expressions: comparisons (= != > >= < <=),
+  * and/or/not, parens, + - * /, numeric and 'quoted' literals.
+  *
+  * Design mirrors functions/QueryString: the pipeline parses ONCE on
+  * the driver and compiles to the SAME DataFrame operators a
+  * hand-written query would use — `where` becomes a pushable Column
+  * predicate, `stats` a hash aggregate, `sort|head` the
+  * TakeOrderedAndProject pattern. No run-time interpretation, no UDFs:
+  * the DSL adds zero execution cost at any scale.
+  */
+object Ppl {
+
+  // ---- expression parser (where/eval) --------------------------------
+
+  private sealed trait ETok
+  private case class Id(s: String) extends ETok
+  private case class Num(s: String) extends ETok
+  private case class Str(s: String) extends ETok
+  private case class Op(s: String) extends ETok
+  private case object ELp extends ETok
+  private case object ERp extends ETok
+
+  private def lexExpr(s: String): List[ETok] = {
+    val out = scala.collection.mutable.ListBuffer.empty[ETok]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '(') { out += ELp; i += 1 }
+      else if (c == ')') { out += ERp; i += 1 }
+      else if (c == '\'' || c == '"') {
+        val q = c; val sb = new StringBuilder; i += 1
+        while (i < n && s.charAt(i) != q) { sb.append(s.charAt(i)); i += 1 }
+        require(i < n, s"unterminated string literal in: $s")
+        i += 1; out += Str(sb.toString)
+      }
+      else if (c.isDigit || (c == '.' && i + 1 < n && s.charAt(i + 1).isDigit)) {
+        val st = i
+        while (i < n && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+        out += Num(s.substring(st, i))
+      }
+      else if (c.isLetter || c == '_') {
+        val st = i
+        while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+        out += Id(s.substring(st, i))
+      }
+      else {
+        val two = if (i + 1 < n) s.substring(i, i + 2) else ""
+        if (Set(">=", "<=", "!=").contains(two)) { out += Op(two); i += 2 }
+        else if ("=<>+-*/".indexOf(c) >= 0) { out += Op(c.toString); i += 1 }
+        else throw new IllegalArgumentException(s"bad character '$c' in: $s")
+      }
+    }
+    out.toList
+  }
+
+  private final class EP(var t: List[ETok]) {
+    private def peek = t.headOption
+    private def eat(): ETok = { val h = t.head; t = t.tail; h }
+    private def isKw(tok: ETok, w: String) = tok match {
+      case Id(s) => s.equalsIgnoreCase(w); case _ => false
+    }
+    def orE(): Column = {
+      var l = andE()
+      while (peek.exists(isKw(_, "or"))) { eat(); l = l || andE() }
+      l
+    }
+    private def andE(): Column = {
+      var l = notE()
+      while (peek.exists(isKw(_, "and"))) { eat(); l = l && notE() }
+      l
+    }
+    private def notE(): Column =
+      if (peek.exists(isKw(_, "not"))) { eat(); !notE() } else cmpE()
+    private def cmpE(): Column = {
+      val l = addE()
+      peek match {
+        case Some(Op(o)) if Set("=", "!=", ">", ">=", "<", "<=").contains(o) =>
+          eat()
+          val r = addE()
+          o match {
+            case "="  => l === r
+            case "!=" => l =!= r
+            case ">"  => l > r
+            case ">=" => l >= r
+            case "<"  => l < r
+            case "<=" => l <= r
+          }
+        case _ => l
+      }
+    }
+    private def addE(): Column = {
+      var l = mulE()
+      var go = true
+      while (go) peek match {
+        case Some(Op("+")) => eat(); l = l + mulE()
+        case Some(Op("-")) => eat(); l = l - mulE()
+        case _ => go = false
+      }
+      l
+    }
+    private def mulE(): Column = {
+      var l = unary()
+      var go = true
+      while (go) peek match {
+        case Some(Op("*")) => eat(); l = l * unary()
+        case Some(Op("/")) => eat(); l = l / unary()
+        case _ => go = false
+      }
+      l
+    }
+    private def unary(): Column = peek match {
+      case Some(Op("-")) => eat(); -unary()
+      case _ => primary()
+    }
+    private def primary(): Column = eat() match {
+      case ELp => val e = orE(); require(peek.contains(ERp), "missing ')'"); eat(); e
+      case Num(s) => if (s.contains('.')) lit(s.toDouble) else lit(s.toLong)
+      case Str(s) => lit(s)
+      case Id(s)  => col(s)
+      case tok    => throw new IllegalArgumentException(s"unexpected $tok in expression")
+    }
+  }
+
+  private[functions] def parseExpr(s: String): Column = {
+    val p = new EP(lexExpr(s))
+    val c = p.orE()
+    require(p.t.isEmpty, s"trailing tokens in expression: $s")
+    c
+  }
+
+  // ---- pipeline ------------------------------------------------------
+
+  /** Split on top-level '|' (quotes respected). */
+  private def stages(q: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val sb = new StringBuilder
+    var quote: Char = 0
+    q.foreach { c =>
+      if (quote != 0) { sb.append(c); if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"') { quote = c; sb.append(c) }
+      else if (c == '|') { out += sb.toString; sb.clear() }
+      else sb.append(c)
+    }
+    out += sb.toString
+    out.map(_.trim).filter(_.nonEmpty).toList
+  }
+
+  private val aggRe = "(?i)(count|sum|avg|min|max|dc)\\s*\\(\\s*([a-zA-Z_][a-zA-Z0-9_]*)?\\s*\\)(?:\\s+as\\s+([a-zA-Z_][a-zA-Z0-9_]*))?".r
+
+  private def aggColumn(fn: String, arg: Option[String], alias: Option[String]): Column = {
+    val c = fn.toLowerCase match {
+      case "count" => count(lit(1))
+      case "sum"   => sum(col(arg.getOrElse(sys.error("sum() needs a column"))))
+      case "avg"   => avg(col(arg.getOrElse(sys.error("avg() needs a column"))))
+      case "min"   => min(col(arg.getOrElse(sys.error("min() needs a column"))))
+      case "max"   => max(col(arg.getOrElse(sys.error("max() needs a column"))))
+      case "dc"    => countDistinct(col(arg.getOrElse(sys.error("dc() needs a column"))))
+    }
+    c.as(alias.getOrElse(fn.toLowerCase + arg.map("_" + _).getOrElse("")))
+  }
+
+  /** Run a PPL pipeline against the tables in `dir`. */
+  def run(spark: SparkSession, dir: String, query: String): DataFrame = {
+    val st = stages(query)
+    require(st.nonEmpty, "empty PPL query")
+    val head0 = st.head
+    val srcRe = "(?i)^search\\s+source\\s*=\\s*([a-zA-Z_][a-zA-Z0-9_]*)$".r
+    var df = head0.trim match {
+      case srcRe(tbl) =>
+        require(Tables.all.contains(tbl), s"unknown source table '$tbl'")
+        if (tbl == "events") Tables.events(spark, dir) // ts nanos conversion
+        else Tables.load(spark, dir, tbl)
+      case other => throw new IllegalArgumentException(
+        s"PPL must start with 'search source=<table>', got: $other")
+    }
+    st.tail.foreach { stage =>
+      val (cmd, rest) = stage.span(!_.isWhitespace)
+      val arg = rest.trim
+      cmd.toLowerCase match {
+        case "where" => df = df.filter(parseExpr(arg))
+        case "eval" =>
+          val i = arg.indexOf('=')
+          require(i > 0, s"eval needs '<name> = <expr>', got: $arg")
+          val name = arg.substring(0, i).trim
+          df = df.withColumn(name, parseExpr(arg.substring(i + 1)))
+        case "fields" =>
+          val minus = arg.startsWith("-")
+          val names = arg.stripPrefix("-").stripPrefix("+").split(',').map(_.trim)
+          df = if (minus) df.drop(names.toIndexedSeq: _*)
+               else df.select(names.map(col).toIndexedSeq: _*)
+        case "dedup" =>
+          df = df.dropDuplicates(arg.split(',').map(_.trim).toIndexedSeq)
+        case "stats" =>
+          val parts = arg.split("(?i)\\s+by\\s+")
+          require(parts.length <= 2, s"stats: one 'by' clause allowed: $arg")
+          val aggs = aggRe.findAllMatchIn(parts(0)).map(m =>
+            aggColumn(m.group(1), Option(m.group(2)), Option(m.group(3)))).toSeq
+          require(aggs.nonEmpty, s"stats: no aggregations in: $arg")
+          df = if (parts.length == 2) {
+            val by = parts(1).split(',').map(s => col(s.trim)).toIndexedSeq
+            df.groupBy(by: _*).agg(aggs.head, aggs.tail: _*)
+          } else df.agg(aggs.head, aggs.tail: _*)
+        case "sort" =>
+          val keys = arg.split(',').map(_.trim).map { k =>
+            if (k.startsWith("-")) col(k.drop(1).trim).desc
+            else col(k.stripPrefix("+").trim).asc
+          }
+          df = df.orderBy(keys.toIndexedSeq: _*)
+        case "head" =>
+          df = df.limit(arg.trim.toInt)
+        case other => throw new IllegalArgumentException(s"unknown PPL command '$other'")
+      }
+    }
+    df
+  }
+}

@@ -715,6 +715,29 @@ object Extras {
       |  AND value >= 100 AND value < 300 AND NOT user_id < 10
       |ORDER BY event_id""".stripMargin
 
+  /** C57 — PPL pipeline (OpenSearch Observability's piped language)
+    * through functions/Ppl: parse once, compile to the identical
+    * DataFrame operators a hand-written query uses. The demo pipe is
+    * the canonical triage query — filter, per-user stats, rank, top-N.
+    * min/max metrics keep it exact cross-engine (avg would ride on
+    * double summation order).
+    */
+  val pplDemo: String =
+    "search source=events | where value > 100 and event_type = 'purchase' " +
+      "| stats count() as n, min(value) as min_v, max(value) as max_v by user_id " +
+      "| sort - n, + user_id | head 20"
+
+  def pplSearch(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Ppl.run(spark, dir, pplDemo)
+
+  val pplSearchSql: String =
+    """SELECT user_id, count(*) AS n, min(value) AS min_v, max(value) AS max_v
+      |FROM events
+      |WHERE value > 100 AND event_type = 'purchase'
+      |GROUP BY user_id
+      |ORDER BY n DESC, user_id
+      |LIMIT 20""".stripMargin
+
   /** C55b — nested + reverse_nested AGGREGATION: bucket the nested
     * elements themselves (per-element value bands × event_type),
     * compute metrics in the nested context, then `reverse_nested` back
