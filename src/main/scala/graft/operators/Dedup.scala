@@ -742,6 +742,55 @@ object Dedup {
       |FROM paras p JOIN counts c USING (scale, h)
       |GROUP BY p.scale ORDER BY scale""".stripMargin
 
+  // ---- E20c: any-length exact-overlap verifier -----------------------
+
+  /** E20c — exact-overlap pair report: which doc pairs share a
+    * contiguous word run of at least `minRun` words, and how long the
+    * longest shared run is. This is the any-length complement to the
+    * windowed passes (E20/E20b): fixed windows miss overlaps that
+    * straddle window phase, and MinHash bands tuned for 0.7 Jaccard
+    * miss a long run inside otherwise-different docs.
+    *
+    * Candidate generation is WINNOWING fingerprints (E11, Schleimer et
+    * al. 2003) — the scheme's guarantee is exactly what's needed here:
+    * two docs sharing a run of ≥ window+k-1 tokens ALWAYS share at
+    * least one selected fingerprint, regardless of phase. So for
+    * minRun ≥ 8 (> 4+3-1), candidate recall is total (modulo the
+    * degenerate-bucket cap, same policy as E2). Verification is the
+    * native lcs_words kernel — O(words²) per CANDIDATE pair only.
+    *
+    * Scale shape: fingerprint buckets bound the pair fan-out (cap +
+    * skew-immune two-sided join); the LCS kernel runs inside the join
+    * projection at compute parallelism; nothing is ever corpus².
+    */
+  def lcsOverlap(spark: SparkSession, dir: String, minRun: Int = 8): DataFrame =
+    lcsOverlapDf(Tables.documents(spark, dir), minRun)
+
+  /** DataFrame-level core of E20c — any (doc_id, text) input. */
+  def lcsOverlapDf(documents: DataFrame, minRun: Int): DataFrame = {
+    val docs = Tables.atComputeParallelism(documents)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"),
+        graft.functions.TextFns.fingerprints(col("text")).as("fps"))
+    val cand = docs.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val okBuckets = cand.groupBy(col("fp"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn").between(2, maxBucketSize))
+      .select(col("fp"))
+    val inBucket = cand.join(okBuckets, "fp")
+    val pairs = inBucket.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(inBucket.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("ws").as("ws_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("ws").as("ws_b")), "doc_b")
+      .withColumn("lcs_words", graft.plans.LcsWords(col("ws_a"), col("ws_b")))
+      .filter(col("lcs_words") >= minRun)
+      .select(col("doc_a"), col("doc_b"), col("lcs_words").cast("long").as("lcs_words"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** E22 core — SemDeDup's within-cell keep rule (public anchor: Abbas
     * et al. 2023, "SemDeDup: Data-efficient learning at web-scale
     * through semantic deduplication", arXiv:2303.09540). Input: one row

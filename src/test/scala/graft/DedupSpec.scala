@@ -146,6 +146,41 @@ class DedupSpec extends AnyFunSuite {
       (50L, 4L, 2L, 2L)))
   }
 
+  test("LCS overlap verifier: phase-shifted shared run found with exact length") {
+    val run = (1 to 20).map(i => s"run$i").mkString(" ")
+    val shortRun = (1 to 5).map(i => s"sr$i").mkString(" ")
+    val pre1 = (1 to 3).map(i => s"p$i").mkString(" ")
+    val pre2 = (1 to 11).map(i => s"q$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$pre1 $run x1 x2 x3 x4 x5"),        // run at offset 3
+      (2L, s"$pre2 $run y1 y2"),                  // same run at offset 11
+      (3L, s"$shortRun z1 z2 z3 z4 z5 z6 z7"),    // shares only a 5-word run w/ 4
+      (4L, s"$shortRun w1 w2 w3 w4 w5 w6 w7"),
+      (5L, (1 to 30).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.lcsOverlapDf(df, minRun = 8)
+      .as[(Long, Long, Long)].collect().toSeq
+    // fixed 10-word windows would MISS the (3,11) phase shift; the
+    // winnowing candidates + LCS verify find it with the exact length
+    assert(got == Seq((1L, 2L, 20L)), s"got $got")
+  }
+
+  test("lcs_words kernel matches a naive independent replica on random inputs") {
+    val rng = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d")
+    def doc() = Seq.fill(3 + rng.nextInt(40))(vocab(rng.nextInt(vocab.length)))
+    def naive(x: Seq[String], y: Seq[String]): Int =
+      (for { i <- x.indices; j <- y.indices } yield {
+        var k = 0
+        while (i + k < x.length && j + k < y.length && x(i + k) == y(j + k)) k += 1
+        k
+      }).maxOption.getOrElse(0)
+    val cases = Seq.fill(25)((doc(), doc()))
+    val got = cases.toDF("a", "b")
+      .select(graft.plans.LcsWords(col("a"), col("b"))).as[Int].collect().toSeq
+    assert(got == cases.map { case (a, b) => naive(a, b) })
+  }
+
   test("exact dedup groups identical texts") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "different")).toDF("doc_id", "text")
     val groups = df.groupBy(md5(col("text"))).agg(min("doc_id").as("keep"), count(lit(1)).as("n"))
