@@ -297,6 +297,79 @@ object Similarity {
   private def band(sig: Column, i: Int): Column =
     shiftright(sig, i * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
 
+  // ---- E7f: scalar-quantized (int8) ANN ------------------------------
+
+  /** Bits → 256 levels; the kNN plugins' SQ8 configuration. */
+  val sqLevels = 255
+
+  /** Per-dimension (min, step) quantization params from ONE corpus
+    * aggregate: posexplode → 64-group min/max is map-side combined to
+    * 64 rows per partition before the exchange; the collect is
+    * plan-sized (one row per dimension), the same bounded-collect class
+    * as probe cells.
+    */
+  def sqParams(corpus: DataFrame): (Array[Float], Array[Float]) = {
+    val rows = corpus
+      .select(posexplode(col("n_emb")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .collect()
+    val dim = rows.length
+    val mins = new Array[Float](dim)
+    val steps = new Array[Float](dim)
+    rows.foreach { r =>
+      val p = r.getAs[Int]("pos")
+      mins(p) = r.getAs[Float]("lo")
+      val span = r.getAs[Float]("hi") - mins(p)
+      steps(p) = if (span == 0f) 1f else span / sqLevels
+    }
+    (mins, steps)
+  }
+
+  /** E7f — scalar-quantized ANN (the kNN plugin's SQ8 memory path:
+    * int8 codes are 4× smaller than fp32, which at 100 TB of
+    * embeddings is the difference between an in-memory index and not).
+    * Two-stage search, the standard SQ recipe:
+    *   1. COARSE: score the int8-dequantized corpus (the only data a
+    *      production deployment would keep hot) and keep `rerank`
+    *      candidates per query — mergeable TopKAgg, O(q·rerank)
+    *      exchange;
+    *   2. RERANK: rescore only those candidates at full precision and
+    *      emit top-k.
+    * Quantization params ride into the plan as 64 literal floats —
+    * codegen sees constants, no broadcast needed.
+    */
+  def annSq(spark: SparkSession, dir: String, rerank: Int = 20): DataFrame = {
+    val (q, c) = queryCorpus(spark, dir)
+    val (mins, steps) = sqParams(c)
+    val minsL = array(mins.map(lit).toIndexedSeq: _*)
+    val stepsL = array(steps.map(lit).toIndexedSeq: _*)
+    // int8 codes: round((v - min)/step) - 128 ∈ [-128, 127]
+    val codes = transform(col("n_emb"), (v, i) =>
+      (round((v - element_at(minsL, i + 1)) / element_at(stepsL, i + 1))
+        .cast("int") - 128).cast("tinyint"))
+    val dequant = transform(col("codes"), (cd, i) =>
+      (element_at(minsL, i + 1) +
+        (cd.cast("int") + 128).cast("float") * element_at(stepsL, i + 1))
+        .cast("float"))
+    val quantized = c.select(col("n_id"), col("n_emb"), codes.as("codes"))
+    val coarseK = graft.plans.TopKAgg.udafFor(rerank)
+    val coarse = quantized
+      .withColumn("dq_emb", dequant)
+      .join(broadcast(q))
+      .select(col("q_id"), col("n_id"),
+        CosineSim(col("q_emb"), col("dq_emb")).as("coarse_sim"))
+      .groupBy(col("q_id"))
+      .agg(coarseK(col("n_id"), col("coarse_sim")).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t._2").as("n_id"))
+    rankTopK(
+      coarse
+        .join(c, "n_id")
+        .join(q.withColumnRenamed("q_emb", "q_emb2"), "q_id")
+        .withColumn("cos_sim", round(CosineSim(col("q_emb2"), col("n_emb")), 6)))
+  }
+
   /** E7 — LSH-bucketed ANN: candidates share ≥1 band with the query
     * (multi-probe union), then exact-cosine top-k within candidates only.
     */

@@ -51,6 +51,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.size <= exact.size)
   }
 
+  test("SQ8 ANN: int8 coarse + full-precision rerank recovers near-exact top-k") {
+    val exact = Similarity.annTopK(spark, TestSpark.sf)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val sq = Similarity.annSq(spark, TestSpark.sf)
+    val got = sq.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    // 8-bit quantization barely perturbs a 64-dim cosine ordering; with
+    // a 20-candidate rerank the exact top-5 should essentially survive
+    assert(recall >= 0.9, s"recall $recall")
+    // the final similarities are FULL precision: they must agree exactly
+    // with the brute-force values on the common pairs
+    val exactSims = Similarity.annTopK(spark, TestSpark.sf)
+      .select("q_id", "n_id", "cos_sim").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    sq.select("q_id", "n_id", "cos_sim").as[(Long, Long, Double)].collect()
+      .foreach { case (qi, ni, s) =>
+        exactSims.get((qi, ni)).foreach(e => assert(e == s, s"($qi,$ni)")) }
+  }
+
   test("graph ANN (NN-descent) recall meets or beats the LSH and IVF paths; deterministic") {
     import graft.operators.GraphAnn
     def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
