@@ -120,6 +120,44 @@ class LogStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("ISM policy tick: hot untouched, warm force-merged, cold snapshotted, expired deleted; idempotent (A15)") {
+    import graft.sources.Ism
+    val root = Files.createTempDirectory("graft-ism").toString + "/logs"
+    val snap = Files.createTempDirectory("graft-ism-snap").toString + "/snap"
+    def day(d: String, ip: String) =
+      Seq((ip, java.sql.Timestamp.valueOf(s"$d 12:00:00"), 200L))
+        .toDF("ip", "ts", "status").withColumn("source", lit("ec2"))
+    // two writes per day → ≥2 files per partition (something to merge)
+    Seq("2024-01-01", "2024-01-05", "2024-01-07", "2024-01-09").foreach { d =>
+      LogStore.write(day(d, "1.1.1.1"), root)
+      LogStore.write(day(d, "2.2.2.2"), root)
+    }
+    val policy = Ism.Policy(compactAfterDays = 1, snapshotAfterDays = 3, deleteAfterDays = 7)
+    val r1 = Ism.applyPolicy(spark, root, snap, policy, asOf = "2024-01-09")
+      .as[(String, String, String)].collect().toSeq
+    assert(r1 == Seq(
+      ("2024-01-01", "delete", "deleted"),     // age 8 > 7
+      ("2024-01-05", "cold", "snapshotted"),   // age 4 > 3
+      ("2024-01-07", "warm", "compacted"),     // age 2 > 1
+      ("2024-01-09", "hot", "noop")), s"got $r1")
+    // deleted partition gone; cold stays searchable in the live store
+    val dates = spark.read.parquet(root).select(col("log_date").cast("string"))
+      .distinct().as[String].collect().sorted.toSeq
+    assert(dates == Seq("2024-01-05", "2024-01-07", "2024-01-09"))
+    // warm partition is one file per source now, rows intact
+    val warmDir = new java.io.File(s"$root/log_date=2024-01-07/source=ec2")
+    assert(warmDir.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    assert(spark.read.parquet(s"$root/log_date=2024-01-07").count() == 2)
+    // the snapshot obeys A11's restore contract
+    val restored = Files.createTempDirectory("graft-ism-rest").toString + "/logs"
+    LogStore.restore(spark, snap, restored)
+    assert(spark.read.parquet(restored).count() == 2) // the cold day's rows
+    // a second tick is all noop (cold already snapshotted, warm merged)
+    val r2 = Ism.applyPolicy(spark, root, snap, policy, asOf = "2024-01-09")
+      .as[(String, String, String)].collect().toSeq
+    assert(r2.forall(_._3 == "noop"), s"got $r2")
+  }
+
   test("snapshot/restore round-trips partitions via the manifest; alias swap retargets readers") {
     val base = Files.createTempDirectory("graft-snap").toString
     val v1 = s"$base/logs"; val snap = s"$base/snap"; val v2 = s"$base/logs-restored"
