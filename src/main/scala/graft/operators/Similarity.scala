@@ -297,6 +297,38 @@ object Similarity {
   private def band(sig: Column, i: Int): Column =
     shiftright(sig, i * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
 
+  /** E6b — FILTERED kNN (the kNN plugin's `filter` clause) with
+    * PRE-filter semantics: the metadata predicate restricts the
+    * candidate set BEFORE scoring, so the result is the exact top-k of
+    * the filtered subset — always k rows, never the post-filter
+    * failure mode (filter applied after search returns < k and loses
+    * recall). Spark-first this is free: the predicate is a pushed scan
+    * filter and the search runs on what survives.
+    */
+  def annFiltered(spark: SparkSession, dir: String, label: Int = 1): DataFrame = {
+    CosineSim.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = e.filter(col("vec_id") >= nQueries && col("label") === label)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    rankTopK(
+      c.join(broadcast(q))
+        .withColumn("cos_sim", round(CosineSim(col("q_emb"), col("n_emb")), 6)))
+  }
+
+  val annFilteredSql: String =
+    """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS n_emb FROM embeddings WHERE vec_id >= 10 AND label = 1),
+      |scored AS (
+      |  SELECT q_id, n_id, round(list_cosine_similarity(q_emb, n_emb), 6) AS cos_sim
+      |  FROM q CROSS JOIN c),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, n_id, cos_sim, rank FROM ranked WHERE rank <= 5
+      |ORDER BY q_id, rank""".stripMargin
+
   // ---- E7f: scalar-quantized (int8) ANN ------------------------------
 
   /** Bits → 256 levels; the kNN plugins' SQ8 configuration. */

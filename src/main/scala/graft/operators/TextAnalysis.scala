@@ -412,6 +412,90 @@ object TextAnalysis {
        |ORDER BY rank""".stripMargin
   }
 
+  /** C3m — function_score: relevance re-scored by document-property
+    * modifiers, the feature real search UIs lean on (boost long-form
+    * docs, decay stale ones). Composition here is the two standard
+    * function types over the C3b BM25 base:
+    *   - field_value_factor: ln(1 + n_chars/100) — longer docs boosted
+    *     sublinearly;
+    *   - gauss decay on n_chars around origin 300, scale 200 — the
+    *     distance-decay family (recency decay uses the same shape on a
+    *     date field).
+    * final = bm25 × fvf × decay, rounded like every ranked score. Same
+    * scale shape as C3b: one doc-keyed aggregate, one-row stats
+    * broadcast, mergeable TopKAgg — the modifiers are scalar
+    * expressions riding the same pass, costing nothing extra.
+    */
+  def functionScore(spark: SparkSession, dir: String,
+                    terms: Seq[String] = Seq("spark", "window", "merge"),
+                    k: Int = 20): DataFrame = {
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("n_chars"))
+      .agg(count(lit(1)).cast("double").as("dl"),
+        terms.map(t =>
+          sum(when(col("token") === t, 1).otherwise(0)).cast("double").as(s"tf_$t")): _*)
+    val stats = perDoc.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl") +:
+        terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1).otherwise(0)).cast("double").as(s"df_$t")): _*)
+    val bm25 = terms.map { t =>
+      val tf = col(s"tf_$t"); val df = col(s"df_$t")
+      log(lit(1.0) + (col("n_docs") - df + 0.5) / (df + 0.5)) *
+        (tf * 2.2 / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+    }.reduce(_ + _)
+    val fvf = log(lit(1.0) + col("n_chars").cast("double") / 100.0)
+    val decay = exp(-(col("n_chars").cast("double") - 300.0) *
+      (col("n_chars").cast("double") - 300.0) / (2.0 * 200.0 * 200.0))
+    val topk = graft.plans.TopKAgg.udafFor(k)
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("score", round(bm25 * fvf * decay, 6))
+      .filter(col("score") > 0)
+      .agg(topk(col("doc_id"), col("score")).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col._2").as("doc_id"), col("col._1").as("score"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy(col("rank"))
+  }
+
+  val functionScoreSql: String = {
+    val terms = Seq("spark", "window", "merge")
+    val tfs = terms.map(t =>
+      s"CAST(sum(CASE WHEN token = '$t' THEN 1 ELSE 0 END) AS DOUBLE) AS tf_$t").mkString(",\n    ")
+    val dfs = terms.map(t =>
+      s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t").mkString(",\n    ")
+    val bm25 = terms.map(t =>
+      s"ln(1.0 + (n_docs - df_$t + 0.5) / (df_$t + 0.5)) * " +
+        s"(tf_$t * 2.2 / (tf_$t + 1.2 * (0.25 + 0.75 * dl / avgdl)))")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS token FROM documents),
+       |perdoc AS (
+       |  SELECT doc_id, n_chars, CAST(count(*) AS DOUBLE) AS dl,
+       |    $tfs
+       |  FROM toks GROUP BY doc_id, n_chars),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |    sum(dl) / count(*) AS avgdl,
+       |    $dfs
+       |  FROM perdoc),
+       |scored AS (
+       |  SELECT doc_id,
+       |    round(($bm25)
+       |      * ln(1.0 + CAST(n_chars AS DOUBLE) / 100.0)
+       |      * exp(-(CAST(n_chars AS DOUBLE) - 300.0) * (CAST(n_chars AS DOUBLE) - 300.0)
+       |            / (2.0 * 200.0 * 200.0)), 6) AS score
+       |  FROM perdoc CROSS JOIN stats),
+       |ranked AS (
+       |  SELECT doc_id, score,
+       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |  FROM scored WHERE score > 0)
+       |SELECT doc_id, score, rank FROM ranked
+       |WHERE rank <= 20
+       |ORDER BY rank""".stripMargin
+  }
+
   /** C3k — term vectors (the `_termvectors` API: one document's term
     * statistics — tf and positions per token, the payload OpenSearch
     * computes from stored fields on demand). The doc_id literal pushes
