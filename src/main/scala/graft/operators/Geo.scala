@@ -258,4 +258,64 @@ object Geo {
        |FROM events
        |GROUP BY 1
        |ORDER BY event_type""".stripMargin
+
+  /** C46d — geo_polygon / geo_shape containment filter. A CONVEX
+    * polygon's interior is the intersection of its edges' half-planes,
+    * so containment is a conjunction of cross-product sign tests —
+    * pure multiply/compare column arithmetic (no transcendentals, no
+    * point-in-polygon ray walk), identical IEEE ops in both engines,
+    * and a predicate Catalyst pushes/codegens like any other. Concave
+    * shapes decompose into convex pieces OR'd together — same machinery.
+    * Demo polygon: a (lon, lat) diamond over the southern band the
+    * synthesized grid populates at every SF (small SFs have few users,
+    * so lats cluster near the low end of the grid), CCW.
+    */
+  val polygon: Seq[(Double, Double)] =
+    Seq((-120.0, -60.0), (0.0, -85.0), (120.0, -60.0), (0.0, -35.0))
+
+  private def insideConvex(lon: Column, lat: Column): Column =
+    polygon.indices.map { i =>
+      val (x1, y1) = polygon(i)
+      val (x2, y2) = polygon((i + 1) % polygon.length)
+      (lit(x2 - x1) * (lat - lit(y1)) - lit(y2 - y1) * (lon - lit(x1))) >= 0
+    }.reduce(_ && _)
+
+  def geoPolygon(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        latCol.as("lat"), lonCol.as("lon"),
+        // centroid sums run in INTEGER deci-degrees — summation order
+        // can never move a rounded double centroid across a boundary
+        ((col("user_id") * 13) % 1600 - 800).as("lat_d"),
+        ((col("event_id") * 17) % 3600 - 1800).as("lon_d"))
+      .filter(insideConvex(col("lon"), col("lat")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("lat_d")).cast("double") / (count(lit(1)) * 10), 4)
+          .as("centroid_lat"),
+        round(sum(col("lon_d")).cast("double") / (count(lit(1)) * 10), 4)
+          .as("centroid_lon"))
+      .orderBy(col("event_type"))
+
+  val geoPolygonSql: String = {
+    val poly = polygon
+    val tests = poly.indices.map { i =>
+      val (x1, y1) = poly(i)
+      val (x2, y2) = poly((i + 1) % poly.length)
+      s"(($x2 - $x1) * (lat - $y1) - ($y2 - $y1) * (lon - $x1)) >= 0"
+    }.mkString("\n  AND ")
+    s"""WITH pts AS (
+       |  SELECT event_type, user_id, $latSql AS lat, $lonSql AS lon,
+       |    (user_id * 13) % 1600 - 800 AS lat_d,
+       |    (event_id * 17) % 3600 - 1800 AS lon_d
+       |  FROM events)
+       |SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+       |  round(CAST(sum(lat_d) AS DOUBLE) / (count(*) * 10), 4) AS centroid_lat,
+       |  round(CAST(sum(lon_d) AS DOUBLE) / (count(*) * 10), 4) AS centroid_lon
+       |FROM pts
+       |WHERE $tests
+       |GROUP BY 1
+       |ORDER BY event_type""".stripMargin
+  }
 }
