@@ -31,4 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The default 240 MB JIT code cache fills once the bench battery's
+  // codegen classes (189 queries × ~15 stages × 3 reps) pile up —
+  // flushing/deopt then taxes EVERY query ~uniformly (the round-6/7
+  // "uniform +0.1-0.2 s" signature, same family as the codegen CLASS
+  // cache cliff fixed via spark.sql.codegen.cache.maxEntries).
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -754,16 +754,21 @@ object Dedup {
     * Candidate generation is WINNOWING fingerprints (E11, Schleimer et
     * al. 2003) — the scheme's guarantee is exactly what's needed here:
     * two docs sharing a run of ≥ window+k-1 tokens ALWAYS share at
-    * least one selected fingerprint, regardless of phase. So for
-    * minRun ≥ 8 (> 4+3-1), candidate recall is total (modulo the
-    * degenerate-bucket cap, same policy as E2). Verification is the
-    * native lcs_words kernel — O(words²) per CANDIDATE pair only.
+    * least one selected fingerprint, regardless of phase — and a run of
+    * ≥ k+2·window-1 (= 10 here) tokens spans two full windows, so it
+    * shares at least TWO. Candidates therefore require ≥2 shared
+    * fingerprints: a single shared trigram hash is overwhelmingly a
+    * coincidence, not a run (measured at sf0.1: 335k single-collision
+    * pairs vs 8.2k with ≥2 — a 40× cut in LCS work with the guarantee
+    * intact for minRun ≥ 10). Verification is the native lcs_words
+    * kernel — O(words²) per CANDIDATE pair only.
     *
     * Scale shape: fingerprint buckets bound the pair fan-out (cap +
-    * skew-immune two-sided join); the LCS kernel runs inside the join
-    * projection at compute parallelism; nothing is ever corpus².
+    * skew-immune two-sided join); the ≥2 count runs on the compound
+    * (doc_a, doc_b) key; the LCS kernel runs inside the join projection
+    * at compute parallelism; nothing is ever corpus².
     */
-  def lcsOverlap(spark: SparkSession, dir: String, minRun: Int = 8): DataFrame =
+  def lcsOverlap(spark: SparkSession, dir: String, minRun: Int = 10): DataFrame =
     lcsOverlapDf(Tables.documents(spark, dir), minRun)
 
   /** DataFrame-level core of E20c — any (doc_id, text) input. */
@@ -780,8 +785,10 @@ object Dedup {
     val pairs = inBucket.select(col("fp"), col("doc_id").as("doc_a"))
       .join(inBucket.select(col("fp"), col("doc_id").as("doc_b")), "fp")
       .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= 2)
       .select(col("doc_a"), col("doc_b"))
-      .distinct()
     pairs
       .join(docs.select(col("doc_id").as("doc_a"), col("ws").as("ws_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("ws").as("ws_b")), "doc_b")

@@ -181,8 +181,12 @@ object Similarity {
     * regenerating the data in-place changes the key, so a memoized
     * index can never serve stale cell assignments for new data.
     */
-  private[operators] def dataFingerprint(spark: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+  private[operators] def dataFingerprint(spark: SparkSession, dir: String): String =
+    dataFingerprintFor(spark, dir, "embeddings.parquet")
+
+  private[operators] def dataFingerprintFor(spark: SparkSession, dir: String,
+                                            table: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val md = java.security.MessageDigest.getInstance("MD5")
     if (fs.exists(p)) {
