@@ -35,5 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // F6 — opt-in approximate-rewrite rule (no-op unless
     // spark.graft.approx.rewrite=true)
     e.injectOptimizerRule(session => ApproxRewrite(session))
+    // F8 — rollup-aware aggregate rewrite (no-op unless
+    // spark.graft.rollup.root points at an A14 summary store)
+    e.injectOptimizerRule(session => RollupRewrite(session))
   }
 }

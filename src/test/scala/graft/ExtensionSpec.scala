@@ -95,4 +95,38 @@ class ExtensionSpec extends AnyFunSuite {
       }
     } finally spark.conf.set("spark.graft.approx.rewrite", "false")
   }
+
+  test("F8: raw dashboard aggregate is served from the rollup summary store") {
+    import graft.sources.{RollupStore, Tables}
+    val root = RollupStore.ensureRollup(spark, sf)
+    def rawAgg = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"),
+        min(col("value")).as("value_min"),
+        max(col("value")).as("value_max"))
+      .orderBy(col("hour"), col("event_type"))
+    val before = rawAgg.collect()
+    spark.conf.set("spark.graft.rollup.root", root)
+    try {
+      val df = rawAgg
+      // the executed plan prints scan locations; the logical one doesn't
+      val physical = df.queryExecution.executedPlan.toString
+      assert(physical.contains("graft-rollup"), s"not rewritten:\n$physical")
+      assert(!physical.contains("events.parquet"), s"raw scan survived:\n$physical")
+      // the rewritten plan returns EXACTLY the raw aggregate's rows
+      assert(df.collect().toSeq == before.toSeq)
+      // soundness: a filter under the aggregate disqualifies the rewrite
+      val filtered = Tables.events(spark, sf)
+        .filter(col("value") > 100)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      assert(filtered.queryExecution.executedPlan.toString.contains("events.parquet"))
+      // soundness: an unsupported aggregate (avg) disqualifies the rewrite
+      val withAvg = Tables.events(spark, sf)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(avg(col("value")).as("a"))
+      assert(withAvg.queryExecution.executedPlan.toString.contains("events.parquet"))
+    } finally spark.conf.unset("spark.graft.rollup.root")
+  }
 }
