@@ -771,10 +771,14 @@ object Dedup {
   def lcsOverlap(spark: SparkSession, dir: String, minRun: Int = 10): DataFrame =
     lcsOverlapDf(Tables.documents(spark, dir), minRun)
 
-  /** DataFrame-level core of E20c — any (doc_id, text) input. */
+  /** DataFrame-level core of E20c — any (doc_id, text) input. Words are
+    * pre-hashed to xxhash64 longs once per row so the kernel's O(m·n)
+    * inner loop compares primitives, not UTF8String bytes.
+    */
   def lcsOverlapDf(documents: DataFrame, minRun: Int): DataFrame = {
     val docs = Tables.atComputeParallelism(documents)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"),
+      .select(col("doc_id"),
+        transform(split(col("text"), " "), w => xxhash64(w)).as("ws"),
         graft.functions.TextFns.fingerprints(col("text")).as("fps"))
     val cand = docs.select(col("doc_id"), explode(col("fps")).as("fp"))
     val okBuckets = cand.groupBy(col("fp"))

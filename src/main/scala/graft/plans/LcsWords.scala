@@ -5,17 +5,24 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 
 /** Longest common contiguous WORD run between two token arrays (F4
   * kernel family; used by E20c's exact-overlap verifier).
   *
   * Classic O(m·n) suffix-match DP with a rolling row — at most
-  * max-doc-words² integer cells per pair, and it only ever runs on
-  * CANDIDATE pairs (winnowing-fingerprint collisions), never corpus².
-  * A Catalyst expression rather than mapPartitions so it composes with
-  * the surrounding join/filter plan; CodegenFallback is fine off the
-  * hot path (same stance as BpeCountExpr).
+  * max-doc-words² cells per pair, and it only ever runs on CANDIDATE
+  * pairs (winnowing-fingerprint collisions), never corpus². A Catalyst
+  * expression rather than mapPartitions so it composes with the
+  * surrounding join/filter plan; CodegenFallback is fine off the hot
+  * path (same stance as BpeCountExpr).
+  *
+  * Accepts array<string> OR array<long>: the E20c operator pre-hashes
+  * words to xxhash64 longs once per ROW, so the O(m·n) inner loop
+  * compares primitives instead of UTF8String bytes (~2× on the bench
+  * battery's candidate volume). A cross-word hash collision inflating
+  * a run needs two different words agreeing on 64 bits at aligned
+  * positions — ~2⁻⁶⁴ per cell, irrelevant at any corpus size.
   */
 case class LcsWordsExpr(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
@@ -27,13 +34,46 @@ case class LcsWordsExpr(left: Expression, right: Expression)
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"lcs_words expects two array<string>, got ${l.catalogString}, ${r.catalogString}")
+        s"lcs_words expects two array<string> or two array<long>, " +
+          s"got ${l.catalogString}, ${r.catalogString}")
     }
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData].toObjectArray(StringType)
-    val b = r.asInstanceOf[ArrayData].toObjectArray(StringType)
+  override def nullSafeEval(l: Any, r: Any): Any = left.dataType match {
+    case ArrayType(LongType, _) =>
+      lcsLongs(l.asInstanceOf[ArrayData].toLongArray(),
+        r.asInstanceOf[ArrayData].toLongArray())
+    case _ =>
+      lcsObjects(l.asInstanceOf[ArrayData].toObjectArray(StringType),
+        r.asInstanceOf[ArrayData].toObjectArray(StringType))
+  }
+
+  private def lcsLongs(a: Array[Long], b: Array[Long]): Int = {
+    val m = a.length
+    val n = b.length
+    if (m == 0 || n == 0) return 0
+    var prev = new Array[Int](n + 1)
+    var cur = new Array[Int](n + 1)
+    var best = 0
+    var i = 1
+    while (i <= m) {
+      val ai = a(i - 1)
+      var j = 1
+      while (j <= n) {
+        cur(j) = if (ai == b(j - 1)) prev(j - 1) + 1 else 0
+        if (cur(j) > best) best = cur(j)
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      java.util.Arrays.fill(cur, 0)
+      i += 1
+    }
+    best
+  }
+
+  private def lcsObjects(a: Array[AnyRef], b: Array[AnyRef]): Int = {
     val m = a.length
     val n = b.length
     if (m == 0 || n == 0) return 0
