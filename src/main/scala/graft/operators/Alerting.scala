@@ -53,6 +53,69 @@ object Alerting {
       .orderBy(col("rule_id"))
   }
 
+  /** Stored rules AS USERS WRITE THEM — Discover search-bar strings
+    * (C56's grammar), not pre-decomposed (term, band) tuples.
+    */
+  val dqlRules: Seq[(Long, String)] = Seq(
+    0L -> "event_type:error AND value:>=200",
+    1L -> "event_type:purchase AND value:[250 TO *]",
+    2L -> "(event_type:signup OR event_type:click) AND value:<0.1",
+    3L -> "event_type:error AND user_id:<5")
+
+  /** C49b — percolate with query_string rules: each stored DQL rule
+    * compiles (once, on the driver) to a native predicate, and the
+    * event stream is evaluated against ALL rules in one pass — a
+    * single scan projecting one boolean per rule, aggregated map-side.
+    * No joins at all: for dashboard-scale rule counts the rule battery
+    * is a codegen'd when() bank riding the scan. (At 10k+ stored rules
+    * the C49 term-indexed join form is the scale path — the percolator
+    * literature's index-the-queries trick; both forms share the rule
+    * semantics via the same compiler.)
+    */
+  def percolateQueryString(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val flags = dqlRules.map { case (id, q) =>
+      when(graft.functions.QueryString.compile(ev, q), 1L).otherwise(0L).as(s"r$id")
+    }
+    val aggCols =
+      dqlRules.map { case (id, _) => sum(col(s"r$id")).as(s"n$id") } ++
+        dqlRules.map { case (id, _) =>
+          countDistinct(when(col(s"r$id") === 1, col("user_id"))).as(s"u$id") }
+    val agg = ev.select(col("user_id") +: flags: _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    val stacked = dqlRules.map { case (id, q) =>
+      agg.select(lit(id).as("rule_id"), lit(q).as("query"),
+        col(s"n$id").as("n_matches"), col(s"u$id").as("n_users"))
+    }.reduce(_ unionByName _)
+    stacked.orderBy(col("rule_id"))
+  }
+
+  val percolateQueryStringSql: String =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    CASE WHEN event_type = 'error' AND value >= 200 THEN 1 ELSE 0 END AS r0,
+      |    CASE WHEN event_type = 'purchase' AND value >= 250 THEN 1 ELSE 0 END AS r1,
+      |    CASE WHEN (event_type = 'signup' OR event_type = 'click') AND value < 0.1 THEN 1 ELSE 0 END AS r2,
+      |    CASE WHEN event_type = 'error' AND user_id < 5 THEN 1 ELSE 0 END AS r3
+      |  FROM events)
+      |SELECT CAST(t.rule_id AS BIGINT) AS rule_id, t.query,
+      |  CAST(t.n_matches AS BIGINT) AS n_matches,
+      |  CAST(t.n_users AS BIGINT) AS n_users
+      |FROM (
+      |  SELECT 0 AS rule_id, 'event_type:error AND value:>=200' AS query,
+      |    sum(r0) AS n_matches, count(DISTINCT CASE WHEN r0 = 1 THEN user_id END) AS n_users FROM f
+      |  UNION ALL
+      |  SELECT 1, 'event_type:purchase AND value:[250 TO *]',
+      |    sum(r1), count(DISTINCT CASE WHEN r1 = 1 THEN user_id END) FROM f
+      |  UNION ALL
+      |  SELECT 2, '(event_type:signup OR event_type:click) AND value:<0.1',
+      |    sum(r2), count(DISTINCT CASE WHEN r2 = 1 THEN user_id END) FROM f
+      |  UNION ALL
+      |  SELECT 3, 'event_type:error AND user_id:<5',
+      |    sum(r3), count(DISTINCT CASE WHEN r3 = 1 THEN user_id END) FROM f
+      |) t
+      |ORDER BY rule_id""".stripMargin
+
   val percolateSql: String =
     """WITH rules AS (
       |  SELECT i AS rule_id,
