@@ -115,24 +115,64 @@ object GraphAnn {
     val marker = new org.apache.hadoop.fs.Path(s"$path/_COMPLETE")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {
-      val (cells, centroids) = Similarity.ivfParts(spark, dir, 16)
-      val overlapped = overlappedCells(
-        cells.select(col("n_id"), col("n_emb")), centroids).localCheckpoint()
-      buildGraphDf(overlapped).write.mode("overwrite").parquet(s"$path/edges")
-      centroids.write.mode("overwrite").parquet(s"$path/centroids")
-      overlapped.write.mode("overwrite").parquet(s"$path/cells")
+      buildGraphAt(spark, dir, path)
       fs.create(marker, true).close()
     }
     path
+  }
+
+  /** Build the graph for `dir`'s embeddings at an explicit path (the
+    * spec's isolation hook; ensureGraph adds the memo key + marker).
+    */
+  def buildGraphAt(spark: SparkSession, dir: String, path: String): Unit = {
+    val (cells, centroids) = Similarity.ivfParts(spark, dir, 16)
+    val overlapped = overlappedCells(
+      cells.select(col("n_id"), col("n_emb")), centroids).localCheckpoint()
+    buildGraphDf(overlapped).write.mode("overwrite").parquet(s"$path/edges")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    overlapped.write.mode("overwrite").parquet(s"$path/cells")
+  }
+
+  /** E7e2 — incremental maintenance (E7d's contract for the graph
+    * index): new vectors join WITHOUT a descent rebuild. Each new
+    * vector is (a) assigned to its overlapped cells and appended to
+    * the cell table, (b) connected by scoring it against its assigned
+    * cells' members (bounded by cell size — the same candidate budget
+    * a probe pays) and appending its top-`degree` edges FORWARD plus
+    * the REVERSE edges, so existing nodes can reach it. Reverse edges
+    * may push a node past `degree` until the next periodic descent
+    * pass re-normalizes (exactly how HNSW-family engines amortize
+    * insert cost); probes only ever widen. Probe-visible immediately.
+    */
+  def appendToGraph(spark: SparkSession, path: String, newVecs: DataFrame): Unit = {
+    CosineSim.register(spark)
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val assigned = overlappedCells(newVecs, centroids).localCheckpoint()
+    val members = spark.read.parquet(s"$path/cells")
+      .withColumnRenamed("n_id", "dst").withColumnRenamed("n_emb", "dst_emb")
+    val scored = assigned
+      .select(col("n_id").as("src"), col("n_emb").as("src_emb"), col("cell"))
+      .join(members, "cell")
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(CosineSim(col("src_emb"), col("dst_emb")), 6).as("sim"))
+      .groupBy(col("src"), col("dst")).agg(max(col("sim")).as("sim"))
+    val fwd = topPerSrc(scored, degree)
+    val back = fwd.select(col("dst").as("src"), col("src").as("dst"), col("sim"))
+    fwd.unionByName(back).write.mode("append").parquet(s"$path/edges")
+    assigned.write.mode("append").parquet(s"$path/cells")
   }
 
   /** ☆ `q_ann_graph` — batch beam search over the persisted graph.
     * Declared no-oracle like the other approximate paths; recall floor
     * + determinism are SimilaritySpec's job.
     */
-  def annGraph(spark: SparkSession, dir: String): DataFrame = {
+  def annGraph(spark: SparkSession, dir: String): DataFrame =
+    annGraphAt(spark, dir, ensureGraph(spark, dir))
+
+  /** Probe against an explicit graph path (spec isolation hook). */
+  def annGraphAt(spark: SparkSession, dir: String, path: String): DataFrame = {
     CosineSim.register(spark)
-    val path = ensureGraph(spark, dir)
     val edges = spark.read.parquet(s"$path/edges")
     val centroids = spark.read.parquet(s"$path/centroids")
     val cells = spark.read.parquet(s"$path/cells")

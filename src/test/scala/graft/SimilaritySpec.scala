@@ -70,6 +70,23 @@ class SimilaritySpec extends AnyFunSuite {
         exactSims.get((qi, ni)).foreach(e => assert(e == s, s"($qi,$ni)")) }
   }
 
+  test("graph ANN incremental append: new vector probe-visible at rank 1, no rebuild") {
+    import graft.operators.GraphAnn
+    val path = java.nio.file.Files.createTempDirectory("graft-nngraph-spec").toString
+    GraphAnn.buildGraphAt(spark, TestSpark.sf, path)
+    // a fresh vector identical to query 3's embedding must surface as
+    // its top hit immediately after the append
+    val q3 = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+      .filter(col("vec_id") === 3).select(col("embedding"))
+      .as[Array[Float]].head()
+    val dup = Seq((99999L, q3)).toDF("n_id", "n_emb")
+    GraphAnn.appendToGraph(spark, path, dup)
+    val got = GraphAnn.annGraphAt(spark, TestSpark.sf, path)
+      .filter(col("q_id") === 3 && col("rank") === 1)
+      .select("n_id", "cos_sim").as[(Long, Double)].head()
+    assert(got == ((99999L, 1.0)), s"got $got")
+  }
+
   test("graph ANN (NN-descent) recall meets or beats the LSH and IVF paths; deterministic") {
     import graft.operators.GraphAnn
     def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
