@@ -70,13 +70,16 @@ class InvertedIndexSpec extends AnyFunSuite {
   test("probe reads row-group-pruned, posting-list-sized data inside a bucket") {
     // A wide synthetic vocabulary (testdata has only 31 tokens, which
     // would let directory pruning alone pass): 4000 tokens spread over
-    // 16 buckets = ~250 tokens per bucket. With token-sorted row groups
-    // a term probe must emit ~only its posting rows; the round-5 layout
-    // (unsorted within bucket) emitted the whole bucket.
+    // 16 buckets. 300-word docs make each bucket carry ~15k posting
+    // rows, two orders past the 16 KB row-group target — the pruning
+    // margin is then STRUCTURAL, not at the mercy of parquet's
+    // encoded-size flush estimation (a prior 50-word corpus compressed
+    // so well that one run's groups reached ~40% of a bucket and a
+    // 4x-margin assert flaked).
     val docs = spark.range(800).select(
       col("id").as("doc_id"),
-      concat_ws(" ", (0 until 50).map(i =>
-        format_string("tok%04d", (col("id") * 7 + lit(i)) % 4000)): _*).as("text"))
+      concat_ws(" ", (0 until 300).map(i =>
+        format_string("tok%04d", (col("id") * 7 + lit(i * 13)) % 4000)): _*).as("text"))
     val idx = Files.createTempDirectory("graft-invidx-prune").toString
     InvertedIndex.build(spark, docs, idx, rowGroupBytes = 16L << 10)
 
