@@ -275,4 +275,130 @@ object Stats {
       |  CAST(sum(len(event_type)) AS DOUBLE) / count(*) AS avg_len,
       |  any_value(entropy) AS entropy
       |FROM events CROSS JOIN ent""".stripMargin
+
+  /** C5k — matrix_stats (the OpenSearch multi-field numeric matrix agg:
+    * per-field count/mean/variance/skewness/kurtosis plus pairwise
+    * covariance and correlation — `/root/reference` users get it from
+    * the analytics plugin over Discover numeric fields).
+    *
+    * Spark-first shape: ONE map-side-combined aggregate collects the
+    * raw power sums (n, Σx, Σx², Σx³, Σx⁴ per field, Σxy per pair) —
+    * the textbook streaming-moments decomposition, so the shuffle is a
+    * single tiny row no matter the scale, and every downstream number
+    * is a closed-form expression over that row (no second pass, no
+    * window). The fields are small-integer-valued (quantity 1–50,
+    * discount/tax in hundredths), so the power sums stay exact in
+    * BIGINT through ~10¹² rows — determinism comes from exact integer
+    * sums feeding a fixed-order double expression, the same device as
+    * C45h/E30 (at larger magnitudes the same plan holds with
+    * DECIMAL(38,0) sums). The 3×3 output matrix is built by exploding
+    * literal structs over the one stats row — no collect, no union of
+    * scans.
+    */
+  def matrixStats(spark: SparkSession, dir: String): DataFrame = {
+    val fields = Seq("quantity", "discount_h", "tax_h")
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_quantity").cast("long").as("f_quantity"),
+      round(col("l_discount") * 100, 0).cast("long").as("f_discount_h"),
+      round(col("l_tax") * 100, 0).cast("long").as("f_tax_h"))
+    val sums: Seq[org.apache.spark.sql.Column] =
+      Seq(count(lit(1)).as("n")) ++
+        fields.flatMap { f =>
+          val c = col(s"f_$f")
+          Seq(sum(c).as(s"s1_$f"), sum(c * c).as(s"s2_$f"),
+            sum(c * c * c).as(s"s3_$f"), sum(c * c * c * c).as(s"s4_$f"))
+        } ++
+        fields.combinations(2).map { case Seq(a, b) =>
+          sum(col(s"f_$a") * col(s"f_$b")).as(s"sp_${a}_$b")
+        }.toSeq
+    val agg = li.agg(sums.head, sums.tail: _*)
+    def d(c: String) = col(c).cast("double")
+    val nd = d("n")
+    // per-field central moments, each stored once so every matrix cell
+    // reads the identical double (mirrors the oracle's derived CTE)
+    val derived = fields.flatMap { f =>
+      val mean = d(s"s1_$f") / nd
+      val m2 = d(s"s2_$f") / nd - mean * mean
+      val m3 = d(s"s3_$f") / nd - lit(3.0) * mean * (d(s"s2_$f") / nd) +
+        lit(2.0) * mean * mean * mean
+      val m4 = d(s"s4_$f") / nd - lit(4.0) * mean * (d(s"s3_$f") / nd) +
+        lit(6.0) * mean * mean * (d(s"s2_$f") / nd) -
+        lit(3.0) * mean * mean * mean * mean
+      Seq(mean.as(s"mean_$f"), m2.as(s"m2_$f"), m3.as(s"m3_$f"), m4.as(s"m4_$f"))
+    }
+    val stats = agg.select(col("*") +: derived: _*)
+    def spCol(a: String, b: String) =
+      if (a == b) col(s"s2_$a")
+      else if (fields.indexOf(a) < fields.indexOf(b)) col(s"sp_${a}_$b")
+      else col(s"sp_${b}_$a")
+    val cells = for (fx <- fields; fy <- fields) yield {
+      val covNum = spCol(fx, fy).cast("double") - d(s"s1_$fx") * d(s"s1_$fy") / nd
+      val varX = d(s"s2_$fx") - d(s"s1_$fx") * d(s"s1_$fx") / nd
+      val varY = d(s"s2_$fy") - d(s"s1_$fy") * d(s"s1_$fy") / nd
+      struct(
+        lit(fx).as("field_x"), lit(fy).as("field_y"), col("n").as("n"),
+        round(col(s"mean_$fx"), 6).as("mean_x"),
+        round(varX / (nd - lit(1.0)), 6).as("variance_x"),
+        round(col(s"m3_$fx") / sqrt(col(s"m2_$fx") * col(s"m2_$fx") * col(s"m2_$fx")), 6).as("skewness_x"),
+        round(col(s"m4_$fx") / (col(s"m2_$fx") * col(s"m2_$fx")), 6).as("kurtosis_x"),
+        round(covNum / (nd - lit(1.0)), 6).as("covariance"),
+        round(covNum / sqrt(varX * varY), 6).as("correlation"))
+    }
+    stats.select(explode(array(cells: _*)).as("r")).select("r.*")
+      .orderBy(col("field_x"), col("field_y"))
+  }
+
+  val matrixStatsSql: String = {
+    val fields = Seq("quantity", "discount_h", "tax_h")
+    val srcCols =
+      """CAST(l_quantity AS BIGINT) AS f_quantity,
+        |    CAST(round(l_discount * 100, 0) AS BIGINT) AS f_discount_h,
+        |    CAST(round(l_tax * 100, 0) AS BIGINT) AS f_tax_h""".stripMargin
+    val sumCols = fields.map { f =>
+      s"""CAST(sum(f_$f) AS BIGINT) AS s1_$f,
+         |    CAST(sum(f_$f * f_$f) AS BIGINT) AS s2_$f,
+         |    CAST(sum(f_$f * f_$f * f_$f) AS BIGINT) AS s3_$f,
+         |    CAST(sum(f_$f * f_$f * f_$f * f_$f) AS BIGINT) AS s4_$f""".stripMargin
+    }.mkString(",\n    ")
+    val pairCols = fields.combinations(2).map { case Seq(a, b) =>
+      s"CAST(sum(f_$a * f_$b) AS BIGINT) AS sp_${a}_$b"
+    }.mkString(",\n    ")
+    val derivedCols = fields.map { f =>
+      s"""CAST(s1_$f AS DOUBLE) / nd AS mean_$f,
+         |    CAST(s2_$f AS DOUBLE) / nd - (CAST(s1_$f AS DOUBLE) / nd) * (CAST(s1_$f AS DOUBLE) / nd) AS m2_$f,
+         |    CAST(s3_$f AS DOUBLE) / nd - 3.0 * (CAST(s1_$f AS DOUBLE) / nd) * (CAST(s2_$f AS DOUBLE) / nd) + 2.0 * (CAST(s1_$f AS DOUBLE) / nd) * (CAST(s1_$f AS DOUBLE) / nd) * (CAST(s1_$f AS DOUBLE) / nd) AS m3_$f,
+         |    CAST(s4_$f AS DOUBLE) / nd - 4.0 * (CAST(s1_$f AS DOUBLE) / nd) * (CAST(s3_$f AS DOUBLE) / nd) + 6.0 * (CAST(s1_$f AS DOUBLE) / nd) * (CAST(s1_$f AS DOUBLE) / nd) * (CAST(s2_$f AS DOUBLE) / nd) - 3.0 * (CAST(s1_$f AS DOUBLE) / nd) * (CAST(s1_$f AS DOUBLE) / nd) * (CAST(s1_$f AS DOUBLE) / nd) * (CAST(s1_$f AS DOUBLE) / nd) AS m4_$f""".stripMargin
+    }.mkString(",\n    ")
+    def sp(a: String, b: String) =
+      if (a == b) s"s2_$a"
+      else if (fields.indexOf(a) < fields.indexOf(b)) s"sp_${a}_$b"
+      else s"sp_${b}_$a"
+    val cells = (for (fx <- fields; fy <- fields) yield {
+      val covNum = s"(CAST(${sp(fx, fy)} AS DOUBLE) - CAST(s1_$fx AS DOUBLE) * CAST(s1_$fy AS DOUBLE) / nd)"
+      val varX = s"(CAST(s2_$fx AS DOUBLE) - CAST(s1_$fx AS DOUBLE) * CAST(s1_$fx AS DOUBLE) / nd)"
+      val varY = s"(CAST(s2_$fy AS DOUBLE) - CAST(s1_$fy AS DOUBLE) * CAST(s1_$fy AS DOUBLE) / nd)"
+      s"""SELECT '$fx' AS field_x, '$fy' AS field_y, n,
+         |  round(mean_$fx, 6) AS mean_x,
+         |  round($varX / (nd - 1.0), 6) AS variance_x,
+         |  round(m3_$fx / sqrt(m2_$fx * m2_$fx * m2_$fx), 6) AS skewness_x,
+         |  round(m4_$fx / (m2_$fx * m2_$fx), 6) AS kurtosis_x,
+         |  round($covNum / (nd - 1.0), 6) AS covariance,
+         |  round($covNum / sqrt($varX * $varY), 6) AS correlation
+         |FROM derived""".stripMargin
+    }).mkString("\nUNION ALL\n")
+    s"""WITH src AS (
+       |  SELECT $srcCols
+       |  FROM lineitem),
+       |sums AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    $sumCols,
+       |    $pairCols
+       |  FROM src),
+       |derived AS (
+       |  SELECT *,
+       |    $derivedCols
+       |  FROM (SELECT *, CAST(n AS DOUBLE) AS nd FROM sums))
+       |$cells
+       |ORDER BY field_x, field_y""".stripMargin
+  }
 }
