@@ -738,6 +738,39 @@ object Extras {
       |ORDER BY n DESC, user_id
       |LIMIT 20""".stripMargin
 
+  /** C58 — SQL query surface (the OpenSearch SQL plugin / `_sql`
+    * endpoint: the third query language reference users type, beside
+    * C56's DQL and C57's PPL). Spark IS a SQL engine, so the
+    * "implementation" is the honest one: register the stores as temp
+    * views and hand the user's ANSI text to `spark.sql` — it compiles
+    * through the same Catalyst pipeline as every DataFrame query here
+    * (pushdown, broadcast of the small dims, whole-stage codegen),
+    * with zero translation layer to maintain. The demo is a
+    * Discover-style dashboard query: month × nation order counts and
+    * exact-cents revenue over a 3-table star join with a HAVING floor.
+    * The oracle runs the IDENTICAL text in DuckDB — for this row the
+    * capability under test is precisely "both engines agree on the
+    * same user program", the strongest parity statement available.
+    * Revenue sums in BIGINT cents → deterministic at any scale.
+    */
+  val sqlSurfaceText: String =
+    """SELECT n_name AS nation, date_trunc('month', o_orderdate) AS month,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY 1, 2
+      |HAVING count(*) >= 5
+      |ORDER BY nation, month""".stripMargin
+
+  def sqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation")
+    spark.sql(sqlSurfaceText)
+  }
+
   /** C55b — nested + reverse_nested AGGREGATION: bucket the nested
     * elements themselves (per-element value bands × event_type),
     * compute metrics in the nested context, then `reverse_nested` back
