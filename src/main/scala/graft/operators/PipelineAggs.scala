@@ -421,6 +421,68 @@ object PipelineAggs {
        |  sqrt(CAST(nb * s2 - s1 * s1 AS DOUBLE)) / nb AS std_n
        |FROM agg""".stripMargin
 
+  /** C45n — moving_fn holt model (OpenSearch `MovingFunctions.holt`,
+    * double-exponential smoothing: a level AND a trend state, so the
+    * smoother tracks ramps EWMA lags behind). Model spec, mirrored
+    * exactly by the oracle's recursive CTE: l₁=y₁, b₁=0; for t≥2
+    * lₜ = α·yₜ + (1−α)(lₜ₋₁+bₜ₋₁), bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁;
+    * reported value = lₜ + bₜ (the one-step forecast).
+    *
+    * Spark-first shape: the recursion is a sequential scan over the
+    * PARENT-BUCKET series — bucket-count-sized, not row-sized — so it
+    * runs as `aggregate` (a codegen'd higher-order fold) over each
+    * bucket's running prefix from one unpartitioned window. The prefix
+    * re-fold is O(T²) in the number of histogram buckets (dozens), a
+    * driver-visible constant at any data scale; the data-sized work
+    * remains the one map-side-combined dailyBuckets aggregate. The
+    * inputs are exact BIGINT counts and the fold applies the identical
+    * fixed-order IEEE chain in both engines (α=0.5, β=0.25 — chosen so both β and 1−β are exact binary fractions and the literals agree cross-engine to the bit), so no
+    * summation-order hazard exists — the same determinism device as
+    * C45h's EWMA, extended to a stateful recursion.
+    */
+  def movingHolt(spark: SparkSession, dir: String,
+                 alpha: Double = 0.5, beta: Double = 0.25): DataFrame = {
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val st = aggregate(
+      col("ys"),
+      struct(lit(0.0).as("l"), lit(0.0).as("tr"), lit(0).as("i")),
+      (acc, y) => {
+        val lPrev = acc.getField("l"); val tPrev = acc.getField("tr")
+        val lNew = lit(alpha) * y + lit(1.0 - alpha) * (lPrev + tPrev)
+        when(acc.getField("i") === 0,
+          struct(y.as("l"), lit(0.0).as("tr"), lit(1).as("i")))
+          .otherwise(struct(
+            lNew.as("l"),
+            (lit(beta) * (lNew - lPrev) + lit(1.0 - beta) * tPrev).as("tr"),
+            (acc.getField("i") + 1).as("i")))
+      })
+    dailyBuckets(spark, dir)
+      .withColumn("ys", collect_list(col("n").cast("double")).over(w))
+      .withColumn("st", st)
+      .select(col("day"), col("n"),
+        round(col("st.l") + col("st.tr"), 6).as("holt"))
+      .orderBy(col("day"))
+  }
+
+  val movingHoltSql: String =
+    """WITH RECURSIVE b AS (
+      |  SELECT row_number() OVER (ORDER BY day) AS rn, day, n
+      |  FROM (SELECT date_trunc('day', ts) AS day, count(*) AS n
+      |        FROM events GROUP BY 1)),
+      |rec AS (
+      |  SELECT rn, day, n, CAST(n AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS tr
+      |  FROM b WHERE rn = 1
+      |  UNION ALL
+      |  SELECT b.rn, b.day, b.n,
+      |    0.5 * CAST(b.n AS DOUBLE) + 0.5 * (rec.l + rec.tr) AS l,
+      |    0.25 * ((0.5 * CAST(b.n AS DOUBLE) + 0.5 * (rec.l + rec.tr)) - rec.l)
+      |      + 0.75 * rec.tr AS tr
+      |  FROM rec JOIN b ON b.rn = rec.rn + 1)
+      |SELECT day, n, round(l + tr, 6) AS holt
+      |FROM rec
+      |ORDER BY day""".stripMargin
+
   /** C45h — moving_fn EWMA model (OpenSearch `MovingFunctions.ewma`):
     * exponentially-weighted trailing average over the parent buckets,
     * truncated at the series start like OpenSearch's shrinking window.
