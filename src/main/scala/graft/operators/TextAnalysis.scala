@@ -412,6 +412,104 @@ object TextAnalysis {
        |ORDER BY rank""".stripMargin
   }
 
+  /** C3n — multi_match, most_fields mode (the OpenSearch multi-field
+    * relevance query: one term list scored against several fields with
+    * per-field boosts, scores summed). The test corpus carries a single
+    * `text` column, so the field split is the deterministic stand-in a
+    * single-column corpus allows: `title` = the first 8 tokens, `body`
+    * = the rest (a real store would read two stored fields; the scoring
+    * pipeline is identical). Per field: its own dl/avgdl/df/tf — i.e.
+    * genuine per-field BM25, not a concatenated pseudo-field — then
+    * score = 2·bm25_title + 1·bm25_body.
+    *
+    * Scale shape is C3b's: for a FIXED term list, tf/dl collapse into
+    * per-doc conditional counts in ONE pass (no token-keyed join), the
+    * corpus stats are a single broadcast row, and the top-k is the F5
+    * mergeable TopKAgg — O(k) exchange, no global sort. Determinism:
+    * integer tf/df/dl + fixed-order per-term score chain + round(6),
+    * the house device for float-exact cross-engine parity.
+    */
+  def multiMatch(spark: SparkSession, dir: String,
+                 terms: Seq[String] = Seq("spark", "window", "merge"),
+                 titleLen: Int = 8, k: Int = 20): DataFrame = {
+    val fields = Seq(("title", 2.0), ("body", 1.0))
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        slice(col("ws"), 1, titleLen).as("f_title"),
+        expr(s"slice(ws, $titleLen + 1, greatest(size(ws) - $titleLen, 0))").as("f_body"))
+      .select(col("doc_id") +:
+        fields.flatMap { case (f, _) =>
+          size(col(s"f_$f")).cast("double").as(s"dl_$f") +:
+            terms.map(t =>
+              size(filter(col(s"f_$f"), w => w === t)).cast("double").as(s"tf_${f}_$t"))
+        }: _*)
+    val stats = perDoc.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      fields.flatMap { case (f, _) =>
+        (sum(col(s"dl_$f")) / count(lit(1))).as(s"avgdl_$f") +:
+          terms.map(t =>
+            sum(when(col(s"tf_${f}_$t") > 0, 1).otherwise(0)).cast("double").as(s"df_${f}_$t"))
+      }: _*)
+    val scoreExpr = (for ((f, boost) <- fields; t <- terms) yield {
+      val tf = col(s"tf_${f}_$t"); val df = col(s"df_${f}_$t")
+      lit(boost) * log(lit(1.0) + (col("n_docs") - df + 0.5) / (df + 0.5)) *
+        (tf * 2.2 / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col(s"dl_$f") / col(s"avgdl_$f"))))
+    }).reduce(_ + _)
+    val topk = graft.plans.TopKAgg.udafFor(k)
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("score", round(scoreExpr, 6))
+      .filter(col("score") > 0)
+      .agg(topk(col("doc_id"), col("score")).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col._2").as("doc_id"), col("col._1").as("score"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy(col("rank"))
+  }
+
+  val multiMatchSql: String = {
+    val terms = Seq("spark", "window", "merge")
+    val fields = Seq(("title", "2.0"), ("body", "1.0"))
+    val tfs = fields.flatMap { case (f, _) =>
+      s"CAST(len(f_$f) AS DOUBLE) AS dl_$f" +:
+        terms.map(t =>
+          s"CAST(len(list_filter(f_$f, w -> w = '$t')) AS DOUBLE) AS tf_${f}_$t")
+    }.mkString(",\n    ")
+    val dfs = fields.flatMap { case (f, _) =>
+      s"sum(dl_$f) / count(*) AS avgdl_$f" +:
+        terms.map(t =>
+          s"CAST(sum(CASE WHEN tf_${f}_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_${f}_$t")
+    }.mkString(",\n    ")
+    val score = (for ((f, boost) <- fields; t <- terms) yield
+      s"$boost * ln(1.0 + (n_docs - df_${f}_$t + 0.5) / (df_${f}_$t + 0.5)) * " +
+        s"(tf_${f}_$t * 2.2 / (tf_${f}_$t + 1.2 * (0.25 + 0.75 * dl_$f / avgdl_$f)))")
+      .mkString(" + ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |fsplit AS (
+       |  SELECT doc_id, ws[1:8] AS f_title,
+       |    CASE WHEN len(ws) > 8 THEN ws[9:] ELSE [] END AS f_body
+       |  FROM docs),
+       |perdoc AS (
+       |  SELECT doc_id,
+       |    $tfs
+       |  FROM fsplit),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |    $dfs
+       |  FROM perdoc),
+       |scored AS (
+       |  SELECT doc_id, round($score, 6) AS score
+       |  FROM perdoc CROSS JOIN stats),
+       |ranked AS (
+       |  SELECT doc_id, score,
+       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |  FROM scored WHERE score > 0)
+       |SELECT doc_id, score, rank FROM ranked
+       |WHERE rank <= 20
+       |ORDER BY rank""".stripMargin
+  }
+
   /** C3m — function_score: relevance re-scored by document-property
     * modifiers, the feature real search UIs lean on (boost long-form
     * docs, decay stale ones). Composition here is the two standard
