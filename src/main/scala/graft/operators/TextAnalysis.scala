@@ -833,7 +833,11 @@ object TextAnalysis {
     * keys (web-scale bigram vocabularies must never broadcast); each
     * log-prob floors to integer micro-nats BEFORE the per-doc sum.
     */
-  def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared E30/E34 core: per-doc total bigram log-prob in integer
+    * micro-nats (`s`, negative) plus the bigram count — the exact
+    * integer pair every downstream perplexity statistic derives from
+    * deterministically. */
+  private def bigramMicroNats(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
@@ -853,10 +857,13 @@ object TextAnalysis {
           (col("cu") + col("v")).cast("double")) * 1e6).cast("long"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("s"))
+  }
+
+  def bigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    bigramMicroNats(spark, dir)
       .select(col("doc_id"), col("n_bigrams"),
         (-col("s").cast("double") / 1e6 / col("n_bigrams")).as("nll_per_bigram"))
       .orderBy(col("doc_id"))
-  }
 
   val bigramLogprobSql: String =
     """WITH docs AS (
@@ -878,6 +885,70 @@ object TextAnalysis {
       |  -CAST(s AS DOUBLE) / 1000000.0 / n_bigrams AS nll_per_bigram
       |FROM scored
       |ORDER BY doc_id""".stripMargin
+
+  /** E34 — perplexity-bucketed corpus split (CCNet, Wenzek et al.
+    * 2020: score every document with a per-language LM, cut each
+    * language's distribution into head/middle/tail terciles — the
+    * standard quality tiers downstream mixtures sample from). The LM is
+    * E30's bigram model in integer micro-nats; docs with <2 tokens have
+    * no LM score and are excluded, as in the E30 row. Tercile
+    * assignment is `ntile(3)` over (nll, doc_id) WITHIN each language —
+    * a per-language sort, partition-parallel across languages, which is
+    * exact-CCNet semantics (at extreme per-language cardinality the
+    * two-pass variant — approx-percentile cutoffs then a stateless
+    * filter — trades exactness for no sort; the report here keeps the
+    * exact cut). Output is the audit table: per (lang, tier) doc count
+    * and mean NLL from exact integer sums — deterministic end to end
+    * because the ordering key itself derives from exact integers.
+    */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("nll"), col("doc_id"))
+    bigramMicroNats(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("nll", -col("s").cast("double") / 1e6 / col("n_bigrams"))
+      .withColumn("tier_n", ntile(3).over(w))
+      .withColumn("tier",
+        when(col("tier_n") === 1, "head")
+          .when(col("tier_n") === 2, "middle").otherwise("tail"))
+      .groupBy(col("lang"), col("tier"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        round(-sum(col("s")).cast("double") / 1e6 / sum(col("n_bigrams")), 6)
+          .as("mean_nll"))
+      .orderBy(col("lang"), col("tier"))
+  }
+
+  val perplexityBucketsSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |toks AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      |  FROM docs, unnest(range(1, len(ws))) AS t(i)),
+      |bi AS (SELECT w1, w2, count(*) AS cb FROM toks GROUP BY 1, 2),
+      |uni AS (SELECT w1, count(*) AS cu FROM toks GROUP BY 1),
+      |vv AS (SELECT count(*) AS v FROM uni),
+      |scored AS (
+      |  SELECT t.doc_id, count(*) AS n_bigrams,
+      |    CAST(sum(CAST(floor(ln(CAST(cb + 1 AS DOUBLE) /
+      |      CAST(cu + v AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS s
+      |  FROM toks t JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vv
+      |  GROUP BY t.doc_id),
+      |tiered AS (
+      |  SELECT d.lang, s.n_bigrams, s.s,
+      |    ntile(3) OVER (PARTITION BY d.lang
+      |      ORDER BY -CAST(s.s AS DOUBLE) / 1000000.0 / s.n_bigrams, s.doc_id)
+      |      AS tier_n
+      |  FROM scored s JOIN documents d USING (doc_id))
+      |SELECT lang,
+      |  CASE tier_n WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+      |  round(-CAST(sum(s) AS DOUBLE) / 1000000.0 / sum(n_bigrams), 6) AS mean_nll
+      |FROM tiered
+      |GROUP BY lang, tier_n
+      |ORDER BY lang, tier""".stripMargin
 
   /** E28 — language-mismatch audit (the per-source label-quality table
     * a curation run publishes: which sources' declared languages
