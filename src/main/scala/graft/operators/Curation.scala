@@ -716,4 +716,88 @@ object Curation {
       |FROM sh c JOIN sh b ON c.s = b.s AND b.doc_id < 20 AND c.doc_id >= 20
       |GROUP BY c.doc_id
       |ORDER BY doc_id""".stripMargin
+
+  /** E35 — corpus token statistics (the one-page corpus health report a
+    * curation run publishes before mixing: Zipf slope of the rank-
+    * frequency curve — natural text sits near −1, template spam and
+    * boilerplate flatten or steepen it (Piantadosi 2014) — plus
+    * type-token ratio and hapax share, the vocabulary-growth signals
+    * behind Heaps' law).
+    *
+    * Scale shape: ONE token-keyed aggregate builds the frequency table
+    * (map-side combined); ranking is a sort over the VOCABULARY — ≪
+    * corpus size, the same bounded-side sort every search engine's
+    * dictionary build does — and the regression consumes only the top-K
+    * ranks. Determinism: ln(rank)/ln(freq) are floored to integer
+    * micro-logs per term (exact BIGINT sums, products bounded ~1e17 at
+    * K=1000), and the least-squares slope is ONE fixed-order double
+    * expression over those exact sums — the scale factors cancel in the
+    * ratio. Corpus totals are exact counts; every emitted double is a
+    * closed form over integers, rounded at 6dp.
+    */
+  def corpusStats(spark: SparkSession, dir: String, topK: Int = 1000): DataFrame = {
+    val freqs = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("f"))
+    val totals = freqs.agg(
+      sum(col("f")).as("total_tokens"),
+      count(lit(1)).as("vocab_size"),
+      sum(when(col("f") === 1, 1L).otherwise(0L)).as("hapax_count"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("f").desc, col("token"))
+    val slope = freqs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(
+        floor(log(col("rank").cast("double")) * 1e6).cast("long").as("xu"),
+        floor(log(col("f").cast("double")) * 1e6).cast("long").as("yu"))
+      .agg(count(lit(1)).as("k"), sum(col("xu")).as("sx"), sum(col("yu")).as("sy"),
+        sum(col("xu") * col("yu")).as("sxy"), sum(col("xu") * col("xu")).as("sxx"))
+      .select(col("k"),
+        // cast the EXACT sums to double before combining: k·Σxy would
+        // overflow BIGINT (~1e20); one fixed-order double product chain
+        // over exact integers is still bit-identical cross-engine
+        ((col("k").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (col("k").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double"))).as("zs"))
+    totals.crossJoin(broadcast(slope))
+      .select(
+        col("total_tokens"), col("vocab_size"), col("hapax_count"),
+        round(col("vocab_size").cast("double") / col("total_tokens"), 6).as("ttr"),
+        round(col("hapax_count").cast("double") / col("vocab_size"), 6).as("hapax_share"),
+        col("k").as("n_ranks"), round(col("zs"), 6).as("zipf_slope"))
+  }
+
+  val corpusStatsSql: String =
+    """WITH freqs AS (
+      |  SELECT token, count(*) AS f
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |  WHERE token <> ''
+      |  GROUP BY token),
+      |totals AS (
+      |  SELECT CAST(sum(f) AS BIGINT) AS total_tokens,
+      |    CAST(count(*) AS BIGINT) AS vocab_size,
+      |    CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count
+      |  FROM freqs),
+      |ranked AS (
+      |  SELECT CAST(floor(ln(CAST(row_number() OVER (ORDER BY f DESC, token) AS DOUBLE)) * 1000000) AS BIGINT) AS xu,
+      |    CAST(floor(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT) AS yu,
+      |    row_number() OVER (ORDER BY f DESC, token) AS rank
+      |  FROM freqs),
+      |reg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k,
+      |    CAST(sum(xu) AS BIGINT) AS sx, CAST(sum(yu) AS BIGINT) AS sy,
+      |    CAST(sum(xu * yu) AS BIGINT) AS sxy, CAST(sum(xu * xu) AS BIGINT) AS sxx
+      |  FROM ranked WHERE rank <= 1000)
+      |SELECT total_tokens, vocab_size, hapax_count,
+      |  round(CAST(vocab_size AS DOUBLE) / total_tokens, 6) AS ttr,
+      |  round(CAST(hapax_count AS DOUBLE) / vocab_size, 6) AS hapax_share,
+      |  k AS n_ranks,
+      |  round((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE) -
+      |         CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |        (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |         CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
+      |FROM totals CROSS JOIN reg""".stripMargin
 }
