@@ -465,6 +465,91 @@ object PipelineAggs {
       .orderBy(col("day"))
   }
 
+  /** C45o — moving_fn holt_winters model (OpenSearch
+    * `MovingFunctions.holtWinters`: triple-exponential smoothing —
+    * level + trend + additive seasonality, the model dashboards reach
+    * for on weekly-patterned series). Model spec, mirrored exactly by
+    * the oracle (period m=7; α=0.5, β=γ=0.25 — all with exact binary
+    * complements):
+    *   init at t=m:  l=mean(y₁..y₇) (exact-int sum ÷ 7), b=0,
+    *                 sᵢ = yᵢ − l for i=1..7;
+    *   for t>m:      lₜ = α(yₜ−sₜ₋ₘ) + (1−α)(lₜ₋₁+bₜ₋₁),
+    *                 bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁,
+    *                 sₜ = γ(yₜ−lₜ) + (1−γ)sₜ₋ₘ;
+    *   reported (t>m): hw = lₜ + sₜ. Warm-up buckets emit nothing,
+    *   like C43's serial_diff nulls.
+    *
+    * Scale shape: the recursion is bucket-count-sized, so the whole
+    * series folds ONCE as `aggregate` over the sorted day array (the
+    * array is the parent histogram — dozens of rows at any data scale);
+    * the seasonal state rides the fold as a 7-slot array, exactly as
+    * the recursive CTE carries it. Data-sized work stays in the one
+    * map-side-combined dailyBuckets aggregate.
+    */
+  def movingHoltWinters(spark: SparkSession, dir: String): DataFrame = {
+    val m = 7
+    val series = dailyBuckets(spark, dir)
+      .agg(array_sort(collect_list(struct(col("day"), col("n")))).as("rows"))
+    val ys = transform(col("rows"), r => r.getField("n").cast("double"))
+    val l0 = aggregate(slice(ys, 1, m), lit(0.0), (a, y) => a + y) / lit(m.toDouble)
+    val ss0 = transform(slice(ys, 1, m), y => y - l0)
+    val init = struct(l0.as("l"), lit(0.0).as("tr"), ss0.as("ss"),
+      array().cast("array<double>").as("out"))
+    val fin = aggregate(
+      slice(ys, lit(m + 1), greatest(size(ys) - m, lit(0))), init,
+      (acc, y) => {
+        val sOld = element_at(acc.getField("ss"), 1)
+        val lPrev = acc.getField("l"); val tPrev = acc.getField("tr")
+        val lNew = lit(0.5) * (y - sOld) + lit(0.5) * (lPrev + tPrev)
+        val trNew = lit(0.25) * (lNew - lPrev) + lit(0.75) * tPrev
+        val sNew = lit(0.25) * (y - lNew) + lit(0.75) * sOld
+        struct(lNew.as("l"), trNew.as("tr"),
+          concat(slice(acc.getField("ss"), 2, m - 1), array(sNew)).as("ss"),
+          concat(acc.getField("out"), array(lNew + sNew)).as("out"))
+      })
+    series.select(col("rows"), posexplode(fin.getField("out")).as(Seq("pos", "hw")))
+      .select(
+        element_at(col("rows"), col("pos") + m + 1).getField("day").as("day"),
+        element_at(col("rows"), col("pos") + m + 1).getField("n").as("n"),
+        round(col("hw"), 6).as("hw"))
+      .orderBy(col("day"))
+  }
+
+  val movingHoltWintersSql: String =
+    """WITH RECURSIVE b AS (
+      |  SELECT row_number() OVER (ORDER BY day) AS rn, day, n
+      |  FROM (SELECT date_trunc('day', ts) AS day, count(*) AS n
+      |        FROM events GROUP BY 1)),
+      |init AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS s7,
+      |    list(CAST(n AS DOUBLE) ORDER BY rn) AS y7
+      |  FROM b WHERE rn <= 7),
+      |rec AS (
+      |  SELECT 7 AS rn,
+      |    CAST(s7 AS DOUBLE) / 7.0 AS l,
+      |    CAST(0.0 AS DOUBLE) AS tr,
+      |    list_transform(y7, y -> y - CAST(s7 AS DOUBLE) / 7.0) AS ss,
+      |    CAST(NULL AS DOUBLE) AS hw
+      |  FROM init
+      |  UNION ALL
+      |  SELECT b.rn,
+      |    0.5 * (CAST(b.n AS DOUBLE) - rec.ss[1]) + 0.5 * (rec.l + rec.tr) AS l,
+      |    0.25 * ((0.5 * (CAST(b.n AS DOUBLE) - rec.ss[1]) + 0.5 * (rec.l + rec.tr)) - rec.l)
+      |      + 0.75 * rec.tr AS tr,
+      |    rec.ss[2:] ||
+      |      [0.25 * (CAST(b.n AS DOUBLE) -
+      |         (0.5 * (CAST(b.n AS DOUBLE) - rec.ss[1]) + 0.5 * (rec.l + rec.tr)))
+      |       + 0.75 * rec.ss[1]] AS ss,
+      |    (0.5 * (CAST(b.n AS DOUBLE) - rec.ss[1]) + 0.5 * (rec.l + rec.tr)) +
+      |      (0.25 * (CAST(b.n AS DOUBLE) -
+      |         (0.5 * (CAST(b.n AS DOUBLE) - rec.ss[1]) + 0.5 * (rec.l + rec.tr)))
+      |       + 0.75 * rec.ss[1]) AS hw
+      |  FROM rec JOIN b ON b.rn = rec.rn + 1)
+      |SELECT b.day, b.n, round(rec.hw, 6) AS hw
+      |FROM rec JOIN b ON b.rn = rec.rn
+      |WHERE rec.rn > 7
+      |ORDER BY b.day""".stripMargin
+
   val movingHoltSql: String =
     """WITH RECURSIVE b AS (
       |  SELECT row_number() OVER (ORDER BY day) AS rn, day, n
