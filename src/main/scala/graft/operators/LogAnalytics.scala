@@ -280,6 +280,86 @@ object LogAnalytics {
       |GROUP BY event_type
       |ORDER BY n DESC, event_type""".stripMargin
 
+  /** C2n — terms agg with doc_count_error_upper_bound (the DISTRIBUTED
+    * terms-agg contract: each shard returns only its local top
+    * `shard_size` terms, the coordinator sums what was reported, and
+    * every answer carries the worst-case undercount — Σ over
+    * non-reporting shards of the last count each reported. This is the
+    * semantics OpenSearch users actually consume on every dashboard
+    * terms panel, and the reason `shard_size` exists).
+    *
+    * Spark-first: "shards" are content-hashed buckets (first md5 nibble
+    * of the term key, mod 8) — DETERMINISTIC, unlike physical partition
+    * ids, so the whole distributed protocol, error bounds included, is
+    * exact-replicable cross-engine and ★-checkable. Shapes: one
+    * (shard, term) pre-aggregate (the only data-sized shuffle),
+    * per-shard top-k via a window PARTITIONED BY SHARD (parallel,
+    * heap-depth k), then all merging happens on ≤ shards×shard_size
+    * rows with the 8-row kth-count table broadcast. A shard that
+    * reported fewer than shard_size terms exhausted its key set and
+    * contributes 0 to the bound. At 100 TB this is also the honest
+    * recipe for global top-N WITHOUT a full global sort: the bound
+    * quantifies exactly what the shortcut can miss.
+    */
+  def termsShardError(spark: SparkSession, dir: String,
+                      size: Int = 10, shardSize: Int = 10,
+                      nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perShard = Tables.events(spark, dir)
+      .withColumn("shard",
+        expr(s"(instr('0123456789abcdef', substr(md5(cast(user_id AS string)), 1, 1)) - 1) % $nShards")
+          .cast("long"))
+      .groupBy(col("shard"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("c").desc, col("user_id"))
+    val reported = perShard
+      .withColumn("r", row_number().over(w)).filter(col("r") <= shardSize)
+    val kth = reported.groupBy(col("shard")).agg(
+        min(col("c")).as("kmin"), count(lit(1)).as("n_rep"))
+      .withColumn("kth_eff",
+        when(col("n_rep") < shardSize, 0L).otherwise(col("kmin")))
+      .select(col("shard"), col("kth_eff"))
+    val totalKth = kth.agg(sum(col("kth_eff")).as("total_kth"))
+    val wTop = Window.orderBy(col("doc_count").desc, col("user_id"))
+    reported.join(broadcast(kth), "shard")
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("doc_count"), sum(col("kth_eff")).as("rep_kth"))
+      .crossJoin(broadcast(totalKth))
+      .withColumn("doc_count_error_ub", col("total_kth") - col("rep_kth"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= size)
+      .select(col("rank"), col("user_id"), col("doc_count"),
+        col("doc_count_error_ub"))
+      .orderBy(col("rank"))
+  }
+
+  val termsShardErrorSql: String =
+    """WITH per_shard AS (
+      |  SELECT (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 8 AS shard,
+      |    user_id, count(*) AS c
+      |  FROM events
+      |  GROUP BY 1, 2),
+      |reported AS (
+      |  SELECT shard, user_id, c,
+      |    row_number() OVER (PARTITION BY shard ORDER BY c DESC, user_id) AS r
+      |  FROM per_shard
+      |  QUALIFY r <= 10),
+      |kth AS (
+      |  SELECT shard,
+      |    CASE WHEN count(*) < 10 THEN 0 ELSE min(c) END AS kth_eff
+      |  FROM reported GROUP BY shard),
+      |tot AS (SELECT CAST(sum(kth_eff) AS BIGINT) AS total_kth FROM kth),
+      |merged AS (
+      |  SELECT r.user_id, CAST(sum(r.c) AS BIGINT) AS doc_count,
+      |    CAST(sum(k.kth_eff) AS BIGINT) AS rep_kth
+      |  FROM reported r JOIN kth k USING (shard)
+      |  GROUP BY r.user_id)
+      |SELECT CAST(row_number() OVER (ORDER BY doc_count DESC, user_id) AS BIGINT) AS rank,
+      |  user_id, doc_count, total_kth - rep_kth AS doc_count_error_ub
+      |FROM merged CROSS JOIN tot
+      |QUALIFY rank <= 10
+      |ORDER BY rank""".stripMargin
+
   // ---- C3: full-text search (match + bool + range) -------------------
 
   def search(spark: SparkSession, dir: String): DataFrame =
