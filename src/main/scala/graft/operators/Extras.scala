@@ -32,6 +32,42 @@ object Extras {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** C59 — join-field has_child query with min_children (OpenSearch
+    * parent/child mapping: return PARENT documents having at least N
+    * children matching a child-level filter — the relational gap the
+    * join field exists to close, and distinct from C12's plain exists:
+    * the match-count floor makes it an aggregated semi-join, not a
+    * semi-join). Spark-first shape: filter + COUNT the child side FIRST
+    * (map-side-combined, child table never joins at raw width), then
+    * one key-equi join of the ≥N survivors to parents — the aggregate
+    * prunes before the join, so the join input is bounded by qualifying
+    * parents at any scale. has_parent is the same join read the other
+    * direction (child rows kept when the parent matches) and rides
+    * every enrichment join in this suite already (C9).
+    */
+  def hasChild(spark: SparkSession, dir: String,
+               minQty: Double = 45, minChildren: Int = 2): DataFrame = {
+    val matching = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= minQty)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_matching_children"))
+      .filter(col("n_matching_children") >= minChildren)
+    Tables.orders(spark, dir)
+      .join(matching, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("n_matching_children"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val hasChildSql: String =
+    """SELECT o_orderkey, o_orderpriority, n_matching_children
+      |FROM orders JOIN (
+      |  SELECT l_orderkey, count(*) AS n_matching_children
+      |  FROM lineitem WHERE l_quantity >= 45
+      |  GROUP BY l_orderkey
+      |  HAVING count(*) >= 2) m ON o_orderkey = m.l_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
   /** C13 — "missing" query: customers with no URGENT orders (left-anti;
     * the right side is pre-filtered so the result is non-degenerate at
     * every scale factor — every customer has SOME order in this data).
