@@ -45,6 +45,33 @@ class EntrySpec extends AnyFunSuite {
       "stitched pages differ from the direct global top-40")
   }
 
+  test("terms_shard_error bound dominates the true undercount (C2n contract)") {
+    import org.apache.spark.sql.functions._
+    val reported = graft.operators.LogAnalytics
+      .termsShardError(spark, TestSpark.sf).collect()
+    val truth = graft.sources.Tables.events(spark, TestSpark.sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("c")).toMap
+    reported.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val missed = truth(u) - r.getAs[Long]("doc_count")
+      assert(missed >= 0, s"user $u: reported more than truth")
+      assert(missed <= r.getAs[Long]("doc_count_error_ub"),
+        s"user $u: true undercount $missed exceeds claimed bound " +
+          s"${r.getAs[Long]("doc_count_error_ub")}")
+    }
+  }
+
+  test("matrix_stats diagonal: cov(x,x)=var(x), corr(x,x)=1 (C5k contract)") {
+    val rows = graft.operators.Stats.matrixStats(spark, TestSpark.sf).collect()
+    rows.filter(r => r.getAs[String]("field_x") == r.getAs[String]("field_y"))
+      .foreach { r =>
+        assert(math.abs(r.getAs[Double]("covariance") - r.getAs[Double]("variance_x")) < 1e-6)
+        assert(math.abs(r.getAs[Double]("correlation") - 1.0) < 1e-6)
+      }
+    assert(rows.length == 9)
+  }
+
   test("top_metrics picks the max-sort-key row even on timestamp ties (C5j contract)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
