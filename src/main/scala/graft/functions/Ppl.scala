@@ -13,6 +13,8 @@ import graft.sources.Tables
   *   search source=<table> | where <expr> | eval <name> = <expr>
   *     | fields [+|-] f1, f2 | dedup f1 [, f2] | stats <aggs> [by f1, f2]
   *     | sort [+|-]f1 [, ...] | head N
+  *     | top [N] f1[, f2] [by g1, g2] | rare [N] f1 [by g1]
+  *     | parse <field> '<regex with (?<name>…) captures>'
   *
   * aggs: count(), sum(x), avg(x), min(x), max(x), dc(x) with
   * `as alias`; where/eval expressions: comparisons (= != > >= < <=),
@@ -227,6 +229,48 @@ object Ppl {
           df = df.orderBy(keys.toIndexedSeq: _*)
         case "head" =>
           df = df.limit(arg.trim.toInt)
+        case "top" | "rare" =>
+          // top [N] f1[, f2] [by g1, g2] — most/least frequent value
+          // combos; compiles to ONE hash aggregate + (grouped) a
+          // shard-parallel rank window / (global) a TakeOrdered limit.
+          val byParts = arg.split("(?i)\\s+by\\s+")
+          require(byParts.length <= 2, s"$cmd: one 'by' clause allowed: $arg")
+          val lead = byParts(0).trim.split("\\s+", 2)
+          val (n, fieldsStr) =
+            if (lead(0).forall(_.isDigit) && lead.length == 2) (lead(0).toInt, lead(1))
+            else (10, byParts(0).trim)
+          val fields = fieldsStr.split(',').map(_.trim).toIndexedSeq
+          val groups = if (byParts.length == 2)
+            byParts(1).split(',').map(_.trim).toIndexedSeq else IndexedSeq.empty[String]
+          val counted = df.groupBy((groups ++ fields).map(col): _*)
+            .agg(count(lit(1)).as("count"))
+          val cntOrd = if (cmd.equalsIgnoreCase("top")) col("count").desc else col("count").asc
+          val tieOrd = fields.map(col(_).asc)
+          df = if (groups.isEmpty) counted.orderBy(cntOrd +: tieOrd: _*).limit(n)
+          else {
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(groups.map(col): _*).orderBy(cntOrd +: tieOrd: _*)
+            counted.withColumn("__r", row_number().over(w))
+              .filter(col("__r") <= n).drop("__r")
+          }
+        case "parse" =>
+          // parse <field> '<regex with (?<name>…) groups>' — named
+          // captures become columns via codegen'd regexp_extract (the
+          // group INDEX is what executes; the name is driver-side
+          // sugar), exactly PPL's grok-lite semantics.
+          val sp = arg.split("\\s+", 2)
+          require(sp.length == 2, s"parse needs '<field> <pattern>', got: $arg")
+          val field = sp(0).trim
+          val raw = sp(1).trim
+          require(raw.length >= 2 && (raw.head == '\'' || raw.head == '"') &&
+            raw.last == raw.head, s"parse pattern must be quoted: $arg")
+          val pattern = raw.substring(1, raw.length - 1)
+          val named = "\\(\\?<([A-Za-z][A-Za-z0-9]*)>".r
+            .findAllMatchIn(pattern).map(_.group(1)).toList
+          require(named.nonEmpty, s"parse pattern has no (?<name>…) group: $arg")
+          named.zipWithIndex.foreach { case (nm, i) =>
+            df = df.withColumn(nm, regexp_extract(col(field), pattern, i + 1))
+          }
         case other => throw new IllegalArgumentException(s"unknown PPL command '$other'")
       }
     }

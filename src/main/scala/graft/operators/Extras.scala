@@ -766,6 +766,30 @@ object Extras {
   def pplSearch(spark: SparkSession, dir: String): DataFrame =
     graft.functions.Ppl.run(spark, dir, pplDemo)
 
+  /** C57 (second entry) — the round-out command tier: `parse` regex
+    * field extraction feeding a grouped `top`. The pipe compiles to
+    * regexp_extract in the scan + one hash aggregate + a per-group rank
+    * window — the same plan the hand query gets; the trailing `sort`
+    * fixes cross-group emission order for the oracle compare.
+    */
+  val pplTopDemo: String =
+    "search source=events | parse props 'k\": (?<kv>[0-9]+)' " +
+      "| top 3 kv by event_type | sort + event_type, - count, + kv"
+
+  def pplTopSearch(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Ppl.run(spark, dir, pplTopDemo)
+
+  val pplTopSearchSql: String =
+    """WITH p AS (
+      |  SELECT event_type, regexp_extract(props, 'k": ([0-9]+)', 1) AS kv
+      |  FROM events),
+      |c AS (SELECT event_type, kv, count(*) AS "count" FROM p GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER
+      |        (PARTITION BY event_type ORDER BY "count" DESC, kv) AS rk
+      |      FROM c)
+      |SELECT event_type, kv, "count" FROM r WHERE rk <= 3
+      |ORDER BY event_type, "count" DESC, kv""".stripMargin
+
   val pplSearchSql: String =
     """SELECT user_id, count(*) AS n, min(value) AS min_v, max(value) AS max_v
       |FROM events

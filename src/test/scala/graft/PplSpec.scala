@@ -65,4 +65,50 @@ class PplSpec extends AnyFunSuite {
     assert(plan.contains("GreaterThanOrEqual(n_regionkey,2)"),
       s"not pushed:\n$plan")
   }
+
+  test("top/rare match hand-built frequency queries, grouped and global") {
+    val ev = graft.sources.Tables.events(spark, TestSpark.sf)
+    // global top 3 event types
+    val got = run("search source=events | top 3 event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = ev.groupBy(col("event_type")).agg(count(lit(1)).as("count"))
+      .orderBy(col("count").desc, col("event_type")).limit(3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+    // rare = ascending
+    val gotRare = run("search source=events | rare 2 event_type")
+      .collect().map(_.getString(0)).toSeq
+    val wantRare = ev.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").asc, col("event_type")).limit(2)
+      .collect().map(_.getString(0)).toSeq
+    assert(gotRare == wantRare)
+    // grouped: 2 most frequent user_ids per event_type — every group
+    // emits ≤2 rows and each matches the window-derived truth
+    val grouped = run("search source=events | top 2 user_id by event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("count").desc, col("user_id"))
+    val truth = ev.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("count"))
+      .withColumn("r", row_number().over(w)).filter(col("r") <= 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(grouped == truth)
+  }
+
+  test("parse extracts named regex captures as columns") {
+    val got = run(
+      "search source=events | parse props 'k\": (?<kv>[0-9]+)' " +
+        "| fields event_id, kv | sort + event_id | head 5")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = graft.sources.Tables.events(spark, TestSpark.sf)
+      .select(col("event_id"),
+        regexp_extract(col("props"), "k\": ([0-9]+)", 1).as("kv"))
+      .orderBy(col("event_id")).limit(5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == want && got.forall(_._2.nonEmpty))
+    assert(intercept[IllegalArgumentException] {
+      run("search source=events | parse props 'no captures here'")
+    }.getMessage.contains("no (?<name>"))
+  }
 }
