@@ -223,6 +223,50 @@ object Curation {
       |FROM t
       |ORDER BY doc_id""".stripMargin
 
+  /** E13e — data-constrained epoch planning (Muennighoff et al. 2023:
+    * when a source's available tokens fall short of its mixture
+    * target, the pipeline REPEATS the source for multiple epochs — with
+    * a repetition cap (~4) beyond which extra epochs stop helping; the
+    * plan table says per source how many epochs to run, what that
+    * yields, and the unfillable shortfall the mixture must reweigh).
+    * One map-side-combined per-source token aggregate (source
+    * cardinality-sized output), then pure scalar arithmetic: exact
+    * BIGINT token sums, one double division for epochs_needed, integer
+    * least/ceil for the plan — deterministic at any scale.
+    */
+  def epochMix(spark: SparkSession, dir: String,
+               targetTokens: Long = 12000, maxEpochs: Int = 4): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_toks")).as("available_tokens"))
+      .select(col("source"), col("available_tokens"),
+        lit(targetTokens).as("target_tokens"),
+        round(lit(targetTokens).cast("double") / col("available_tokens"), 6)
+          .as("epochs_needed"),
+        least(ceil(lit(targetTokens).cast("double") / col("available_tokens")),
+          lit(maxEpochs.toLong)).cast("long").as("epochs"),
+        least(lit(targetTokens), col("available_tokens") * maxEpochs)
+          .as("planned_tokens"),
+        greatest(lit(targetTokens) - col("available_tokens") * maxEpochs,
+          lit(0L)).as("shortfall"))
+      .orderBy(col("source"))
+
+  val epochMixSql: String =
+    """WITH a AS (
+      |  SELECT source,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS available_tokens
+      |  FROM documents GROUP BY source)
+      |SELECT source, available_tokens,
+      |  CAST(12000 AS BIGINT) AS target_tokens,
+      |  round(CAST(12000 AS DOUBLE) / available_tokens, 6) AS epochs_needed,
+      |  CAST(least(ceil(CAST(12000 AS DOUBLE) / available_tokens), 4) AS BIGINT) AS epochs,
+      |  least(12000, available_tokens * 4) AS planned_tokens,
+      |  greatest(12000 - available_tokens * 4, 0) AS shortfall
+      |FROM a
+      |ORDER BY source""".stripMargin
+
   /** E14 — quality-filter battery (Gopher-style rules, Rae et al. 2021,
     * public): word-count bounds, mean-word-length bounds, symbol ratio,
     * stopword presence. Flags are kept per-rule (a real pipeline audits
