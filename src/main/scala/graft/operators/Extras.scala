@@ -821,7 +821,7 @@ object Extras {
       |JOIN nation ON c_nationkey = n_nationkey
       |WHERE o_orderstatus = 'F'
       |GROUP BY 1, 2
-      |HAVING count(*) >= 5
+      |HAVING count(*) >= 2
       |ORDER BY nation, month""".stripMargin
 
   def sqlSurface(spark: SparkSession, dir: String): DataFrame = {

@@ -102,6 +102,22 @@ object LogPipeline {
         col("status") >= col("min_status") && col("status") < col("max_status"))
       .select(col("rule_id"), col("ts"), col("ip"), col("path"), col("status"))
 
+  /** C49c — alert action throttling (OpenSearch alerting's
+    * `throttle_enabled`/`period`: a monitor that keeps matching does
+    * NOT re-notify for the same key until the period elapses —
+    * without it every 500-spike pages once per log line). Spark-first:
+    * the throttle is streaming state, not a join — watermarked
+    * `dropDuplicatesWithinWatermark` on (rule_id, ip) keeps first-fire
+    * state exactly as long as the period requires and expires it with
+    * the watermark; state size is bounded by active (rule, key) pairs
+    * in the window, shard-partitioned by key like all stateful ops.
+    */
+  def throttledAlerts(parsed: DataFrame, rules: DataFrame,
+                      period: String = "10 minutes"): DataFrame =
+    percolateStream(parsed, rules)
+      .withWatermark("ts", period)
+      .dropDuplicatesWithinWatermark(Seq("rule_id", "ip"))
+
   def startIngest(spark: SparkSession, inDir: String, outDir: String,
                   checkpointDir: String): StreamingQuery =
     transformed(rawStream(spark, inDir)).writeStream

@@ -79,6 +79,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(alerts == Set((0L, "1.2.3.4", 500L), (1L, "5.6.7.8", 201L)))
   }
 
+  test("alert throttling: duplicate (rule, key) fires once within the period") {
+    val mk = (sec: Int, ip: String, path: String) =>
+      s"""$ip - - [29/Jul/2021:15:32:$sec +0000] "GET $path HTTP/1.1" 500 0 "-" "curl/7.68.0""""
+    val rules = Seq((0L, "GET", 500L, 600L))
+      .toDF("rule_id", "r_verb", "min_status", "max_status")
+    val src = new MemoryLines(spark)
+    // same ip fires 3 matching lines within the 10-min period, across
+    // two micro-batches; a second ip fires once
+    src.add("ec2" -> mk(33, "1.2.3.4", "/a"), "ec2" -> mk(34, "1.2.3.4", "/b"),
+      "ec2" -> mk(35, "9.9.9.9", "/c"))
+    val q = LogPipeline.throttledAlerts(
+        LogPipeline.transformed(src.load(spark)), rules)
+      .writeStream.format("memory").queryName("throttled")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      src.add("ec2" -> mk(36, "1.2.3.4", "/d"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val fired = spark.table("throttled")
+      .select("rule_id", "ip").as[(Long, String)].collect().toSeq
+    // one alert per (rule, ip) despite 3 matching lines for 1.2.3.4
+    assert(fired.sorted == Seq((0L, "1.2.3.4"), (0L, "9.9.9.9")))
+  }
+
   test("KafkaLines binding: option wiring, contract projection, and DataSource resolution") {
     val k = KafkaLines("broker-1:9092,broker-2:9092",
       topicPattern = "logs-.*", startingOffsets = "earliest")
