@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Batch loaders for the driver-generated parquet tables.
   *
@@ -38,6 +38,11 @@ object Tables {
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // micros-precision parquet reads as TIMESTAMP_NTZ; normalize to the
+      // session-zone TIMESTAMP (UTC everywhere in this library) so every
+      // operator sees one timestamp type regardless of how the writer
+      // encoded the column (NTZ→LTZ cast is interpretation, not arithmetic)
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case _        => df
     }
   }
