@@ -28,11 +28,15 @@ object Curation {
     * rates, unlike an ascii-pair bucket (256 combos onto 100 buckets =
     * 2/256-vs-3/256 per-bucket bias, i.e. 8.6–11.7% for a nominal 10%).
     */
-  /** First four md5 hex nibbles decoded to a uniform 0..65535 value. */
-  private val bucket16Expr: String =
+  /** First four md5 hex nibbles of `inner` decoded to a uniform
+    * 0..65535 value (engine-portable: instr/strpos agree).
+    */
+  private def bucket16ExprOf(inner: String): String =
     Seq(1, 2, 3, 4).map(i =>
-      s"(instr('0123456789abcdef', substr(md5(text), $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
+      s"(instr('0123456789abcdef', substr(md5($inner), $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
       .mkString("(", " + ", ")")
+
+  private val bucket16Expr: String = bucket16ExprOf("text")
 
   private val bucketExpr: String = s"$bucket16Expr % 100"
 
@@ -760,6 +764,81 @@ object Curation {
       |FROM sh c JOIN sh b ON c.s = b.s AND b.doc_id < 20 AND c.doc_id >= 20
       |GROUP BY c.doc_id
       |ORDER BY doc_id""".stripMargin
+
+  /** E16b — EMBEDDING-space contamination check: the n-gram pass (E16)
+    * misses paraphrased or lightly-reworded benchmark leakage; the
+    * standard second line (e.g. the Llama/GPT-4 eval-contamination
+    * reports) scores corpus embeddings against the benchmark's and
+    * flags anything above a similarity floor. Shape = E6's broadcast
+    * kernel: the benchmark set is tiny (rides as a broadcast), the
+    * corpus never shuffles, and the per-doc verdict is one map-side
+    * aggregate over its benchmark hits. At 100 TB the IVF cells bound
+    * candidates exactly as they do for E22 semantic dedup.
+    */
+  def contaminationEmbedding(spark: SparkSession, dir: String,
+                             minScore: Double = 0.35): DataFrame = {
+    graft.plans.CosineSim.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val bench = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("b_emb"))
+    val corpus = Tables.atComputeParallelism(e).filter(col("vec_id") >= 20)
+      .select(col("vec_id"), col("embedding").as("c_emb"))
+    corpus.join(broadcast(bench))
+      .withColumn("cos_sim",
+        round(graft.plans.CosineSim(col("c_emb"), col("b_emb")), 6))
+      .filter(col("cos_sim") >= minScore)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_bench_hits"), max(col("cos_sim")).as("max_cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  val contaminationEmbeddingSql: String =
+    """WITH b AS (SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS b_emb FROM embeddings WHERE vec_id < 20),
+      |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c_emb FROM embeddings WHERE vec_id >= 20),
+      |hits AS (
+      |  SELECT vec_id, round(list_cosine_similarity(c_emb, b_emb), 6) AS cos_sim
+      |  FROM c CROSS JOIN b
+      |  WHERE round(list_cosine_similarity(c_emb, b_emb), 6) >= 0.35)
+      |SELECT vec_id, count(*) AS n_bench_hits, max(cos_sim) AS max_cos
+      |FROM hits GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** E38 — coordination-free duplication-weighted sampling: each member
+    * of a dup cluster keeps itself with probability 1/|cluster| via a
+    * deterministic per-doc hash draw, so every cluster contributes ONE
+    * survivor in expectation WITHOUT electing a canonical member — the
+    * streaming-friendly alternative to E5b's keep-min rule (no second
+    * coordination pass, and the survivor is a uniform-random cluster
+    * member rather than always the min id, which avoids biasing the kept
+    * corpus toward early-crawled copies). Composes the E1+E4 component
+    * resolution; the only additions are one cluster-keyed count (cluster
+    * sizes are capped by the dup-graph skew caps) and a codegen'd hash
+    * draw — both vanish next to the pair mining.
+    */
+  def dupWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val canon = Dedup.canonicalCorpus(spark, dir)
+    canon
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("keep_id"))))
+      .withColumn("u16", expr(bucket16ExprOf("CAST(doc_id AS STRING)")))
+      .filter(col("u16") * col("cluster_size") < lit(65536L))
+      .select(col("doc_id"), col("keep_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dupWeightedSampleSql: String = {
+    val u16 = bucket16ExprOf("CAST(doc_id AS VARCHAR)").replace("instr", "strpos")
+    Dedup.canonicalCorpusSql.replace(
+      "\nSELECT s AS doc_id, min(d) AS keep_id FROM reach GROUP BY s ORDER BY doc_id",
+      s""",
+         |canon AS (SELECT s AS doc_id, min(d) AS keep_id FROM reach GROUP BY s),
+         |sized AS (
+         |  SELECT doc_id, keep_id, count(*) OVER (PARTITION BY keep_id) AS cluster_size
+         |  FROM canon)
+         |SELECT doc_id, keep_id, cluster_size FROM sized
+         |WHERE $u16 * cluster_size < 65536
+         |ORDER BY doc_id""".stripMargin)
+  }
 
   /** E35 — corpus token statistics (the one-page corpus health report a
     * curation run publishes before mixing: Zipf slope of the rank-

@@ -751,6 +751,38 @@ object Extras {
       |  AND value >= 100 AND value < 300 AND NOT user_id < 10
       |ORDER BY event_id""".stripMargin
 
+  /** C63 — search templates (OpenSearch `_search/template`: stored
+    * mustache-parameterized queries rendered server-side, so
+    * applications ship params, not query strings — the make-a-query-
+    * reusable layer on top of C56). Rendering is a driver-time string
+    * substitution ({{var}} → param, unbound var → driver-time error —
+    * never a runtime surprise); the rendered DQL then compiles through
+    * the C56 parser into an ordinary pushable/codegen'd predicate, so
+    * the template layer costs nothing at execution time at any scale.
+    */
+  def renderTemplate(template: String, params: Map[String, String]): String =
+    "\\{\\{([A-Za-z0-9_]+)\\}\\}".r.replaceAllIn(template, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        params.getOrElse(m.group(1), throw new IllegalArgumentException(
+          s"unbound template parameter: ${m.group(1)}"))))
+
+  val searchTemplateDemo =
+    "event_type:{{type}} AND value:[{{min_value}} TO {{max_value}}]"
+
+  def searchTemplate(spark: SparkSession, dir: String): DataFrame = {
+    val rendered = renderTemplate(searchTemplateDemo,
+      Map("type" -> "purchase", "min_value" -> "150", "max_value" -> "400"))
+    val ev = Tables.events(spark, dir)
+    ev.filter(graft.functions.QueryString.compile(ev, rendered))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  val searchTemplateSql: String =
+    """SELECT event_id, user_id, event_type, value FROM events
+      |WHERE event_type = 'purchase' AND value >= 150 AND value <= 400
+      |ORDER BY event_id""".stripMargin
+
   /** C57 — PPL pipeline (OpenSearch Observability's piped language)
     * through functions/Ppl: parse once, compile to the identical
     * DataFrame operators a hand-written query uses. The demo pipe is

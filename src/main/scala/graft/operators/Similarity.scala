@@ -333,6 +333,33 @@ object Similarity {
       |SELECT q_id, n_id, cos_sim, rank FROM ranked WHERE rank <= 5
       |ORDER BY q_id, rank""".stripMargin
 
+  /** E6c — RADIAL search (the kNN plugin's radial search: a similarity
+    * floor `min_score` instead of a neighbor count k — "everything
+    * within the radius"). The result size is data-dependent, so the
+    * exchange is bounded by hit volume, not q·k, and no ranking state is
+    * needed at all: the scan shape is E6's broadcast-query kernel with a
+    * plain threshold filter — fully codegen'd, zero shuffle. At 100 TB
+    * the IVF index serves radial probes by the triangle bound (a cell
+    * whose centroid similarity is below τ − cellRadius cannot contain a
+    * hit), pruning cells instead of nProbe-nearest.
+    */
+  def annRadius(spark: SparkSession, dir: String, minScore: Double = 0.3): DataFrame = {
+    val (q, c) = queryCorpus(spark, dir)
+    c.join(broadcast(q))
+      .withColumn("cos_sim", round(CosineSim(col("q_emb"), col("n_emb")), 6))
+      .filter(col("cos_sim") >= minScore)
+      .select(col("q_id"), col("n_id"), col("cos_sim"))
+      .orderBy(col("q_id"), col("cos_sim").desc, col("n_id"))
+  }
+
+  val annRadiusSql: String =
+    """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS n_emb FROM embeddings WHERE vec_id >= 10)
+      |SELECT q_id, n_id, round(list_cosine_similarity(q_emb, n_emb), 6) AS cos_sim
+      |FROM q CROSS JOIN c
+      |WHERE round(list_cosine_similarity(q_emb, n_emb), 6) >= 0.3
+      |ORDER BY q_id, cos_sim DESC, n_id""".stripMargin
+
   // ---- E7f: scalar-quantized (int8) ANN ------------------------------
 
   /** Bits → 256 levels; the kNN plugins' SQ8 configuration. */

@@ -401,4 +401,58 @@ object Stats {
        |$cells
        |ORDER BY field_x, field_y""".stripMargin
   }
+
+  /** C5l — scripted_metric aggregation (OpenSearch's escape hatch for
+    * per-bucket metrics the built-ins lack, defined as init/map/
+    * combine/reduce scripts). Spark-first the same contract is: map =
+    * per-row scalar expressions (codegen'd, run once per row inside the
+    * scan), combine = associative exact-integer sums (so the aggregate
+    * is MERGEABLE — map-side partials work on every shard, exactly the
+    * property the OpenSearch API demands of a user's combine script),
+    * reduce = closed-form finishers over the combined state. The demo
+    * battery is two metrics no built-in provides: the harmonic mean
+    * (reciprocals in integer 1e-10 units of 1/value — exact BIGINT
+    * sums, headroom ~10⁶ rows per bucket at max reciprocal; the 100 TB
+    * variant widens to DECIMAL(38,0)) and the RMS (squares in exact
+    * integer cents²; sqrt is IEEE-exact on both engines). ONE
+    * map-side-combined groupBy at any scale.
+    */
+  def scriptedMetric(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      // the map script defines its own domain: a harmonic mean needs a
+      // representable reciprocal, so sub-cent values (incl. exact 0) are
+      // excluded — the same guard an OpenSearch map script would carry
+      .filter(col("cents") >= 1)
+      .select(col("event_type"), col("cents"),
+        expr("1000000000000 div cents").as("recip"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("recip")).as("s_recip"),
+        sum(col("cents") * col("cents")).as("s_sq"))
+      .select(col("event_type"), col("n"),
+        round(col("n").cast("double") * 1e10 / col("s_recip").cast("double"), 6)
+          .as("harmonic_mean"),
+        round(sqrt(col("s_sq").cast("double") / col("n").cast("double")) / 100.0, 6)
+          .as("rms"))
+      .orderBy(col("event_type"))
+
+  val scriptedMetricSql: String =
+    """WITH mapped AS (
+      |  SELECT event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS cents,
+      |    1000000000000 // CAST(round(value * 100) AS BIGINT) AS recip
+      |  FROM events
+      |  WHERE CAST(round(value * 100) AS BIGINT) >= 1),
+      |combined AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(recip) AS BIGINT) AS s_recip,
+      |    CAST(sum(cents * cents) AS BIGINT) AS s_sq
+      |  FROM mapped GROUP BY event_type)
+      |SELECT event_type, n,
+      |  round(CAST(n AS DOUBLE) * 1e10 / CAST(s_recip AS DOUBLE), 6) AS harmonic_mean,
+      |  round(sqrt(CAST(s_sq AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0, 6) AS rms
+      |FROM combined
+      |ORDER BY event_type""".stripMargin
 }

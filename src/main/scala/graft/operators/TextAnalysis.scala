@@ -347,9 +347,11 @@ object TextAnalysis {
     * as a rank window: score DESC, doc_id ASC) — map-side partials cut
     * the exchange to O(k) rows and there is NO single-partition sort.
     */
-  def searchRanked(spark: SparkSession, dir: String,
-                   terms: Seq[String] = Seq("spark", "window", "merge"),
-                   k: Int = 20): DataFrame = {
+  /** Every doc scored by BM25 for a fixed term list (doc_id, score) —
+    * the shared primary for C3b ranked search and C60 rescore.
+    */
+  private[operators] def bm25Scored(spark: SparkSession, dir: String,
+                                    terms: Seq[String]): DataFrame = {
     val perDoc = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy(col("doc_id"))
@@ -368,15 +370,79 @@ object TextAnalysis {
       log(lit(1.0) + (col("n_docs") - df + 0.5) / (df + 0.5)) *
         (tf * 2.2 / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
     }.reduce(_ + _)
-    val topk = graft.plans.TopKAgg.udafFor(k)
     perDoc.crossJoin(broadcast(stats))
       .withColumn("score", round(scoreExpr, 6))
+  }
+
+  def searchRanked(spark: SparkSession, dir: String,
+                   terms: Seq[String] = Seq("spark", "window", "merge"),
+                   k: Int = 20): DataFrame = {
+    val topk = graft.plans.TopKAgg.udafFor(k)
+    bm25Scored(spark, dir, terms)
       .filter(col("score") > 0)
       .agg(topk(col("doc_id"), col("score")).as("top"))
       .select(posexplode(col("top")))
       .select(col("col._2").as("doc_id"), col("col._1").as("score"),
         (col("pos") + 1).cast("long").as("rank"))
       .orderBy(col("rank"))
+  }
+
+  /** C60 — the rescore API (OpenSearch `rescore`): re-rank only the top
+    * `window` hits of the primary query with a SECOND, more expensive
+    * query — here a match_phrase rescorer — and combine the scores
+    * (query_weight × primary + rescore_query_weight × secondary). The
+    * API exists so the expensive query runs on `window` docs instead of
+    * every match, and the plan keeps that property: the primary top-50
+    * comes from the mergeable TopKAgg (O(window) exchange, no global
+    * sort), and the phrase test touches exactly those 50 docs via a
+    * window-sized broadcast semi-join back to the corpus — at 100 TB
+    * the rescorer's cost is O(window), independent of corpus size. The
+    * final re-rank sorts a ≤window-row list (the C3l fusion class).
+    */
+  def rescore(spark: SparkSession, dir: String,
+              terms: Seq[String] = Seq("spark", "window", "merge"),
+              phrase: String = "spark window",
+              window: Int = 50, k: Int = 20,
+              queryWeight: Double = 1.0, rescoreWeight: Double = 2.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val topw = graft.plans.TopKAgg.udafFor(window)
+    val windowDocs = bm25Scored(spark, dir, terms)
+      .filter(col("score") > 0)
+      .agg(topw(col("doc_id"), col("score")).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t._2").as("doc_id"), col("t._1").as("base_score"))
+    val phraseHit = when(col("text").contains(phrase), 1.0).otherwise(0.0)
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .join(broadcast(windowDocs), "doc_id")
+      .withColumn("rescore", phraseHit)
+      .withColumn("score",
+        round(col("base_score") * queryWeight + col("rescore") * rescoreWeight, 6))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("base_score"), col("rescore"), col("score"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
+  // lazy: composes searchRankedSql, which initializes later in the file
+  lazy val rescoreSql: String = {
+    val inner = searchRankedSql
+      .replace("WHERE rank <= 20", "WHERE rank <= 50")
+      .replace("ORDER BY rank", "")
+    s"""WITH base AS ($inner),
+       |joined AS (
+       |  SELECT b.doc_id, b.score AS base_score,
+       |    CASE WHEN contains(d.text, 'spark window') THEN 1.0 ELSE 0.0 END AS rescore
+       |  FROM base b JOIN documents d ON b.doc_id = d.doc_id),
+       |rescored AS (
+       |  SELECT doc_id, base_score, rescore,
+       |    round(base_score * 1.0 + rescore * 2.0, 6) AS score
+       |  FROM joined)
+       |SELECT doc_id, base_score, rescore, score,
+       |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |FROM rescored
+       |QUALIFY rank <= 20
+       |ORDER BY rank""".stripMargin
   }
 
   val searchRankedSql: String = {

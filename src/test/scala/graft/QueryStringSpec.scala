@@ -76,6 +76,19 @@ class QueryStringSpec extends AnyFunSuite {
       .getMessage.contains("unterminated range"))
   }
 
+  test("search template: params render, rendered DQL compiles, unbound param is a driver-time error") {
+    import graft.operators.Extras
+    assert(Extras.renderTemplate("etype:{{t}} AND value:[{{lo}} TO *]",
+      Map("t" -> "purchase", "lo" -> "100")) == "etype:purchase AND value:[100 TO *]")
+    // rendered template behaves exactly like the hand-written query
+    assert(ids(Extras.renderTemplate("etype:{{t}}", Map("t" -> "purchase"))) ==
+      ids("etype:purchase"))
+    val e = intercept[IllegalArgumentException] {
+      Extras.renderTemplate("etype:{{missing}}", Map("t" -> "purchase"))
+    }
+    assert(e.getMessage.contains("missing"))
+  }
+
   test("compiled predicate reaches the parquet scan as pushed filters") {
     // range-only compile keeps PushedFilters short of its toString
     // truncation so the assert can see the bounds verbatim
