@@ -75,6 +75,64 @@ object LogStore {
     source.fold(base)(s => base.filter(col("source") === s))
   }
 
+  // ---- C61: point-in-time + scroll ------------------------------------
+
+  /** C61 — point-in-time (PIT) snapshot: pin the store's data-file
+    * MANIFEST at creation time, so every read against the PIT sees the
+    * identical snapshot regardless of concurrent appends, compactions,
+    * or rollovers landing under the same root. OpenSearch PIT holds
+    * segment readers open; an immutable-file store pins the file list —
+    * the same contract with no locks, because parquet data files are
+    * never mutated in place. The manifest is plan-sized metadata (file
+    * paths, not data).
+    */
+  def createPit(spark: SparkSession, root: String): Seq[String] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (fs.exists(rootPath)) {
+      val it = fs.listFiles(rootPath, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith("."))
+          out += st.getPath.toString
+      }
+    }
+    out.sorted.toSeq
+  }
+
+  /** Read the pinned snapshot; `basePath` recovers the (log_date,
+    * source) partition columns from the pinned paths.
+    */
+  def readPit(spark: SparkSession, root: String, manifest: Seq[String]): DataFrame = {
+    require(manifest.nonEmpty, s"empty PIT manifest for $root")
+    spark.read.option("basePath", root).parquet(manifest: _*)
+  }
+
+  /** One scroll page over a PIT: lexicographic keyset cursor on
+    * `sortCols` (the `search_after` form). The cursor predicate is
+    * pushable and `orderBy + limit` compiles to TakeOrderedAndProject —
+    * a bounded per-partition heap, never an OFFSET scan — so at 100 TB
+    * a deep page costs the same as the first.
+    */
+  def scrollPage(spark: SparkSession, root: String, manifest: Seq[String],
+                 sortCols: Seq[String], after: Option[Seq[Any]],
+                 pageSize: Int): DataFrame = {
+    val base = readPit(spark, root, manifest)
+    val paged = after.fold(base) { vals =>
+      require(vals.length == sortCols.length, "after key arity != sortCols")
+      // (k1 > a1) OR (k1 = a1 AND k2 > a2) OR ... — strictly-after in
+      // lexicographic order, every disjunct a pushable range predicate
+      val clauses = sortCols.indices.map { i =>
+        ((0 until i).map(j => col(sortCols(j)) === lit(vals(j))) :+
+          (col(sortCols(i)) > lit(vals(i)))).reduce(_ && _)
+      }
+      base.filter(clauses.reduce(_ || _))
+    }
+    paged.orderBy(sortCols.map(col): _*).limit(pageSize)
+  }
+
   /** A4b — size-based rollover (the ISM `rollover` action: an index
     * rolls to a new generation when it exceeds a size threshold, so no
     * single index grows unbounded even under skewed daily volume —
