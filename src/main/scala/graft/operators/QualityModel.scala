@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** E36 — MODEL-BASED quality filtering: distill the E14 rule battery
+  * into a trained linear classifier (the fastText-/GPT-3-style quality
+  * model: train a cheap linear scorer on weak labels, then score the
+  * whole corpus with one codegen'd expression). Rule batteries are
+  * brittle at the margins; the model gives a calibrated score a
+  * pipeline can threshold per-mixture instead of a hard AND of rules.
+  *
+  * Spark-first training shape: logistic regression by BOUNDED-iteration
+  * distributed IRLS (Newton) — every iteration is ONE map-side-combined
+  * aggregate producing the exact gradient and Hessian power sums (~20
+  * doubles at k=4), so an iteration costs one tiny-row shuffle at any
+  * corpus size; the driver solves a 5×5 system and the new weights ride
+  * into the next iteration's expressions as literals — codegen sees
+  * constants, no MLlib on the hot path, no per-row UDF. Quadratic
+  * convergence makes the iteration bound a constant, not a knob.
+  *
+  * Features are the rule MARGINS (signed distance to each rule
+  * boundary, z-scored), not raw stats: the keep region is a box
+  * (two-sided intervals), which a monotone linear model cannot carve
+  * from raw features but separates cleanly in margin space — the
+  * standard feature-engineering step of rule distillation.
+  */
+object QualityModel {
+
+  case class Fit(weights: Array[Double], bias: Double,
+                 losses: Array[Double], accuracy: Double)
+
+  val featureNames: Seq[String] = Seq("m_words", "m_wlen", "m_sym", "stop_ratio")
+
+  /** Rule-margin features + the E14 rule-battery label, one codegen'd
+    * scan (identical arithmetic to Curation.qualityFilter).
+    */
+  def featureFrame(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nWords = size(toks).cast("double")
+    val mwl = length(regexp_replace(col("text"), " ", "")).cast("double") / nWords
+    val sym = length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("double") /
+      length(col("text"))
+    val stopR = graft.functions.TextFns.stopwordRatio(col("text"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      least(nWords - 5, lit(1000.0) - nWords).as("m_words"),
+      least(mwl - 2, lit(12.0) - mwl).as("m_wlen"),
+      (lit(0.1) - sym).as("m_sym"),
+      stopR.as("stop_ratio"),
+      (nWords >= 5 && nWords <= 1000 && mwl >= 2 && mwl <= 12 &&
+        sym <= 0.1 && stopR > 0).cast("int").as("label"))
+  }
+
+  /** Per-feature (mean, stddev) + count in ONE one-row aggregate. */
+  private def standardization(feats: DataFrame): (Array[Double], Array[Double], Double) = {
+    val r = feats.select(
+      featureNames.flatMap(f =>
+        Seq(avg(col(f)).as(s"mu_$f"), stddev_pop(col(f)).as(s"sd_$f"))) :+
+        count(lit(1)).cast("double").as("n"): _*).head()
+    val mu = featureNames.indices.map(i => r.getDouble(2 * i)).toArray
+    val sd = featureNames.indices.map(i => math.max(r.getDouble(2 * i + 1), 1e-9)).toArray
+    (mu, sd, r.getDouble(2 * featureNames.length))
+  }
+
+  /** Solve the symmetric system (H + λI)·d = g in place — k is 5, this
+    * is driver arithmetic on the collected power sums, not data work.
+    */
+  private def solve(h: Array[Array[Double]], g: Array[Double],
+                    l2: Double): Array[Double] = {
+    val dim = g.length
+    val a = Array.tabulate(dim, dim)((i, j) => h(i)(j) + (if (i == j) l2 else 0.0))
+    val x = g.clone()
+    for (p <- 0 until dim) {
+      val piv = (p until dim).maxBy(i => math.abs(a(i)(p)))
+      val (tp, tx) = (a(p), x(p)); a(p) = a(piv); a(piv) = tp; x(p) = x(piv); x(piv) = tx
+      for (i <- p + 1 until dim) {
+        val f = a(i)(p) / a(p)(p)
+        for (j <- p until dim) a(i)(j) -= f * a(p)(j)
+        x(i) -= f * x(p)
+      }
+    }
+    for (p <- dim - 1 to 0 by -1) {
+      for (j <- p + 1 until dim) x(p) -= a(p)(j) * x(j)
+      x(p) /= a(p)(p)
+    }
+    x
+  }
+
+  /** Bounded-iteration distributed IRLS (Newton) fit over any
+    * (featureNames..., label) frame — the classic distributed-GLM
+    * shape: every iteration is ONE map-side-combined aggregate
+    * producing the exact gradient and Hessian power sums (Σrz_iz_j,
+    * Σ(y−p)z_i, nll — ~20 doubles at k=4), the driver solves a 5×5
+    * system, and the new weights ride into the next iteration's
+    * expressions as literals. Quadratic convergence ⇒ the iteration
+    * bound is a constant (8), not a tuning knob.
+    */
+  def fit(feats: DataFrame, iters: Int = 8, l2: Double = 1e-3): Fit = {
+    val k = featureNames.length
+    val dim = k + 1 // augmented bias coordinate z_k = 1
+    val (mu, sd, _) = standardization(feats)
+    val zf = feats.select(
+      col("label").cast("double").as("y") +:
+        (featureNames.zipWithIndex.map { case (f, i) =>
+          ((col(f) - mu(i)) / sd(i)).as(s"z_$i") } :+ lit(1.0).as(s"z_$k")): _*)
+      .cache()
+    val n = zf.count().toDouble // materialize once; each iteration re-reads
+    val w = Array.fill(dim)(0.0)
+    val losses = new Array[Double](iters)
+    for (t <- 0 until iters) {
+      val margin = (0 until dim).map(i => col(s"z_$i") * w(i))
+        .reduce[Column](_ + _)
+      val p = lit(1.0) / (lit(1.0) + exp(-margin))
+      val r = p * (lit(1.0) - p)
+      val pairs = for (i <- 0 until dim; j <- i until dim)
+        yield sum(r * col(s"z_$i") * col(s"z_$j")).as(s"h_${i}_$j")
+      val grads = (0 until dim).map(i =>
+        sum((col("y") - p) * col(s"z_$i")).as(s"g_$i"))
+      val nll = sum(-(col("y") * log(greatest(p, lit(1e-12))) +
+        (lit(1.0) - col("y")) * log(greatest(lit(1.0) - p, lit(1e-12))))).as("nll")
+      val aggs = pairs ++ grads :+ nll
+      val row = zf.agg(aggs.head, aggs.tail: _*).head()
+      val h = Array.ofDim[Double](dim, dim)
+      var c = 0
+      for (i <- 0 until dim; j <- i until dim) {
+        h(i)(j) = row.getDouble(c); h(j)(i) = h(i)(j); c += 1
+      }
+      val g = Array.tabulate(dim)(i => row.getDouble(c + i))
+      losses(t) = row.getDouble(c + dim) / n
+      val d = solve(h, g, l2)
+      for (i <- 0 until dim) w(i) += d(i)
+    }
+    // training accuracy with the final model, one more aggregate
+    val margin = (0 until dim).map(i => col(s"z_$i") * w(i)).reduce[Column](_ + _)
+    val acc = zf.agg(avg(((margin >= 0).cast("double") === col("y")).cast("double")))
+      .head().getDouble(0)
+    zf.unpersist()
+    Fit(w.take(k), w(k), losses, acc)
+  }
+
+  /** ☆ entry — fit on the corpus' own rule labels, then score every
+    * document with the learned model as one literal-weight expression:
+    * (doc_id, model_score, pred, label), so disagreement rows are the
+    * margins a threshold sweep would re-adjudicate.
+    */
+  def qualityModel(spark: SparkSession, dir: String): DataFrame = {
+    val feats = featureFrame(spark, dir)
+    val f = fit(feats)
+    val (mu, sd, _) = standardization(feats)
+    // scoring is one literal-weight projection over a fresh scan — the
+    // fit's cache is already released, and the model rides as constants
+    val margin = featureNames.zipWithIndex
+      .map { case (c, i) => ((col(c) - mu(i)) / sd(i)) * f.weights(i) }
+      .foldLeft(lit(f.bias): Column)(_ + _)
+    feats.select(
+      col("doc_id"),
+      round(lit(1.0) / (lit(1.0) + exp(-margin)), 6).as("model_score"),
+      (margin >= 0).cast("int").as("pred"),
+      col("label"))
+      .orderBy(col("doc_id"))
+  }
+}
