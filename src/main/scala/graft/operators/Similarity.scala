@@ -231,6 +231,32 @@ object Similarity {
         .withColumn("cos_sim", round(CosineSim(col("q_emb"), col("n_emb")), 6)))
   }
 
+  /** E40 — cluster-balanced sampling (the DataComp/MetaCLIP-style
+    * balancing pass: cap each embedding cluster's contribution so
+    * over-represented modes don't dominate the training mixture — the
+    * distributional complement of E13's per-language rates, in
+    * embedding space instead of metadata space). Cells come from the
+    * MEMOIZED persisted IVF index (E7c) — balancing reuses the same
+    * cluster structure dedup and ANN already paid for; the per-cell
+    * quota is taken in md5(id) hash order, deterministic on any engine
+    * at any parallelism like every sampling operator here. Shape: one
+    * window over cell-sized groups (the index layout is already
+    * partitioned by cell, and cell sizes are bounded by the k-means
+    * balance, not corpus size).
+    */
+  def clusterBalancedSample(spark: SparkSession, dir: String,
+                            quota: Int = 24): DataFrame = {
+    val path = ensureIvfIndex(spark, dir)
+    val cells = spark.read.parquet(s"$path/cells")
+      .select(col("n_id"), col("cell"))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(md5(col("n_id").cast("string")), col("n_id"))
+    cells.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= quota)
+      .select(col("cell"), col("n_id"), col("rk").cast("long").as("rk"))
+      .orderBy(col("cell"), col("rk"))
+  }
+
   /** E7d — incremental index maintenance (streaming ingest path).
     *
     * A continuously-ingesting pipeline can't afford a full k-means

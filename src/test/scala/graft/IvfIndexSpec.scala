@@ -70,6 +70,28 @@ class IvfIndexSpec extends AnyFunSuite {
       "half-written index was not rebuilt")
   }
 
+  test("cluster-balanced sample: per-cell quota exact, small cells kept whole, deterministic") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val quota = 7
+    val out = Similarity.clusterBalancedSample(spark, TestSpark.sf, quota).cache()
+    val cellSizes = spark.read
+      .parquet(s"${Similarity.ensureIvfIndex(spark, TestSpark.sf)}/cells")
+      .groupBy("cell").count().as[(Int, Long)].collect().toMap
+    val kept = out.groupBy("cell").count().as[(Int, Long)].collect().toMap
+    // every cell contributes min(|cell|, quota) — exactly
+    assert(kept.keySet == cellSizes.keySet)
+    kept.foreach { case (cell, n) =>
+      assert(n == math.min(cellSizes(cell), quota.toLong), s"cell $cell kept $n")
+    }
+    // kept ids are corpus members, ranked 1..n within each cell
+    assert(out.filter(col("rk") > quota).isEmpty)
+    // deterministic: a second run selects the identical rows
+    val again = Similarity.clusterBalancedSample(spark, TestSpark.sf, quota)
+    assert(out.unionByName(again).distinct().count() == out.count())
+    out.unpersist()
+  }
+
   test("incremental append assigns to nearest frozen centroid and is probe-visible; recenter = member means") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
