@@ -576,6 +576,109 @@ object TextAnalysis {
        |ORDER BY rank""".stripMargin
   }
 
+  /** C3o — dis_max / multi_match best_fields (the OTHER multi-field
+    * combiner: most_fields SUMS per-field scores, best_fields takes the
+    * BEST one — a doc matching one field well beats a doc matching all
+    * fields weakly — with `tie_breaker` folding the losing fields back
+    * in at a discount: score = best + tie_breaker·(sum − best)). Same
+    * genuine per-field BM25 as C3n, same single-pass shape: per-field
+    * score columns are fixed-order expression chains in the one
+    * doc-keyed pass, the combiner is one greatest() more in the same
+    * projection — zero extra exchanges; mergeable TopKAgg ranks.
+    */
+  def disMax(spark: SparkSession, dir: String,
+             terms: Seq[String] = Seq("spark", "window", "merge"),
+             titleLen: Int = 8, k: Int = 20, tieBreaker: Double = 0.3): DataFrame = {
+    val fields = Seq("title", "body")
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        slice(col("ws"), 1, titleLen).as("f_title"),
+        expr(s"slice(ws, $titleLen + 1, greatest(size(ws) - $titleLen, 0))").as("f_body"))
+      .select(col("doc_id") +:
+        fields.flatMap { f =>
+          size(col(s"f_$f")).cast("double").as(s"dl_$f") +:
+            terms.map(t =>
+              size(filter(col(s"f_$f"), w => w === t)).cast("double").as(s"tf_${f}_$t"))
+        }: _*)
+    val stats = perDoc.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      fields.flatMap { f =>
+        (sum(col(s"dl_$f")) / count(lit(1))).as(s"avgdl_$f") +:
+          terms.map(t =>
+            sum(when(col(s"tf_${f}_$t") > 0, 1).otherwise(0)).cast("double").as(s"df_${f}_$t"))
+      }: _*)
+    val fieldScore = fields.map { f =>
+      terms.map { t =>
+        val tf = col(s"tf_${f}_$t"); val df = col(s"df_${f}_$t")
+        log(lit(1.0) + (col("n_docs") - df + 0.5) / (df + 0.5)) *
+          (tf * 2.2 / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col(s"dl_$f") / col(s"avgdl_$f"))))
+      }.reduce(_ + _)
+    }
+    val best = greatest(fieldScore: _*)
+    val total = fieldScore.reduce(_ + _)
+    val topk = graft.plans.TopKAgg.udafFor(k)
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("score", round(best + lit(tieBreaker) * (total - best), 6))
+      .filter(col("score") > 0)
+      .agg(topk(col("doc_id"), col("score")).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col._2").as("doc_id"), col("col._1").as("score"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy(col("rank"))
+  }
+
+  val disMaxSql: String = {
+    val terms = Seq("spark", "window", "merge")
+    val fields = Seq("title", "body")
+    val tfs = fields.flatMap { f =>
+      s"CAST(len(f_$f) AS DOUBLE) AS dl_$f" +:
+        terms.map(t =>
+          s"CAST(len(list_filter(f_$f, w -> w = '$t')) AS DOUBLE) AS tf_${f}_$t")
+    }.mkString(",\n    ")
+    val dfs = fields.flatMap { f =>
+      s"sum(dl_$f) / count(*) AS avgdl_$f" +:
+        terms.map(t =>
+          s"CAST(sum(CASE WHEN tf_${f}_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_${f}_$t")
+    }.mkString(",\n    ")
+    val fieldScore = fields.map { f =>
+      terms.map(t =>
+        s"ln(1.0 + (n_docs - df_${f}_$t + 0.5) / (df_${f}_$t + 0.5)) * " +
+          s"(tf_${f}_$t * 2.2 / (tf_${f}_$t + 1.2 * (0.25 + 0.75 * dl_$f / avgdl_$f)))")
+        .mkString(" + ")
+    }
+    val (st, sb) = (fieldScore.head, fieldScore.last)
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |fsplit AS (
+       |  SELECT doc_id, ws[1:8] AS f_title,
+       |    CASE WHEN len(ws) > 8 THEN ws[9:] ELSE [] END AS f_body
+       |  FROM docs),
+       |perdoc AS (
+       |  SELECT doc_id,
+       |    $tfs
+       |  FROM fsplit),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |    $dfs
+       |  FROM perdoc),
+       |persum AS (
+       |  SELECT doc_id, ($st) AS s_title, ($sb) AS s_body
+       |  FROM perdoc CROSS JOIN stats),
+       |scored AS (
+       |  SELECT doc_id,
+       |    round(greatest(s_title, s_body) +
+       |          0.3 * ((s_title + s_body) - greatest(s_title, s_body)), 6) AS score
+       |  FROM persum),
+       |ranked AS (
+       |  SELECT doc_id, score,
+       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |  FROM scored WHERE score > 0)
+       |SELECT doc_id, score, rank FROM ranked
+       |WHERE rank <= 20
+       |ORDER BY rank""".stripMargin
+  }
+
   /** C3m — function_score: relevance re-scored by document-property
     * modifiers, the feature real search UIs lean on (boost long-form
     * docs, decay stale ones). Composition here is the two standard
