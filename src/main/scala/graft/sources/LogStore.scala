@@ -297,6 +297,49 @@ object LogStore {
     }
   }
 
+  /** A16 — snapshot lifecycle management (SLM: the scheduler policy
+    * that OPERATES A11 the way A15's ISM operates the indexes — take a
+    * snapshot every `everyDays`, retain the newest `keepLast`, delete
+    * the rest). One deterministic pass per tick, every action
+    * idempotent: a second tick on the same date re-takes nothing and
+    * deletes nothing; retention counts only manifest-complete
+    * snapshots, so a half-copied snapshot (no `_MANIFEST` yet) is never
+    * treated as satisfying the schedule NOR silently retained forever —
+    * it is swept like an expired one. Returns (taken, deleted).
+    */
+  def slmTick(spark: SparkSession, root: String, snapRoot: String,
+              today: String, everyDays: Int = 1,
+              keepLast: Int = 2): (Option[String], Seq[String]) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val snapRootPath = new org.apache.hadoop.fs.Path(snapRoot)
+    val fs = snapRootPath.getFileSystem(conf)
+    def listSnaps(): Seq[(String, Boolean)] =
+      if (!fs.exists(snapRootPath)) Seq.empty
+      else fs.listStatus(snapRootPath).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("snap-"))
+        .map(s => (s.getPath.getName,
+          fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_MANIFEST"))))
+        .sortBy(_._1)
+    val before = listSnaps()
+    val complete = before.collect { case (n, true) => n }
+    val latestDate = complete.lastOption.map(_.stripPrefix("snap-"))
+    val due = latestDate.forall(d =>
+      !java.time.LocalDate.parse(d).plusDays(everyDays.toLong)
+        .isAfter(java.time.LocalDate.parse(today)))
+    val name = s"snap-$today"
+    val taken =
+      if (due && !complete.contains(name)) {
+        snapshot(spark, root, s"$snapRoot/$name")
+        Some(name)
+      } else None
+    val after = (complete ++ taken).distinct.sorted
+    val expired = after.dropRight(keepLast) ++
+      before.collect { case (n, false) if !taken.contains(n) => n }
+    expired.foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(snapRoot, n), true))
+    (taken, expired.sorted)
+  }
+
   /** A11b — searchable snapshot: query a snapshot DIRECTLY from its
     * manifest, no restore (OpenSearch searchable snapshots — the cold
     * tier answers queries from repository storage). The manifest names

@@ -81,6 +81,41 @@ class LogStoreSpec extends AnyFunSuite {
     assert(seen.toSeq == Seq("a", "b", "c", "d", "e")) // in order, no dup, no miss
   }
 
+  test("SLM tick: scheduled snapshots, same-day idempotence, retention sweep, incomplete swept") {
+    val base = Files.createTempDirectory("graft-slm").toString
+    val root = s"$base/logs"
+    val snaps = s"$base/snaps"
+    LogStore.write(
+      Seq(("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 200L))
+        .toDF("ip", "ts", "status").withColumn("source", lit("ec2")), root)
+
+    // first tick takes a snapshot; a same-day re-tick is a full noop
+    assert(LogStore.slmTick(spark, root, snaps, "2024-02-01") ==
+      (Some("snap-2024-02-01"), Seq()))
+    assert(LogStore.slmTick(spark, root, snaps, "2024-02-01") == (None, Seq()))
+    // a tick before the interval elapses takes nothing
+    assert(LogStore.slmTick(spark, root, snaps, "2024-02-01", everyDays = 7)._1.isEmpty)
+
+    // interval elapsed: day-2 and day-3 snapshots; keepLast=2 sweeps day-1
+    assert(LogStore.slmTick(spark, root, snaps, "2024-02-02")._1.contains("snap-2024-02-02"))
+    val t3 = LogStore.slmTick(spark, root, snaps, "2024-02-03")
+    assert(t3 == (Some("snap-2024-02-03"), Seq("snap-2024-02-01")))
+
+    // retained snapshots stay restore-compatible
+    val restored = s"$base/restored"
+    LogStore.restore(spark, s"$snaps/snap-2024-02-03", restored)
+    assert(spark.read.parquet(restored).count() == 1)
+
+    // a half-copied snapshot (no _MANIFEST) neither satisfies the
+    // schedule nor survives the sweep
+    val fs = new org.apache.hadoop.fs.Path(snaps)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(snaps, "snap-2024-02-04"))
+    val t4 = LogStore.slmTick(spark, root, snaps, "2024-02-05")
+    assert(t4._1.contains("snap-2024-02-05"))
+    assert(t4._2.contains("snap-2024-02-04") && t4._2.contains("snap-2024-02-02"))
+  }
+
   test("schema evolution: merged read unions old and new day layouts with nulls") {
     val root = Files.createTempDirectory("graft-evo").toString + "/logs"
     val day1 = Seq(("1.1.1.1", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 200L))
