@@ -511,6 +511,44 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** E43 — QUALITY-AWARE canonical member election (SlimPajama-style
+    * "keep the longest copy": min-id election biases the kept corpus
+    * toward whatever happened to be crawled first; electing by a
+    * quality key keeps the BEST copy of each dup cluster). Rides E5b's
+    * component resolution unchanged; the election is one
+    * component-keyed aggregate — argmax by (n_chars, then min doc_id)
+    * as a struct min, exact and tie-broken with no window — joined
+    * back onto the membership (elected is one row per component,
+    * ≪ corpus).
+    */
+  def canonicalCorpusQuality(spark: SparkSession, dir: String): DataFrame = {
+    val withQ = canonicalCorpus(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")), "doc_id")
+    val elected = withQ.groupBy(col("keep_id"))
+      .agg(min(struct((-col("n_chars")).as("neg"), col("doc_id").as("d"))).as("e"))
+      .select(col("keep_id"), col("e.d").as("keep_doc"))
+    withQ.join(elected, "keep_id")
+      .select(col("doc_id"), col("keep_doc"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val canonicalCorpusQualitySql: String =
+    canonicalCorpusSql.replace(
+      "\nSELECT s AS doc_id, min(d) AS keep_id FROM reach GROUP BY s ORDER BY doc_id",
+      """,
+        |canon AS (SELECT s AS doc_id, min(d) AS keep_id FROM reach GROUP BY s),
+        |withq AS (
+        |  SELECT c.doc_id, c.keep_id, d.n_chars
+        |  FROM canon c JOIN documents d USING (doc_id)),
+        |elected AS (
+        |  SELECT keep_id, doc_id AS keep_doc FROM (
+        |    SELECT keep_id, doc_id,
+        |      row_number() OVER (PARTITION BY keep_id ORDER BY n_chars DESC, doc_id) AS rn
+        |    FROM withq) WHERE rn = 1)
+        |SELECT w.doc_id, e.keep_doc
+        |FROM withq w JOIN elected e USING (keep_id)
+        |ORDER BY doc_id""".stripMargin)
+
   /** Distributed min-label propagation over the symmetric edge list —
     * the big-graph path of canonicalCorpus. Each iteration is one
     * shuffle join; iteration count = component diameter.

@@ -280,6 +280,56 @@ object LogAnalytics {
       |GROUP BY event_type
       |ORDER BY n DESC, event_type""".stripMargin
 
+  /** C2o — terms agg ORDERED BY A SUB-AGGREGATION with a size cut
+    * (OpenSearch `order: {"total_value": "desc"}, size: 3` — ranking
+    * buckets by revenue, not by doc count, is how every "top N by
+    * $metric" dashboard panel is written). The plan property that
+    * matters at scale: the metric is computed in the SAME map-side-
+    * combined aggregate as the counts, and the size cut is
+    * orderBy+limit = TakeOrderedAndProject — a bounded per-partition
+    * heap over the bucket set, never a global bucket sort.
+    */
+  def termsByMetric(spark: SparkSession, dir: String, size: Int = 3): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("total_value").desc, col("event_type"))
+      .limit(size)
+
+  val termsByMetricSql: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY total_value DESC, event_type
+      |LIMIT 3""".stripMargin
+
+  /** C1c — date_histogram with `time_zone` + `offset` (daily buckets
+    * aligned to a local midnight, then shifted — how a dashboard shows
+    * "days" for a UTC-5 team with a 6h report boundary). Both knobs are
+    * FIXED-OFFSET timestamp arithmetic composed exactly as OpenSearch
+    * applies them (offset after time_zone), so the bucket key is pure
+    * integer arithmetic on micros — identical cross-engine, no tz
+    * database in the hot path; still one map-side-combined aggregate.
+    */
+  def dateHistogramTz(spark: SparkSession, dir: String,
+                      tzHours: Int = 5, offsetHours: Int = 6): DataFrame = {
+    val s = tzHours + offsetHours
+    Tables.events(spark, dir)
+      .groupBy((date_trunc("day", col("ts") - expr(s"INTERVAL $s HOURS")) +
+        expr(s"INTERVAL $s HOURS")).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
+  val dateHistogramTzSql: String =
+    """SELECT date_trunc('day', ts - INTERVAL 11 HOURS) + INTERVAL 11 HOURS AS bucket,
+      |  count(*) AS n
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
   /** C2n — terms agg with doc_count_error_upper_bound (the DISTRIBUTED
     * terms-agg contract: each shard returns only its local top
     * `shard_size` terms, the coordinator sums what was reported, and
