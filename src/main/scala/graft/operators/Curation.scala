@@ -816,7 +816,9 @@ object Curation {
     */
   def dupWeightedSample(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val canon = Dedup.canonicalCorpus(spark, dir)
+    // the memoized E5b mapping: components are resolved once per data
+    // dir; selection passes like this one read the mapping like an index
+    val canon = Dedup.canonicalMapping(spark, dir)
     canon
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("keep_id"))))

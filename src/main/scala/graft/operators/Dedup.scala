@@ -511,6 +511,32 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Build-once canonical mapping: the E5b (doc_id, keep_id) output
+    * persisted per data fingerprint — the deployment shape: components
+    * are resolved ONCE after pair mining, then every selection pass
+    * (E38 sampling, E43 election) reads the mapping like an index
+    * instead of re-mining the dup graph. Same memoization contract as
+    * ensureIvfIndex: `_COMPLETE` written last, data fingerprint in the
+    * key so in-place regenerated data rebuilds.
+    */
+  def ensureCanonical(spark: SparkSession, dir: String): String = {
+    val fp = Similarity.dataFingerprintFor(spark, dir, "documents.parquet")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir#$fp".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val path = new java.io.File(sys.props("java.io.tmpdir"), s"graft-canon-v1-$key").getPath
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_COMPLETE")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      canonicalCorpus(spark, dir).write.mode("overwrite").parquet(s"$path/map")
+      fs.create(marker, true).close()
+    }
+    path
+  }
+
+  /** The memoized mapping as a frame (build on first call per dir). */
+  def canonicalMapping(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${ensureCanonical(spark, dir)}/map")
+
   /** E43 — QUALITY-AWARE canonical member election (SlimPajama-style
     * "keep the longest copy": min-id election biases the kept corpus
     * toward whatever happened to be crawled first; electing by a
@@ -522,7 +548,7 @@ object Dedup {
     * ≪ corpus).
     */
   def canonicalCorpusQuality(spark: SparkSession, dir: String): DataFrame = {
-    val withQ = canonicalCorpus(spark, dir)
+    val withQ = canonicalMapping(spark, dir)
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")), "doc_id")
     val elected = withQ.groupBy(col("keep_id"))
       .agg(min(struct((-col("n_chars")).as("neg"), col("doc_id").as("d"))).as("e"))
