@@ -129,6 +129,37 @@ class EntrySpec extends AnyFunSuite {
     assert(!plan.contains("Generate"), s"explode in plan:\n$plan")
   }
 
+  test("q_search_template's rendered predicate reaches the scan; q_terms_by_metric's size cut is a bounded heap") {
+    val tpl = graft.operators.Extras.searchTemplate(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    // the PushedFilters list truncates in toString — assert the stable
+    // prefix (the range bound values are covered by the oracle rows)
+    assert(tpl.contains("EqualTo(event_type,purchase)") &&
+      tpl.contains("GreaterThanOrEqual(value,"),
+      s"rendered template not pushed in:\n$tpl")
+    val tbm = graft.operators.LogAnalytics.termsByMetric(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(tbm.contains("TakeOrderedAndProject"), s"size cut not a bounded heap:\n$tbm")
+  }
+
+  test("q_rescore: the secondary query touches only the window (C60 contract)") {
+    import org.apache.spark.sql.functions._
+    // rescoring never ejects a window doc's base ordering entirely: the
+    // output is a permutation of the primary top-window's best k by
+    // combined score, and combined = base + 2.0*phrase exactly
+    val out = graft.operators.TextAnalysis.rescore(spark, TestSpark.sf).collect()
+    assert(out.length > 0 && out.length <= 20)
+    out.foreach { r =>
+      val expect = math.round((r.getAs[Double]("base_score") +
+        2.0 * r.getAs[Double]("rescore")) * 1e6) / 1e6
+      assert(math.abs(r.getAs[Double]("score") - expect) < 1e-9)
+    }
+    // window containment: every emitted doc is in the primary top-50
+    val win = graft.operators.TextAnalysis.searchRanked(spark, TestSpark.sf, k = 50)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getAs[Long]("doc_id")).forall(win))
+  }
+
   test("q_ip_enrich is a bucketed hash join, not a nested-loop range join") {
     val plan = graft.operators.Network.ipEnrich(spark, TestSpark.sf)
       .queryExecution.executedPlan.toString
