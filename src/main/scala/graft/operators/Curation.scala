@@ -829,8 +829,8 @@ object Curation {
   }
 
   val dupWeightedSampleSql: String = {
-    val u16 = bucket16ExprOf("CAST(doc_id AS VARCHAR)").replace("instr", "strpos")
-    Dedup.canonicalCorpusSql.replace(
+    val u16 = SqlPatch(bucket16ExprOf("CAST(doc_id AS VARCHAR)"), "instr", "strpos")
+    SqlPatch(Dedup.canonicalCorpusSql,
       "\nSELECT s AS doc_id, min(d) AS keep_id FROM reach GROUP BY s ORDER BY doc_id",
       s""",
          |canon AS (SELECT s AS doc_id, min(d) AS keep_id FROM reach GROUP BY s),

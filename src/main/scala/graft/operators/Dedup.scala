@@ -559,7 +559,7 @@ object Dedup {
   }
 
   lazy val canonicalCorpusQualitySql: String =
-    canonicalCorpusSql.replace(
+    SqlPatch(canonicalCorpusSql,
       "\nSELECT s AS doc_id, min(d) AS keep_id FROM reach GROUP BY s ORDER BY doc_id",
       """,
         |canon AS (SELECT s AS doc_id, min(d) AS keep_id FROM reach GROUP BY s),

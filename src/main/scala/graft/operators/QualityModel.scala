@@ -40,9 +40,13 @@ object QualityModel {
   def featureFrame(spark: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     val nWords = size(toks).cast("double")
-    val mwl = length(regexp_replace(col("text"), " ", "")).cast("double") / nWords
+    // denominators guarded: an empty/whitespace-only document must get
+    // finite features and a clean label 0, not NaN rows that silently
+    // drop out of training AND scoring
+    val mwl = length(regexp_replace(col("text"), " ", "")).cast("double") /
+      greatest(nWords, lit(1.0))
     val sym = length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("double") /
-      length(col("text"))
+      greatest(length(col("text")), lit(1)).cast("double")
     val stopR = graft.functions.TextFns.stopwordRatio(col("text"))
     Tables.documents(spark, dir).select(
       col("doc_id"),
@@ -96,7 +100,7 @@ object QualityModel {
     * Σ(y−p)z_i, nll — ~20 doubles at k=4), the driver solves a 5×5
     * system, and the new weights ride into the next iteration's
     * expressions as literals. Quadratic convergence ⇒ the iteration
-    * bound is a constant (8), not a tuning knob.
+    * bound is a constant (6, the `iters` default), not a tuning knob.
     */
   def fit(feats: DataFrame, iters: Int = 6, l2: Double = 1e-3): Fit = {
     val k = featureNames.length

@@ -426,9 +426,9 @@ object TextAnalysis {
 
   // lazy: composes searchRankedSql, which initializes later in the file
   lazy val rescoreSql: String = {
-    val inner = searchRankedSql
-      .replace("WHERE rank <= 20", "WHERE rank <= 50")
-      .replace("ORDER BY rank", "")
+    val inner = SqlPatch(SqlPatch(searchRankedSql,
+      "WHERE rank <= 20", "WHERE rank <= 50"),
+      "ORDER BY rank", "")
     s"""WITH base AS ($inner),
        |joined AS (
        |  SELECT b.doc_id, b.score AS base_score,

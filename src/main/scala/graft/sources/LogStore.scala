@@ -89,13 +89,22 @@ object LogStore {
   def createPit(spark: SparkSession, root: String): Seq[String] = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootUri = fs.makeQualified(rootPath).toUri.getPath.stripSuffix("/")
+    // hidden-ness applies to every path SEGMENT below the root, not just
+    // the filename: a concurrent in-flight Spark write stages uncommitted
+    // part files under `_temporary/...`, and pinning those would break
+    // the snapshot-consistency contract the manifest exists to give
+    def visible(p: org.apache.hadoop.fs.Path): Boolean = {
+      val rel = fs.makeQualified(p).toUri.getPath.stripPrefix(rootUri)
+      rel.split('/').filter(_.nonEmpty)
+        .forall(seg => !seg.startsWith("_") && !seg.startsWith("."))
+    }
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     if (fs.exists(rootPath)) {
       val it = fs.listFiles(rootPath, true)
       while (it.hasNext) {
         val st = it.next()
-        val name = st.getPath.getName
-        if (name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith("."))
+        if (st.getPath.getName.endsWith(".parquet") && visible(st.getPath))
           out += st.getPath.toString
       }
     }
@@ -115,22 +124,32 @@ object LogStore {
     * pushable and `orderBy + limit` compiles to TakeOrderedAndProject —
     * a bounded per-partition heap, never an OFFSET scan — so at 100 TB
     * a deep page costs the same as the first.
+    *
+    * CONTRACT: the cursor is strictly-after, so `sortCols` as a whole
+    * must be a UNIQUE, NON-NULL key — otherwise rows tied with a page's
+    * last row are skipped (and a NULL key value nulls every cursor
+    * clause, ending pagination early). OpenSearch enforces the same by
+    * always appending a `_shard_doc` tiebreaker; here `tiebreaker`
+    * (when the caller's sort is not already unique) is appended as the
+    * last sort key and must itself be unique and non-null.
     */
   def scrollPage(spark: SparkSession, root: String, manifest: Seq[String],
                  sortCols: Seq[String], after: Option[Seq[Any]],
-                 pageSize: Int): DataFrame = {
+                 pageSize: Int, tiebreaker: Option[String] = None): DataFrame = {
+    val keys = sortCols ++ tiebreaker.filterNot(sortCols.contains)
     val base = readPit(spark, root, manifest)
     val paged = after.fold(base) { vals =>
-      require(vals.length == sortCols.length, "after key arity != sortCols")
+      require(vals.length == keys.length,
+        s"after key arity ${vals.length} != sort-key arity ${keys.length} (incl. tiebreaker)")
       // (k1 > a1) OR (k1 = a1 AND k2 > a2) OR ... — strictly-after in
       // lexicographic order, every disjunct a pushable range predicate
-      val clauses = sortCols.indices.map { i =>
-        ((0 until i).map(j => col(sortCols(j)) === lit(vals(j))) :+
-          (col(sortCols(i)) > lit(vals(i)))).reduce(_ && _)
+      val clauses = keys.indices.map { i =>
+        ((0 until i).map(j => col(keys(j)) === lit(vals(j))) :+
+          (col(keys(i)) > lit(vals(i)))).reduce(_ && _)
       }
       base.filter(clauses.reduce(_ || _))
     }
-    paged.orderBy(sortCols.map(col): _*).limit(pageSize)
+    paged.orderBy(keys.map(col): _*).limit(pageSize)
   }
 
   /** A4b — size-based rollover (the ISM `rollover` action: an index
@@ -329,6 +348,13 @@ object LogStore {
     val name = s"snap-$today"
     val taken =
       if (due && !complete.contains(name)) {
+        // crash recovery: a half-copied snap-<today> left by a dead tick
+        // (present but manifest-less) must be DELETED before re-taking —
+        // FileUtil.copy into an existing destination directory nests the
+        // source INSIDE it (log_date=X/log_date=X), and stamping that
+        // with _MANIFEST would mark a corrupt snapshot complete
+        if (before.exists { case (n, done) => n == name && !done })
+          fs.delete(new org.apache.hadoop.fs.Path(snapRoot, name), true)
         snapshot(spark, root, s"$snapRoot/$name")
         Some(name)
       } else None

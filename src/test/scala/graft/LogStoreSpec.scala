@@ -81,6 +81,46 @@ class LogStoreSpec extends AnyFunSuite {
     assert(seen.toSeq == Seq("a", "b", "c", "d", "e")) // in order, no dup, no miss
   }
 
+  test("PIT excludes uncommitted files under _temporary of an in-flight write") {
+    val root = Files.createTempDirectory("graft-pit-tmp").toString + "/logs"
+    LogStore.write(
+      Seq(("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 200L))
+        .toDF("ip", "ts", "status").withColumn("source", lit("ec2")), root)
+    // simulate a concurrent in-flight Spark write: an uncommitted part
+    // file staged under a _temporary directory whose own FILENAME is
+    // unprefixed — only the ancestor segment marks it hidden
+    val staged = Paths.get(root, "_temporary", "0", "task_0", "log_date=2024-01-02")
+    Files.createDirectories(staged)
+    Files.write(staged.resolve("part-00000.parquet"), Array[Byte](1, 2, 3))
+    val pit = LogStore.createPit(spark, root)
+    assert(pit.nonEmpty && pit.forall(!_.contains("_temporary")))
+    assert(LogStore.readPit(spark, root, pit).count() == 1)
+  }
+
+  test("scroll cursor with duplicate sort-key values: tiebreaker makes pagination exact") {
+    val root = Files.createTempDirectory("graft-scroll-dup").toString + "/logs"
+    // 6 rows, only TWO distinct sort-key values — a strict cursor on
+    // `status` alone would skip tied rows split across a page boundary
+    val rows = Seq(("a", 200L), ("b", 200L), ("c", 200L), ("d", 500L), ("e", 500L), ("f", 500L))
+    LogStore.write(rows.toDF("ip", "status")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .withColumn("source", lit("ec2")), root)
+    val pit = LogStore.createPit(spark, root)
+    var after: Option[Seq[Any]] = None
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var page = LogStore.scrollPage(spark, root, pit, Seq("status"), after, 2,
+      tiebreaker = Some("ip"))
+      .select("status", "ip").as[(Long, String)].collect()
+    while (page.nonEmpty) {
+      seen ++= page
+      after = Some(Seq(page.last._1, page.last._2)) // cursor carries the tiebreaker
+      page = LogStore.scrollPage(spark, root, pit, Seq("status"), after, 2,
+        tiebreaker = Some("ip"))
+        .select("status", "ip").as[(Long, String)].collect()
+    }
+    assert(seen.toSeq == rows.map(r => (r._2, r._1)).sortBy(identity)) // no dup, no miss
+  }
+
   test("SLM tick: scheduled snapshots, same-day idempotence, retention sweep, incomplete swept") {
     val base = Files.createTempDirectory("graft-slm").toString
     val root = s"$base/logs"
@@ -114,6 +154,21 @@ class LogStoreSpec extends AnyFunSuite {
     val t4 = LogStore.slmTick(spark, root, snaps, "2024-02-05")
     assert(t4._1.contains("snap-2024-02-05"))
     assert(t4._2.contains("snap-2024-02-04") && t4._2.contains("snap-2024-02-02"))
+
+    // crash recovery on TODAY's snapshot: a half-copied snap-<today>
+    // (partition dir present, no _MANIFEST) is deleted and re-taken
+    // cleanly — not copied INTO (which would nest log_date=X/log_date=X
+    // and then stamp the corrupt tree complete)
+    val half = new org.apache.hadoop.fs.Path(snaps, "snap-2024-02-06")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(half, "log_date=2024-01-01"))
+    val t5 = LogStore.slmTick(spark, root, snaps, "2024-02-06")
+    assert(t5._1.contains("snap-2024-02-06"))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(half, "_MANIFEST")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(half,
+      "log_date=2024-01-01/log_date=2024-01-01"))) // no nesting
+    val restored6 = s"$base/restored6"
+    LogStore.restore(spark, s"$snaps/snap-2024-02-06", restored6)
+    assert(spark.read.parquet(restored6).count() == 1)
   }
 
   test("schema evolution: merged read unions old and new day layouts with nulls") {
