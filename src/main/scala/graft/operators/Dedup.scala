@@ -367,11 +367,15 @@ object Dedup {
       // the band cap is computed from the SAME expression as the accept
       // cut below (+1 slack): with a tighter cap like int(maxRel·len)+2,
       // documents past ~40k chars (0.00005·len > 2) could have the DP
-      // return -1 for pairs the accept filter would keep
-      .withColumn("edit_dist", expr(
+      // return -1 for pairs the accept filter would keep.
+      // EvalOnce: without it the two accept filters inline into the join
+      // condition and the banded DP runs THREE times per candidate pair
+      // (twice in the condition, once in the projection) — observed on
+      // the r7 plan; DedupSpec asserts the single-occurrence property
+      .withColumn("edit_dist", graft.plans.EvalOnce(expr(
         s"levenshtein(text_a, text_b, " +
           s"CAST(($maxRel + 0.00005) * greatest(length(text_a), length(text_b)) AS INT) + 1)")
-        .cast("long"))
+        .cast("long")))
       .filter(col("edit_dist") >= 0 &&
         col("edit_dist").cast("double") <=
           lit(maxRel + 0.00005) * greatest(la, lb))
@@ -860,7 +864,12 @@ object Dedup {
     pairs
       .join(docs.select(col("doc_id").as("doc_a"), col("ws").as("ws_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("ws").as("ws_b")), "doc_b")
-      .withColumn("lcs_words", graft.plans.LcsWords(col("ws_a"), col("ws_b")))
+      // EvalOnce pins the O(m·n) kernel to THIS projection: without it,
+      // predicate pushdown inlines the alias into the join condition and
+      // the kernel runs twice per surviving pair (DedupSpec asserts the
+      // single-occurrence property on the physical plan)
+      .withColumn("lcs_words",
+        graft.plans.EvalOnce(graft.plans.LcsWords(col("ws_a"), col("ws_b"))))
       .filter(col("lcs_words") >= minRun)
       .select(col("doc_a"), col("doc_b"), col("lcs_words").cast("long").as("lcs_words"))
       .orderBy(col("doc_a"), col("doc_b"))

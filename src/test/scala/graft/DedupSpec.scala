@@ -165,6 +165,28 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L, 20L)), s"got $got")
   }
 
+  test("expensive kernels evaluate ONCE in the physical plan (EvalOnce barrier holds)") {
+    // without the EvalOnce barrier, predicate pushdown inlines the
+    // aliased kernel into the join condition AND leaves the projection
+    // copy — lcs_words ran twice (r7 plan), the banded levenshtein DP
+    // three times. Count kernel CALL SITES in the executed plan text.
+    // pre-execution plan: the single-eval property is decided at
+    // optimization time, and the executed AQE plan's toString would
+    // print Final AND Initial sections, double-counting every call
+    def callSites(df: org.apache.spark.sql.DataFrame, fn: String): Int = {
+      val plan = df.queryExecution.executedPlan.toString
+      s"$fn\\(".r.findAllIn(plan).size
+    }
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"r$i").mkString(" ") + " a b c"),
+      (2L, "x y " + (1 to 20).map(i => s"r$i").mkString(" ")),
+      (3L, (1 to 20).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    assert(callSites(Dedup.lcsOverlapDf(docs, 8), "lcs_words") == 1)
+    assert(callSites(
+      Dedup.levenshteinPairs(spark, TestSpark.sf), "levenshtein") == 1)
+  }
+
   test("lcs_words kernel matches a naive independent replica on random inputs") {
     val rng = new scala.util.Random(11)
     val vocab = Vector("a", "b", "c", "d")
