@@ -318,4 +318,80 @@ object Geo {
        |GROUP BY 1
        |ORDER BY event_type""".stripMargin
   }
+
+  /** C46e — polygon WITH HOLES (geo_shape interior rings): C46d's
+    * half-plane conjunction only expresses convex pieces; arbitrary
+    * GeoJSON polygons carry holes, and OpenSearch excludes hole
+    * interiors. Even-odd ray casting covers both in ONE rule: a point
+    * is inside iff a horizontal ray to -∞ crosses an ODD number of
+    * edges over ALL rings (outer + holes) — crossing a hole edge flips
+    * the parity back out, no decomposition needed. Each edge's
+    * crossing test is two compares and one fixed-order multiply/divide
+    * over literal vertices — pure codegen'd column arithmetic, the
+    * identical IEEE expression the oracle evaluates, summed and tested
+    * for parity; Catalyst pushes/codegens the whole predicate like any
+    * other scan filter, so at 100 TB it rides the scan. Ring vertices
+    * sit on x.x5 offsets so no grid point (deci-degree lattice) ever
+    * lands exactly on a vertex ordinate — no boundary ties to disagree
+    * on. Outer ring: the C46d southern diamond, nudged; hole: a
+    * smaller concentric diamond whose interior is excluded.
+    */
+  val polygonRings: Seq[Seq[(Double, Double)]] = Seq(
+    Seq((-120.05, -60.05), (-0.05, -85.05), (119.95, -60.05), (-0.05, -35.05)),
+    Seq((-40.05, -60.05), (-0.05, -73.05), (39.95, -60.05), (-0.05, -47.05)))
+
+  private def rayCrossings(lon: Column, lat: Column): Column =
+    polygonRings.flatMap { ring =>
+      ring.indices.map { i =>
+        val (x1, y1) = ring(i)
+        val (x2, y2) = ring((i + 1) % ring.length)
+        val crosses = (lit(y1) > lat) =!= (lit(y2) > lat)
+        val xi = (lit(x2 - x1) * (lat - lit(y1)) / lit(y2 - y1)) + lit(x1)
+        when(crosses && (lon < xi), 1).otherwise(0)
+      }
+    }.reduce(_ + _)
+
+  /** The containment predicate itself (odd crossing parity) — public
+    * so the hole semantics are testable on hand-picked points.
+    */
+  def insideWithHoles(lon: Column, lat: Column): Column =
+    rayCrossings(lon, lat) % 2 === 1
+
+  def geoPolygonHoles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        latCol.as("lat"), lonCol.as("lon"),
+        ((col("user_id") * 13) % 1600 - 800).as("lat_d"),
+        ((col("event_id") * 17) % 3600 - 1800).as("lon_d"))
+      .filter(insideWithHoles(col("lon"), col("lat")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("lat_d")).cast("double") / (count(lit(1)) * 10), 4)
+          .as("centroid_lat"),
+        round(sum(col("lon_d")).cast("double") / (count(lit(1)) * 10), 4)
+          .as("centroid_lon"))
+      .orderBy(col("event_type"))
+
+  val geoPolygonHolesSql: String = {
+    val terms = polygonRings.flatMap { ring =>
+      ring.indices.map { i =>
+        val (x1, y1) = ring(i)
+        val (x2, y2) = ring((i + 1) % ring.length)
+        s"(CASE WHEN (($y1 > lat) <> ($y2 > lat)) AND lon < (($x2 - $x1) * (lat - $y1) / ($y2 - $y1)) + $x1 THEN 1 ELSE 0 END)"
+      }
+    }.mkString("\n    + ")
+    s"""WITH pts AS (
+       |  SELECT event_type, user_id, $latSql AS lat, $lonSql AS lon,
+       |    (user_id * 13) % 1600 - 800 AS lat_d,
+       |    (event_id * 17) % 3600 - 1800 AS lon_d
+       |  FROM events)
+       |SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+       |  round(CAST(sum(lat_d) AS DOUBLE) / (count(*) * 10), 4) AS centroid_lat,
+       |  round(CAST(sum(lon_d) AS DOUBLE) / (count(*) * 10), 4) AS centroid_lon
+       |FROM pts
+       |WHERE ($terms) % 2 = 1
+       |GROUP BY 1
+       |ORDER BY event_type""".stripMargin
+  }
 }

@@ -116,6 +116,54 @@ object Network {
       .orderBy(col("bucket"))
   }
 
+  /** C2p — ip_prefix agg (OpenSearch 2.x `ip_prefix`): bucket by the
+    * /k network prefix of the parsed client IP at a configurable
+    * prefix length — C2l's fixed user ranges generalized to EVERY /k
+    * subnet (the network dashboard's "which subnets are talking"
+    * tile; reference anchor: README:295-314 Discover workflows over
+    * the unified log index). One shift-pair mask in the scan
+    * projection, one map-side-combined aggregate keyed on the masked
+    * integer; the dotted-quad "a.b.c.d/k" label is derived from the
+    * mask with pure arithmetic, so the whole bucket key stays codegen
+    * and the agg is the only exchange at any scale.
+    */
+  def ipPrefixAgg(spark: SparkSession, dir: String, prefixLen: Int = 18): DataFrame = {
+    require(prefixLen >= 1 && prefixLen <= 32, s"bad prefix length $prefixLen")
+    val shift = 32 - prefixLen
+    // parse ip_int ONCE in its own projection; the label derives from
+    // the attribute, so the regex parse isn't textually inlined into
+    // every octet (CollapseProject keeps non-cheap exprs uncollapsed)
+    val masked = shiftleft(shiftright(col("ip_int"), shift), shift)
+    val label = concat(
+      (shiftright(masked, 24) % 256).cast("string"), lit("."),
+      (shiftright(masked, 16) % 256).cast("string"), lit("."),
+      (shiftright(masked, 8) % 256).cast("string"), lit("."),
+      (masked % 256).cast("string"), lit(s"/$prefixLen"))
+    LogLines.apacheLines(spark, dir)
+      .select(ipToInt(ApacheLog.ip(col("line"))).as("ip_int"))
+      .select(label.as("prefix"), col("ip_int"))
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("ip_int")).as("n_ips"))
+      .orderBy(col("prefix"))
+  }
+
+  /** DuckDB oracle: same mask by integer division (2^14 for /18), ips
+    * derived straight from the events columns (no shared code).
+    */
+  val ipPrefixAggSql: String =
+    """WITH ips AS (
+      |  SELECT 167772160 + (user_id % 256) * 65536 + (event_id % 250) * 256 + (event_id * 7) % 250 AS ip_int
+      |  FROM events),
+      |m AS (SELECT ip_int, (ip_int // 16384) * 16384 AS masked FROM ips)
+      |SELECT concat(CAST((masked // 16777216) % 256 AS VARCHAR), '.',
+      |              CAST((masked // 65536) % 256 AS VARCHAR), '.',
+      |              CAST((masked // 256) % 256 AS VARCHAR), '.',
+      |              CAST(masked % 256 AS VARCHAR), '/18') AS prefix,
+      |  count(*) AS n, count(DISTINCT ip_int) AS n_ips
+      |FROM m
+      |GROUP BY 1
+      |ORDER BY prefix""".stripMargin
+
   val ipRangeAggSql: String =
     """WITH ips AS (
       |  SELECT (user_id % 256) * 65536 + (event_id % 250) * 256 + (event_id * 7) % 250 AS off,

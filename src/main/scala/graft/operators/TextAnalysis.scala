@@ -44,6 +44,23 @@ object TextAnalysis {
       round(col("bpe_tokens").cast("double") / col("pre_tokens"), 4))
     .orderBy(col("doc_id"))
 
+  /** E10d — BYTE-level BPE token counts (plans/BpeByteTokenizer, the
+    * GPT-2-class scheme) next to E10b's char-BPE count and the true
+    * UTF-8 byte length; `bytes_per_token` is the compression ratio
+    * frontier tokenizer reports quote. ☆ rows-only like E10b — the
+    * greedy byte-merge loop is not replicated in SQL; KernelSpec pins
+    * exact token vectors against an independent replica.
+    */
+  def tokenCountByte(spark: SparkSession, dir: String): DataFrame =
+    Tables.atComputeParallelism(Tables.documents(spark, dir)).select(
+      col("doc_id"),
+      graft.plans.BpeByteTokenizer.bpeByteTokenCount(col("text")).cast("long").as("byte_tokens"),
+      graft.plans.BpeTokenizer.bpeTokenCount(col("text")).cast("long").as("char_tokens"),
+      expr("octet_length(text)").cast("long").as("n_bytes"))
+    .withColumn("bytes_per_token",
+      round(col("n_bytes").cast("double") / col("byte_tokens"), 4))
+    .orderBy(col("doc_id"))
+
   /** E9 — quality scoring: log-length × vocab diversity × stopword factor. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(

@@ -135,9 +135,16 @@ object LogStore {
     */
   def scrollPage(spark: SparkSession, root: String, manifest: Seq[String],
                  sortCols: Seq[String], after: Option[Seq[Any]],
-                 pageSize: Int, tiebreaker: Option[String] = None): DataFrame = {
+                 pageSize: Int, tiebreaker: Option[String] = None): DataFrame =
+    scrollPageOf(readPit(spark, root, manifest), sortCols, after, pageSize, tiebreaker)
+
+  /** Keyset page over ANY pinned snapshot frame — the engine behind
+    * scrollPage, public so a FEDERATED PIT (readPitFederated) exports
+    * with the same exact-pagination contract.
+    */
+  def scrollPageOf(base: DataFrame, sortCols: Seq[String], after: Option[Seq[Any]],
+                   pageSize: Int, tiebreaker: Option[String] = None): DataFrame = {
     val keys = sortCols ++ tiebreaker.filterNot(sortCols.contains)
-    val base = readPit(spark, root, manifest)
     val paged = after.fold(base) { vals =>
       require(vals.length == keys.length,
         s"after key arity ${vals.length} != sort-key arity ${keys.length} (incl. tiebreaker)")
@@ -150,6 +157,32 @@ object LogStore {
       base.filter(clauses.reduce(_ || _))
     }
     paged.orderBy(keys.map(col): _*).limit(pageSize)
+  }
+
+  /** C61×A13 — PIT over a FEDERATION: pin every member store's file
+    * manifest at one instant, so a paginated export over the union
+    * survives concurrent appends/compactions to ANY member. The
+    * manifest is per-member (root → pinned files): partition columns
+    * recover against each member's own basePath, and drifted member
+    * schemas null-fill exactly like a live federated read.
+    */
+  def createPitFederated(spark: SparkSession,
+                         aliasFiles: Seq[String]): Seq[(String, Seq[String])] = {
+    require(aliasFiles.nonEmpty, "federated PIT needs at least one alias")
+    aliasFiles.map { f =>
+      val root = resolveAlias(spark, f)
+      root -> createPit(spark, root)
+    }
+  }
+
+  def readPitFederated(spark: SparkSession,
+                       manifests: Seq[(String, Seq[String])]): DataFrame = {
+    val nonEmpty = manifests.filter(_._2.nonEmpty)
+    require(nonEmpty.nonEmpty, "federated PIT pinned no files")
+    nonEmpty.map { case (root, files) =>
+      spark.read.option("mergeSchema", "true").option("basePath", root)
+        .parquet(files: _*)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** A4b — size-based rollover (the ISM `rollover` action: an index
@@ -259,6 +292,25 @@ object LogStore {
     val out = transform(spark.read.parquet(srcRoot))
     require(Seq("log_date", "source").forall(out.columns.contains),
       "reindex transform must preserve the log_date/source partition keys")
+    out.write.mode("overwrite")
+      .partitionBy("log_date", "source")
+      .parquet(dstRoot)
+  }
+
+  /** A10b — CROSS-STORE reindex (`_reindex` with a remote source,
+    * re-expressed): rewrite the UNION behind a set of aliases into one
+    * new root — the consolidation migration a fleet runs when retiring
+    * per-team stores. Drifted member schemas null-fill through the
+    * federated read's merge semantics, the (log_date, source) layout
+    * is enforced on the destination, members stay live and untouched
+    * (reindex-then-alias-swap, same as A10), and the copy streams
+    * partition-parallel — no shuffle unless the transform adds one.
+    */
+  def reindexFederated(spark: SparkSession, aliasFiles: Seq[String], dstRoot: String)
+                      (transform: DataFrame => DataFrame = identity): Unit = {
+    val out = transform(readAliases(spark, aliasFiles))
+    require(Seq("log_date", "source").forall(out.columns.contains),
+      "federated reindex must preserve the log_date/source partition keys")
     out.write.mode("overwrite")
       .partitionBy("log_date", "source")
       .parquet(dstRoot)

@@ -168,6 +168,22 @@ class EntrySpec extends AnyFunSuite {
       s"no equi-join on the /16 bucket in:\n$plan")
   }
 
+  test("q_geo_polygon_holes: hole interior excluded, annulus included, outside excluded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pts = Seq(
+      ("hole_center", 0.0, -60.0),      // dead center of the hole ring → OUT
+      ("in_hole", 5.0, -58.0),          // inside hole → parity even → OUT
+      ("annulus_w", -80.0, -60.0),      // between outer and hole → IN
+      ("annulus_s", 0.0, -80.0),        // southern annulus → IN
+      ("outside_n", 0.0, -20.0),        // north of the outer ring → OUT
+      ("outside_e", 150.0, -60.0)       // east of the outer ring → OUT
+    ).toDF("name", "lon", "lat")
+    val in = pts.filter(graft.operators.Geo.insideWithHoles(col("lon"), col("lat")))
+      .select("name").as[String].collect().toSet
+    assert(in == Set("annulus_w", "annulus_s"), s"got $in")
+  }
+
   test("q_window_ranks is SQL-native: no RDD scan, range shuffle paid once") {
     val df = graft.operators.Extras.windowRanks(spark, TestSpark.sf)
     df.collect() // finalize the adaptive plan before inspecting it

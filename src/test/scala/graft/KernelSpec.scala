@@ -165,6 +165,79 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("byte-BPE kernel: pinned vectors incl. leading-space and multi-byte UTF-8 merges") {
+    import graft.plans.BpeByteTokenizer
+    // hand-traced against the pinned table
+    assert(BpeByteTokenizer.encode("the cat") == List("th", "e", " c", "at"))
+    assert(BpeByteTokenizer.encode("a spark") == List("a", " spark"))
+    assert(BpeByteTokenizer.encode("the and of") == List("th", "e", " and", " of"))
+    assert(BpeByteTokenizer.encode("100") == List("1", "00"))
+    assert(BpeByteTokenizer.encode("2020") == List("20", "20"))
+    // é is TWO bytes (C3 A9) fused by the continuation merge: one token
+    // bare, two with the unfused leading space
+    assert(BpeByteTokenizer.encode("é").length == 1)
+    assert(BpeByteTokenizer.encode(" é").length == 2)
+    // the leading space belongs to the word: GPT-2's signature shape
+    assert(BpeByteTokenizer.preTokenize("the fast cat") ==
+      List("the", " fast", " cat"))
+    assert(BpeByteTokenizer.preTokenize("a  b") == List("a", " ", " b"))
+  }
+
+  test("byte-BPE matches an independent replica; reconstruction + expression path hold") {
+    import graft.plans.{BpeByteTokenizer => B}
+    // independent replica: regex pre-tokenizer + repeated-scan merge
+    // loop (different mechanics from the kernel's single-pass scan)
+    val pat = java.util.regex.Pattern.compile(
+      " ?\\p{L}+| ?\\p{Nd}+| ?[^\\p{L}\\p{Nd}\\s]+|\\s")
+    def rePre(t: String): List[String] = {
+      val m = pat.matcher(t)
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      while (m.find()) out += m.group()
+      out.toList
+    }
+    val rank: Map[(String, String), Int] =
+      B.merges.zipWithIndex.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+    def reEncode(pre: String): List[String] = {
+      var syms = pre.getBytes("UTF-8").map(b => (b & 0xff).toChar.toString).toList
+      var go = true
+      while (go && syms.length > 1) {
+        val pairs = syms.zip(syms.tail)
+        val ranked = pairs.flatMap(p => rank.get(p).map(r => (r, p)))
+        if (ranked.isEmpty) go = false
+        else {
+          val (_, (a, b)) = ranked.minBy(_._1)
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          var rest = syms
+          while (rest.nonEmpty) rest match {
+            case x :: y :: t if x == a && y == b => out += x + y; rest = t
+            case x :: t => out += x; rest = t
+            case Nil => ()
+          }
+          syms = out.toList
+        }
+      }
+      syms
+    }
+    val texts = (1 to 80).map(i =>
+      randDoc(15).mkString(" ") + s" the spark and café $i 2020!")
+    texts.foreach { t =>
+      val mine = B.encode(t)
+      val ref = rePre(t).flatMap(reEncode)
+      assert(mine == ref, s"mismatch on: $t\n$mine\n$ref")
+      // reconstruction: byte image survives tokenization exactly
+      assert(mine.mkString == new String(
+        t.getBytes("UTF-8").map(b => (b & 0xff).toChar)))
+      assert(B.countTokens(t) == mine.length)
+    }
+    val viaExpr = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), B.bpeByteTokenCount(col("text")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(viaExpr(i.toLong) == B.countTokens(t), s"text $i")
+    }
+  }
+
   test("BPE training matches an independent in-memory replica; learned table feeds the kernel") {
     import graft.plans.BpeTokenizer
     // deliberately repetitive corpus so early merges are unambiguous
