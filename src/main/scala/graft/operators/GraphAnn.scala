@@ -49,6 +49,20 @@ object GraphAnn {
   val hops = 3
   val seedAssignments = 2 // cells each vector seeds into (overlap → connectivity)
 
+  /** High-recall operating point (the HNSW-style `ef` knob): double the
+    * beam (probe candidate volume per hop is ef·degree → exactly 2×)
+    * and one extra descent round on the build side (build cost, not
+    * probe cost — a sharper graph lets the wider beam actually reach
+    * the true neighbors). Measured on the sf0.01 curve (SimilaritySpec
+    * documents it): default (ef=16, rounds=2) ≈ 0.74 recall; this
+    * point reaches ≥ 0.85 at 2× probe cost — the knee: pushing ef
+    * further without more rounds flattens out, more rounds without ef
+    * stalls below 0.8 because the beam, not the graph, is the binding
+    * constraint.
+    */
+  val efHigh = 32
+  val roundsHigh = 3
+
   private def topPerSrc(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
     scored.withColumn("r", row_number().over(w)).filter(col("r") <= k).drop("r")
@@ -77,7 +91,7 @@ object GraphAnn {
     * (src, dst, sim). localCheckpoint per round: constant plan size,
     * and each round's join reads materialized edges.
     */
-  def buildGraphDf(cells: DataFrame): DataFrame = {
+  def buildGraphDf(cells: DataFrame, rounds: Int = nnDescentRounds): DataFrame = {
     val emb = cells.dropDuplicates("n_id").select(col("n_id"), col("n_emb"))
     def score(pairs: DataFrame): DataFrame = pairs
       .join(emb.toDF("src", "src_emb"), "src")
@@ -89,7 +103,7 @@ object GraphAnn {
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst")).distinct()
     var edges = topPerSrc(score(seedPairs), degree).localCheckpoint()
-    (1 to nnDescentRounds).foreach { _ =>
+    (1 to rounds).foreach { _ =>
       val sym = edges.select(col("src"), col("dst"))
         .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       val cand = sym.toDF("src", "mid")
@@ -106,16 +120,17 @@ object GraphAnn {
   /** Build-once-probe-many: edges persist under a fingerprint key;
     * `_COMPLETE` lands last so a half-written graph is rebuilt.
     */
-  def ensureGraph(spark: SparkSession, dir: String): String = {
+  def ensureGraph(spark: SparkSession, dir: String,
+                  rounds: Int = nnDescentRounds): String = {
     val fp = Similarity.dataFingerprint(spark, dir)
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir#$degree#$nnDescentRounds#$seedAssignments#$fp".getBytes("UTF-8"))
+      .digest(s"$dir#$degree#$rounds#$seedAssignments#$fp".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val path = new java.io.File(sys.props("java.io.tmpdir"), s"graft-nngraph-v1-$key").getPath
     val marker = new org.apache.hadoop.fs.Path(s"$path/_COMPLETE")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {
-      buildGraphAt(spark, dir, path)
+      buildGraphAt(spark, dir, path, rounds)
       fs.create(marker, true).close()
     }
     path
@@ -124,11 +139,12 @@ object GraphAnn {
   /** Build the graph for `dir`'s embeddings at an explicit path (the
     * spec's isolation hook; ensureGraph adds the memo key + marker).
     */
-  def buildGraphAt(spark: SparkSession, dir: String, path: String): Unit = {
+  def buildGraphAt(spark: SparkSession, dir: String, path: String,
+                   rounds: Int = nnDescentRounds): Unit = {
     val (cells, centroids) = Similarity.ivfParts(spark, dir, 16)
     val overlapped = overlappedCells(
       cells.select(col("n_id"), col("n_emb")), centroids).localCheckpoint()
-    buildGraphDf(overlapped).write.mode("overwrite").parquet(s"$path/edges")
+    buildGraphDf(overlapped, rounds).write.mode("overwrite").parquet(s"$path/edges")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     overlapped.write.mode("overwrite").parquet(s"$path/cells")
   }
@@ -170,8 +186,18 @@ object GraphAnn {
   def annGraph(spark: SparkSession, dir: String): DataFrame =
     annGraphAt(spark, dir, ensureGraph(spark, dir))
 
-  /** Probe against an explicit graph path (spec isolation hook). */
-  def annGraphAt(spark: SparkSession, dir: String, path: String): DataFrame = {
+  /** ☆ `q_ann_graph_hr` — the high-recall operating point: ef-doubled
+    * beam over the extra-round graph (see efHigh/roundsHigh).
+    */
+  def annGraphHigh(spark: SparkSession, dir: String): DataFrame =
+    annGraphAt(spark, dir, ensureGraph(spark, dir, roundsHigh), ef = efHigh)
+
+  /** Probe against an explicit graph path (spec isolation hook).
+    * `ef` is the beam width carried between hops — the probe-cost
+    * knob: candidates scored per hop ≤ ef·degree (+ the entry cell).
+    */
+  def annGraphAt(spark: SparkSession, dir: String, path: String,
+                 ef: Int = beam, nHops: Int = hops): DataFrame = {
     CosineSim.register(spark)
     val edges = spark.read.parquet(s"$path/edges")
     val centroids = spark.read.parquet(s"$path/centroids")
@@ -195,15 +221,15 @@ object GraphAnn {
       .join(cells, "cell").select(col("q_id"), col("n_id")).distinct()
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-    var best = topPerQuery(score(entry), beam).localCheckpoint()
-    (1 to hops).foreach { _ =>
+    var best = topPerQuery(score(entry), ef).localCheckpoint()
+    (1 to nHops).foreach { _ =>
       val expand = best.select(col("q_id"), col("n_id").as("src"))
         .join(sym, "src")
         .select(col("q_id"), col("dst").as("n_id")).distinct()
       val merged = score(expand)
         .unionByName(best)
         .groupBy(col("q_id"), col("n_id")).agg(max(col("cos_sim")).as("cos_sim"))
-      best = topPerQuery(merged, beam).localCheckpoint()
+      best = topPerQuery(merged, ef).localCheckpoint()
     }
     Similarity.rankTopK(best)
   }

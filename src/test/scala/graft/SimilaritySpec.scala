@@ -107,4 +107,25 @@ class SimilaritySpec extends AnyFunSuite {
     // rerun is identical: seeded k-means cells + deterministic tiebreaks
     assert(hits(GraphAnn.annGraph(spark, TestSpark.sf)) == graph)
   }
+
+  test("graph ANN ef-curve at sf0.01: high-recall point reaches 0.85 at 2x probe cost") {
+    import graft.operators.GraphAnn
+    val dir = "/root/testdata/sf0.01"
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val exact = hits(Similarity.annTopK(spark, dir))
+    def recall(s: Set[(Long, Long)]) = (exact & s).size.toDouble / exact.size
+    val base = recall(hits(GraphAnn.annGraph(spark, dir)))
+    val highHits = hits(GraphAnn.annGraphHigh(spark, dir))
+    val high = recall(highHits)
+    info(f"ef-curve at sf0.01: (ef=${GraphAnn.beam},r=${GraphAnn.nnDescentRounds}) " +
+      f"recall=$base%.3f → (ef=${GraphAnn.efHigh},r=${GraphAnn.roundsHigh}) recall=$high%.3f")
+    // probe cost bound is structural: candidates per hop = ef·degree,
+    // and efHigh is exactly 2× the default beam
+    assert(GraphAnn.efHigh == 2 * GraphAnn.beam)
+    assert(high >= 0.85, f"high-recall point $high%.3f < 0.85 (base $base%.3f)")
+    assert(high >= base, f"wider beam must not lose recall: $high%.3f < $base%.3f")
+    // deterministic: memoized graph + seeded build + pinned tiebreaks
+    assert(hits(GraphAnn.annGraphHigh(spark, dir)) == highHits)
+  }
 }
