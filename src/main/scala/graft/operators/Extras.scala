@@ -32,6 +32,35 @@ object Extras {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** C3p — terms lookup query (OpenSearch `terms` with a lookup body:
+    * the value list is FETCHED from another index's document at query
+    * time — "events from users in this saved segment" — instead of
+    * inlined by the caller; the list can be thousands of ids, far past
+    * what a hand-written terms array carries). Spark-first: the lookup
+    * is a filtered dimension scan broadcast into a LEFT-SEMI join —
+    * the fact side never shuffles, exactly the "big scan probes a tiny
+    * membership set" shape the lookup API exists to enable; the agg
+    * afterwards is the only exchange at any scale.
+    */
+  def termsLookup(spark: SparkSession, dir: String,
+                  segment: String = "BUILDING"): DataFrame = {
+    val keys = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === segment)
+      .select(col("c_custkey").as("user_id"))
+    Tables.events(spark, dir)
+      .join(broadcast(keys), Seq("user_id"), "left_semi")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
+  val termsLookupSql: String =
+    """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+      |FROM events
+      |WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |GROUP BY 1
+      |ORDER BY event_type""".stripMargin
+
   /** C59 — join-field has_child query with min_children (OpenSearch
     * parent/child mapping: return PARENT documents having at least N
     * children matching a child-level filter — the relational gap the

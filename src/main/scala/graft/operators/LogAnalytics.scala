@@ -323,6 +323,27 @@ object LogAnalytics {
       .orderBy(col("bucket"))
   }
 
+  /** C1d — date_histogram with a CALENDAR interval (`calendar_interval:
+    * week`): calendar buckets are alignment-dependent (weeks start
+    * Monday, months vary in width) — not expressible as fixed-width
+    * epoch arithmetic, which is why OpenSearch separates
+    * `calendar_interval` from `fixed_interval`. Both engines define
+    * date_trunc('week') as the preceding Monday, so the bucket key is
+    * identical cross-engine; still one map-side-combined aggregate.
+    */
+  def dateHistogramCalendar(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("week", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"))
+      .orderBy(col("bucket"))
+
+  val dateHistogramCalendarSql: String =
+    """SELECT date_trunc('week', ts) AS bucket,
+      |  count(*) AS n, count(DISTINCT user_id) AS users
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
   val dateHistogramTzSql: String =
     """SELECT date_trunc('day', ts - INTERVAL 11 HOURS) + INTERVAL 11 HOURS AS bucket,
       |  count(*) AS n

@@ -159,6 +159,22 @@ object LogStore {
     paged.orderBy(keys.map(col): _*).limit(pageSize)
   }
 
+  /** C62 — SLICED scroll (OpenSearch `slice: {id, max}`): partition a
+    * PIT export into `n` disjoint hash slices so independent workers
+    * drain it in parallel, each with its own keyset cursor. The slice
+    * predicate is a deterministic hash of the id column — every row
+    * lands in exactly one slice regardless of file layout, so the
+    * union of slices is the snapshot with no dup and no miss
+    * (LogStoreSpec proves the partition property). The predicate rides
+    * the scan as a data filter; each slice's pagination keeps the
+    * TakeOrderedAndProject bounded-heap shape.
+    */
+  def pitSlice(pinned: DataFrame, idCol: String, sliceId: Int, maxSlices: Int): DataFrame = {
+    require(maxSlices > 0 && sliceId >= 0 && sliceId < maxSlices,
+      s"bad slice $sliceId/$maxSlices")
+    pinned.filter(pmod(xxhash64(col(idCol)), lit(maxSlices)) === sliceId)
+  }
+
   /** C61×A13 — PIT over a FEDERATION: pin every member store's file
     * manifest at one instant, so a paginated export over the union
     * survives concurrent appends/compactions to ANY member. The

@@ -201,6 +201,82 @@ object LogPipeline {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  // ---- E2s: streaming NEAR-dup (MinHash bands in state) --------------
+
+  case class BandHit(doc_id: Long, ts: java.sql.Timestamp, sh: Seq[Long], band: Long)
+  case class BandState(doc_id: Long, sh: Seq[Long])
+  case class NearDup(doc_id: Long, dup_of: Long, band: Long, jaccard: Double)
+
+  /** Exact Jaccard over the shingle-hash SETS both docs carry — the
+    * same verification the batch path (Dedup.minhashPairsDf) applies
+    * after band collision, so stream and batch agree on the accept cut.
+    */
+  private def jaccardSets(a: Seq[Long], b: Seq[Long]): Double = {
+    val sa = a.toSet; val sb = b.toSet
+    val inter = (sa & sb).size
+    if (sa.isEmpty && sb.isEmpty) 0.0
+    else inter.toDouble / (sa.size + sb.size - inter)
+  }
+
+  /** E2s — streaming near-dup detection, the stateful twin of E2's
+    * MinHash+LSH: each arriving doc explodes to its LSH band keys; per
+    * band key, state anchors the FIRST doc seen (id + shingle set),
+    * and later docs colliding on that band verify exact Jaccard
+    * against the anchor — ≥ `threshold` emits a NearDup row. This is
+    * the streaming contract a dedup-at-ingest stage needs: re-sends
+    * and boilerplate copies are flagged against the anchor WITHIN the
+    * event-time horizon, and band states older than the horizon are
+    * EVICTED via event-time timeout — bounded state on an unbounded
+    * stream, the E1s property lifted from exact to near-dup. A doc
+    * colliding in several bands emits one row per matching band;
+    * downstream consumers take any (they agree on dup_of per anchor).
+    *
+    * Scale: state is O(#live band keys) with 8-byte-per-shingle
+    * anchors; per-event work is bands × (state probe + one set
+    * intersection) — no pairwise corpus work, same as the batch path's
+    * bucket bound.
+    */
+  def nearDupFn(threshold: Double, horizonMs: Long)(
+      band: Long, rows: Iterator[BandHit],
+      state: GroupState[BandState]): Iterator[NearDup] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val sorted = rows.toSeq.sortBy(_.doc_id) // deterministic within a batch
+    val out = Seq.newBuilder[NearDup]
+    var maxTs = 0L
+    sorted.foreach { r =>
+      maxTs = math.max(maxTs, r.ts.getTime)
+      state.getOption match {
+        case Some(s) if s.doc_id != r.doc_id =>
+          val j = jaccardSets(s.sh, r.sh)
+          if (j >= threshold)
+            out += NearDup(r.doc_id, s.doc_id, band, math.round(j * 10000) / 10000.0)
+        case Some(_) => () // re-delivery of the anchor itself
+        case None => state.update(BandState(r.doc_id, r.sh))
+      }
+    }
+    if (state.exists) state.setTimeoutTimestamp(maxTs + horizonMs)
+    out.result().iterator
+  }
+
+  def nearDupStream(spark: SparkSession, docs: DataFrame,
+                    threshold: Double = 0.7,
+                    delay: String = "10 minutes",
+                    horizonMs: Long = 10 * 60 * 1000L): Dataset[NearDup] = {
+    import spark.implicits._
+    import graft.functions.HashFns
+    docs // expects (doc_id, ts, text)
+      .select(col("doc_id"), col("ts"),
+        HashFns.shingleHashSet(col("text"), 3).as("sh"))
+      .withColumn("sig", HashFns.minhashSignature(col("sh"), 64))
+      .select(col("doc_id"), col("ts"), col("sh"),
+        explode(HashFns.bandKeys(col("sig"), 16, 4)).as("band"))
+      .withWatermark("ts", delay)
+      .as[BandHit]
+      .groupByKey(_.band)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        nearDupFn(threshold, horizonMs))
+  }
+
   // ---- C11: stateful streaming sessionization ------------------------
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)

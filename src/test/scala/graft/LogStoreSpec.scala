@@ -97,6 +97,34 @@ class LogStoreSpec extends AnyFunSuite {
     assert(LogStore.readPit(spark, root, pit).count() == 1)
   }
 
+  test("sliced scroll: hash slices partition the PIT exactly; each slice pages independently") {
+    val root = Files.createTempDirectory("graft-slice").toString + "/logs"
+    val ips = (1 to 20).map(i => f"10.0.0.$i%02d")
+    LogStore.write(ips.toDF("ip")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .withColumn("status", lit(200L))
+      .withColumn("source", lit("ec2")), root)
+    val pit = LogStore.createPit(spark, root)
+    val pinned = LogStore.readPit(spark, root, pit)
+    val slices = (0 until 3).map(i => LogStore.pitSlice(pinned, "ip", i, 3))
+    val sets = slices.map(_.select("ip").as[String].collect().toSet)
+    // disjoint and complete: every row in exactly one slice
+    assert(sets.combinations(2).forall { case Seq(a, b) => (a & b).isEmpty })
+    assert(sets.reduce(_ ++ _) == ips.toSet)
+    // a slice drains with its own cursor, unaffected by the others
+    var after: Option[Seq[Any]] = None
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    var page = LogStore.scrollPageOf(slices(1), Seq("ip"), after, 2)
+      .select("ip").as[String].collect()
+    while (page.nonEmpty) {
+      seen ++= page
+      after = Some(Seq(page.last))
+      page = LogStore.scrollPageOf(slices(1), Seq("ip"), after, 2)
+        .select("ip").as[String].collect()
+    }
+    assert(seen.toSeq == sets(1).toSeq.sorted)
+  }
+
   test("scroll cursor with duplicate sort-key values: tiebreaker makes pagination exact") {
     val root = Files.createTempDirectory("graft-scroll-dup").toString + "/logs"
     // 6 rows, only TWO distinct sort-key values — a strict cursor on

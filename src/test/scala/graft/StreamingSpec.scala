@@ -300,6 +300,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.sorted == Seq("lineA", "lineB", "lineC"), s"got $got")
   }
 
+  test("streaming near-dup flags band collisions verified by Jaccard; batch parity on the pair set") {
+    implicit val sq = spark.sqlContext
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 40) "changed" else s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    def ts(min: Long) = new java.sql.Timestamp((1440 + min) * 60000L)
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = LogPipeline.nearDupStream(spark, ms.toDS().toDF("doc_id", "ts", "text"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("neardup")
+      .start()
+    // anchor batch: the original and an unrelated doc
+    ms.addData((1L, ts(0), base), (3L, ts(0), other))
+    q.processAllAvailable()
+    // later: a near-copy of doc 1, an exact re-send of doc 1, and a
+    // fresh unrelated doc — only the first two may be flagged
+    ms.addData((2L, ts(1), near), (4L, ts(1), base), (5L, ts(1), (1 to 40).map(i => s"qqq$i").mkString(" ")))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT DISTINCT doc_id, dup_of FROM neardup")
+      .as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(got == Set((2L, 1L), (4L, 1L)), s"got $got")
+    // batch parity: the batch MinHash path finds the same non-identical
+    // pair set on the same docs (the exact re-send is pair (1,4))
+    val batch = graft.operators.Dedup.minhashPairsDf(
+      Seq((1L, base), (2L, near), (3L, other), (4L, base),
+        (5L, (1 to 40).map(i => s"qqq$i").mkString(" "))).toDF("doc_id", "text"), 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(batch == Set((1L, 2L), (1L, 4L), (2L, 4L)), s"batch $batch")
+  }
+
   test("stateful sessionization emits gap-closed sessions and keeps the open one in state") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[LogPipeline.Ev]
