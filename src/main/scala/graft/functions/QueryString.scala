@@ -147,6 +147,7 @@ object QueryString {
       .replace('*', '%').replace('?', '_')
 
   private def clause(schema: StructType, defaultFields: Seq[String],
+                     runtime: Map[String, (DataType, Column)],
                      field: Option[String], body: String): Column = field match {
     case None =>
       // bare term: substring search over the default (text) fields
@@ -155,9 +156,14 @@ object QueryString {
         s"bare term '$term' but no default fields configured")
       defaultFields.map(f => col(f).contains(term)).reduce(_ || _)
     case Some(f) =>
-      require(schema.fieldNames.contains(f), s"unknown field '$f' in query string")
-      val dt = schema(f).dataType
-      val c = col(f)
+      // runtime fields (OpenSearch runtime mappings): a query-time
+      // derived column with a declared type, resolved BEFORE the
+      // stored schema — same shadowing rule as runtime mappings. The
+      // derived expression inlines into the predicate, so it codegens
+      // and pushes exactly like any hand-written expression filter.
+      require(runtime.contains(f) || schema.fieldNames.contains(f),
+        s"unknown field '$f' in query string")
+      val (dt, c) = runtime.getOrElse(f, (schema(f).dataType, col(f)))
       if (body.startsWith("[") || body.startsWith("{")) {
         val inclLo = body.startsWith("[")
         val inclHi = body.endsWith("]")
@@ -180,22 +186,27 @@ object QueryString {
       else c === typedLit(dt, body)
   }
 
-  private def toColumn(schema: StructType, defaults: Seq[String], ast: Ast): Column =
+  private def toColumn(schema: StructType, defaults: Seq[String],
+                       runtime: Map[String, (DataType, Column)], ast: Ast): Column =
     ast match {
-      case Or(l, r) => toColumn(schema, defaults, l) || toColumn(schema, defaults, r)
-      case An(l, r) => toColumn(schema, defaults, l) && toColumn(schema, defaults, r)
-      case No(x)    => !toColumn(schema, defaults, x)
-      case Leaf(f, b) => clause(schema, defaults, f, b)
+      case Or(l, r) => toColumn(schema, defaults, runtime, l) || toColumn(schema, defaults, runtime, r)
+      case An(l, r) => toColumn(schema, defaults, runtime, l) && toColumn(schema, defaults, runtime, r)
+      case No(x)    => !toColumn(schema, defaults, runtime, x)
+      case Leaf(f, b) => clause(schema, defaults, runtime, f, b)
     }
 
-  /** Compile a query string into a predicate over `df`'s schema. */
+  /** Compile a query string into a predicate over `df`'s schema.
+    * `runtimeFields` are OpenSearch runtime mappings: name → (declared
+    * type, derived expression), usable in any clause position.
+    */
   def compile(df: DataFrame, query: String,
-              defaultFields: Seq[String] = Nil): Column = {
+              defaultFields: Seq[String] = Nil,
+              runtimeFields: Map[String, (DataType, Column)] = Map.empty): Column = {
     val toks = lex(query)
     require(toks.nonEmpty, "empty query string")
     val p = new P(toks)
     val ast = p.orExpr()
     require(p.toks.isEmpty, s"trailing tokens ${p.toks} in query string")
-    toColumn(df.schema, defaultFields, ast)
+    toColumn(df.schema, defaultFields, runtimeFields, ast)
   }
 }

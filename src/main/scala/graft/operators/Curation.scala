@@ -227,6 +227,53 @@ object Curation {
       |FROM t
       |ORDER BY doc_id""".stripMargin
 
+  /** E13d2 — boundary-respecting sequence packing, first-fit-decreasing
+    * (the packing used when documents must NOT span sequence
+    * boundaries — cross-doc attention contamination — and truncation
+    * waste matters; E13d's concatenate-then-chop is the spanning
+    * sibling). FFD is Johnson's classic bin packing (≤ 11/9·OPT + 6/9
+    * bins): sort pieces descending, place each into the first bin it
+    * fits, open a new bin otherwise. The bin state is a sequential
+    * recurrence with NO declarative (window/cumsum) form, so this is
+    * genuine per-group imperative logic: documents bucket
+    * DETERMINISTICALLY (md5 prefix, bounded group size), FFD runs per
+    * (lang, bucket) group via typed flatMapGroups, and bins are
+    * bucket-local — zero cross-group coordination, compute
+    * parallelism = bucket count at any corpus size. Docs longer than
+    * seqLen get a single-doc overflow bin (truncation is the caller's
+    * mixture policy, not the packer's). ☆ rows-only; PackingSpec
+    * asserts the invariants (every doc placed once, no bin overflows,
+    * ≥ chop-path efficiency) and determinism.
+    */
+  def sequencePackFfd(spark: SparkSession, dir: String,
+                      seqLen: Int = 512, nBuckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        (conv(substring(md5(col("text")), 1, 3), 16, 10).cast("long") % nBuckets).as("bkt"))
+      .as[(Long, String, Long, Long)]
+    docs.groupByKey(r => (r._2, r._4))
+      .flatMapGroups { (key: (String, Long), it: Iterator[(Long, String, Long, Long)]) =>
+        val (lang, bkt) = key
+        // FFD: descending size, deterministic tiebreak on doc_id
+        val sorted = it.toSeq.sortBy { case (id, _, n, _) => (-n, id) }
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        sorted.map { case (id, _, n, _) =>
+          val bin =
+            if (n > seqLen) { fills += seqLen; fills.length - 1 } // overflow bin, full
+            else {
+              val slot = fills.indexWhere(_ + n <= seqLen)
+              if (slot >= 0) { fills(slot) += n; slot }
+              else { fills += n; fills.length - 1 }
+            }
+          (id, lang, bkt, bin.toLong, n)
+        }
+      }
+      .toDF("doc_id", "lang", "bkt", "bin_no", "n_toks")
+      .orderBy(col("doc_id"))
+  }
+
   /** E13e — data-constrained epoch planning (Muennighoff et al. 2023:
     * when a source's available tokens fall short of its mixture
     * target, the pipeline REPEATS the source for multiple epochs — with

@@ -780,6 +780,35 @@ object Extras {
       |  AND value >= 100 AND value < 300 AND NOT user_id < 10
       |ORDER BY event_id""".stripMargin
 
+  /** C56b — runtime fields in the query string (OpenSearch runtime
+    * mappings: a Discover user defines `dow` as a script over `ts` and
+    * filters on it like any stored field). The mapping is name →
+    * (declared type, derived Column); the compiler resolves it BEFORE
+    * the stored schema — runtime mappings shadow — and the derived
+    * expression inlines into the predicate, so the filter codegens
+    * like a hand-written one (no per-row script engine).
+    */
+  def queryStringRuntime(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.IntegerType
+    val ev = Tables.events(spark, dir)
+    val runtime = Map(
+      "dow" -> ((IntegerType: org.apache.spark.sql.types.DataType),
+        dayofweek(col("ts"))))
+    ev.filter(graft.functions.QueryString.compile(
+        ev, "(dow:1 OR dow:7) AND value:>=5", runtimeFields = runtime))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB oracle: dayofweek is 0=Sunday there vs 1=Sunday in Spark. */
+  val queryStringRuntimeSql: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events
+      |WHERE (dayofweek(ts) + 1 = 1 OR dayofweek(ts) + 1 = 7) AND value >= 5
+      |GROUP BY 1
+      |ORDER BY event_type""".stripMargin
+
   /** C63 — search templates (OpenSearch `_search/template`: stored
     * mustache-parameterized queries rendered server-side, so
     * applications ship params, not query strings — the make-a-query-

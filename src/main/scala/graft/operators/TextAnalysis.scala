@@ -1203,6 +1203,75 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** C24b — significant_text (OpenSearch's free-text sibling of C24):
+    * the foreground is a QUERY MATCH over the text itself (not a
+    * structured field), counting is DOCUMENT frequency over per-doc
+    * distinct tokens, and `filter_duplicate_text` — the agg's flagship
+    * knob — collapses identical texts first so boilerplate can't vote
+    * its own vocabulary significant. Scoring is JLH
+    * ((fg% − bg%)·(fg%/bg%)), OpenSearch's default. Plan shape mirrors
+    * C24: ONE token-keyed aggregate (map-side combined), a one-row
+    * totals broadcast, and the mergeable TopK — no global token sort.
+    */
+  def significantText(spark: SparkSession, dir: String,
+                      term: String = "spark", k: Int = 15): DataFrame = {
+    val uniq = Tables.documents(spark, dir)
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+    val base = uniq.select(
+      col("text").contains(term).as("is_fg"),
+      array_distinct(split(col("text"), " ")).as("toks"))
+    val perToken = base.select(col("is_fg"), explode(col("toks")).as("token"))
+      .groupBy(col("token")).agg(
+        sum(when(col("is_fg"), 1).otherwise(0)).cast("double").as("fg"),
+        count(lit(1)).cast("double").as("bg"))
+    val totals = base.agg(
+      sum(when(col("is_fg"), 1).otherwise(0)).cast("double").as("n_fg"),
+      count(lit(1)).cast("double").as("n_docs"))
+    val topk = graft.plans.TopKAgg.udafStrFor(k)
+    val ranked = perToken
+      .filter(col("fg") >= 3)
+      .crossJoin(broadcast(totals))
+      .withColumn("score",
+        round(((col("fg") / col("n_fg")) - (col("bg") / col("n_docs"))) *
+          ((col("fg") / col("n_fg")) / (col("bg") / col("n_docs"))), 6))
+      .agg(topk(col("token"), col("score")).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col._2").as("token"), col("col._1").as("score"),
+        (col("pos") + 1).cast("long").as("rank"))
+    perToken.join(broadcast(ranked), "token")
+      .select(col("token"), col("fg").cast("long").as("fg"),
+        col("bg").cast("long").as("bg"), col("score"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
+  val significantTextSql: String =
+    """WITH uniq AS (
+      |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+      |base AS (
+      |  SELECT contains(text, 'spark') AS is_fg,
+      |    list_distinct(string_split(text, ' ')) AS toks FROM uniq),
+      |toks AS (SELECT is_fg, unnest(toks) AS token FROM base),
+      |pt AS (
+      |  SELECT token,
+      |    CAST(sum(CASE WHEN is_fg THEN 1 ELSE 0 END) AS DOUBLE) AS fg,
+      |    CAST(count(*) AS DOUBLE) AS bg
+      |  FROM toks GROUP BY 1),
+      |totals AS (
+      |  SELECT CAST(sum(CASE WHEN is_fg THEN 1 ELSE 0 END) AS DOUBLE) AS n_fg,
+      |         CAST(count(*) AS DOUBLE) AS n_docs
+      |  FROM base),
+      |scored AS (
+      |  SELECT token, fg, bg,
+      |    round(((fg / n_fg) - (bg / n_docs)) * ((fg / n_fg) / (bg / n_docs)), 6) AS score
+      |  FROM pt CROSS JOIN totals
+      |  WHERE fg >= 3),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (ORDER BY score DESC, token) AS rank FROM scored)
+      |SELECT token, CAST(fg AS BIGINT) AS fg, CAST(bg AS BIGINT) AS bg, score,
+      |  CAST(rank AS BIGINT) AS rank
+      |FROM ranked WHERE rank <= 15
+      |ORDER BY rank""".stripMargin
+
   val significantTermsSql: String =
     """WITH toks AS (
       |  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),

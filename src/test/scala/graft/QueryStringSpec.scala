@@ -89,6 +89,25 @@ class QueryStringSpec extends AnyFunSuite {
     assert(e.getMessage.contains("missing"))
   }
 
+  test("runtime fields: derived columns filter like stored ones, shadow the schema, unknown still errors") {
+    import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+    val rt: Map[String, (DataType, org.apache.spark.sql.Column)] = Map(
+      "half" -> ((IntegerType, (col("value") / 100).cast("int"))),
+      // shadows the stored `etype` column with its uppercase image
+      "etype" -> ((StringType, upper(col("etype")))))
+    def idsRt(q: String): Set[Long] =
+      df.filter(QueryString.compile(df, q, runtimeFields = rt))
+        .select("id").as[Long].collect().toSet
+    assert(idsRt("half:2") == Set(3L, 4L))                 // 250/100 = 2
+    assert(idsRt("half:[1 TO 2]") == Set(1L, 3L, 4L))      // ranges work on runtime fields
+    assert(idsRt("etype:PURCHASE") == Set(1L, 4L))         // runtime shadows stored
+    assert(idsRt("etype:purchase") == Set.empty)           // the shadow is total
+    val e = intercept[IllegalArgumentException] {
+      QueryString.compile(df, "nope:1", runtimeFields = rt)
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("compiled predicate reaches the parquet scan as pushed filters") {
     // range-only compile keeps PushedFilters short of its toString
     // truncation so the assert can see the bounds verbatim
