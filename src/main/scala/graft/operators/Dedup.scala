@@ -839,6 +839,27 @@ object Dedup {
   def lcsOverlap(spark: SparkSession, dir: String, minRun: Int = 10): DataFrame =
     lcsOverlapDf(Tables.documents(spark, dir), minRun)
 
+  /** Winnowing-fingerprint candidate pairs (doc_a < doc_b, ≥2 shared
+    * fingerprints, bucket-capped) — the shared front half of E20c's
+    * overlap report and E20d's span removal. Input carries
+    * (doc_id, fps).
+    */
+  private def winnowingPairs(docs: DataFrame): DataFrame = {
+    val cand = docs.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val okBuckets = cand.groupBy(col("fp"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn").between(2, maxBucketSize))
+      .select(col("fp"))
+    val inBucket = cand.join(okBuckets, "fp")
+    inBucket.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(inBucket.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= 2)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   /** DataFrame-level core of E20c — any (doc_id, text) input. Words are
     * pre-hashed to xxhash64 longs once per row so the kernel's O(m·n)
     * inner loop compares primitives, not UTF8String bytes.
@@ -848,19 +869,7 @@ object Dedup {
       .select(col("doc_id"),
         transform(split(col("text"), " "), w => xxhash64(w)).as("ws"),
         graft.functions.TextFns.fingerprints(col("text")).as("fps"))
-    val cand = docs.select(col("doc_id"), explode(col("fps")).as("fp"))
-    val okBuckets = cand.groupBy(col("fp"))
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn").between(2, maxBucketSize))
-      .select(col("fp"))
-    val inBucket = cand.join(okBuckets, "fp")
-    val pairs = inBucket.select(col("fp"), col("doc_id").as("doc_a"))
-      .join(inBucket.select(col("fp"), col("doc_id").as("doc_b")), "fp")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("shared_fps"))
-      .filter(col("shared_fps") >= 2)
-      .select(col("doc_a"), col("doc_b"))
+    val pairs = winnowingPairs(docs)
     pairs
       .join(docs.select(col("doc_id").as("doc_a"), col("ws").as("ws_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("ws").as("ws_b")), "doc_b")
@@ -874,6 +883,76 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("lcs_words").cast("long").as("lcs_words"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  // ---- E20d: exact-substring dedup REMOVAL ---------------------------
+
+  /** E20d — exact-substring dedup with span REMOVAL (public anchor:
+    * Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better" — cut every duplicated run, keep ONE copy). E20c
+    * reports which pairs share a run; this operator goes the rest of
+    * the way: locate each shared run (positional `lcs_span` kernel),
+    * keep the copy in the LOWEST-id doc, and CUT the span from every
+    * later doc — per doc, overlapping cut spans merge first (classic
+    * gaps-and-islands: one window pass, no UDF), then the words
+    * outside every island are kept via higher-order `filter`/`exists`
+    * (islands per doc are few — the lambda is O(words × islands)).
+    *
+    * Scale shape: candidates/verification identical to E20c (winnowing
+    * buckets, never corpus²); span merging windows per doc_id (key-
+    * partitioned); the cut applies in the scan projection. Determinism:
+    * the kernel's tie rule (first scan-order argmax) + sorted island
+    * fold make byte-identical reruns — the idempotence the spec pins
+    * (a second pass over the cleaned corpus finds nothing ≥ minRun).
+    */
+  def substringRemovalDf(documents: DataFrame, minRun: Int = 10): DataFrame = {
+    val docs = Tables.atComputeParallelism(documents)
+      .select(col("doc_id"),
+        transform(split(col("text"), " "), w => xxhash64(w)).as("ws"),
+        graft.functions.TextFns.fingerprints(col("text")).as("fps"))
+    val verified = winnowingPairs(docs)
+      .join(docs.select(col("doc_id").as("doc_a"), col("ws").as("ws_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("ws").as("ws_b")), "doc_b")
+      // EvalOnce: same single-evaluation discipline as E20c's kernel
+      .withColumn("span",
+        graft.plans.EvalOnce(graft.plans.LcsSpan(col("ws_a"), col("ws_b"))))
+      .filter(col("span.len") >= minRun)
+    // the lower-id doc keeps its copy; the later doc loses [s, e)
+    val spans = verified.select(col("doc_b").as("doc_id"),
+      (col("span.b_end") - col("span.len")).as("s"), col("span.b_end").as("e"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val cuts = spans
+      .withColumn("prev_max_e",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        (col("prev_max_e").isNull || col("s") > col("prev_max_e")).cast("int"))
+      .withColumn("island", sum(col("new_island")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("cut"))
+    documents.join(cuts, Seq("doc_id"), "left")
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("kept",
+        when(col("cut").isNull, col("words")).otherwise(
+          filter(col("words"), (word, i) =>
+            !exists(col("cut"), s =>
+              i >= s.getField("s") && i < s.getField("e")))))
+      .select(col("doc_id"),
+        coalesce(size(col("cut")), lit(0)).cast("long").as("n_cuts"),
+        (size(col("words")) - size(col("kept"))).cast("long").as("words_removed"),
+        size(col("kept")).cast("long").as("n_words_after"),
+        concat_ws(" ", col("kept")).as("text_clean"))
+  }
+
+  /** ☆ entry — corpus-wide removal report (text_clean itself stays out
+    * of the dump; the counts pin the cut set).
+    */
+  def dedupSubstringRemoval(spark: SparkSession, dir: String,
+                            minRun: Int = 10): DataFrame =
+    substringRemovalDf(Tables.documents(spark, dir), minRun)
+      .select(col("doc_id"), col("n_cuts"), col("words_removed"), col("n_words_after"))
+      .orderBy(col("doc_id"))
 
   /** E22 core — SemDeDup's within-cell keep rule (public anchor: Abbas
     * et al. 2023, "SemDeDup: Data-efficient learning at web-scale

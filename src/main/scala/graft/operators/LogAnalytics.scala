@@ -512,6 +512,41 @@ object LogAnalytics {
       |WHERE r = 1
       |ORDER BY user_id""".stripMargin
 
+  /** C3e2 — collapse with inner_hits (the collapsed search that ALSO
+    * returns each group's top-k members, not just the representative —
+    * how Discover shows "top hit per user, expandable"). Same plan
+    * class as C3e: ONE window pass ranks within groups (bounded heap
+    * per group, no global sort of the raw hits); the group's
+    * representative ordering rides the per-row rank-1 value via a
+    * second windowed max — still zero extra shuffles (same partition
+    * key). inner_hits size = 3.
+    */
+  def searchCollapseInner(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    val w = byUser.orderBy(col("value").desc, col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "click" && col("value") >= 100)
+      .withColumn("hit_rank", row_number().over(w).cast("long"))
+      .withColumn("n_hits", count(lit(1)).over(byUser))
+      .withColumn("group_best", max(col("value")).over(byUser))
+      .filter(col("hit_rank") <= k)
+      .select(col("user_id"), col("hit_rank"), col("event_id"),
+        col("value"), col("n_hits"), col("group_best"))
+      .orderBy(col("user_id"), col("hit_rank"))
+  }
+
+  val searchCollapseInnerSql: String =
+    """SELECT user_id, hit_rank, event_id, value, n_hits, group_best
+      |FROM (
+      |  SELECT user_id, event_id, value,
+      |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS hit_rank,
+      |    count(*) OVER (PARTITION BY user_id) AS n_hits,
+      |    max(value) OVER (PARTITION BY user_id) AS group_best
+      |  FROM events
+      |  WHERE event_type = 'click' AND value >= 100)
+      |WHERE hit_rank <= 3
+      |ORDER BY user_id, hit_rank""".stripMargin
+
   // ---- C2g: range aggregation -----------------------------------------
 
   /** C2g — range agg (OpenSearch `range` with explicit bounds): value

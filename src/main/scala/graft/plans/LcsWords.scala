@@ -105,3 +105,66 @@ object LcsWords {
     GraftColumnBridge.toColumn(LcsWordsExpr(
       GraftColumnBridge.toExpression(a), GraftColumnBridge.toExpression(b)))
 }
+
+/** Positional sibling of [[LcsWordsExpr]] (E20d): same O(m·n) rolling
+  * DP over pre-hashed long arrays, but returns WHERE the best run sits
+  * — struct(len, a_end, b_end), end indices EXCLUSIVE — so the caller
+  * can cut the duplicated span, not just report it. Ties resolve to
+  * the first (i, j) in scan order: deterministic output for identical
+  * inputs, the property the removal pipeline's idempotence rests on.
+  */
+case class LcsSpanExpr(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  import org.apache.spark.sql.types.StructField
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    StructField("len", IntegerType, nullable = false),
+    StructField("a_end", IntegerType, nullable = false),
+    StructField("b_end", IntegerType, nullable = false)))
+  override def prettyName: String = "lcs_span"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"lcs_span expects two array<long>, got ${l.catalogString}, ${r.catalogString}")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData].toLongArray()
+    val b = r.asInstanceOf[ArrayData].toLongArray()
+    val m = a.length
+    val n = b.length
+    var best = 0; var bestI = 0; var bestJ = 0
+    if (m > 0 && n > 0) {
+      var prev = new Array[Int](n + 1)
+      var cur = new Array[Int](n + 1)
+      var i = 1
+      while (i <= m) {
+        val ai = a(i - 1)
+        var j = 1
+        while (j <= n) {
+          cur(j) = if (ai == b(j - 1)) prev(j - 1) + 1 else 0
+          if (cur(j) > best) { best = cur(j); bestI = i; bestJ = j }
+          j += 1
+        }
+        val t = prev; prev = cur; cur = t
+        java.util.Arrays.fill(cur, 0)
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(best, bestI, bestJ)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object LcsSpan {
+  def apply(a: Column, b: Column): Column =
+    GraftColumnBridge.toColumn(LcsSpanExpr(
+      GraftColumnBridge.toExpression(a), GraftColumnBridge.toExpression(b)))
+}

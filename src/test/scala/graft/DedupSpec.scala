@@ -187,6 +187,35 @@ class DedupSpec extends AnyFunSuite {
       Dedup.levenshteinPairs(spark, TestSpark.sf), "levenshtein") == 1)
   }
 
+  test("substring removal cuts the duplicated span from later docs only; overlaps merge; idempotent") {
+    def run(lo: Int, hi: Int) = (lo to hi).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, "a1 a2 a3 a4 a5 " + run(1, 15) + " z1 z2 z3 z4 z5"),
+      (2L, "b1 b2 b3 b4 b5 " + run(6, 20) + " y1 y2 y3 y4 y5"),
+      (3L, "c1 c2 c3 " + run(1, 20) + " w1 w2 w3 w4"),
+      (4L, (1 to 30).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringRemovalDf(docs, minRun = 10)
+      .select("doc_id", "n_cuts", "words_removed", "n_words_after", "text_clean")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1 is the lowest id in every pair it joins: keeps its copy
+    assert(out(1L)._2 == 0 && out(1L)._3 == 0)
+    // doc 2 loses its 10-word overlap with doc 1 (r6..r15)
+    assert(out(2L)._3 == 10 && out(2L)._4 == 15, s"doc2 ${out(2L)}")
+    assert(!out(2L)._5.contains("r6") && out(2L)._5.contains("b1"))
+    // doc 3's two overlapping spans ([r1..r15] vs 1, [r6..r20] vs 2)
+    // merge into ONE 20-word island
+    assert(out(3L)._2 == 1 && out(3L)._3 == 20 && out(3L)._4 == 7, s"doc3 ${out(3L)}")
+    // unrelated doc untouched
+    assert(out(4L)._3 == 0)
+    // idempotence: a second pass over the cleaned corpus cuts nothing
+    val cleaned = out.values.toSeq.map(r => (r._1, r._5)).toDF("doc_id", "text")
+    val second = Dedup.substringRemovalDf(cleaned, minRun = 10)
+      .agg(sum("words_removed")).as[Long].head()
+    assert(second == 0, s"second pass removed $second words")
+  }
+
   test("lcs_words kernel matches a naive independent replica on random inputs") {
     val rng = new scala.util.Random(11)
     val vocab = Vector("a", "b", "c", "d")
