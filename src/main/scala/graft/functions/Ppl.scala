@@ -15,6 +15,8 @@ import graft.sources.Tables
   *     | sort [+|-]f1 [, ...] | head N
   *     | top [N] f1[, f2] [by g1, g2] | rare [N] f1 [by g1]
   *     | parse <field> '<regex with (?<name>…) captures>'
+  *     | eventstats <aggs> [by f1, f2] | fillnull with <value> in f1, f2
+  *     | rename f1 as g1 [, f2 as g2]
   *
   * aggs: count(), sum(x), avg(x), min(x), max(x), dc(x) with
   * `as alias`; where/eval expressions: comparisons (= != > >= < <=),
@@ -252,6 +254,52 @@ object Ppl {
               .partitionBy(groups.map(col): _*).orderBy(cntOrd +: tieOrd: _*)
             counted.withColumn("__r", row_number().over(w))
               .filter(col("__r") <= n).drop("__r")
+          }
+        case "eventstats" =>
+          // eventstats: the window form of stats — metrics join every
+          // row WITHOUT collapsing (PPL's "stats that keeps the
+          // events"). Compiles to window aggregates partitioned by the
+          // `by` keys: shard-parallel, no global sort — the exchange
+          // is the same one `stats ... by` would pay. dc() runs as
+          // size(collect_set(..)) since windows lack COUNT(DISTINCT);
+          // state is bounded by per-group distinct cardinality.
+          val parts = arg.split("(?i)\\s+by\\s+")
+          require(parts.length <= 2, s"eventstats: one 'by' clause allowed: $arg")
+          val w0 = org.apache.spark.sql.expressions.Window
+          val w = if (parts.length == 2)
+            w0.partitionBy(parts(1).split(',').map(s => col(s.trim)).toIndexedSeq: _*)
+          else w0.partitionBy()
+          val specs = aggRe.findAllMatchIn(parts(0)).map { m =>
+            val (fn, fieldArg, alias) = (m.group(1), Option(m.group(2)), Option(m.group(3)))
+            val c = fn.toLowerCase match {
+              case "count" => count(lit(1)).over(w)
+              case "sum"   => sum(col(fieldArg.getOrElse(sys.error("sum() needs a column")))).over(w)
+              case "avg"   => avg(col(fieldArg.getOrElse(sys.error("avg() needs a column")))).over(w)
+              case "min"   => min(col(fieldArg.getOrElse(sys.error("min() needs a column")))).over(w)
+              case "max"   => max(col(fieldArg.getOrElse(sys.error("max() needs a column")))).over(w)
+              case "dc"    => size(collect_set(col(fieldArg.getOrElse(sys.error("dc() needs a column")))).over(w)).cast("long")
+            }
+            (alias.getOrElse(fn.toLowerCase + fieldArg.map("_" + _).getOrElse("")), c)
+          }.toSeq
+          require(specs.nonEmpty, s"eventstats: no aggregations in: $arg")
+          specs.foreach { case (name, c) => df = df.withColumn(name, c) }
+        case "fillnull" =>
+          // fillnull with <value> in f1, f2 — null repair before a
+          // stats/join stage; pure coalesce projections, zero shuffle.
+          val m = "(?i)^with\\s+(\\S+)\\s+in\\s+(.+)$".r.findFirstMatchIn(arg)
+          require(m.isDefined, s"fillnull needs 'with <value> in <fields>', got: $arg")
+          val raw = m.get.group(1)
+          val value: Column =
+            if (raw.head == '\'' || raw.head == '"') lit(raw.substring(1, raw.length - 1))
+            else if (raw.contains('.')) lit(raw.toDouble) else lit(raw.toLong)
+          m.get.group(2).split(',').map(_.trim).foreach { f =>
+            df = df.withColumn(f, coalesce(col(f), value.cast(df.schema(f).dataType)))
+          }
+        case "rename" =>
+          arg.split(',').map(_.trim).foreach { pair =>
+            val p = pair.split("(?i)\\s+as\\s+")
+            require(p.length == 2, s"rename needs '<old> as <new>', got: $pair")
+            df = df.withColumnRenamed(p(0).trim, p(1).trim)
           }
         case "parse" =>
           // parse <field> '<regex with (?<name>…) groups>' — named

@@ -148,13 +148,20 @@ object QueryString {
 
   private def clause(schema: StructType, defaultFields: Seq[String],
                      runtime: Map[String, (DataType, Column)],
+                     synonyms: Map[String, Seq[String]],
                      field: Option[String], body: String): Column = field match {
     case None =>
-      // bare term: substring search over the default (text) fields
+      // bare term: substring search over the default (text) fields —
+      // with query-time synonym expansion (the synonym_graph filter):
+      // the term ORs over its synonym row, so "join" finds "merge"
+      // docs too. Expansion happens at COMPILE time on the driver; the
+      // emitted predicate is an ordinary OR of contains tests.
       val term = body.stripPrefix("\"").stripSuffix("\"")
       require(defaultFields.nonEmpty,
         s"bare term '$term' but no default fields configured")
-      defaultFields.map(f => col(f).contains(term)).reduce(_ || _)
+      val variants = synonyms.getOrElse(term, Seq(term))
+      (for (f <- defaultFields; v <- variants)
+        yield col(f).contains(v)).reduce(_ || _)
     case Some(f) =>
       // runtime fields (OpenSearch runtime mappings): a query-time
       // derived column with a declared type, resolved BEFORE the
@@ -183,30 +190,41 @@ object QueryString {
       else if (body.startsWith("<")) c < typedLit(dt, body.drop(1))
       else if (body.startsWith("\"")) c === lit(body.stripPrefix("\"").stripSuffix("\""))
       else if (body.contains('*') || body.contains('?')) c.like(likePattern(body))
-      else c === typedLit(dt, body)
+      else {
+        // plain term clause: synonym rows expand here too (ranges and
+        // wildcards don't analyze, matching the synonym filter's scope)
+        val variants = synonyms.getOrElse(body, Seq(body))
+        variants.map(v => c === typedLit(dt, v)).reduce(_ || _)
+      }
   }
 
   private def toColumn(schema: StructType, defaults: Seq[String],
-                       runtime: Map[String, (DataType, Column)], ast: Ast): Column =
+                       runtime: Map[String, (DataType, Column)],
+                       synonyms: Map[String, Seq[String]], ast: Ast): Column =
     ast match {
-      case Or(l, r) => toColumn(schema, defaults, runtime, l) || toColumn(schema, defaults, runtime, r)
-      case An(l, r) => toColumn(schema, defaults, runtime, l) && toColumn(schema, defaults, runtime, r)
-      case No(x)    => !toColumn(schema, defaults, runtime, x)
-      case Leaf(f, b) => clause(schema, defaults, runtime, f, b)
+      case Or(l, r) => toColumn(schema, defaults, runtime, synonyms, l) || toColumn(schema, defaults, runtime, synonyms, r)
+      case An(l, r) => toColumn(schema, defaults, runtime, synonyms, l) && toColumn(schema, defaults, runtime, synonyms, r)
+      case No(x)    => !toColumn(schema, defaults, runtime, synonyms, x)
+      case Leaf(f, b) => clause(schema, defaults, runtime, synonyms, f, b)
     }
 
   /** Compile a query string into a predicate over `df`'s schema.
     * `runtimeFields` are OpenSearch runtime mappings: name → (declared
     * type, derived expression), usable in any clause position.
+    * `synonyms` is a query-time synonym graph (C56c): term → its
+    * synonym row; a matching plain term clause expands to the OR of
+    * the row at compile time, so the emitted plan is the same pushed/
+    * codegen'd predicate a hand-written OR would get.
     */
   def compile(df: DataFrame, query: String,
               defaultFields: Seq[String] = Nil,
-              runtimeFields: Map[String, (DataType, Column)] = Map.empty): Column = {
+              runtimeFields: Map[String, (DataType, Column)] = Map.empty,
+              synonyms: Map[String, Seq[String]] = Map.empty): Column = {
     val toks = lex(query)
     require(toks.nonEmpty, "empty query string")
     val p = new P(toks)
     val ast = p.orExpr()
     require(p.toks.isEmpty, s"trailing tokens ${p.toks} in query string")
-    toColumn(df.schema, defaultFields, runtimeFields, ast)
+    toColumn(df.schema, defaultFields, runtimeFields, synonyms, ast)
   }
 }

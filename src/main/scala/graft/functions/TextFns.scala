@@ -27,6 +27,31 @@ object TextFns {
 
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** C64 — the `_analyze` chain (standard tokenizer → lowercase →
+    * stop filter → `minimal_english` stemmer), as pure array/column
+    * expressions over a text column. The stemmer is Lucene's
+    * EnglishMinimalStemmer rule verbatim: strip one trailing plural
+    * 's' when length ≥ 3 and the 's' is not part of '-ss'/'-us'
+    * (glass, bus keep theirs). Every step is a codegen'd higher-order
+    * function — the analyzer costs a projection, never a shuffle.
+    */
+  val analyzerStopwords: Seq[String] = Seq(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with")
+
+  def stemMinimalEnglish(t: Column): Column =
+    when(length(t) >= 3 && t.endsWith("s") &&
+      !t.endsWith("ss") && !t.endsWith("us"),
+      t.substr(lit(1), length(t) - 1)).otherwise(t)
+
+  def analyzeTokens(text: Column): Column =
+    transform(
+      filter(split(lower(text), "\\s+"),
+        t => t =!= "" && !t.isin(analyzerStopwords.map(x => x: Any): _*)),
+      stemMinimalEnglish(_))
+
   /** Stopword ratio — a natural-language-likeness signal. */
   def stopwordRatio(text: Column): Column = {
     val toks = split(text, " ")

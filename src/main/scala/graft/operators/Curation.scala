@@ -31,7 +31,7 @@ object Curation {
   /** First four md5 hex nibbles of `inner` decoded to a uniform
     * 0..65535 value (engine-portable: instr/strpos agree).
     */
-  private def bucket16ExprOf(inner: String): String =
+  private[operators] def bucket16ExprOf(inner: String): String =
     Seq(1, 2, 3, 4).map(i =>
       s"(instr('0123456789abcdef', substr(md5($inner), $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
       .mkString("(", " + ", ")")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.HashFns
@@ -1023,5 +1023,167 @@ object Dedup {
       .withColumn("c_sim", round(CosineSim(col("n_emb"), col("centroid")), 6))
       .select(col("cell"), col("n_id"), col("n_emb"), col("c_sim"))
     semanticDedupWithin(cells, tau)
+  }
+
+  // ---- E46: cross-corpus near-dup ------------------------------------
+
+  /** The "reference corpus" half of the cross-corpus contracts below:
+    * the curated sources an incoming crawl is deduped AGAINST (the
+    * CC-vs-Wikipedia / new-crawl-vs-kept-corpus split every multi-source
+    * pipeline runs).
+    */
+  val refSources: Seq[String] = (0 to 4).map(i => s"src$i")
+
+  /** E46 — cross-corpus near-dup: flag documents OUTSIDE the reference
+    * sources that near-duplicate a document INSIDE them (dedup a new
+    * crawl against the corpus you already keep — the first question
+    * when merging sources, and the fuzzy complement of E16's n-gram
+    * contamination check). Rides E2's full MinHash+LSH pipeline
+    * unchanged — band buckets already co-locate candidates from BOTH
+    * corpora, so "cross" is a residual filter on the verified pairs,
+    * not a second mining pass; the source lookup joins the pair list
+    * (≪ corpus) back to the documents table.
+    */
+  def crossCorpusDedup(spark: SparkSession, dir: String,
+                       threshold: Double = 0.7): DataFrame = {
+    val pairs = minhashPairs(spark, dir, threshold)
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val aRef = col("src_a").isin(refSources.map(x => x: Any): _*)
+    val bRef = col("src_b").isin(refSources.map(x => x: Any): _*)
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+      .filter(aRef =!= bRef)
+      .select(
+        when(aRef, col("doc_b")).otherwise(col("doc_a")).as("doc_id"),
+        when(aRef, col("src_b")).otherwise(col("src_a")).as("source"),
+        when(aRef, col("doc_a")).otherwise(col("doc_b")).as("ref_doc"),
+        col("jaccard"))
+      .orderBy(col("doc_id"), col("ref_doc"))
+  }
+
+  /** Oracle: the E2 replica's verified pairs re-labeled by source —
+    * the candidate generation stays bit-checked; only the tail select
+    * changes.
+    */
+  lazy val crossCorpusDedupSql: String = SqlPatch(minhashPairsSql,
+    """SELECT doc_a, doc_b, jaccard FROM scored
+      |WHERE jaccard >= 0.7
+      |ORDER BY doc_a, doc_b""".stripMargin,
+    """SELECT
+      |  CASE WHEN da.source IN ('src0','src1','src2','src3','src4')
+      |       THEN s.doc_b ELSE s.doc_a END AS doc_id,
+      |  CASE WHEN da.source IN ('src0','src1','src2','src3','src4')
+      |       THEN db.source ELSE da.source END AS source,
+      |  CASE WHEN da.source IN ('src0','src1','src2','src3','src4')
+      |       THEN s.doc_a ELSE s.doc_b END AS ref_doc,
+      |  s.jaccard
+      |FROM scored s
+      |JOIN documents da ON da.doc_id = s.doc_a
+      |JOIN documents db ON db.doc_id = s.doc_b
+      |WHERE s.jaccard >= 0.7
+      |  AND ((da.source IN ('src0','src1','src2','src3','src4'))
+      |       <> (db.source IN ('src0','src1','src2','src3','src4')))
+      |ORDER BY doc_id, ref_doc""".stripMargin)
+
+  // ---- E47: leakage-free train/val split -----------------------------
+
+  /** E47 — leakage-free train/validation split: the split draw happens
+    * on the dup-CLUSTER label, not the document, so a near-duplicate
+    * pair can never straddle train and val (the eval-leakage mode that
+    * inflates held-out scores; cf. the dedup motivation in Lee et al.
+    * 2022). Reads the MEMOIZED E5b mapping like an index; the draw is
+    * the house 16-bit md5 bucket on the cluster label — deterministic,
+    * coordination-free, identical in both engines. ~20% of CLUSTERS
+    * (not docs) land in val.
+    */
+  def leakFreeSplit(spark: SparkSession, dir: String,
+                    valOf65536: Int = 13107): DataFrame =
+    canonicalMapping(spark, dir)
+      .withColumn("u16", expr(Curation.bucket16ExprOf("CAST(keep_id AS STRING)")))
+      .select(col("doc_id"), col("keep_id"),
+        when(col("u16") < valOf65536, "val").otherwise("train").as("split"))
+      .orderBy(col("doc_id"))
+
+  lazy val leakFreeSplitSql: String = {
+    val u16 = SqlPatch(Curation.bucket16ExprOf("CAST(keep_id AS VARCHAR)"),
+      "instr", "strpos")
+    SqlPatch(canonicalCorpusSql,
+      "\nSELECT s AS doc_id, min(d) AS keep_id FROM reach GROUP BY s ORDER BY doc_id",
+      s""",
+         |canon AS (SELECT s AS doc_id, min(d) AS keep_id FROM reach GROUP BY s)
+         |SELECT doc_id, keep_id,
+         |  CASE WHEN $u16 < 13107 THEN 'val' ELSE 'train' END AS split
+         |FROM canon
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  // ---- E45: Bloom-filter membership dedup (BFF) ----------------------
+
+  /** E45 — Bloom-filter paragraph dedup (the Dolma "BFF" design: build
+    * a Bloom filter over the reference corpus's paragraph hashes, then
+    * flag incoming documents whose paragraphs mostly hit it). The
+    * filter is the memory-bounded alternative to E20's exact count
+    * join: at 100 TB the paragraph table is corpus-sized, but the
+    * filter is a FIXED 2^18-bit array — the structure streams, never
+    * joins.
+    *
+    * Spark-first, zero custom code: bit positions are xxhash64
+    * double-hashing (h1 + i·h2 mod m) computed as column arithmetic;
+    * the build is one `bit_or` aggregate per 64-bit word (mergeable —
+    * map-side partials OR together — exactly the mergeability a Bloom
+    * filter's union property guarantees); the probe embeds the word
+    * array as ONE literal and tests k bits with shift/mask arithmetic
+    * in the scan projection. No UDF, no driver loop over data: the
+    * driver materializes only the ≤ m/64-row word table — the filter
+    * itself, which is broadcast-sized by definition.
+    *
+    * ☆ (BloomSpec): Bloom semantics guarantee NO false negatives (every
+    * reference paragraph hits); the spec pins that, bounds the FP rate
+    * on fresh paragraphs, and checks determinism.
+    */
+  val bloomBitsLog2 = 18
+  val bloomK = 4
+
+  private def paraWindows(text: Column, w: Int = 10): Column = {
+    val ws = split(text, " ")
+    transform(sequence(lit(0), greatest(size(ws) - w, lit(0))),
+      i => concat_ws(" ", slice(ws, i + 1, lit(w))))
+  }
+
+  private def bloomPositions(h: Column): Column = {
+    val m = 1L << bloomBitsLog2
+    val h1 = pmod(h, lit(m))
+    // odd step so (h1 + i*h2) walks all of the power-of-two table
+    val h2 = pmod(xxhash64(h, lit(0x9E3779B9L)), lit(m)).bitwiseOR(lit(1L))
+    transform(sequence(lit(0), lit(bloomK - 1)),
+      i => pmod(h1 + i * h2, lit(m)))
+  }
+
+  def bloomDedup(spark: SparkSession, dir: String,
+                 flagRatio: Double = 0.8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), paraWindows(col("text")).as("paras"))
+    val refBits = docs
+      .filter(col("source").isin(refSources.map(x => x: Any): _*))
+      .select(explode(col("paras")).as("p"))
+      .select(explode(bloomPositions(xxhash64(col("p")))).as("pos"))
+      .groupBy((col("pos") / 64).cast("long").as("word"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))").as("mask"))
+    // the filter IS a broadcast-sized object: materialize the word
+    // table (≤ m/64 rows) and embed it as one literal array
+    val words = new Array[Long](1 << (bloomBitsLog2 - 6))
+    refBits.collect().foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    val wordsLit = lit(words)
+    val hitExpr = (p: Column) =>
+      forall(bloomPositions(xxhash64(p)), pos =>
+        element_at(wordsLit, (pos / 64).cast("int") + 1)
+          .bitwiseAND(call_function("shiftleft", lit(1L), pmod(pos, lit(64L)).cast("int"))) =!= 0L)
+    docs.filter(!col("source").isin(refSources.map(x => x: Any): _*))
+      .select(col("doc_id"), col("source"),
+        size(col("paras")).cast("long").as("n_paras"),
+        size(filter(col("paras"), p => hitExpr(p))).cast("long").as("n_hits"))
+      .withColumn("flagged", col("n_hits") >= col("n_paras") * flagRatio)
+      .orderBy(col("doc_id"))
   }
 }

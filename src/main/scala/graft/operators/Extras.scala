@@ -780,6 +780,36 @@ object Extras {
       |  AND value >= 100 AND value < 300 AND NOT user_id < 10
       |ORDER BY event_id""".stripMargin
 
+  /** C56c — query-time synonym expansion (the `synonym_graph` token
+    * filter applied at search time — OpenSearch's recommended mode, so
+    * the synonym table can change without reindexing). The DQL
+    * compiler expands a plain term clause to the OR of its synonym
+    * row at COMPILE time on the driver: `join fast` with
+    * join→{join,merge}, fast→{fast,quick} matches documents saying
+    * "merge" as readily as "join". The emitted plan is the identical
+    * pushed/codegen'd OR predicate the hand-expanded query gets — the
+    * synonym layer costs nothing at execution.
+    */
+  val querySynonymsDemo = "join fast"
+  val querySynonyms: Map[String, Seq[String]] = Map(
+    "join" -> Seq("join", "merge"),
+    "fast" -> Seq("fast", "quick"))
+
+  def querySynonymsSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.filter(graft.functions.QueryString.compile(
+        docs, querySynonymsDemo, defaultFields = Seq("text"),
+        synonyms = querySynonyms))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val querySynonymsSearchSql: String =
+    """SELECT doc_id, source FROM documents
+      |WHERE (contains(text, 'join') OR contains(text, 'merge'))
+      |  AND (contains(text, 'fast') OR contains(text, 'quick'))
+      |ORDER BY doc_id""".stripMargin
+
   /** C56b — runtime fields in the query string (OpenSearch runtime
     * mappings: a Discover user defines `dow` as a script over `ts` and
     * filters on it like any stored field). The mapping is name →
@@ -868,6 +898,33 @@ object Extras {
 
   def pplTopSearch(spark: SparkSession, dir: String): DataFrame =
     graft.functions.Ppl.run(spark, dir, pplTopDemo)
+
+  /** C57b (third entry) — `eventstats` + `rename`: per-group metrics
+    * joined back to EVERY event (the enrich-then-filter idiom real
+    * PPL triage uses: "show each type's record events"). Compiles to
+    * window aggregates partitioned by the group key — shard-parallel,
+    * the same single exchange `stats by` pays — then an ordinary
+    * filter; `rename` is a free projection. The max-equality filter
+    * compares stored doubles for identity (no arithmetic), so ties
+    * emit deterministically on both engines.
+    */
+  val pplEventstatsDemo: String =
+    "search source=events | eventstats count() as type_n, max(value) as type_max by event_type " +
+      "| where value = type_max | rename type_max as peak " +
+      "| fields event_id, event_type, value, peak, type_n | sort + event_id"
+
+  def pplEventstats(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Ppl.run(spark, dir, pplEventstatsDemo)
+
+  val pplEventstatsSql: String =
+    """WITH w AS (
+      |  SELECT event_id, event_type, value,
+      |    count(*) OVER (PARTITION BY event_type) AS type_n,
+      |    max(value) OVER (PARTITION BY event_type) AS peak
+      |  FROM events)
+      |SELECT event_id, event_type, value, peak, type_n
+      |FROM w WHERE value = peak
+      |ORDER BY event_id""".stripMargin
 
   val pplTopSearchSql: String =
     """WITH p AS (

@@ -605,4 +605,99 @@ object PipelineAggs {
        |WINDOW w AS (ORDER BY day)
        |ORDER BY day""".stripMargin
   }
+
+  /** C45m — moving_fn linearWeightedAvg model (OpenSearch
+    * `MovingFunctions.linearWeightedAvg`): trailing average whose
+    * weights decay LINEARLY with age — newest bucket weighs `window`,
+    * oldest weighs 1 — the dashboard smoother between the flat mean
+    * (C45b) and the exponential family (C45h/n/o). Truncates at the
+    * series start like OpenSearch's shrinking window.
+    *
+    * Determinism is stronger than EWMA's here: both numerator
+    * (Σ wᵢ·yᵢ) and denominator (Σ wᵢ) are sums of INTEGER products
+    * over the BIGINT day counts, so the only floating-point op is the
+    * final division — bit-identical cross-engine with no weight
+    * literals to synchronize. The window runs over the bounded day
+    * series; data-sized work stays in the dailyBuckets aggregate.
+    */
+  def movingLwma(spark: SparkSession, dir: String, windowN: Int = 7): DataFrame = {
+    val w = Window.orderBy(col("day"))
+    val terms = (0 until windowN).map { k =>
+      val lagN = lag(col("n"), k).over(w)
+      (when(lagN.isNotNull, lagN * lit((windowN - k).toLong)).otherwise(0L),
+        when(lagN.isNotNull, lit((windowN - k).toLong)).otherwise(0L))
+    }
+    dailyBuckets(spark, dir)
+      .withColumn("lwma_7d",
+        terms.map(_._1).reduce(_ + _).cast("double") /
+          terms.map(_._2).reduce(_ + _).cast("double"))
+      .select(col("day"), col("n"), col("lwma_7d"))
+      .orderBy(col("day"))
+  }
+
+  val movingLwmaSql: String = {
+    val num = (0 until 7).map { k =>
+      s"(CASE WHEN lag(n, $k) OVER w IS NOT NULL THEN lag(n, $k) OVER w * ${7 - k} ELSE 0 END)"
+    }.mkString(" + ")
+    val den = (0 until 7).map { k =>
+      s"(CASE WHEN lag(n, $k) OVER w IS NOT NULL THEN ${7 - k} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH b AS ($dailyBucketsSql)
+       |SELECT day, n, CAST($num AS DOUBLE) / CAST($den AS DOUBLE) AS lwma_7d
+       |FROM b
+       |WINDOW w AS (ORDER BY day)
+       |ORDER BY day""".stripMargin
+  }
+
+  /** C45r — bucket_count_ks_test (the OpenSearch ML pipeline agg: a
+    * two-sample Kolmogorov–Smirnov test over a sibling histogram's
+    * bucket counts — "is the error-count distribution over time shaped
+    * like overall traffic, or did errors cluster?"). The statistic is
+    * D = max over buckets of |CDF_err(day) − CDF_all(day)|.
+    *
+    * Exactness device: both CDFs are rational numbers cum/tot over
+    * exact BIGINT cumsums, so D's argmax is decided in INTEGER
+    * cross-multiplied form — |cum_a·tot_b − cum_b·tot_a| — and the
+    * single division happens once, on the winning bucket's exact
+    * integers (tie → earliest day). At 100 TB the series is still
+    * day-bucket-sized: one map-side-combined aggregate below, window
+    * cumsums + one TakeOrdered(1) over the bounded series above.
+    */
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val b = dailyBuckets(spark, dir)
+      .select(col("day"), col("n_err"), col("n"))
+      .withColumn("cum_a", sum(col("n_err")).over(w))
+      .withColumn("cum_b", sum(col("n")).over(w))
+    val tot = b.agg(max(col("cum_a")).as("tot_a"), max(col("cum_b")).as("tot_b"))
+    b.crossJoin(broadcast(tot))
+      .withColumn("gap_scaled",
+        abs(col("cum_a") * col("tot_b") - col("cum_b") * col("tot_a")))
+      .orderBy(col("gap_scaled").desc, col("day"))
+      .limit(1)
+      .select(
+        col("day").as("ks_day"),
+        round(col("gap_scaled").cast("double") /
+          (col("tot_a") * col("tot_b")).cast("double"), 6).as("ks_d"),
+        col("tot_a"), col("tot_b"))
+  }
+
+  val ksTestSql: String =
+    s"""WITH b AS ($dailyBucketsSql),
+       |c AS (
+       |  SELECT day,
+       |    CAST(sum(n_err) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+       |    CAST(sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b
+       |  FROM b),
+       |t AS (SELECT max(cum_a) AS tot_a, max(cum_b) AS tot_b FROM c),
+       |g AS (
+       |  SELECT day, abs(cum_a * tot_b - cum_b * tot_a) AS gap_scaled, tot_a, tot_b
+       |  FROM c CROSS JOIN t)
+       |SELECT day AS ks_day,
+       |  round(CAST(gap_scaled AS DOUBLE) / CAST(tot_a * tot_b AS DOUBLE), 6) AS ks_d,
+       |  tot_a, tot_b
+       |FROM g
+       |ORDER BY gap_scaled DESC, day
+       |LIMIT 1""".stripMargin
 }

@@ -478,4 +478,45 @@ object Similarity {
     rankTopK(
       scored.groupBy(col("q_id"), col("n_id")).agg(max(col("cos_sim")).as("cos_sim")))
   }
+
+  /** E48 — embedding pooling: mean-pool vectors per group (chunk → doc
+    * pooling for RAG indexes, label prototypes for classification and
+    * the centroid update of every clustering pass — the aggregation
+    * every embedding pipeline needs beside search).
+    *
+    * Determinism device: each float coordinate quantizes to integer
+    * MICRO-UNITS (floor(v·10⁶), the integer-micro-nats playbook)
+    * BEFORE summation, so the per-(label, dim) sums are exact BIGINTs
+    * at any partitioning and the mean is one division on the exact
+    * integers — bit-identical cross-engine where a raw float sum is
+    * summation-order-dependent. The posexplode is the per-dimension
+    * execution shape; one map-side-combined aggregate (labels × 64
+    * output rows) is the only exchange at any corpus size.
+    */
+  def embeddingPool(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(floor(col("v").cast("double") * 1e6).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        // exact-BIGINT / exact-BIGINT division then one scale step:
+        // both are single correctly-rounded IEEE ops, so the value is
+        // bit-identical cross-engine WITHOUT a display round (a round
+        // here would re-introduce the half-boundary hazard the integer
+        // quantization just removed)
+        (col("s").cast("double") / col("n") / 1e6).as("pooled"), col("n"))
+      .orderBy(col("label"), col("dim"))
+
+  val embeddingPoolSql: String =
+    """WITH e AS (
+      |  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+      |         unnest(CAST(embedding AS DOUBLE[])) AS v
+      |  FROM embeddings)
+      |SELECT label, dim,
+      |  CAST(sum(CAST(floor(v * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6 AS pooled,
+      |  count(*) AS n
+      |FROM e
+      |GROUP BY label, dim
+      |ORDER BY label, dim""".stripMargin
 }

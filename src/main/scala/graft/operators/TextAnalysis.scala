@@ -593,6 +593,180 @@ object TextAnalysis {
        |ORDER BY rank""".stripMargin
   }
 
+  /** C3s — the `_explain` API: WHY did this document get this score?
+    * OpenSearch returns a per-term breakdown of the BM25 sum (idf ×
+    * tf-norm per query term); this emits the same decomposition as
+    * rows — one per (top-k doc, query term) — so a relevance engineer
+    * can see which term carried each hit.
+    *
+    * Rides C3b's single doc-keyed pass: the per-term contributions are
+    * more columns in the SAME projection (the stats row is already
+    * broadcast), top-k selection is the bounded TopKAgg, and the
+    * breakdown unpivots k×|terms| rows with `stack` — cost identical
+    * to the ranked search it explains, at any corpus size.
+    */
+  def explainScore(spark: SparkSession, dir: String,
+                   terms: Seq[String] = Seq("spark", "window", "merge"),
+                   k: Int = 5): DataFrame = {
+    val scored = bm25Scored(spark, dir, terms)
+    val topk = graft.plans.TopKAgg.udafFor(k)
+    val top = scored.filter(col("score") > 0)
+      .agg(topk(col("doc_id"), col("score")).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t._2").as("doc_id"))
+    val contrib = terms.map { t =>
+      val tf = col(s"tf_$t"); val df = col(s"df_$t")
+      (log(lit(1.0) + (col("n_docs") - df + 0.5) / (df + 0.5)) *
+        (tf * 2.2 / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))),
+        tf, df)
+    }
+    val stackArgs = terms.zip(contrib).flatMap { case (t, (c, tf, df)) =>
+      Seq(lit(t), tf.cast("long"), df.cast("long"), round(c, 6))
+    }
+    scored.join(broadcast(top), "doc_id")
+      .select(col("doc_id"), col("score"),
+        stack((lit(terms.size) +: stackArgs): _*).as(Seq("term", "tf", "df", "contribution")))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("contribution"), col("score"))
+      .orderBy(col("doc_id"), col("term"))
+  }
+
+  lazy val explainScoreSql: String = {
+    val terms = Seq("spark", "window", "merge")
+    val inner = SqlPatch(SqlPatch(searchRankedSql,
+      "WHERE rank <= 20", "WHERE rank <= 5"), "ORDER BY rank", "")
+    val tfs = terms.map(t =>
+      s"CAST(sum(CASE WHEN token = '$t' THEN 1 ELSE 0 END) AS DOUBLE) AS tf_$t").mkString(",\n    ")
+    val dfs = terms.map(t =>
+      s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t").mkString(",\n    ")
+    val arms = terms.map { t =>
+      s"SELECT doc_id, '$t' AS term, CAST(tf_$t AS BIGINT) AS tf, CAST(df_$t AS BIGINT) AS df, " +
+        s"round(ln(1.0 + (n_docs - df_$t + 0.5) / (df_$t + 0.5)) * " +
+        s"(tf_$t * 2.2 / (tf_$t + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS contribution " +
+        "FROM perdoc2 CROSS JOIN stats2"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH topdocs AS ($inner),
+       |toks2 AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |perdoc2 AS (
+       |  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl,
+       |    $tfs
+       |  FROM toks2 GROUP BY doc_id),
+       |stats2 AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |    sum(dl) / count(*) AS avgdl,
+       |    $dfs
+       |  FROM perdoc2),
+       |breakdown AS (
+       |  $arms)
+       |SELECT b.doc_id, b.term, b.tf, b.df, b.contribution, t.score
+       |FROM breakdown b JOIN topdocs t ON b.doc_id = t.doc_id
+       |ORDER BY b.doc_id, b.term""".stripMargin
+  }
+
+  /** C3t — multi_match `cross_fields` (the third combiner: TERM-centric
+    * where most_fields/best_fields are field-centric — "first name in
+    * one field, last name in another" must score like both in one).
+    * Lucene implements it by BLENDING term statistics across the field
+    * group (BlendedTermQuery): each term takes ONE idf from the blended
+    * (max) document frequency over all fields, then its per-field
+    * tf-norms combine under that shared idf — so a term found in ANY
+    * field contributes comparable weight, instead of a rare-in-title
+    * term dominating via its private idf. Same single doc-keyed pass
+    * and one-row stats broadcast as C3n (the blend is one `greatest`
+    * in the projection); mergeable TopKAgg ranks.
+    */
+  def multiMatchCross(spark: SparkSession, dir: String,
+                      terms: Seq[String] = Seq("spark", "window", "merge"),
+                      titleLen: Int = 8, k: Int = 20): DataFrame = {
+    val fields = Seq(("title", 2.0), ("body", 1.0))
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        slice(col("ws"), 1, titleLen).as("f_title"),
+        expr(s"slice(ws, $titleLen + 1, greatest(size(ws) - $titleLen, 0))").as("f_body"))
+      .select(col("doc_id") +:
+        fields.flatMap { case (f, _) =>
+          size(col(s"f_$f")).cast("double").as(s"dl_$f") +:
+            terms.map(t =>
+              size(filter(col(s"f_$f"), w => w === t)).cast("double").as(s"tf_${f}_$t"))
+        }: _*)
+    val stats = perDoc.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      fields.flatMap { case (f, _) =>
+        (sum(col(s"dl_$f")) / count(lit(1))).as(s"avgdl_$f") +:
+          terms.map(t =>
+            sum(when(col(s"tf_${f}_$t") > 0, 1).otherwise(0)).cast("double").as(s"df_${f}_$t"))
+      }: _*)
+    val scoreExpr = terms.map { t =>
+      // blended statistics: ONE idf per term from the max df over the
+      // field group — the defining cross_fields device
+      val dfB = greatest(fields.map { case (f, _) => col(s"df_${f}_$t") }: _*)
+      val idf = log(lit(1.0) + (col("n_docs") - dfB + 0.5) / (dfB + 0.5))
+      val tfSum = fields.map { case (f, boost) =>
+        val tf = col(s"tf_${f}_$t")
+        lit(boost) * (tf * 2.2 /
+          (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col(s"dl_$f") / col(s"avgdl_$f"))))
+      }.reduce(_ + _)
+      idf * tfSum
+    }.reduce(_ + _)
+    val topk = graft.plans.TopKAgg.udafFor(k)
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("score", round(scoreExpr, 6))
+      .filter(col("score") > 0)
+      .agg(topk(col("doc_id"), col("score")).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col._2").as("doc_id"), col("col._1").as("score"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy(col("rank"))
+  }
+
+  val multiMatchCrossSql: String = {
+    val terms = Seq("spark", "window", "merge")
+    val fields = Seq(("title", "2.0"), ("body", "1.0"))
+    val tfs = fields.flatMap { case (f, _) =>
+      s"CAST(len(f_$f) AS DOUBLE) AS dl_$f" +:
+        terms.map(t =>
+          s"CAST(len(list_filter(f_$f, w -> w = '$t')) AS DOUBLE) AS tf_${f}_$t")
+    }.mkString(",\n    ")
+    val dfs = fields.flatMap { case (f, _) =>
+      s"sum(dl_$f) / count(*) AS avgdl_$f" +:
+        terms.map(t =>
+          s"CAST(sum(CASE WHEN tf_${f}_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_${f}_$t")
+    }.mkString(",\n    ")
+    val score = terms.map { t =>
+      val dfB = s"greatest(${fields.map { case (f, _) => s"df_${f}_$t" }.mkString(", ")})"
+      val tfSum = fields.map { case (f, boost) =>
+        s"$boost * (tf_${f}_$t * 2.2 / (tf_${f}_$t + 1.2 * (0.25 + 0.75 * dl_$f / avgdl_$f)))"
+      }.mkString(" + ")
+      s"ln(1.0 + (n_docs - $dfB + 0.5) / ($dfB + 0.5)) * ($tfSum)"
+    }.mkString(" + ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |fsplit AS (
+       |  SELECT doc_id, ws[1:8] AS f_title,
+       |    CASE WHEN len(ws) > 8 THEN ws[9:] ELSE [] END AS f_body
+       |  FROM docs),
+       |perdoc AS (
+       |  SELECT doc_id,
+       |    $tfs
+       |  FROM fsplit),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |    $dfs
+       |  FROM perdoc),
+       |scored AS (
+       |  SELECT doc_id, round($score, 6) AS score
+       |  FROM perdoc CROSS JOIN stats),
+       |ranked AS (
+       |  SELECT doc_id, score,
+       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |  FROM scored WHERE score > 0)
+       |SELECT doc_id, score, rank FROM ranked
+       |WHERE rank <= 20
+       |ORDER BY rank""".stripMargin
+  }
+
   /** C3o — dis_max / multi_match best_fields (the OTHER multi-field
     * combiner: most_fields SUMS per-field scores, best_fields takes the
     * BEST one — a doc matching one field well beats a doc matching all
@@ -1294,4 +1468,45 @@ object TextAnalysis {
       |  CAST(rank AS BIGINT) AS rank
       |FROM ranked WHERE rank <= 15
       |ORDER BY rank""".stripMargin
+
+  /** C64 — the `_analyze` API / index-time analysis chain (standard
+    * tokenizer → lowercase → English stop filter → `minimal_english`
+    * stemmer), applied as the corpus's term-dictionary view: analyzed
+    * term → document frequency + total frequency — what the index
+    * VOCABULARY looks like under a configured analyzer, the first
+    * thing a search engineer inspects when relevance misbehaves.
+    *
+    * Every chain step is a codegen'd higher-order array expression in
+    * the scan projection (functions/TextFns.analyzeTokens — no UDF);
+    * the one token-keyed aggregate after the explode is the only
+    * exchange at any corpus size. TextFnsSpec pins the stemmer's rule
+    * edges (plural stripped; -ss/-us/len<3 kept; stopwords dropped;
+    * case folded) on crafted vectors.
+    */
+  def analyzeTerms(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFns.analyzeTokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+      .orderBy(col("term"))
+
+  val analyzeTermsSql: String = {
+    val stop = graft.functions.TextFns.analyzerStopwords
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH analyzed AS (
+       |  SELECT doc_id,
+       |    list_transform(
+       |      list_filter(string_split_regex(lower(text), '\\s+'),
+       |                  t -> t <> '' AND t NOT IN ($stop)),
+       |      t -> CASE WHEN length(t) >= 3 AND t LIKE '%s'
+       |                  AND NOT (t LIKE '%ss' OR t LIKE '%us')
+       |                THEN substr(t, 1, length(t) - 1) ELSE t END) AS terms
+       |  FROM documents),
+       |toks AS (SELECT doc_id, unnest(terms) AS term FROM analyzed)
+       |SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
+       |FROM toks
+       |GROUP BY term
+       |ORDER BY term""".stripMargin
+  }
 }

@@ -187,6 +187,42 @@ object InvertedIndex {
       |    x -> len(list_filter(p2, y -> y > x AND y <= x + 3)))), 0) AS BIGINT) > 0
       |ORDER BY doc_id""".stripMargin
 
+  /** C50e — span_first (OpenSearch `span_first`: match only when the
+    * span lies within the first `end` positions of the field — "error
+    * mentioned in the opening words", the lead-paragraph query). One
+    * pruned posting read; the boundary test is a higher-order filter
+    * over the position list — no explode, no second read — and the
+    * reported first hit is the list's minimum, exact because the build
+    * stores positions sorted. Cost is identical to C50a's term probe
+    * at any corpus size.
+    */
+  def searchSpanFirst(spark: SparkSession, dir: String,
+                      term: String = "spark", end: Int = 5): DataFrame = {
+    val path = ensureIndex(spark, dir)
+    postings(spark, path, term)
+      .withColumn("n_lead", size(filter(col("positions"), p => p < end)).cast("long"))
+      .filter(col("n_lead") > 0)
+      .select(col("doc_id"), element_at(col("positions"), 1).cast("long").as("first_pos"),
+        col("n_lead"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Replica recomputes 0-based positions from the text (range is
+    * 1-based, so the -1 shift restores the engine's base).
+    */
+  val searchSpanFirstSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |pos AS (
+      |  SELECT doc_id,
+      |    list_transform(list_filter(range(1, len(ws) + 1), i -> ws[i] = 'spark'),
+      |                   i -> i - 1) AS p
+      |  FROM toks)
+      |SELECT doc_id, CAST(p[1] AS BIGINT) AS first_pos,
+      |  CAST(len(list_filter(p, x -> x < 5)) AS BIGINT) AS n_lead
+      |FROM pos
+      |WHERE len(list_filter(p, x -> x < 5)) > 0
+      |ORDER BY doc_id""".stripMargin
+
   /** C51 — completion/term suggester: top-k index terms for a query-bar
     * prefix, weighted by document frequency (what OpenSearch's term and
     * completion suggesters read from the terms dictionary).

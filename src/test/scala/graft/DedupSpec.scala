@@ -238,4 +238,64 @@ class DedupSpec extends AnyFunSuite {
       .select("keep", "n").as[(Long, Long)].collect().toMap
     assert(groups(1L) == 2L && groups(3L) == 1L)
   }
+
+  /** Write a planted documents table and return its dir. */
+  private def plantDocs(tag: String, rows: Seq[(Long, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
+    rows.map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("cross-corpus near-dup reports only pairs that straddle the reference boundary (E46)") {
+    def words(p: String) = (1 to 30).map(i => s"$p$i").mkString(" ")
+    def nearCopy(p: String) = (words(p) + " tailword")
+    val dir = plantDocs("cross", Seq(
+      (0L, words("w"), "src0"),            // reference
+      (1L, nearCopy("w"), "src9"),         // incoming near-copy -> reported
+      (2L, words("v"), "src8"),            // both outside -> not reported
+      (3L, nearCopy("v"), "src9"),
+      (4L, words("u"), "src1"),            // both inside -> not reported
+      (5L, nearCopy("u"), "src2")))
+    val got = Dedup.crossCorpusDedup(spark, dir)
+      .select("doc_id", "source", "ref_doc").as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "src9", 0L)),
+      s"only the boundary-straddling pair may be reported, got $got")
+  }
+
+  test("bloom paragraph dedup: no false negatives on a re-sent doc; FP rate bounded; deterministic (E45)") {
+    val refText = (1 to 40).map(i => s"ref$i").mkString(" ")
+    val fresh = (1 to 200).map(i => s"fresh${i * 7919 % 99991}n$i").mkString(" ")
+    val dir = plantDocs("bloom", Seq(
+      (0L, refText, "src0"),               // builds the filter
+      (1L, refText, "src9"),               // exact re-send: every window must hit
+      (2L, fresh, "src9")))                // fresh doc: only Bloom FPs may hit
+    val got = Dedup.bloomDedup(spark, dir)
+      .select("doc_id", "n_paras", "n_hits", "flagged")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    // Bloom contract: membership queries on inserted keys NEVER miss
+    assert(got(1L)._2 == got(1L)._3 && got(1L)._4,
+      s"re-sent doc must hit on every window: ${got(1L)}")
+    val fpRate = got(2L)._3.toDouble / got(2L)._2
+    assert(!got(2L)._4 && fpRate < 0.05,
+      s"fresh doc false-positive rate $fpRate exceeds bound")
+    val again = Dedup.bloomDedup(spark, dir)
+      .select("doc_id", "n_paras", "n_hits", "flagged")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(again == got, "bloom dedup must be deterministic")
+  }
+
+  test("leakage-free split: no dup cluster straddles train and val (E47)") {
+    val perCluster = Dedup.leakFreeSplit(spark, TestSpark.sf)
+      .groupBy(col("keep_id"))
+      .agg(countDistinct(col("split")).as("n_splits"), count(lit(1)).as("n"))
+    assert(perCluster.filter(col("n_splits") =!= 1).count() == 0,
+      "every cluster must land in exactly one split")
+    val splits = Dedup.leakFreeSplit(spark, TestSpark.sf)
+      .groupBy(col("split")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(splits.getOrElse("train", 0L) > 0 && splits.getOrElse("val", 0L) > 0,
+      s"both splits must be populated at the 20% cluster rate, got $splits")
+  }
 }

@@ -96,6 +96,38 @@ class PplSpec extends AnyFunSuite {
     assert(grouped == truth)
   }
 
+  test("eventstats joins window metrics to every row; rename and fillnull compose (C57b)") {
+    val ev = graft.sources.Tables.events(spark, TestSpark.sf)
+    val got = run("search source=events " +
+        "| eventstats count() as n, avg(value) as av, dc(user_id) as du by event_type " +
+        "| rename av as mean_v | fields event_id, event_type, n, mean_v, du " +
+        "| sort + event_id | head 10")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toSeq
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    val want = ev
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("mean_v", avg(col("value")).over(w))
+      .withColumn("du", size(collect_set(col("user_id")).over(w)).cast("long"))
+      .select(col("event_id"), col("event_type"), col("n"), col("mean_v"), col("du"))
+      .orderBy(col("event_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toSeq
+    assert(got == want)
+    // row count is preserved — eventstats never collapses
+    assert(run("search source=events | eventstats count() as n by event_type").count() == ev.count())
+  }
+
+  test("fillnull wires a coalesce: values unchanged where non-null, field becomes non-nullable") {
+    val out = run("search source=events | fillnull with 0 in value | fields event_id, value | sort + event_id | head 5")
+    assert(!out.schema("value").nullable, "fillnull must pin the field non-nullable")
+    val want = graft.sources.Tables.events(spark, TestSpark.sf)
+      .select(col("event_id"), col("value")).orderBy(col("event_id")).limit(5)
+      .as[(Long, Double)].collect().toSeq
+    assert(out.as[(Long, Double)].collect().toSeq == want)
+    assert(intercept[IllegalArgumentException] {
+      run("search source=events | fillnull value")
+    }.getMessage.contains("fillnull needs"))
+  }
+
   test("parse extracts named regex captures as columns") {
     val got = run(
       "search source=events | parse props 'k\": (?<kv>[0-9]+)' " +

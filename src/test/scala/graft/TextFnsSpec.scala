@@ -37,6 +37,17 @@ class TextFnsSpec extends AnyFunSuite {
     assert(sub == 0L, "substring tail 'xample.com' must NOT block (no dot boundary)")
   }
 
+  test("analyzer chain: lowercase, stop filter, minimal_english stemmer rule edges (C64)") {
+    val got = Seq("The Tables AND ponies pass US buses it glass bus is As")
+      .toDF("text")
+      .select(TextFns.analyzeTokens(col("text"))).as[Seq[String]].collect().head
+    // "the"/"and"/"it"/"is"/"as" are stopwords (case-folded first);
+    // tables->table, ponies->ponie, buses->buse (plural s stripped);
+    // pass/glass (-ss) and us/bus (-us, len<3) keep their s
+    assert(got == Seq("table", "ponie", "pass", "us", "buse", "glass", "bus"),
+      s"chain output mismatch: $got")
+  }
+
   test("langId picks the right profile on crafted sentences") {
     val df = Seq(
       ("the cat and the dog is in the house", "en"),
