@@ -479,6 +479,104 @@ object Similarity {
       scored.groupBy(col("q_id"), col("n_id")).agg(max(col("cos_sim")).as("cos_sim")))
   }
 
+  /** E49 — PCA over the embedding corpus (dimension reduction: the
+    * 64→k projection that shrinks a 100 TB embedding store before
+    * ANN/clustering — the classical half of what OPQ/PCA-rotation
+    * steps do in production vector indexes).
+    *
+    * Spark-first split: the DISTRIBUTED work is exactly one mergeable
+    * aggregate (plans/VecMomentsAgg — exact integer-nano second-moment
+    * sums, bit-deterministic under any partitioning); the driver then
+    * eigen-solves the 64×64 covariance by power iteration with
+    * deflation — O(d²·iters) scalar work on a plan-sized object, the
+    * same driver-bound contract as the IRLS solve (E36) and the
+    * union-find fast path (E5b). Returns (mean, basis rows, eigvals),
+    * basis signs canonicalized (largest-|w| component positive) so the
+    * fit is unique.
+    */
+  def pcaFit(spark: SparkSession, dir: String, k: Int = 4,
+             dim: Int = 64): (Array[Double], Array[Array[Double]], Array[Double]) = {
+    val mom = graft.plans.VecMomentsAgg.udafFor(dim)
+    val row = Tables.embeddings(spark, dir)
+      .agg(mom(col("embedding")).as("m"))
+      .select(col("m._1").as("n"), col("m._2").as("s"), col("m._3").as("c"))
+      .head()
+    val n = row.getLong(0).toDouble
+    val s = row.getSeq[Long](1).toArray
+    val cr = row.getSeq[Long](2).toArray
+    val mean = s.map(_ / 1e9 / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    var t = 0
+    for (i <- 0 until dim; j <- i until dim) {
+      val exy = cr(t) / 1e9 / n
+      val v = exy - mean(i) * mean(j)
+      cov(i)(j) = v; cov(j)(i) = v
+      t += 1
+    }
+    val basis = Array.ofDim[Double](k, dim)
+    val eigvals = new Array[Double](k)
+    for (comp <- 0 until k) {
+      var v = Array.fill(dim)(1.0 / math.sqrt(dim))
+      var it = 0
+      while (it < 200) {
+        val w = new Array[Double](dim)
+        for (i <- 0 until dim) {
+          var acc = 0.0
+          var j = 0
+          while (j < dim) { acc += cov(i)(j) * v(j); j += 1 }
+          w(i) = acc
+        }
+        // projected power iteration: re-orthogonalize against the
+        // already-extracted basis every step — deflation alone leaves
+        // ~1e-5 residual cross-talk when adjacent eigenvalues are
+        // close; the Gram-Schmidt pass pins orthogonality at machine
+        // precision regardless of the eigengap
+        for (p <- 0 until comp) {
+          var dot = 0.0
+          var j = 0
+          while (j < dim) { dot += w(j) * basis(p)(j); j += 1 }
+          j = 0
+          while (j < dim) { w(j) -= dot * basis(p)(j); j += 1 }
+        }
+        val nrm = math.sqrt(w.map(x => x * x).sum)
+        v = if (nrm > 0) w.map(_ / nrm) else w
+        it += 1
+      }
+      var lam = 0.0
+      for (i <- 0 until dim; j <- 0 until dim) lam += v(i) * cov(i)(j) * v(j)
+      // canonical sign: the largest-magnitude coordinate is positive
+      val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      if (v(pivot) < 0) v = v.map(-_)
+      basis(comp) = v
+      eigvals(comp) = lam
+      for (i <- 0 until dim; j <- 0 until dim) cov(i)(j) -= lam * v(i) * v(j)
+    }
+    (mean, basis, eigvals)
+  }
+
+  /** E49 entry — project every embedding onto the top-k principal
+    * components. The fit result rides into the plan as LITERAL weight
+    * arrays; each projected coordinate is the house zip_with/aggregate
+    * dot product (codegen'd, no UDF) minus the constant mean offset —
+    * a pure scan projection, zero shuffles beyond the fit's one
+    * aggregate. ☆ (PcaSpec: orthonormal basis, descending eigvals,
+    * projected variance ≈ eigval, deterministic fit).
+    */
+  def pcaProject(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    val (mean, basis, _) = pcaFit(spark, dir, k)
+    val cols = (0 until k).map { comp =>
+      val w = basis(comp)
+      val offset = (0 until mean.length).map(d => mean(d) * w(d)).sum
+      val dot = aggregate(
+        zip_with(col("embedding"), lit(w), (a, b) => a.cast("double") * b),
+        lit(0.0), (acc, x) => acc + x)
+      round(dot - lit(offset), 6).as(s"p${comp + 1}")
+    }
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id") +: cols: _*)
+      .orderBy(col("vec_id"))
+  }
+
   /** E48 — embedding pooling: mean-pool vectors per group (chunk → doc
     * pooling for RAG indexes, label prototypes for classification and
     * the centroid update of every clustering pass — the aggregation

@@ -593,6 +593,71 @@ object TextAnalysis {
        |ORDER BY rank""".stripMargin
   }
 
+  /** C3u — boosting query (OpenSearch `boosting`: rank by the positive
+    * query, DEMOTE — don't exclude — documents matching the negative
+    * query by `negative_boost`; the "prefer fresh docs but don't hide
+    * stale ones" relevance tool). Rides C3b's single doc-keyed pass:
+    * the negative term joins the same conditional-count aggregate, the
+    * demotion is one `when` multiplier in the same projection — zero
+    * extra exchanges — and the mergeable TopKAgg ranks.
+    */
+  def boostingSearch(spark: SparkSession, dir: String,
+                     terms: Seq[String] = Seq("spark", "window", "merge"),
+                     negTerm: String = "slow", negBoost: Double = 0.3,
+                     k: Int = 20): DataFrame = {
+    val scored = bm25Scored(spark, dir, terms :+ negTerm)
+    val posScore = terms.map { t =>
+      val tf = col(s"tf_$t"); val df = col(s"df_$t")
+      log(lit(1.0) + (col("n_docs") - df + 0.5) / (df + 0.5)) *
+        (tf * 2.2 / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+    }.reduce(_ + _)
+    val demoted = round(posScore *
+      when(col(s"tf_$negTerm") > 0, negBoost).otherwise(1.0), 6)
+    val topk = graft.plans.TopKAgg.udafFor(k)
+    scored.withColumn("bscore", demoted)
+      .filter(col("bscore") > 0)
+      .agg(topk(col("doc_id"), col("bscore")).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col._2").as("doc_id"), col("col._1").as("score"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy(col("rank"))
+  }
+
+  val boostingSearchSql: String = {
+    val terms = Seq("spark", "window", "merge")
+    val all = terms :+ "slow"
+    val tfs = all.map(t =>
+      s"CAST(sum(CASE WHEN token = '$t' THEN 1 ELSE 0 END) AS DOUBLE) AS tf_$t").mkString(",\n    ")
+    val dfs = terms.map(t =>
+      s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t").mkString(",\n    ")
+    val score = terms.map(t =>
+      s"ln(1.0 + (n_docs - df_$t + 0.5) / (df_$t + 0.5)) * " +
+        s"(tf_$t * 2.2 / (tf_$t + 1.2 * (0.25 + 0.75 * dl / avgdl)))")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl,
+       |    $tfs
+       |  FROM toks GROUP BY doc_id),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |    sum(dl) / count(*) AS avgdl,
+       |    $dfs
+       |  FROM perdoc),
+       |scored AS (
+       |  SELECT doc_id,
+       |    round(($score) * (CASE WHEN tf_slow > 0 THEN 0.3 ELSE 1.0 END), 6) AS score
+       |  FROM perdoc CROSS JOIN stats),
+       |ranked AS (
+       |  SELECT doc_id, score,
+       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |  FROM scored WHERE score > 0)
+       |SELECT doc_id, score, rank FROM ranked
+       |WHERE rank <= 20
+       |ORDER BY rank""".stripMargin
+  }
+
   /** C3s — the `_explain` API: WHY did this document get this score?
     * OpenSearch returns a per-term breakdown of the BM25 sum (idf ×
     * tf-norm per query term); this emits the same decomposition as

@@ -506,6 +506,78 @@ object LogStore {
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** A17 — index stats (the `_cat/indices` / `_stats` API: the ops
+    * dashboard's per-index doc count and store size). Two metadata
+    * sources, neither a data scan: file counts + byte sizes come from
+    * a directory listing (plan-sized — the store's partition dirs),
+    * and doc counts from parquet FOOTERS via a count() aggregate,
+    * which the datasource answers from row-group metadata without
+    * reading column data. Output one row per (log_date, source)
+    * "index" plus the metadata rollup a `_cat/indices` table shows.
+    */
+  def indexStats(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val hadoopPath = new org.apache.hadoop.fs.Path(root)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val perFile = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+    if (fs.exists(hadoopPath)) {
+      val it = fs.listFiles(hadoopPath, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val rel = f.getPath.toString.stripPrefix(hadoopPath.toString).stripPrefix("/")
+        val segs = rel.split('/').toSeq
+        val date = segs.collectFirst { case s if s.startsWith("log_date=") => s.stripPrefix("log_date=") }
+        val src = segs.collectFirst { case s if s.startsWith("source=") => s.stripPrefix("source=") }
+        if (date.isDefined && src.isDefined && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          perFile += ((date.get, src.get, f.getLen))
+      }
+    }
+    import spark.implicits._
+    val sizes = perFile.toSeq.toDF("log_date", "source", "bytes")
+      .groupBy(col("log_date"), col("source"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("store_bytes"))
+    val counts = spark.read.parquet(root)
+      .groupBy(col("log_date").cast("string").as("log_date"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    counts.join(sizes, Seq("log_date", "source"), "left")
+      .select(col("log_date"), col("source"), col("n_docs"),
+        coalesce(col("n_files"), lit(0L)).as("n_files"),
+        coalesce(col("store_bytes"), lit(0L)).as("store_bytes"))
+      .orderBy(col("log_date"), col("source"))
+  }
+
+  /** C65 — field capabilities (`_field_caps`: which fields exist with
+    * which types across the indexes a query targets — what Discover
+    * calls before rendering its field list, and the first API a
+    * cross-store query planner consults). Pure schema metadata over
+    * the resolved alias members: no data is read. A field present in
+    * only some members reports searchable-everywhere = false (the
+    * null-filled A13 semantics); a field whose members disagree on
+    * type lists every type (the conflict `_field_caps` surfaces).
+    */
+  def fieldCaps(spark: SparkSession, aliasFiles: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(aliasFiles.nonEmpty, "fieldCaps needs at least one alias")
+    val members = aliasFiles.map(f =>
+      spark.read.option("mergeSchema", "true").parquet(resolveAlias(spark, f)))
+    val rows = for {
+      (m, idx) <- members.zipWithIndex
+      field <- m.schema.fields
+    } yield (field.name, field.dataType.simpleString, idx.toLong)
+    import spark.implicits._
+    rows.toDF("field", "dtype", "member")
+      .groupBy(col("field"))
+      .agg(
+        array_sort(collect_set(col("dtype"))).as("types"),
+        countDistinct(col("member")).as("n_members"))
+      .withColumn("in_all_members", col("n_members") === lit(aliasFiles.size.toLong))
+      .withColumn("type_conflict", size(col("types")) > 1)
+      .select(col("field"), concat_ws(",", col("types")).as("types"),
+        col("n_members"), col("in_all_members"), col("type_conflict"))
+      .orderBy(col("field"))
+  }
+
   /** Retention: drop whole log_date partitions older than `beforeDate`
     * — the lifecycle half of the reference's daily index rotation
     * (README:30), where indexes age out after their retention window.

@@ -386,6 +386,48 @@ class LogStoreSpec extends AnyFunSuite {
       s"pruned=$pruned all=$all — a branch lost partition pruning")
   }
 
+  test("index stats: per-(log_date, source) doc counts, file counts and store bytes (A17)") {
+    val base = Files.createTempDirectory("graft-stats").toString
+    val rows = (1 to 6).map(i =>
+        (s"3.3.3.$i", java.sql.Timestamp.valueOf(s"2024-06-0${i % 2 + 1} 0$i:00:00"), 200L))
+      .toDF("ip", "ts", "status")
+      .withColumn("source", lit("ec2"))
+    LogStore.write(rows, s"$base/logs")
+    val stats = LogStore.indexStats(spark, s"$base/logs")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // two dates x one source; doc counts partition 6 rows 3/3
+    assert(stats.map(s => (s._1, s._2, s._3)).toSet ==
+      Set(("2024-06-01", "ec2", 3L), ("2024-06-02", "ec2", 3L)))
+    assert(stats.forall(s => s._4 > 0 && s._5 > 0), s"files/bytes must be positive: ${stats.toSeq}")
+    // byte totals agree with the filesystem's own du of the partition dirs
+    val fsBytes = java.nio.file.Files.walk(Paths.get(s"$base/logs")).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && !p.getFileName.toString.startsWith("_"))
+      .map(p => java.nio.file.Files.size(p)).sum
+    assert(stats.map(_._5).sum == fsBytes)
+  }
+
+  test("field caps: union of member schemas with per-field presence and type-conflict flags (C65)") {
+    val base = Files.createTempDirectory("graft-fcaps").toString
+    val a = Seq(("1.1.1.1", java.sql.Timestamp.valueOf("2024-04-01 01:00:00"), 200L))
+      .toDF("ip", "ts", "status").withColumn("source", lit("ec2"))
+    // store B grew `region` AND drifted `status` to a string type
+    val b = Seq(("2.2.2.2", java.sql.Timestamp.valueOf("2024-04-01 02:00:00"), "500", "eu"))
+      .toDF("ip", "ts", "status", "region").withColumn("source", lit("lambda"))
+    LogStore.write(a, s"$base/storeA")
+    LogStore.write(b, s"$base/storeB")
+    LogStore.setAlias(spark, s"$base/a.alias", s"$base/storeA")
+    LogStore.setAlias(spark, s"$base/b.alias", s"$base/storeB")
+    val caps = LogStore.fieldCaps(spark, Seq(s"$base/a.alias", s"$base/b.alias"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    assert(caps("ip") == (("string", 2L, true, false)))
+    assert(caps("region") == (("string", 1L, false, false)),
+      "a field present in one member must report in_all_members=false")
+    val st = caps("status")
+    assert(st._2 == 2L && st._4, s"drifted status must flag a type conflict: $st")
+    assert(st._1.split(',').toSet == Set("bigint", "string"))
+  }
+
   test("cross-store reindex: federated union lands in one new root, drifted schema null-filled, members untouched") {
     val base = Files.createTempDirectory("graft-xreindex").toString
     val a = (1 to 3).map(i =>
