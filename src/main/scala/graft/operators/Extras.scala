@@ -780,6 +780,54 @@ object Extras {
       |  AND value >= 100 AND value < 300 AND NOT user_id < 10
       |ORDER BY event_id""".stripMargin
 
+  /** C66 — `_msearch` (the multi-search API: applications batch many
+    * queries into one round trip). The Spark-first execution is the
+    * C2b/C49b device scaled to a query batch: every compiled DQL
+    * predicate becomes a PAIR of conditional aggregates in ONE scan
+    * pass — N queries cost one corpus read + one tiny aggregate row,
+    * not N jobs — and `stack` unpivots the row to the per-query
+    * response list. Metrics in exact integer cents.
+    */
+  val msearchQueries: Seq[(String, String)] = Seq(
+    ("errors_hi", "event_type:error AND value:>=100"),
+    ("purchase_band", "event_type:purchase AND value:[150 TO 400]"),
+    ("early_views", "(event_type:view OR event_type:click) AND user_id:<50"))
+
+  def msearch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val arms = msearchQueries.map { case (id, q) =>
+      (id, graft.functions.QueryString.compile(ev, q))
+    }
+    val aggs = arms.flatMap { case (id, p) => Seq(
+      sum(when(p, 1L).otherwise(0L)).as(s"n_$id"),
+      sum(when(p, round(col("value") * 100).cast("long")).otherwise(0L)).as(s"c_$id"))
+    }
+    val one = ev.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = arms.flatMap { case (id, _) =>
+      Seq(lit(id), col(s"n_$id"), col(s"c_$id"))
+    }
+    one.select(stack((lit(arms.size) +: stackArgs): _*)
+        .as(Seq("query_id", "n_hits", "value_cents")))
+      .orderBy(col("query_id"))
+  }
+
+  val msearchSql: String =
+    """WITH m AS (
+      |  SELECT
+      |    sum(CASE WHEN event_type = 'error' AND value >= 100 THEN 1 ELSE 0 END) AS n_errors_hi,
+      |    sum(CASE WHEN event_type = 'error' AND value >= 100 THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS c_errors_hi,
+      |    sum(CASE WHEN event_type = 'purchase' AND value >= 150 AND value <= 400 THEN 1 ELSE 0 END) AS n_purchase_band,
+      |    sum(CASE WHEN event_type = 'purchase' AND value >= 150 AND value <= 400 THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS c_purchase_band,
+      |    sum(CASE WHEN (event_type = 'view' OR event_type = 'click') AND user_id < 50 THEN 1 ELSE 0 END) AS n_early_views,
+      |    sum(CASE WHEN (event_type = 'view' OR event_type = 'click') AND user_id < 50 THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS c_early_views
+      |  FROM events)
+      |SELECT 'errors_hi' AS query_id, CAST(n_errors_hi AS BIGINT) AS n_hits, CAST(c_errors_hi AS BIGINT) AS value_cents FROM m
+      |UNION ALL
+      |SELECT 'purchase_band', CAST(n_purchase_band AS BIGINT), CAST(c_purchase_band AS BIGINT) FROM m
+      |UNION ALL
+      |SELECT 'early_views', CAST(n_early_views AS BIGINT), CAST(c_early_views AS BIGINT) FROM m
+      |ORDER BY query_id""".stripMargin
+
   /** C56c — query-time synonym expansion (the `synonym_graph` token
     * filter applied at search time — OpenSearch's recommended mode, so
     * the synonym table can change without reindexing). The DQL

@@ -259,6 +259,62 @@ object InvertedIndex {
       |ORDER BY df DESC, token
       |LIMIT 5""".stripMargin
 
+  /** C50f — leading-wildcard (suffix) search via a REVERSED-token
+    * index arm — Lucene/OpenSearch's `reverse` subfield trick: a
+    * `*dow` query cannot prune a token-sorted layout (the matching
+    * tokens scatter across the dictionary), so the engine indexes
+    * `reverse(token)` too and rewrites the leading wildcard into a
+    * PREFIX probe on the reversed field, which pushes as an ordinary
+    * `StringStartsWith` over reversed-token-sorted row groups. The
+    * reversed arm is its own memoized build (same `_SUCCESS` contract
+    * as the main index); probes read dictionary-range-sized data at
+    * any corpus size.
+    */
+  def ensureReverseIndex(spark: SparkSession, dir: String): String = {
+    val path = defaultPath(dir) + "-rev"
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      val parts = math.max(spark.sparkContext.defaultParallelism, nTokenBuckets)
+      Tables.atComputeParallelism(Tables.documents(spark, dir))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("token_rev", reverse(col("token")))
+        .withColumn("rb", tokenBucket(col("token_rev")))
+        .repartitionByRange(parts, col("rb"), col("token_rev"))
+        .sortWithinPartitions(col("rb"), col("token_rev"), col("doc_id"))
+        .write.mode("overwrite")
+        .option("parquet.block.size", defaultRowGroupBytes)
+        .partitionBy("rb").parquet(path)
+    }
+    path
+  }
+
+  /** C50f entry — `*<suffix>` search: per matching token, document
+    * frequency and total term frequency (the dictionary view a
+    * leading-wildcard query resolves to before fetching postings).
+    */
+  def searchSuffix(spark: SparkSession, dir: String,
+                   suffix: String = "dow"): DataFrame = {
+    val path = ensureReverseIndex(spark, dir)
+    spark.read.parquet(path)
+      .filter(col("token_rev").startsWith(suffix.reverse))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+      .orderBy(col("token"))
+  }
+
+  val searchSuffixSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, tok AS token, count(*) AS tf
+      |  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+      |  WHERE tok LIKE '%dow'
+      |  GROUP BY 1, 2)
+      |SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+      |FROM tf GROUP BY token
+      |ORDER BY token""".stripMargin
+
   /** C50d — match_phrase_prefix ("hash jo…": a phrase whose LAST term
     * is a prefix — the search-as-you-type query). First term = one
     * bucket-pruned posting read (C50a); prefix term = a pushed

@@ -171,6 +171,26 @@ object LogPipeline {
       .groupBy(window(col("ts"), "5 minutes"), col("source"), col("status"))
       .agg(count(lit(1)).as("n"), sum(col("bytes")).as("total_bytes"))
 
+  /** C49d — aggregation monitor (the OpenSearch Alerting plugin's
+    * bucket-level monitor: "alert when a window's error count crosses
+    * the trigger threshold" — the other half of percolate's per-
+    * document rules). Composes C10's watermarked window aggregate with
+    * the trigger as a post-aggregation filter: state is the windowed
+    * agg's (bounded by the watermark), the trigger itself is
+    * stateless, and each closed window emits at most one alert row
+    * per (source) — append-mode safe. severity derives from how far
+    * past the threshold the window landed.
+    */
+  def aggregationMonitor(parsed: DataFrame, threshold: Long = 3): DataFrame =
+    parsed
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("source"))
+      .agg(sum(when(col("status") >= 500, 1L).otherwise(0L)).as("n_errors"))
+      .filter(col("n_errors") >= threshold)
+      .select(col("window.start").as("window_start"), col("source"),
+        col("n_errors"),
+        when(col("n_errors") >= 2 * threshold, "critical").otherwise("warning").as("severity"))
+
   /** C12s — stream-stream interval join: correlate each error with the
     * deploy (or config-change) marker that preceded it within the
     * window. Both sides watermarked so state is bounded; the join

@@ -120,6 +120,23 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(viaIndex == direct && viaIndex.nonEmpty)
   }
 
+  test("suffix search pushes a reversed-token prefix and matches a direct scan (C50f)") {
+    val q = InvertedIndex.searchSuffix(spark, TestSpark.sf, suffix = "dow")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("StartsWith(token_rev,wod)"),
+      s"leading wildcard must probe the reversed arm as a pushed prefix:\n$plan")
+    val viaIndex = q.as[(String, Long, Long)].collect().toSeq
+    val direct = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").endsWith("dow"))
+      .groupBy(col("doc_id"), col("tok")).count()
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("count")).as("total_tf"))
+      .orderBy(col("tok"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(viaIndex == direct && viaIndex.nonEmpty)
+  }
+
   test("phrase suggester ranks real bigrams of candidate corrections (brute-force parity)") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)

@@ -244,6 +244,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.head.toSeq == Seq("ecs", 200L, 7L, 7 * 173L))
   }
 
+  test("aggregation monitor: a window crossing the trigger threshold emits one alert row (C49d)") {
+    val err =
+      """9.9.9.9 - - [29/Jul/2021:15:32:33 +0000] "GET /boom HTTP/1.1" 500 0 "-" "curl/7.68.0""""
+    val src = new MemoryLines(spark)
+    // 4 errors + 2 OK in one 5-minute window on ec2; 1 error on eks (under threshold)
+    src.add((1 to 4).map(_ => "ec2" -> err) ++ Seq("ec2" -> goodLine, "ec2" -> goodLine, "eks" -> err): _*)
+    val q = LogPipeline.aggregationMonitor(
+        LogPipeline.transformed(src.load(spark)).filter(col("valid")), threshold = 3)
+      .writeStream.format("memory").queryName("monitor")
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+    val alerts = spark.table("monitor")
+      .select("source", "n_errors", "severity").as[(String, Long, String)].collect().toSet
+    // ec2's window fired (4 >= 3, under 2x threshold -> warning); eks did not
+    assert(alerts == Set(("ec2", 4L, "warning")))
+  }
+
   test("stream-stream interval join correlates errors with preceding deploys") {
     implicit val sq = spark.sqlContext
     // base away from epoch 0: rows AT the initial watermark (epoch 0) are
