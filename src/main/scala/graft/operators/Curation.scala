@@ -972,4 +972,60 @@ object Curation {
       |        (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE) -
       |         CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
       |FROM totals CROSS JOIN reg""".stripMargin
+
+  /** E41 — dataset card (the per-source datasheet every corpus release
+    * ships: volume, token counts, length profile, language mix, and
+    * exact-duplication rate in one table — "Datasheets for Datasets"
+    * operationalized as a query). TWO passes joined on the
+    * source-cardinality key: a text-scan aggregate (docs, tokens,
+    * chars, languages — all exact integers collapsed map-side) and
+    * E27's content-hash pass for the dup columns; every ratio divides
+    * exact integers, so the card is bit-stable at any partitioning.
+    */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val text = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        graft.functions.TextFns.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+    val dups = graft.operators.Dedup.dedupStats(spark, dir)
+      .select(col("source"), col("n_removed"))
+    text.join(dups, "source")
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        (col("total_chars").cast("double") / col("n_docs")).as("mean_chars"),
+        col("n_langs"),
+        (col("n_en").cast("double") / col("n_docs")).as("en_share"),
+        col("n_removed").as("n_exact_dups"),
+        (col("n_removed").cast("double") / col("n_docs")).as("dup_rate"))
+      .orderBy(col("source"))
+  }
+
+  val datasetCardSql: String =
+    """WITH text AS (
+      |  SELECT source,
+      |    count(*) AS n_docs,
+      |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+      |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |    count(DISTINCT lang) AS n_langs,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+      |  FROM documents GROUP BY source),
+      |h AS (SELECT doc_id, source, md5(text) AS hh FROM documents),
+      |g AS (SELECT hh, min(doc_id) AS keeper FROM h GROUP BY hh),
+      |dups AS (
+      |  SELECT source,
+      |    CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups
+      |  FROM h JOIN g USING (hh) GROUP BY source)
+      |SELECT source, n_docs, total_tokens,
+      |  CAST(total_chars AS DOUBLE) / n_docs AS mean_chars,
+      |  n_langs,
+      |  CAST(n_en AS DOUBLE) / n_docs AS en_share,
+      |  n_exact_dups,
+      |  CAST(n_exact_dups AS DOUBLE) / n_docs AS dup_rate
+      |FROM text JOIN dups USING (source)
+      |ORDER BY source""".stripMargin
 }

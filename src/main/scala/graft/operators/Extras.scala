@@ -780,6 +780,47 @@ object Extras {
       |  AND value >= 100 AND value < 300 AND NOT user_id < 10
       |ORDER BY event_id""".stripMargin
 
+  /** C67 — rolling-window distinct users (the WAU tile: distinct
+    * actives over the TRAILING 7 days per day — C45j's cumulative
+    * cardinality answers "to date", this answers "last week", and a
+    * sliding distinct has no per-bucket decomposition an engine can
+    * exploit directly). Spark-first shape: collapse events to DISTINCT
+    * (user, day) pairs first (one map-side-combined aggregate — the
+    * only event-sized exchange), then each pair map-side EXPANDS to
+    * the ≤7 window-end days it serves and one distinct count per day
+    * closes it. The ×7 expansion happens on the user×day collapsed
+    * set, orders of magnitude below raw events — the honest exact form
+    * at 100 TB (the approximate form would merge per-day HLL sketches
+    * under F6's rewrite instead).
+    */
+  def rollingDistinct(spark: SparkSession, dir: String, windowDays: Int = 7): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(to_date(date_trunc("day", col("ts"))).as("day"), col("user_id"))
+      .distinct()
+    val maxDay = ud.agg(max(col("day")).as("max_day"))
+    ud.select(col("user_id"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("k"), col("day"))
+      .select(date_add(col("day"), col("k")).as("day"), col("user_id"))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("day") <= col("max_day"))
+      .groupBy(col("day").cast("timestamp").as("day"))
+      .agg(countDistinct(col("user_id")).as("users_7d"))
+      .orderBy(col("day"))
+  }
+
+  val rollingDistinctSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events),
+      |mx AS (SELECT max(day) AS max_day FROM ud),
+      |exp AS (
+      |  SELECT ud.day + CAST(k AS INTEGER) AS day, ud.user_id
+      |  FROM ud, range(7) t(k), mx
+      |  WHERE ud.day + CAST(k AS INTEGER) <= mx.max_day)
+      |SELECT CAST(day AS TIMESTAMP) AS day, count(DISTINCT user_id) AS users_7d
+      |FROM exp
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin
+
   /** C66 — `_msearch` (the multi-search API: applications batch many
     * queries into one round trip). The Spark-first execution is the
     * C2b/C49b device scaled to a query batch: every compiled DQL

@@ -343,4 +343,39 @@ object LogPipeline {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionizeFn)
   }
+
+  // ---- E13s: streaming token-budget gate -----------------------------
+
+  case class BudgetDoc(lang: String, doc_id: Long, n_tokens: Long)
+  case class BudgetOut(lang: String, doc_id: Long, accepted: Boolean, running_total: Long)
+
+  /** E13s — the STREAMING face of E13b's token-budget mixture: a
+    * continuously-ingesting pipeline admits documents per language
+    * until that language's token budget fills, then rejects the rest —
+    * the decision must be made at ingest time, so it is per-key STATE
+    * (one running total per language), not a batch cumsum. Greedy in
+    * doc_id order within each micro-batch for determinism; a doc is
+    * admitted while the running total is under budget (E13b's fill
+    * rule) and the admitted doc's tokens extend the total. State is
+    * O(1) per language — bounded at any stream length.
+    */
+  def tokenBudgetFn(budget: Long)(lang: String, docs: Iterator[BudgetDoc],
+                                  state: GroupState[Long]): Iterator[BudgetOut] = {
+    var total = state.getOption.getOrElse(0L)
+    val out = docs.toSeq.sortBy(_.doc_id).map { d =>
+      val accept = total < budget
+      if (accept) total += d.n_tokens
+      BudgetOut(lang, d.doc_id, accept, total)
+    }
+    state.update(total)
+    out.iterator
+  }
+
+  def tokenBudgetStream(spark: SparkSession, docs: Dataset[BudgetDoc],
+                        budget: Long): Dataset[BudgetOut] = {
+    import spark.implicits._
+    docs
+      .groupByKey(_.lang)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(tokenBudgetFn(budget))
+  }
 }

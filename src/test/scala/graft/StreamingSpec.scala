@@ -348,6 +348,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == Set((1L, 2L), (1L, 4L), (2L, 4L)), s"batch $batch")
   }
 
+  test("streaming token-budget gate: admits per-language until the budget fills, state persists across batches (E13s)") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[LogPipeline.BudgetDoc]
+    val q = LogPipeline.tokenBudgetStream(spark, ms.toDS(), budget = 100L).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("budget")
+      .start()
+    // batch 1: en fills 40+50=90 (< 100, both admitted); fr takes 30
+    ms.addData(
+      LogPipeline.BudgetDoc("en", 1L, 40L), LogPipeline.BudgetDoc("en", 2L, 50L),
+      LogPipeline.BudgetDoc("fr", 3L, 30L))
+    q.processAllAvailable()
+    // batch 2: en doc 4 still admitted (90 < 100 when it arrives) and
+    // crosses to 150; en doc 5 rejected; fr stays open
+    ms.addData(
+      LogPipeline.BudgetDoc("en", 4L, 60L), LogPipeline.BudgetDoc("en", 5L, 10L),
+      LogPipeline.BudgetDoc("fr", 6L, 20L))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT doc_id, accepted, running_total FROM budget")
+      .as[(Long, Boolean, Long)].collect().toSet
+    q.stop()
+    assert(rows == Set(
+      (1L, true, 40L), (2L, true, 90L), (3L, true, 30L),
+      (4L, true, 150L), (5L, false, 150L), (6L, true, 50L)))
+  }
+
   test("stateful sessionization emits gap-closed sessions and keeps the open one in state") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[LogPipeline.Ev]
