@@ -973,6 +973,54 @@ object Curation {
       |         CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
       |FROM totals CROSS JOIN reg""".stripMargin
 
+  /** E42 — tokenizer vocabulary-coverage curve: how many vocabulary
+    * entries cover 50/90/99% of all token occurrences (the
+    * vocab-sizing question every tokenizer design starts from; the
+    * long tail past k99 is what byte-fallback exists for). One
+    * token-keyed aggregate builds the frequency table; the cumulative
+    * share ranks only the VOCABULARY (E35's contract); each threshold
+    * is decided by exact integer cross-multiplication (cum·100 ≥
+    * total·pct), so no float CDF comparison can flake at a boundary.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c").desc, col("token"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = freq
+      .withColumn("rank", row_number().over(Window.orderBy(col("c").desc, col("token"))).cast("long"))
+      .withColumn("cum", sum(col("c")).over(w))
+    val tot = ranked.agg(max(col("cum")).as("total"), count(lit(1)).as("vocab_size"))
+    ranked.crossJoin(broadcast(tot))
+      .groupBy(col("total"), col("vocab_size"))
+      .agg(
+        min(when(col("cum") * 100 >= col("total") * 50, col("rank"))).as("k50"),
+        min(when(col("cum") * 100 >= col("total") * 90, col("rank"))).as("k90"),
+        min(when(col("cum") * 100 >= col("total") * 99, col("rank"))).as("k99"))
+      .select(col("vocab_size"), col("total").as("total_tokens"),
+        col("k50"), col("k90"), col("k99"))
+  }
+
+  val vocabCoverageSql: String =
+    """WITH freq AS (
+      |  SELECT tok AS token, count(*) AS c
+      |  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+      |  GROUP BY 1),
+      |ranked AS (
+      |  SELECT token, c,
+      |    CAST(row_number() OVER (ORDER BY c DESC, token) AS BIGINT) AS rank,
+      |    CAST(sum(c) OVER (ORDER BY c DESC, token ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM freq),
+      |tot AS (SELECT max(cum) AS total, count(*) AS vocab_size FROM ranked)
+      |SELECT vocab_size, total AS total_tokens,
+      |  min(CASE WHEN cum * 100 >= total * 50 THEN rank END) AS k50,
+      |  min(CASE WHEN cum * 100 >= total * 90 THEN rank END) AS k90,
+      |  min(CASE WHEN cum * 100 >= total * 99 THEN rank END) AS k99
+      |FROM ranked CROSS JOIN tot
+      |GROUP BY vocab_size, total""".stripMargin
+
   /** E41 — dataset card (the per-source datasheet every corpus release
     * ships: volume, token counts, length profile, language mix, and
     * exact-duplication rate in one table — "Datasheets for Datasets"

@@ -90,6 +90,71 @@ object Geo {
        |ORDER BY geohash""".stripMargin
   }
 
+  /** C46f — hexagonal grid aggregation (the `geohex_grid` dashboard
+    * semantics: hex cells tile the map without the rectangular grid's
+    * aspect distortion, so densities compare across cells). OpenSearch
+    * binds this to Uber H3; re-implementing H3's icosahedral projection
+    * is out of scope, so this is the DETERMINISTIC hex stand-in with
+    * the same dashboard contract: pointy-top axial hexes over the
+    * web-mercator plane (the C46 projection), cell key = cube-rounded
+    * (q, r). All pure column arithmetic — mercator transcendentals,
+    * then the standard cube-round (round each axis, re-derive the one
+    * with the largest rounding error so q+r+s=0 holds). Float device:
+    * axial coords round to 9 decimals BEFORE cube-round (the C46
+    * boundary rule — beyond libm divergence), and the √3/3 literal is
+    * Scala-computed and embedded identically in both engines. One
+    * codegen'd projection + one map-side-combined aggregate.
+    */
+  private val sqrt3over3 = String.format(java.util.Locale.ROOT, "%.17g",
+    Double.box(math.sqrt(3.0) / 3.0)).trim
+  private val hexWorld = 1024.0 // mercator plane size in world units
+  private val hexSize = 8.0     // hex cell size in world units
+
+  def geohexGrid(spark: SparkSession, dir: String): DataFrame = {
+    val mx = (lonCol + 180.0) / 360.0 * hexWorld
+    val latR = radians(latCol)
+    val my = (lit(1.0) - log(tan(latR) + lit(1.0) / cos(latR)) / math.Pi) / 2.0 * hexWorld
+    val qf = round((expr(sqrt3over3) * mx - my / 3.0) / hexSize, 9)
+    val rf = round((my * 2.0 / 3.0) / hexSize, 9)
+    val yf = -qf - rf
+    val (rx, ry, rz) = (round(qf, 0), round(yf, 0), round(rf, 0))
+    val (dx, dy, dz) = (abs(rx - qf), abs(ry - yf), abs(rz - rf))
+    val fixQ = dx > dy && dx > dz
+    val qk = when(fixQ, -ry - rz).otherwise(rx).cast("long")
+    val rk = when(!fixQ && !(dy > dz), -rx - ry).otherwise(rz).cast("long")
+    Tables.events(spark, dir)
+      .select(concat(qk.cast("string"), lit(","), rk.cast("string")).as("hex"))
+      .groupBy(col("hex"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("hex"))
+  }
+
+  val geohexGridSql: String =
+    s"""WITH m AS (
+       |  SELECT (($lonSql) + 180.0) / 360.0 * $hexWorld AS mx,
+       |         (1.0 - ln(tan(radians($latSql)) + 1.0 / cos(radians($latSql))) / pi()) / 2.0 * $hexWorld AS my
+       |  FROM events),
+       |ax AS (
+       |  SELECT round(($sqrt3over3 * mx - my / 3.0) / $hexSize, 9) AS qf,
+       |         round((my * 2.0 / 3.0) / $hexSize, 9) AS rf
+       |  FROM m),
+       |cube AS (
+       |  SELECT qf, rf, -qf - rf AS yf,
+       |         round(qf, 0) AS rx, round(-qf - rf, 0) AS ry, round(rf, 0) AS rz
+       |  FROM ax),
+       |fixed AS (
+       |  SELECT
+       |    CAST(CASE WHEN abs(rx - qf) > abs(ry - yf) AND abs(rx - qf) > abs(rz - rf)
+       |              THEN -ry - rz ELSE rx END AS BIGINT) AS qk,
+       |    CAST(CASE WHEN NOT (abs(rx - qf) > abs(ry - yf) AND abs(rx - qf) > abs(rz - rf))
+       |               AND NOT (abs(ry - yf) > abs(rz - rf))
+       |              THEN -rx - ry ELSE rz END AS BIGINT) AS rk
+       |  FROM cube)
+       |SELECT concat(CAST(qk AS VARCHAR), ',', CAST(rk AS VARCHAR)) AS hex, count(*) AS n
+       |FROM fixed
+       |GROUP BY 1
+       |ORDER BY hex""".stripMargin
+
   /** C46c — geo_line agg (OpenSearch `geo_line`: the sorted track of a
     * group's points — fleet paths in dashboards). Points sort by a
     * fixed-width timestamp+rowid key inside `sort_array` (total order,
