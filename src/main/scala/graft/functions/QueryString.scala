@@ -208,6 +208,47 @@ object QueryString {
       case Leaf(f, b) => clause(schema, defaults, runtime, synonyms, f, b)
     }
 
+  /** C56d — `simple_query_string` (the forgiving end-user grammar that
+    * never throws: `+must -mustnot "a phrase" optional` — Lucene's
+    * simple syntax with default_operator=OR). Semantics compiled here:
+    * every `+` clause must match, no `-` clause may match, and if any
+    * un-prefixed (should) clauses exist at least one must match —
+    * exactly the BooleanQuery Lucene builds for it. Clauses are
+    * substring tests over the default fields (the analyzed-text
+    * behavior); a quoted clause carries its spaces. Parse once on the
+    * driver; the emitted predicate is ordinary pushable/codegen'd
+    * Column logic like C56's.
+    */
+  def compileSimple(df: DataFrame, query: String,
+                    defaultFields: Seq[String]): Column = {
+    require(defaultFields.nonEmpty, "simple_query_string needs default fields")
+    // lex: quoted runs keep spaces; +/- prefixes survive outside quotes
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val sb = new StringBuilder
+    var inQ = false
+    (query + " ").foreach { ch =>
+      if (ch == '"') { inQ = !inQ; sb.append(ch) }
+      else if (ch.isWhitespace && !inQ) {
+        if (sb.nonEmpty) { out += sb.toString; sb.clear() }
+      } else sb.append(ch)
+    }
+    require(!inQ, s"unterminated quote in simple query: $query")
+    def termOf(w: String): String = {
+      val body = w.stripPrefix("+").stripPrefix("-")
+      body.stripPrefix("\"").stripSuffix("\"")
+    }
+    def test(t: String): Column =
+      defaultFields.map(f => col(f).contains(t)).reduce(_ || _)
+    val (musts, rest) = out.toList.partition(_.startsWith("+"))
+    val (nots, shoulds) = rest.partition(_.startsWith("-"))
+    val clauses =
+      musts.map(w => test(termOf(w))) ++
+        nots.map(w => !test(termOf(w))) ++
+        (if (shoulds.nonEmpty) Seq(shoulds.map(w => test(termOf(w))).reduce(_ || _)) else Nil)
+    require(clauses.nonEmpty, s"empty simple query: $query")
+    clauses.reduce(_ && _)
+  }
+
   /** Compile a query string into a predicate over `df`'s schema.
     * `runtimeFields` are OpenSearch runtime mappings: name → (declared
     * type, derived expression), usable in any clause position.

@@ -780,6 +780,30 @@ object Extras {
       |  AND value >= 100 AND value < 300 AND NOT user_id < 10
       |ORDER BY event_id""".stripMargin
 
+  /** C56d — simple_query_string search (the forgiving grammar:
+    * `+must -mustnot "a phrase" optional...` — what applications
+    * expose to end users because it never throws). Compiled by
+    * functions/QueryString.compileSimple into the same pushable
+    * Column predicate class as C56: +spark must match, slow must
+    * not, and at least one of {"hash join", stream} must.
+    */
+  val simpleQueryDemo = "+spark -slow \"hash join\" stream"
+
+  def simpleQuerySearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.filter(graft.functions.QueryString.compileSimple(
+        docs, simpleQueryDemo, defaultFields = Seq("text")))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val simpleQuerySearchSql: String =
+    """SELECT doc_id, source FROM documents
+      |WHERE contains(text, 'spark')
+      |  AND NOT contains(text, 'slow')
+      |  AND (contains(text, 'hash join') OR contains(text, 'stream'))
+      |ORDER BY doc_id""".stripMargin
+
   /** C67 — rolling-window distinct users (the WAU tile: distinct
     * actives over the TRAILING 7 days per day — C45j's cumulative
     * cardinality answers "to date", this answers "last week", and a

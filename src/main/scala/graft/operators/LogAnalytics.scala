@@ -685,6 +685,42 @@ object LogAnalytics {
     * (bounded cardinality × depth-k heaps); diversification first
     * collapses to one best row per (bucket, user) then re-ranks.
     */
+  /** C2q — random_sampler aggregation (OpenSearch 2.x: aggregate over
+    * a probabilistic subset and scale the results back by 1/p — the
+    * "make this dashboard render on 100 TB" knob). The sample draw is
+    * the house seeded md5 16-bit bucket (deterministic — rand() would
+    * break re-runs AND the oracle), applied in the SCAN as a pushable-
+    * shape filter, so the aggregate touches p of the data; counts and
+    * exact-cents sums scale by the integer 1/p — estimates stay exact
+    * integers, bit-stable cross-engine.
+    */
+  def randomSamplerAgg(spark: SparkSession, dir: String, invP: Int = 8): DataFrame = {
+    val u16 = expr(Curation.bucket16ExprOf("concat('rs', CAST(event_id AS STRING))"))
+    Tables.events(spark, dir)
+      .filter(u16 < lit(65536 / invP))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(round(col("value") * 100).cast("long")).as("cents_sampled"))
+      .select(col("event_type"), col("n_sampled"),
+        (col("n_sampled") * invP).as("n_est"),
+        (col("cents_sampled") * invP).as("cents_est"))
+      .orderBy(col("event_type"))
+  }
+
+  val randomSamplerAggSql: String = {
+    val u16 = SqlPatch(
+      Curation.bucket16ExprOf("concat('rs', CAST(event_id AS VARCHAR))"),
+      "instr", "strpos")
+    s"""SELECT event_type,
+       |  count(*) AS n_sampled,
+       |  CAST(count(*) * 8 AS BIGINT) AS n_est,
+       |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) * 8 AS BIGINT) AS cents_est
+       |FROM events
+       |WHERE $u16 < 8192
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+  }
+
   def samplerAgg(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val h = md5(concat(lit("smp"), col("event_id").cast("string")))
     val base = Tables.events(spark, dir)

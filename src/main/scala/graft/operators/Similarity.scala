@@ -606,6 +606,61 @@ object Similarity {
         (col("s").cast("double") / col("n") / 1e6).as("pooled"), col("n"))
       .orderBy(col("label"), col("dim"))
 
+  /** E50 — embedding drift audit: L2 distance between each group's
+    * centroid and the corpus centroid (the embedding-space counterpart
+    * of E29's PSI — "which label/source sits far from the corpus
+    * mean", the first screen for batch effects in a merged embedding
+    * store). All means derive from E48's exact integer-micro sums;
+    * per-dimension differences re-quantize to integer micros before
+    * the square-sum, so the 64-term reduction is an exact BIGINT at
+    * any partitioning and the single sqrt is one correctly-rounded
+    * IEEE op — bit-identical cross-engine.
+    */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val perDim = Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(floor(col("v").cast("double") * 1e6).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+    val global = perDim.groupBy(col("dim"))
+      .agg(sum(col("s")).as("gs"), sum(col("n")).as("gn"))
+    perDim.join(global, "dim")
+      .withColumn("di",
+        floor((col("s").cast("double") / col("n") -
+          col("gs").cast("double") / col("gn"))).cast("long"))
+      .groupBy(col("label"))
+      .agg(sum(col("di") * col("di")).as("ss"), max(col("n")).as("n_vecs"))
+      .select(col("label"),
+        round(sqrt(col("ss").cast("double")) / 1e6, 6).as("drift_l2"),
+        col("n_vecs"))
+      .orderBy(col("label"))
+  }
+
+  val embeddingDriftSql: String =
+    """WITH e AS (
+      |  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+      |         unnest(CAST(embedding AS DOUBLE[])) AS v
+      |  FROM embeddings),
+      |perdim AS (
+      |  SELECT label, dim,
+      |    CAST(sum(CAST(floor(v * 1e6) AS BIGINT)) AS BIGINT) AS s,
+      |    count(*) AS n
+      |  FROM e GROUP BY label, dim),
+      |gstats AS (
+      |  SELECT dim, CAST(sum(s) AS BIGINT) AS gs, CAST(sum(n) AS BIGINT) AS gn
+      |  FROM perdim GROUP BY dim),
+      |diffs AS (
+      |  SELECT label,
+      |    CAST(floor(CAST(s AS DOUBLE) / n - CAST(gs AS DOUBLE) / gn) AS BIGINT) AS di,
+      |    n
+      |  FROM perdim JOIN gstats USING (dim))
+      |SELECT label,
+      |  round(sqrt(CAST(sum(di * di) AS DOUBLE)) / 1e6, 6) AS drift_l2,
+      |  CAST(max(n) AS BIGINT) AS n_vecs
+      |FROM diffs
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
+
   val embeddingPoolSql: String =
     """WITH e AS (
       |  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,

@@ -20,6 +20,23 @@ class QueryStringSpec extends AnyFunSuite {
   private def ids(q: String, defaults: Seq[String] = Nil): Set[Long] =
     df.filter(QueryString.compile(df, q, defaults)).select("id").as[Long].collect().toSet
 
+  test("simple_query_string: must/must_not/should semantics and quoted phrases (C56d)") {
+    def sids(q: String): Set[Long] =
+      df.filter(QueryString.compileSimple(df, q, Seq("note"))).select("id").as[Long].collect().toSet
+    // shoulds alone: at least one must match
+    assert(sids("banner sale") == Set(1L, 2L))
+    // a must narrows; at least one should still required when present
+    assert(sids("+a banner ab") == Set(2L, 5L))
+    // must_not excludes from the should-satisfied set
+    assert(sids("+a -banner ab") == Set(5L))
+    assert(sids("+sale -big").isEmpty)
+    // quoted phrase carries its space
+    assert(sids("\"big sale\"") == Set(1L))
+    assert(intercept[IllegalArgumentException] {
+      QueryString.compileSimple(df, "\"unterminated", Seq("note"))
+    }.getMessage.contains("unterminated"))
+  }
+
   test("term, numeric and wildcard clauses") {
     assert(ids("etype:purchase") == Set(1L, 4L))
     assert(ids("value:250") == Set(3L, 4L))
