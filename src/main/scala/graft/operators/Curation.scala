@@ -973,6 +973,73 @@ object Curation {
       |         CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
       |FROM totals CROSS JOIN reg""".stripMargin
 
+  /** E52 — quality-score calibration (does the cheap continuous score
+    * agree with the rule battery? — the check run before swapping a
+    * rule AND for a thresholded score in a mixture): corpus deciled by
+    * the E9 composite score, per-decile pass rate of the E14 Gopher
+    * keep bit. A well-calibrated score shows the keep rate rising
+    * monotonically with the decile.
+    *
+    * No global sort: decile cuts come from ONE exact-percentile
+    * broadcast row (C16c's device), each row's decile is an array
+    * fold counting cuts below; cuts round to 9 decimals so a 1-ulp
+    * interpolation divergence cannot flip a document at a boundary.
+    * Rates divide exact integers.
+    */
+  def qualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nWords = size(toks).cast("double")
+    val meanWordLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nWords
+    val symbolRatio =
+      length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("double") /
+        length(col("text"))
+    val stopRatio = graft.functions.TextFns.stopwordRatio(col("text"))
+    val keep = (nWords >= 5 && nWords <= 1000 &&
+      meanWordLen >= 2 && meanWordLen <= 12 &&
+      symbolRatio <= 0.1 && stopRatio > 0).cast("long")
+    val scored = Tables.documents(spark, dir)
+      .select(graft.functions.TextFns.qualityScore(col("text")).as("score"),
+        keep.as("keep"))
+    val cuts = scored.agg(
+      expr("percentile(score, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("cuts"))
+      .select(transform(col("cuts"), c => round(c, 9)).as("cuts"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("decile",
+        (size(filter(col("cuts"), c => col("score") > c)) + 1).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_keep"))
+      .withColumn("keep_rate", col("n_keep").cast("double") / col("n_docs"))
+      .orderBy(col("decile"))
+  }
+
+  val qualityCalibrationSql: String =
+    """WITH t AS (
+      |  SELECT string_split(text, ' ') AS w, text FROM documents),
+      |scored AS (
+      |  SELECT
+      |    ln(CAST(len(w) AS DOUBLE) + 1)
+      |      * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
+      |      * (1.0 - CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(w)) AS score,
+      |    CAST(len(w) >= 5 AND len(w) <= 1000
+      |      AND CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w) >= 2
+      |      AND CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w) <= 12
+      |      AND CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) <= 0.1
+      |      AND CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(w) > 0
+      |      AS BIGINT) AS keep
+      |  FROM t),
+      |cuts AS (
+      |  SELECT list_transform(
+      |    quantile_cont(score, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+      |    c -> round(c, 9)) AS cuts
+      |  FROM scored)
+      |SELECT CAST(len(list_filter(cuts, c -> score > c)) + 1 AS BIGINT) AS decile,
+      |  count(*) AS n_docs,
+      |  CAST(sum(keep) AS BIGINT) AS n_keep,
+      |  CAST(sum(keep) AS DOUBLE) / count(*) AS keep_rate
+      |FROM scored CROSS JOIN cuts
+      |GROUP BY 1
+      |ORDER BY decile""".stripMargin
+
   /** E42 — tokenizer vocabulary-coverage curve: how many vocabulary
     * entries cover 50/90/99% of all token occurrences (the
     * vocab-sizing question every tokenizer design starts from; the

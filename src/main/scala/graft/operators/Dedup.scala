@@ -1086,6 +1086,64 @@ object Dedup {
       |       <> (db.source IN ('src0','src1','src2','src3','src4')))
       |ORDER BY doc_id, ref_doc""".stripMargin)
 
+  // ---- E51: near-dup threshold sweep ---------------------------------
+
+  /** E51 — dedup threshold sweep: duplication volume as a function of
+    * the Jaccard cut (the curve a pipeline owner reads before PICKING
+    * τ — too low merges topical articles, too high misses mirrors).
+    * Pairs are mined ONCE at the 0.5 floor over E2's LSH candidate set
+    * (banding recall at the low τ end is the 16×4 scheme's — identical
+    * in both engines by construction, since the oracle replicates the
+    * banding bit-for-bit); the sweep itself is conditional aggregates:
+    * per-τ pair counts in one pass over the pair list, per-τ dup-doc
+    * counts from each doc's BEST pair similarity (one unpivoted max
+    * aggregate) — no re-mining per τ.
+    */
+  val sweepTaus: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir, threshold = 0.5)
+    val pairCounts = pairs.agg(
+      sum(when(col("jaccard") >= sweepTaus.head, 1L).otherwise(0L)).as(s"p_0"),
+      sweepTaus.tail.zipWithIndex.map { case (t, i) =>
+        sum(when(col("jaccard") >= t, 1L).otherwise(0L)).as(s"p_${i + 1}") }: _*)
+    val docBest = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("d"), col("jaccard"))
+      .groupBy(col("d")).agg(max(col("jaccard")).as("jmax"))
+    val docCounts = docBest.agg(
+      sum(when(col("jmax") >= sweepTaus.head, 1L).otherwise(0L)).as(s"d_0"),
+      sweepTaus.tail.zipWithIndex.map { case (t, i) =>
+        sum(when(col("jmax") >= t, 1L).otherwise(0L)).as(s"d_${i + 1}") }: _*)
+    val stackArgs = sweepTaus.zipWithIndex.flatMap { case (t, i) =>
+      Seq(lit(f"$t%.1f"), coalesce(col(s"p_$i"), lit(0L)), coalesce(col(s"d_$i"), lit(0L)))
+    }
+    pairCounts.crossJoin(docCounts)
+      .select(stack((lit(sweepTaus.size) +: stackArgs): _*)
+        .as(Seq("tau", "n_pairs", "n_dup_docs")))
+      .orderBy(col("tau"))
+  }
+
+  lazy val dedupThresholdSweepSql: String = {
+    val arms = sweepTaus.map { t =>
+      val l = f"$t%.1f"
+      s"""SELECT '$l' AS tau,
+         |  (SELECT CAST(coalesce(sum(CASE WHEN jaccard >= $l THEN 1 ELSE 0 END), 0) AS BIGINT) FROM scored) AS n_pairs,
+         |  (SELECT CAST(coalesce(sum(CASE WHEN jmax >= $l THEN 1 ELSE 0 END), 0) AS BIGINT) FROM docbest) AS n_dup_docs""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    SqlPatch(minhashPairsSql,
+      """SELECT doc_a, doc_b, jaccard FROM scored
+        |WHERE jaccard >= 0.7
+        |ORDER BY doc_a, doc_b""".stripMargin,
+      s""", docbest AS (
+         |  SELECT d, max(jaccard) AS jmax FROM (
+         |    SELECT doc_a AS d, jaccard FROM scored WHERE jaccard >= 0.5
+         |    UNION ALL
+         |    SELECT doc_b AS d, jaccard FROM scored WHERE jaccard >= 0.5)
+         |  GROUP BY d)
+         |$arms
+         |ORDER BY tau""".stripMargin)
+  }
+
   // ---- E47: leakage-free train/val split -----------------------------
 
   /** E47 — leakage-free train/validation split: the split draw happens

@@ -187,6 +187,43 @@ object InvertedIndex {
       |    x -> len(list_filter(p2, y -> y > x AND y <= x + 3)))), 0) AS BIGINT) > 0
       |ORDER BY doc_id""".stripMargin
 
+  /** C50g — span_near with `in_order: false` (the intervals query's
+    * unordered mode: the two terms within `slop` positions in EITHER
+    * order — "error near timeout", whichever came first). Same two
+    * pruned posting reads + doc_id join as C50c; the fold counts
+    * |x−y| ≤ slop with x≠y instead of the ordered window.
+    */
+  def searchNearUnordered(spark: SparkSession, dir: String,
+                          t1: String = "hash", t2: String = "join",
+                          slop: Int = 3): DataFrame = {
+    val path = ensureIndex(spark, dir)
+    val p1 = postings(spark, path, t1).select(col("doc_id"), col("positions").as("p1"))
+    val p2 = postings(spark, path, t2).select(col("doc_id"), col("positions").as("p2"))
+    p1.join(p2, "doc_id")
+      .withColumn("n_span",
+        aggregate(col("p1"), lit(0),
+          (acc, x) => acc + size(filter(col("p2"), y => y =!= x && abs(y - x) <= slop)))
+          .cast("long"))
+      .filter(col("n_span") > 0)
+      .select(col("doc_id"), col("n_span"))
+      .orderBy(col("doc_id"))
+  }
+
+  val searchNearUnorderedSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |pos AS (
+      |  SELECT doc_id,
+      |    list_filter(range(1, len(ws) + 1), i -> ws[i] = 'hash') AS p1,
+      |    list_filter(range(1, len(ws) + 1), i -> ws[i] = 'join') AS p2
+      |  FROM toks)
+      |SELECT doc_id,
+      |  CAST(coalesce(list_sum(list_transform(p1,
+      |    x -> len(list_filter(p2, y -> y <> x AND abs(y - x) <= 3)))), 0) AS BIGINT) AS n_span
+      |FROM pos
+      |WHERE CAST(coalesce(list_sum(list_transform(p1,
+      |    x -> len(list_filter(p2, y -> y <> x AND abs(y - x) <= 3)))), 0) AS BIGINT) > 0
+      |ORDER BY doc_id""".stripMargin
+
   /** C50e — span_first (OpenSearch `span_first`: match only when the
     * span lies within the first `end` positions of the field — "error
     * mentioned in the opening words", the lead-paragraph query). One

@@ -506,6 +506,34 @@ object LogStore {
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** A20 — index templates / mappings enforcement (OpenSearch index
+    * templates pin a mapping so writers can't silently drift the
+    * schema; dynamic mapping OFF is the production posture). A write
+    * through the template is checked at PLAN time (driver-side schema
+    * comparison — no data is read to decide): every template field
+    * must be present with the exact type, and fields outside the
+    * template are refused unless `allowEvolution` (the A7 opt-in —
+    * evolved fields then surface as nulls on old data via mergeSchema,
+    * exactly dynamic-mapping-on semantics).
+    */
+  def writeWithTemplate(parsed: DataFrame, root: String,
+                        template: StructType,
+                        allowEvolution: Boolean = false): Unit = {
+    val got = parsed.schema
+    val errs = template.fields.toSeq.flatMap { f =>
+      got.fields.find(_.name == f.name) match {
+        case None => Some(s"missing mapped field '${f.name}'")
+        case Some(g) if g.dataType != f.dataType =>
+          Some(s"type drift on '${f.name}': ${g.dataType.simpleString} vs mapped ${f.dataType.simpleString}")
+        case _ => None
+      }
+    } ++ (if (allowEvolution) Nil
+          else got.fieldNames.toSeq.filterNot(template.fieldNames.contains)
+            .map(n => s"unmapped field '$n' (dynamic mapping is off)"))
+    require(errs.isEmpty, s"template violation: ${errs.mkString("; ")}")
+    write(parsed, root)
+  }
+
   /** A17 — index stats (the `_cat/indices` / `_stats` API: the ops
     * dashboard's per-index doc count and store size). Two metadata
     * sources, neither a data scan: file counts + byte sizes come from

@@ -386,6 +386,40 @@ class LogStoreSpec extends AnyFunSuite {
       s"pruned=$pruned all=$all — a branch lost partition pruning")
   }
 
+  test("index template enforcement: conforming write lands, drift/unmapped/missing refused, evolution opt-in (A20)") {
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("graft-tmpl").toString
+    val template = StructType(Seq(
+      StructField("ip", StringType), StructField("ts", TimestampType),
+      StructField("status", LongType), StructField("source", StringType)))
+    val t0 = java.sql.Timestamp.valueOf("2024-07-01 01:00:00")
+    val ok = Seq(("9.9.9.9", t0, 200L)).toDF("ip", "ts", "status")
+      .withColumn("source", lit("ec2"))
+    LogStore.writeWithTemplate(ok, s"$base/logs", template)
+    assert(spark.read.parquet(s"$base/logs").count() == 1)
+    // type drift refused
+    val drift = Seq(("9.9.9.9", t0, "200")).toDF("ip", "ts", "status")
+      .withColumn("source", lit("ec2"))
+    assert(intercept[IllegalArgumentException] {
+      LogStore.writeWithTemplate(drift, s"$base/logs", template)
+    }.getMessage.contains("type drift on 'status'"))
+    // unmapped field refused with dynamic mapping off, accepted with evolution
+    val extra = ok.withColumn("region", lit("eu"))
+    assert(intercept[IllegalArgumentException] {
+      LogStore.writeWithTemplate(extra, s"$base/logs", template)
+    }.getMessage.contains("unmapped field 'region'"))
+    LogStore.writeWithTemplate(extra, s"$base/logs", template, allowEvolution = true)
+    // old rows surface the evolved column as null (A7 semantics)
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$base/logs")
+    assert(merged.count() == 2 && merged.filter(col("region").isNull).count() == 1)
+    // missing mapped field refused
+    val missing = Seq(("1.1.1.1", java.sql.Timestamp.valueOf("2024-07-01 02:00:00")))
+      .toDF("ip", "ts").withColumn("source", lit("ec2"))
+    assert(intercept[IllegalArgumentException] {
+      LogStore.writeWithTemplate(missing, s"$base/logs", template)
+    }.getMessage.contains("missing mapped field 'status'"))
+  }
+
   test("index stats: per-(log_date, source) doc counts, file counts and store bytes (A17)") {
     val base = Files.createTempDirectory("graft-stats").toString
     val rows = (1 to 6).map(i =>
