@@ -1086,6 +1086,58 @@ object Dedup {
       |       <> (db.source IN ('src0','src1','src2','src3','src4')))
       |ORDER BY doc_id, ref_doc""".stripMargin)
 
+  // ---- E54: boilerplate n-gram lexicon -------------------------------
+
+  /** E54 — boilerplate lexicon mining: the top repeated passages across
+    * documents, with their document and SOURCE spread (a passage
+    * repeating across many sources is navigation/licence boilerplate;
+    * within one source it may be legitimate style) — the lexicon E20's
+    * removal pass would consume as a blocklist, mined the way Lee et
+    * al.'s most-duplicated-span tables are built.
+    *
+    * Scale shape: the E20 window cut in the scan, then the group key
+    * is the md5 HASH (a 10-word string key would shuffle ~10× the
+    * bytes); the display text rides as a min() aggregate. The top-10
+    * cut is orderBy+limit = TakeOrderedAndProject — bounded heap over
+    * the passage vocabulary, no global sort.
+    */
+  def boilerplateNgrams(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val P = passageWords
+    val ws = split(col("text"), " ")
+    val passages = transform(
+      sequence(lit(0), floor((size(ws) - 1) / P).cast("int")),
+      i => array_join(slice(ws, i * P + lit(1), lit(P)), " "))
+    Tables.atComputeParallelism(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), explode(passages).as("para"))
+      .select(col("doc_id"), col("source"), md5(col("para")).as("h"), col("para"))
+      .groupBy(col("h"))
+      .agg(min(col("para")).as("passage"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .select(col("passage"), col("n_docs"), col("n_sources"), col("n_occ"))
+      .orderBy(col("n_docs").desc, col("passage"))
+      .limit(k)
+  }
+
+  val boilerplateNgramsSql: String =
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      |paras AS (
+      |  SELECT doc_id, source,
+      |    array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS para
+      |  FROM w, unnest(range(0, CAST(floor((len(ws) - 1) / 10) AS BIGINT) + 1)) AS t(i)),
+      |g AS (
+      |  SELECT md5(para) AS h, min(para) AS passage,
+      |    count(DISTINCT doc_id) AS n_docs,
+      |    count(DISTINCT source) AS n_sources,
+      |    count(*) AS n_occ
+      |  FROM paras GROUP BY 1)
+      |SELECT passage, n_docs, n_sources, n_occ
+      |FROM g WHERE n_docs >= 2
+      |ORDER BY n_docs DESC, passage
+      |LIMIT 10""".stripMargin
+
   // ---- E51: near-dup threshold sweep ---------------------------------
 
   /** E51 — dedup threshold sweep: duplication volume as a function of

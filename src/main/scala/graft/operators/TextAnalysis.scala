@@ -1152,6 +1152,52 @@ object TextAnalysis {
        |ORDER BY rrf DESC, doc_id
        |LIMIT 10""".stripMargin
 
+  /** C3l2 — hybrid search with the `normalization-processor` (the
+    * OpenSearch 2.x search-pipeline combiner that RRF exists to avoid
+    * needing: min-max normalize each retriever's scores onto [0,1],
+    * then weighted-arithmetic-mean combine — the default technique of
+    * the hybrid query's score-based mode). Both score lists are
+    * BOUNDED (≤20 rows), so the min-max stats are one-row broadcasts
+    * and fusion is list-sized; a missing side contributes 0 after
+    * normalization (the processor's rule). Scores were round(6)-pinned
+    * upstream and the normalization is two exact picks + one division
+    * — identical doubles cross-engine.
+    */
+  lazy val searchHybridNorm: (SparkSession, String) => DataFrame = (spark, dir) => {
+    val lex = searchRanked(spark, dir).select(col("doc_id"), col("score").as("s_lex"))
+    val sem = moreLikeThis(spark, dir).select(col("doc_id"), col("score").as("s_mlt"))
+    val lstat = lex.agg(min(col("s_lex")).as("lmin"), max(col("s_lex")).as("lmax"))
+    val sstat = sem.agg(min(col("s_mlt")).as("smin"), max(col("s_mlt")).as("smax"))
+    def mm(s: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column,
+           hi: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      coalesce(when(hi > lo, (s - lo) / (hi - lo)).otherwise(lit(1.0)), lit(0.0))
+    lex.join(sem, Seq("doc_id"), "full")
+      .crossJoin(broadcast(lstat)).crossJoin(broadcast(sstat))
+      .withColumn("n_lex", round(mm(col("s_lex"), col("lmin"), col("lmax")), 6))
+      .withColumn("n_mlt", round(mm(col("s_mlt"), col("smin"), col("smax")), 6))
+      .withColumn("hybrid", round(col("n_lex") * 0.5 + col("n_mlt") * 0.5, 6))
+      .orderBy(col("hybrid").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), col("n_lex"), col("n_mlt"), col("hybrid"))
+  }
+
+  lazy val searchHybridNormSql: String =
+    s"""WITH lex AS (SELECT doc_id, score AS s_lex FROM ($searchRankedSql)),
+       |sem AS (SELECT doc_id, score AS s_mlt FROM ($moreLikeThisSql)),
+       |lstat AS (SELECT min(s_lex) AS lmin, max(s_lex) AS lmax FROM lex),
+       |sstat AS (SELECT min(s_mlt) AS smin, max(s_mlt) AS smax FROM sem),
+       |fused AS (
+       |  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+       |    round(coalesce(CASE WHEN lmax > lmin THEN (s_lex - lmin) / (lmax - lmin) ELSE 1.0 END, 0.0), 6) AS n_lex,
+       |    round(coalesce(CASE WHEN smax > smin THEN (s_mlt - smin) / (smax - smin) ELSE 1.0 END, 0.0), 6) AS n_mlt
+       |  FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
+       |  CROSS JOIN lstat CROSS JOIN sstat)
+       |SELECT doc_id, n_lex, n_mlt,
+       |  round(n_lex * 0.5 + n_mlt * 0.5, 6) AS hybrid
+       |FROM fused
+       |ORDER BY hybrid DESC, doc_id
+       |LIMIT 10""".stripMargin
+
   /** C3c — fuzzy term search (OpenSearch `fuzzy` / Discover's query-bar
     * fuzziness): docs containing any token within `maxDist` edits of the
     * query term, with the best distance and match count per doc.

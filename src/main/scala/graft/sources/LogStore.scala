@@ -506,6 +506,39 @@ object LogStore {
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** A18 — store health (the `_cluster/health`-style green/yellow/red
+    * verdict for a partitioned store): green = every partition dir has
+    * data files and the root has a `_SUCCESS` commit marker; yellow =
+    * committed but some partition is EMPTY (a writer produced a dir
+    * and died) or the marker is missing (a bare-append store —
+    * readable, but no commit evidence); red = no data at all. Driver
+    * metadata walk only — health must not cost a scan.
+    */
+  def storeHealth(spark: SparkSession, root: String): (String, Seq[String]) = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(root)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hadoopPath)) return ("red", Seq("store root missing"))
+    def dataFiles(p: org.apache.hadoop.fs.Path): Int = {
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) {
+        val f = it.next()
+        if (!f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")) n += 1
+      }
+      n
+    }
+    val parts = fs.listStatus(hadoopPath).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("log_date="))
+    val empty = parts.filter(dataFiles(_) == 0).map(_.getName)
+    val issues = empty.map(p => s"empty partition $p") ++
+      (if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS")))
+        Seq("no _SUCCESS commit marker") else Nil)
+    val total = dataFiles(hadoopPath)
+    if (total == 0) ("red", Seq("no data files"))
+    else if (issues.nonEmpty) ("yellow", issues)
+    else ("green", Nil)
+  }
+
   /** A20 — index templates / mappings enforcement (OpenSearch index
     * templates pin a mapping so writers can't silently drift the
     * schema; dynamic mapping OFF is the production posture). A write

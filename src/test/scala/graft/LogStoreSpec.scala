@@ -386,6 +386,19 @@ class LogStoreSpec extends AnyFunSuite {
       s"pruned=$pruned all=$all — a branch lost partition pruning")
   }
 
+  test("store health: green on a committed store, yellow on empty partition or missing marker, red when bare (A18)") {
+    val base = Files.createTempDirectory("graft-health").toString
+    assert(LogStore.storeHealth(spark, s"$base/none")._1 == "red")
+    val rows = Seq(("1.1.1.1", java.sql.Timestamp.valueOf("2024-08-01 01:00:00"), 200L))
+      .toDF("ip", "ts", "status").withColumn("source", lit("ec2"))
+    LogStore.write(rows, s"$base/logs")
+    assert(LogStore.storeHealth(spark, s"$base/logs")._1 == "green")
+    // a writer that died after mkdir leaves an empty partition -> yellow
+    Files.createDirectories(Paths.get(s"$base/logs/log_date=2024-08-02/source=ec2"))
+    val (status, issues) = LogStore.storeHealth(spark, s"$base/logs")
+    assert(status == "yellow" && issues.exists(_.contains("log_date=2024-08-02")))
+  }
+
   test("index template enforcement: conforming write lands, drift/unmapped/missing refused, evolution opt-in (A20)") {
     import org.apache.spark.sql.types._
     val base = Files.createTempDirectory("graft-tmpl").toString
