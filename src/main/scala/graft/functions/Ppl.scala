@@ -220,7 +220,33 @@ object Ppl {
             aggColumn(m.group(1), Option(m.group(2)), Option(m.group(3)))).toSeq
           require(aggs.nonEmpty, s"stats: no aggregations in: $arg")
           df = if (parts.length == 2) {
-            val by = parts(1).split(',').map(s => col(s.trim)).toIndexedSeq
+            // `span(col, 1d|Nh|Nm)` in the by-list is PPL's
+            // date_histogram: compiles to date_trunc/window-floor in
+            // the same grouping projection — one map-side-combined
+            // aggregate, exactly what the hand query gets
+            val spanRe = "(?i)^span\\s*\\(\\s*([a-zA-Z_][a-zA-Z0-9_]*)\\s*,\\s*1([dhm])\\s*\\)$".r
+            // top-level comma split: span(ts, 1d) carries its own comma
+            val byParts = {
+              val out = scala.collection.mutable.ListBuffer.empty[String]
+              val sb = new StringBuilder
+              var depth = 0
+              parts(1).foreach { c =>
+                if (c == '(') { depth += 1; sb.append(c) }
+                else if (c == ')') { depth -= 1; sb.append(c) }
+                else if (c == ',' && depth == 0) { out += sb.toString; sb.clear() }
+                else sb.append(c)
+              }
+              out += sb.toString
+              out.toSeq
+            }
+            val by = byParts.map(_.trim).map {
+              case spanRe(f, unit) =>
+                val u = unit.toLowerCase match {
+                  case "d" => "day"; case "h" => "hour"; case "m" => "minute"
+                }
+                date_trunc(u, col(f)).as(s"span_$f")
+              case s => col(s)
+            }.toIndexedSeq
             df.groupBy(by: _*).agg(aggs.head, aggs.tail: _*)
           } else df.agg(aggs.head, aggs.tail: _*)
         case "sort" =>

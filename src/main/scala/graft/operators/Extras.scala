@@ -845,6 +845,29 @@ object Extras {
       |GROUP BY 1
       |ORDER BY day""".stripMargin
 
+  /** C67 scale path — the same WAU tile with HLL distinct counts (the
+    * 100 TB form the exact row's design note promises): per-(window
+    * day) approx_count_distinct replaces the exact distinct, so the
+    * final aggregate is a mergeable sketch instead of a distinct
+    * expand. ☆ — ApproxSpec pins the per-day error against the exact
+    * tile.
+    */
+  def rollingDistinctApprox(spark: SparkSession, dir: String,
+                            windowDays: Int = 7, rsd: Double = 0.02): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(to_date(date_trunc("day", col("ts"))).as("day"), col("user_id"))
+      .distinct()
+    val maxDay = ud.agg(max(col("day")).as("max_day"))
+    ud.select(col("user_id"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("k"), col("day"))
+      .select(date_add(col("day"), col("k")).as("day"), col("user_id"))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("day") <= col("max_day"))
+      .groupBy(col("day").cast("timestamp").as("day"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("users_7d"))
+      .orderBy(col("day"))
+  }
+
   /** C66 — `_msearch` (the multi-search API: applications batch many
     * queries into one round trip). The Spark-first execution is the
     * C2b/C49b device scaled to a query batch: every compiled DQL
@@ -1038,6 +1061,26 @@ object Extras {
       |SELECT event_id, event_type, value, peak, type_n
       |FROM w WHERE value = peak
       |ORDER BY event_id""".stripMargin
+
+  /** C57c (fourth entry) — `span()` time bucketing in `stats by`: the
+    * PPL date_histogram ("errors per day by type"), the single most
+    * common Observability pipe. Compiles to date_trunc in the grouping
+    * projection + one map-side-combined aggregate — the identical plan
+    * C1's hand-written date_histogram gets.
+    */
+  val pplSpanDemo: String =
+    "search source=events | stats count() as n, dc(user_id) as nu by span(ts, 1d), event_type " +
+      "| sort + span_ts, + event_type"
+
+  def pplSpan(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Ppl.run(spark, dir, pplSpanDemo)
+
+  val pplSpanSql: String =
+    """SELECT date_trunc('day', ts) AS span_ts, event_type,
+      |  count(*) AS n, count(DISTINCT user_id) AS nu
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY span_ts, event_type""".stripMargin
 
   val pplTopSearchSql: String =
     """WITH p AS (

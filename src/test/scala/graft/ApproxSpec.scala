@@ -24,6 +24,18 @@ class ApproxSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL rolling-window distinct within 5% of the exact WAU tile per day (C67 scale path)") {
+    val exact = graft.operators.Extras.rollingDistinct(spark, TestSpark.sf)
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val approx = graft.operators.Extras.rollingDistinctApprox(spark, TestSpark.sf)
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (d, e) =>
+      val a = approx(d)
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"$d: exact=$e approx=$a")
+    }
+  }
+
   test("approx_percentile within 5% of exact per group") {
     val exact = LogAnalytics.percentiles(spark, TestSpark.sf)
       .select("event_type", "p50", "p90").as[(String, Double, Double)].collect()

@@ -96,6 +96,18 @@ class PplSpec extends AnyFunSuite {
     assert(grouped == truth)
   }
 
+  test("span() time bucketing in stats-by matches the hand-written date_histogram (C57c)") {
+    val got = run("search source=events | stats count() as n by span(ts, 1d) | sort + span_ts")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+    val want = graft.sources.Tables.events(spark, TestSpark.sf)
+      .groupBy(date_trunc("day", col("ts")).as("span_ts"))
+      .agg(count(lit(1)).as("n")).orderBy(col("span_ts"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+    assert(got == want && got.nonEmpty)
+    // hourly unit parses too and produces >= as many buckets
+    assert(run("search source=events | stats count() as n by span(ts, 1h)").count() >= got.size)
+  }
+
   test("eventstats joins window metrics to every row; rename and fillnull compose (C57b)") {
     val ev = graft.sources.Tables.events(spark, TestSpark.sf)
     val got = run("search source=events " +
