@@ -160,6 +160,24 @@ class EntrySpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("doc_id")).forall(win))
   }
 
+  test("q_msearch runs the whole query batch in ONE scan pass (C66 contract)") {
+    val plan = graft.operators.Extras.msearch(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"N queries must not mean N scans, got $scans in:\n$plan")
+  }
+
+  test("q_random_sampler's seeded draw filters BEFORE the aggregate (C2q contract)") {
+    val plan = graft.operators.LogAnalytics.randomSamplerAgg(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    // the filter node sits below the partial aggregate: the sketch of
+    // the plan is Scan -> Filter(md5 bucket) -> HashAggregate
+    val fi = plan.indexOf("Filter")
+    val ag = plan.lastIndexOf("HashAggregate")
+    assert(fi >= 0 && ag >= 0 && fi > ag,
+      s"sample filter must evaluate below (after in text order) the aggregate:\n$plan")
+  }
+
   test("q_ip_enrich is a bucketed hash join, not a nested-loop range join") {
     val plan = graft.operators.Network.ipEnrich(spark, TestSpark.sf)
       .queryExecution.executedPlan.toString
