@@ -1040,6 +1040,110 @@ object Curation {
       |GROUP BY 1
       |ORDER BY decile""".stripMargin
 
+  /** E55 — curriculum training order (curriculum learning: present
+    * high-quality documents first, shuffled WITHIN each quality tier —
+    * the export order a quality-staged pretraining run consumes;
+    * Bengio et al. 2009's schedule applied with E52's deciles as the
+    * difficulty proxy). Tier from the one-row exact-percentile cuts
+    * (no global sort to bin), position from the distributed
+    * range-partitioned rank (E25's rankedByRange — a 100 TB global
+    * order is a range-partitioned sort, never one task), ordered
+    * best-decile-first with the seeded md5 draw breaking up
+    * within-tier correlations.
+    */
+  def curriculumOrder(spark: SparkSession, dir: String,
+                      seed: String = "cur42"): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.functions.TextFns.qualityScore(col("text")).as("score"))
+    val cuts = scored.agg(
+      expr("percentile(score, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("cuts"))
+      .select(transform(col("cuts"), c => round(c, 9)).as("cuts"))
+    // Global position via the E13b/E13d two-pass bucket-offset cumsum,
+    // NOT the id-stamping rankedByRange: the stamping relies on
+    // exchange reuse between its two branches, which the broadcast-cuts
+    // cross join upstream defeated here (positions grew gaps at
+    // sf0.1). This form is deterministic on BOTH branches regardless
+    // of reuse: within-(tier, md5-prefix-bucket) ranks come from a
+    // partition-parallel window, offsets from a cumsum over the
+    // bounded (10 × 256)-row count table broadcast back.
+    val tiered = scored.crossJoin(broadcast(cuts))
+      .withColumn("decile",
+        (size(filter(col("cuts"), c => col("score") > c)) + 1).cast("long"))
+      .withColumn("neg_dec", -col("decile"))
+      .withColumn("h", md5(concat(lit(seed + "-"), col("doc_id").cast("string"))))
+      .withColumn("bkt", substring(col("h"), 1, 2))
+      .select(col("doc_id"), col("decile"), col("neg_dec"), col("h"), col("bkt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("neg_dec"), col("bkt")).orderBy(col("h"), col("doc_id"))
+    val offW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("neg_dec"), col("bkt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = tiered.groupBy(col("neg_dec"), col("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(offW), lit(0L)))
+      .select(col("neg_dec"), col("bkt"), col("off"))
+    tiered
+      .withColumn("lr", row_number().over(w).cast("long"))
+      .join(broadcast(offsets), Seq("neg_dec", "bkt"))
+      .select(col("doc_id"), col("decile"), (col("off") + col("lr")).as("pos"))
+      .orderBy(col("pos"))
+  }
+
+  val curriculumOrderSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |scored AS (
+      |  SELECT doc_id,
+      |    ln(CAST(len(w) AS DOUBLE) + 1)
+      |      * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
+      |      * (1.0 - CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(w)) AS score
+      |  FROM t),
+      |cuts AS (
+      |  SELECT list_transform(
+      |    quantile_cont(score, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+      |    c -> round(c, 9)) AS cuts
+      |  FROM scored),
+      |tiered AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(cuts, c -> score > c)) + 1 AS BIGINT) AS decile,
+      |    md5(concat('cur42-', CAST(doc_id AS VARCHAR))) AS h
+      |  FROM scored CROSS JOIN cuts)
+      |SELECT doc_id, decile,
+      |  CAST(row_number() OVER (ORDER BY decile DESC, h, doc_id) AS BIGINT) AS pos
+      |FROM tiered
+      |ORDER BY pos""".stripMargin
+
+  /** E56 — tokenizer fertility table (chars per token by language —
+    * the table every multilingual-tokenizer paper reports: a language
+    * with low chars/token burns budget faster; the per-language
+    * complement of E10's per-doc counts, at the approximation tier the
+    * oracle can replicate — whitespace and the regex BPE-ish split;
+    * the REAL BPE/byte-BPE fertility columns live on E10b/E10d's ☆
+    * entries). One scan, exact integer sums, two divisions.
+    */
+  def fertilityTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), length(col("text")).cast("long").as("n_chars_t"),
+        graft.functions.TextFns.wsTokenCount(col("text")).cast("long").as("ws"),
+        graft.functions.TextFns.bpeTokenCount(col("text")).cast("long").as("bp"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars_t")).as("chars"),
+        sum(col("ws")).as("ws_tokens"), sum(col("bp")).as("bpe_tokens"))
+      .select(col("lang"), col("n_docs"),
+        (col("chars").cast("double") / col("ws_tokens")).as("chars_per_ws_token"),
+        (col("chars").cast("double") / col("bpe_tokens")).as("chars_per_bpe_token"))
+      .orderBy(col("lang"))
+
+  val fertilityTableSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(length(text)) AS DOUBLE)
+      |    / sum(len(string_split_regex(trim(text), '\s+'))) AS chars_per_ws_token,
+      |  CAST(sum(length(text)) AS DOUBLE)
+      |    / sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS chars_per_bpe_token
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   /** E42 — tokenizer vocabulary-coverage curve: how many vocabulary
     * entries cover 50/90/99% of all token occurrences (the
     * vocab-sizing question every tokenizer design starts from; the

@@ -649,6 +649,58 @@ object PipelineAggs {
        |ORDER BY day""".stripMargin
   }
 
+  /** C45s — autocorrelation of the bucket series (ACF at lags 1..7:
+    * the seasonality DIAGNOSTIC behind the forecasting family — a
+    * spike at lag 7 is what justifies holt_winters' weekly period, and
+    * the anomaly-detection plugin's seasonal decomposition asks the
+    * same question). Exactness device: with N days and S = Σy, the
+    * centered terms scale to a_t = N·y_t − S — exact BIGINTs — and
+    * r_k = Σ a_t·a_{t−k} / Σ a_t² (the N² factors cancel), so each
+    * lag is one exact-integer division. Lag products come from
+    * windows over the bounded day series; raw data contributes ONE
+    * map-side-combined aggregate.
+    */
+  def autocorrelation(spark: SparkSession, dir: String, maxLag: Int = 7): DataFrame = {
+    val w = Window.orderBy(col("day"))
+    val b = dailyBuckets(spark, dir).select(col("day"), col("n"))
+    val tot = b.agg(count(lit(1)).as("nd"), sum(col("n")).as("s"))
+    val centered = b.crossJoin(broadcast(tot))
+      .withColumn("a", col("nd") * col("n") - col("s"))
+    val lagged = (1 to maxLag).foldLeft(centered) { (df, k) =>
+      df.withColumn(s"p_$k", col("a") * lag(col("a"), k).over(w))
+    }
+    val sums = lagged.agg(
+      sum(col("a") * col("a")).as("den"),
+      (1 to maxLag).map(k => sum(col(s"p_$k")).as(s"num_$k")): _*)
+    val stackArgs = (1 to maxLag).flatMap { k =>
+      Seq(lit(k.toLong), round(col(s"num_$k").cast("double") / col("den").cast("double"), 6))
+    }
+    sums.select(stack((lit(maxLag) +: stackArgs): _*).as(Seq("lag", "acf")))
+      .orderBy(col("lag"))
+  }
+
+  val autocorrelationSql: String = {
+    val lags = (1 to 7).map(k => s"lag(a, $k) OVER w AS a_$k").mkString(",\n    ")
+    val nums = (1 to 7).map(k =>
+      s"CAST(sum(a * a_$k) AS BIGINT) AS num_$k").mkString(",\n    ")
+    val arms = (1 to 7).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS lag, round(CAST(num_$k AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf FROM s")
+      .mkString("\nUNION ALL\n")
+    s"""WITH b AS ($dailyBucketsSql),
+       |t AS (SELECT count(*) AS nd, CAST(sum(n) AS BIGINT) AS s FROM b),
+       |c AS (SELECT day, nd * n - s AS a FROM b CROSS JOIN t),
+       |l AS (
+       |  SELECT a,
+       |    $lags
+       |  FROM c WINDOW w AS (ORDER BY day)),
+       |s AS (
+       |  SELECT CAST(sum(a * a) AS BIGINT) AS den,
+       |    $nums
+       |  FROM l)
+       |$arms
+       |ORDER BY lag""".stripMargin
+  }
+
   /** C45r — bucket_count_ks_test (the OpenSearch ML pipeline agg: a
     * two-sample Kolmogorov–Smirnov test over a sibling histogram's
     * bucket counts — "is the error-count distribution over time shaped
