@@ -904,12 +904,28 @@ object Dedup {
     * fold make byte-identical reruns — the idempotence the spec pins
     * (a second pass over the cleaned corpus finds nothing ≥ minRun).
     */
-  def substringRemovalDf(documents: DataFrame, minRun: Int = 10): DataFrame = {
+  def substringRemovalDf(documents: DataFrame, minRun: Int = 10,
+                         restrictTo: Option[DataFrame] = None): DataFrame = {
     val docs = Tables.atComputeParallelism(documents)
       .select(col("doc_id"),
         transform(split(col("text"), " "), w => xxhash64(w)).as("ws"),
         graft.functions.TextFns.fingerprints(col("text")).as("fps"))
-    val verified = winnowingPairs(docs)
+    val rawPairs = winnowingPairs(docs)
+    // fixpoint rounds ≥2 pass the previous round's CUT set: a pair of
+    // two unchanged docs reproduces its round-1 verdict verbatim, so
+    // only pairs touching a changed doc need the O(m·n) verify again.
+    // Equi-join flags (not broadcast): the changed set starts corpus-
+    // sized in the worst case and shrinks geometrically.
+    val pairs = restrictTo match {
+      case None => rawPairs
+      case Some(ch) =>
+        rawPairs
+          .join(ch.select(col("doc_id").as("doc_a"), lit(1).as("ch_a")), Seq("doc_a"), "left")
+          .join(ch.select(col("doc_id").as("doc_b"), lit(1).as("ch_b")), Seq("doc_b"), "left")
+          .filter(col("ch_a").isNotNull || col("ch_b").isNotNull)
+          .drop("ch_a", "ch_b")
+    }
+    val verified = pairs
       .join(docs.select(col("doc_id").as("doc_a"), col("ws").as("ws_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("ws").as("ws_b")), "doc_b")
       // EvalOnce: same single-evaluation discipline as E20c's kernel
@@ -945,13 +961,75 @@ object Dedup {
         concat_ws(" ", col("kept")).as("text_clean"))
   }
 
-  /** ☆ entry — corpus-wide removal report (text_clean itself stays out
-    * of the dump; the counts pin the cut set).
+  /** E20d fixpoint — iterate the single-pass removal to convergence
+    * (bounded rounds). One pass cuts only the LONGEST shared span per
+    * candidate pair, so a document carrying several disjoint duplicated
+    * runs against the same keeper retains all but the longest after one
+    * pass; production dedup (Lee et al. 2022 §4.2 runs suffix-array
+    * passes the same way) iterates until no span ≥ minRun remains.
+    *
+    * Loop shape per round: re-mine winnowing candidates over the
+    * CLEANED texts, but verify only pairs touching a doc cut in the
+    * previous round (`restrictTo` — an unchanged pair reproduces its
+    * prior verdict, so skipping it is exact, not approximate). Each
+    * round `localCheckpoint`s its outputs to keep the plan constant-
+    * size, same discipline as the other iterative operators. The
+    * changed set shrinks geometrically (only docs with a SECOND
+    * distinct duplicated run survive round 1), so rounds after the
+    * second verify near-nothing; `maxRounds` bounds the tail and the
+    * `converged` flag reports whether the bound bit.
+    */
+  def substringRemovalFixpointDf(documents: DataFrame, minRun: Int = 10,
+                                 maxRounds: Int = 4): DataFrame = {
+    var cur = documents.select(col("doc_id"), col("text"))
+    var acc: DataFrame = null
+    var changed: Option[DataFrame] = None
+    var rounds = 0
+    var converged = false
+    while (rounds < maxRounds && !converged) {
+      val pass = substringRemovalDf(cur, minRun, changed).localCheckpoint()
+      val cut = pass.agg(coalesce(sum(col("n_cuts")), lit(0L))).head.getLong(0)
+      if (cut == 0L) converged = true
+      else {
+        rounds += 1
+        val totals = pass.select(col("doc_id"), col("n_cuts"), col("words_removed"))
+        acc =
+          if (acc == null) totals
+          else acc.unionAll(totals).groupBy(col("doc_id"))
+            .agg(sum(col("n_cuts")).as("n_cuts"),
+              sum(col("words_removed")).as("words_removed"))
+            .localCheckpoint()
+        changed = Some(pass.filter(col("n_cuts") > 0).select(col("doc_id")))
+        cur = pass.select(col("doc_id"), col("text_clean").as("text")).localCheckpoint()
+      }
+    }
+    val totals =
+      if (acc == null)
+        documents.select(col("doc_id"), lit(0L).as("n_cuts"), lit(0L).as("words_removed"))
+      else acc
+    cur
+      .select(col("doc_id"), col("text").as("text_clean"),
+        when(col("text") === "", 0L)
+          .otherwise(size(split(col("text"), " ")).cast("long")).as("n_words_after"))
+      .join(totals, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cuts"), lit(0L)).as("n_cuts"),
+        coalesce(col("words_removed"), lit(0L)).as("words_removed"),
+        col("n_words_after"),
+        lit(rounds.toLong).as("rounds"),
+        lit(converged).as("converged"),
+        col("text_clean"))
+  }
+
+  /** ☆ entry — corpus-wide removal report at the FIXPOINT (text_clean
+    * itself stays out of the dump; the counts + round count pin the cut
+    * set and the convergence behavior).
     */
   def dedupSubstringRemoval(spark: SparkSession, dir: String,
                             minRun: Int = 10): DataFrame =
-    substringRemovalDf(Tables.documents(spark, dir), minRun)
-      .select(col("doc_id"), col("n_cuts"), col("words_removed"), col("n_words_after"))
+    substringRemovalFixpointDf(Tables.documents(spark, dir), minRun)
+      .select(col("doc_id"), col("n_cuts"), col("words_removed"),
+        col("n_words_after"), col("rounds"), col("converged"))
       .orderBy(col("doc_id"))
 
   /** E22 core — SemDeDup's within-cell keep rule (public anchor: Abbas

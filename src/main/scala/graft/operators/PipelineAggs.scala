@@ -611,7 +611,13 @@ object PipelineAggs {
     * weights decay LINEARLY with age — newest bucket weighs `window`,
     * oldest weighs 1 — the dashboard smoother between the flat mean
     * (C45b) and the exponential family (C45h/n/o). Truncates at the
-    * series start like OpenSearch's shrinking window.
+    * series start exactly like OpenSearch's `MovingFunctions
+    * .linearWeightedAvg`: weights attach to the PRESENT values, oldest
+    * present = 1 up to newest present = w' (the count of non-null
+    * lags) — so with only two days seen the average is (a + 2b)/3,
+    * not a renormalized slice of the full-window weights. With the
+    * day series gap-free, w' = min(row_number, window), so each lag k
+    * carries weight w'−k.
     *
     * Determinism is stronger than EWMA's here: both numerator
     * (Σ wᵢ·yᵢ) and denominator (Σ wᵢ) are sums of INTEGER products
@@ -622,10 +628,11 @@ object PipelineAggs {
     */
   def movingLwma(spark: SparkSession, dir: String, windowN: Int = 7): DataFrame = {
     val w = Window.orderBy(col("day"))
+    val present = least(row_number().over(w), lit(windowN)).cast("long")
     val terms = (0 until windowN).map { k =>
       val lagN = lag(col("n"), k).over(w)
-      (when(lagN.isNotNull, lagN * lit((windowN - k).toLong)).otherwise(0L),
-        when(lagN.isNotNull, lit((windowN - k).toLong)).otherwise(0L))
+      (when(lagN.isNotNull, lagN * (present - lit(k.toLong))).otherwise(0L),
+        when(lagN.isNotNull, present - lit(k.toLong)).otherwise(0L))
     }
     dailyBuckets(spark, dir)
       .withColumn("lwma_7d",
@@ -636,11 +643,12 @@ object PipelineAggs {
   }
 
   val movingLwmaSql: String = {
+    val p = "LEAST(row_number() OVER w, 7)"
     val num = (0 until 7).map { k =>
-      s"(CASE WHEN lag(n, $k) OVER w IS NOT NULL THEN lag(n, $k) OVER w * ${7 - k} ELSE 0 END)"
+      s"(CASE WHEN lag(n, $k) OVER w IS NOT NULL THEN lag(n, $k) OVER w * ($p - $k) ELSE 0 END)"
     }.mkString(" + ")
     val den = (0 until 7).map { k =>
-      s"(CASE WHEN lag(n, $k) OVER w IS NOT NULL THEN ${7 - k} ELSE 0 END)"
+      s"(CASE WHEN lag(n, $k) OVER w IS NOT NULL THEN ($p - $k) ELSE 0 END)"
     }.mkString(" + ")
     s"""WITH b AS ($dailyBucketsSql)
        |SELECT day, n, CAST($num AS DOUBLE) / CAST($den AS DOUBLE) AS lwma_7d

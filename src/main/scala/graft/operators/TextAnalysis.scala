@@ -737,7 +737,11 @@ object TextAnalysis {
     * (max) document frequency over all fields, then its per-field
     * tf-norms combine under that shared idf — so a term found in ANY
     * field contributes comparable weight, instead of a rare-in-title
-    * term dominating via its private idf. Same single doc-keyed pass
+    * term dominating via its private idf. The per-field tf-norms are
+    * SUMMED here, i.e. the `tie_breaker: 1.0` variant of cross_fields;
+    * upstream's default (`tie_breaker: 0.0`) takes only the best field
+    * per term group (dis_max) — swap the `.reduce(_ + _)` over fields
+    * for `greatest(...)` to get that point. Same single doc-keyed pass
     * and one-row stats broadcast as C3n (the blend is one `greatest`
     * in the projection); mergeable TopKAgg ranks.
     */

@@ -216,6 +216,40 @@ class DedupSpec extends AnyFunSuite {
     assert(second == 0, s"second pass removed $second words")
   }
 
+  test("substring removal FIXPOINT cleans a doc with three disjoint duplicated runs") {
+    def run(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val (r1, r2, r3) = (run("a", 20), run("b", 15), run("c", 12))
+    val docs = Seq(
+      (1L, s"k1 k2 k3 $r1 k4 k5 $r2 k6 k7 $r3 k8 k9"),      // keeper (lowest id)
+      (2L, s"m1 m2 $r1 m3 m4 m5 $r2 m6 $r3 m7 m8 m9 m10"),  // three disjoint runs
+      (3L, (1 to 25).map(i => s"n$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    // single pass cuts only the LONGEST shared span (r1): 2 runs remain
+    val one = Dedup.substringRemovalDf(docs, minRun = 10)
+      .filter(col("doc_id") === 2L)
+      .select("n_cuts", "words_removed").as[(Long, Long)].head()
+    assert(one == (1L, 20L), s"single pass: $one")
+    // the fixpoint iterates: r1 (20w) then r2 (15w) then r3 (12w), and a
+    // fourth verify pass finds nothing — converged inside the default bound
+    val fix = Dedup.substringRemovalFixpointDf(docs, minRun = 10)
+      .select("doc_id", "n_cuts", "words_removed", "n_words_after", "rounds", "converged", "text_clean")
+      .as[(Long, Long, Long, Long, Long, Boolean, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(fix(2L)._2 == 3 && fix(2L)._3 == 47, s"doc2 ${fix(2L)}")
+    assert(!fix(2L)._7.contains("a1") && !fix(2L)._7.contains("b1") &&
+      !fix(2L)._7.contains("c1") && fix(2L)._7.contains("m1"))
+    assert(fix(2L)._4 == 10)
+    assert(fix(2L)._5 == 3 && fix(2L)._6, s"rounds/converged ${fix(2L)}")
+    // keeper and unrelated doc untouched
+    assert(fix(1L)._3 == 0 && fix(3L)._3 == 0)
+    // the round bound terminates the loop and reports non-convergence
+    val bounded = Dedup.substringRemovalFixpointDf(docs, minRun = 10, maxRounds = 1)
+      .filter(col("doc_id") === 2L)
+      .select("words_removed", "rounds", "converged")
+      .as[(Long, Long, Boolean)].head()
+    assert(bounded == (20L, 1L, false), s"bounded: $bounded")
+  }
+
   test("lcs_words kernel matches a naive independent replica on random inputs") {
     val rng = new scala.util.Random(11)
     val vocab = Vector("a", "b", "c", "d")
