@@ -90,6 +90,102 @@ object Alerting {
     stacked.orderBy(col("rule_id"))
   }
 
+  // ---- C49e: INDEXED percolator (the 10k+-rule scale path) -----------
+
+  /** Structured rule row for the indexed form: `terms` is the rule's
+    * any-of required-term set (OR over event types — the part a term
+    * index can serve); `vmin ≤ value < vmax` and `user_id < umax` are
+    * the residual predicates (NULL = unbounded). Every C49b DQL rule
+    * decomposes into this shape; the spec proves parity on exactly
+    * those four.
+    */
+  def indexedRules(spark: SparkSession, n: Int = 512): DataFrame = {
+    def etype(c: org.apache.spark.sql.Column) =
+      element_at(array(etypes.map(lit): _*), c.cast("int") + 1)
+    spark.range(n).select(
+      col("id").as("rule_id"),
+      when(col("id") % 3 === 0,
+        array(etype(col("id") % 5), etype((col("id") + 1) % 5)))
+        .otherwise(array(etype(col("id") % 5))).as("terms"),
+      when(col("id") % 11 === 0, lit(null).cast("double"))
+        .otherwise(((col("id") % 50) * 10).cast("double")).as("vmin"),
+      ((col("id") % 50) * 10 + 60).cast("double").as("vmax"),
+      when(col("id") % 7 === 0, lit(800L)).otherwise(lit(null).cast("long")).as("umax"))
+  }
+
+  /** C49e — indexed percolator: the percolator literature's
+    * index-the-QUERIES trick (what OpenSearch's percolator field type
+    * does internally), and the form SURVEY §2 C49b promises once the
+    * rule battery outgrows a when() bank — a 10k-branch codegen bank
+    * trips the JVM's 64KB method limit and compiles per-batch, while
+    * this form treats rules as DATA:
+    *
+    *   1. the rule battery inverts ONCE into a term→rule posting table
+    *      (one row per required term, residual bounds carried on the
+    *      posting row so candidates never join back to the rule table);
+    *   2. each event probes its single indexed term via ONE equi-join —
+    *      candidate volume is Σ events(term)·rules(term), never
+    *      events × rules, and an event whose type no rule watches
+    *      drops at the join;
+    *   3. residual predicates verify candidates in the join's filter;
+    *   4. one per-rule aggregate, zero-match rules restored by the
+    *      left join against the rule list.
+    *
+    * The posting side is broadcast (10k rules ≈ a few MB; at millions
+    * of rules drop the hint and let the same plan shuffle on term).
+    * The fact table is scanned ONCE regardless of rule count — the
+    * plan contract AlertingSpec asserts.
+    */
+  def percolateIndexed(spark: SparkSession, dir: String,
+                       ruleTable: Option[DataFrame] = None): DataFrame = {
+    val r = ruleTable.getOrElse(indexedRules(spark))
+    val post = r.select(col("rule_id"), explode(col("terms")).as("term"),
+      col("vmin"), col("vmax"), col("umax"))
+    val matched = Tables.events(spark, dir)
+      .join(broadcast(post), col("event_type") === col("term"))
+      .filter(
+        (col("vmin").isNull || col("value") >= col("vmin")) &&
+        (col("vmax").isNull || col("value") < col("vmax")) &&
+        (col("umax").isNull || col("user_id") < col("umax")))
+      .groupBy(col("rule_id"))
+      .agg(count(lit(1)).as("n_matches"), countDistinct(col("user_id")).as("n_users"))
+    r.select(col("rule_id")).join(matched, Seq("rule_id"), "left")
+      .select(col("rule_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"))
+      .orderBy(col("rule_id"))
+  }
+
+  val percolateIndexedSql: String = {
+    val et = "['view','click','signup','purchase','error']"
+    s"""WITH rules AS (
+       |  SELECT i AS rule_id,
+       |         CASE WHEN i % 3 = 0
+       |              THEN [$et[CAST(i % 5 AS INT) + 1], $et[CAST((i + 1) % 5 AS INT) + 1]]
+       |              ELSE [$et[CAST(i % 5 AS INT) + 1]]
+       |         END AS terms,
+       |         CASE WHEN i % 11 = 0 THEN NULL
+       |              ELSE CAST((i % 50) * 10 AS DOUBLE) END AS vmin,
+       |         CAST((i % 50) * 10 + 60 AS DOUBLE) AS vmax,
+       |         CASE WHEN i % 7 = 0 THEN 800 ELSE NULL END AS umax
+       |  FROM range(512) t(i)),
+       |post AS (
+       |  SELECT rule_id, unnest(terms) AS term, vmin, vmax, umax FROM rules),
+       |matched AS (
+       |  SELECT p.rule_id, count(*) AS n_matches,
+       |         count(DISTINCT e.user_id) AS n_users
+       |  FROM events e JOIN post p ON e.event_type = p.term
+       |  WHERE (p.vmin IS NULL OR e.value >= p.vmin)
+       |    AND (p.vmax IS NULL OR e.value < p.vmax)
+       |    AND (p.umax IS NULL OR e.user_id < p.umax)
+       |  GROUP BY 1)
+       |SELECT r.rule_id,
+       |  coalesce(m.n_matches, 0) AS n_matches,
+       |  coalesce(m.n_users, 0) AS n_users
+       |FROM rules r LEFT JOIN matched m ON r.rule_id = m.rule_id
+       |ORDER BY r.rule_id""".stripMargin
+  }
+
   val percolateQueryStringSql: String =
     """WITH f AS (
       |  SELECT user_id,

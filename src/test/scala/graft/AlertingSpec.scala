@@ -24,6 +24,37 @@ class AlertingSpec extends AnyFunSuite {
     assert(got(1L) == ((0L, 0L)) && got(2L) == ((0L, 0L)))
   }
 
+  test("indexed percolator matches the when()-bank form on the SAME four DQL rules") {
+    // the C49b rules decomposed into (any-of terms, residual bounds):
+    //   0: event_type:error AND value:>=200
+    //   1: event_type:purchase AND value:[250 TO *]
+    //   2: (event_type:signup OR event_type:click) AND value:<0.1
+    //   3: event_type:error AND user_id:<5
+    val structured = Seq(
+      (0L, Seq("error"), Some(200.0), None, None),
+      (1L, Seq("purchase"), Some(250.0), None, None),
+      (2L, Seq("signup", "click"), None, Some(0.1), None),
+      (3L, Seq("error"), None, None, Some(5L)))
+      .toDF("rule_id", "terms", "vmin", "vmax", "umax")
+    val indexed = Alerting.percolateIndexed(spark, TestSpark.sf, Some(structured))
+      .select("rule_id", "n_matches", "n_users")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val bank = Alerting.percolateQueryString(spark, TestSpark.sf)
+      .select("rule_id", "n_matches", "n_users")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(indexed == bank, s"indexed=$indexed bank=$bank")
+    assert(indexed.exists(_._2 > 0), "parity on all-zero counts proves nothing")
+  }
+
+  test("indexed percolator scans the fact table ONCE regardless of rule count") {
+    val df = Alerting.percolateIndexed(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val factScans = "Scan parquet".r.findAllIn(plan).size
+    assert(factScans == 1, s"expected 1 events scan, plan has $factScans:\n$plan")
+    // and the rule battery must ride a join, not a per-rule expression bank
+    assert(!plan.contains("CASE WHEN (event_type"), "rules leaked into a when() bank")
+  }
+
   test("every default rule carries its etype and band faithfully") {
     val r = Alerting.rules(spark)
       .as[(Long, String, Double, Double)].collect().sortBy(_._1)
