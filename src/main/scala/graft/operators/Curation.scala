@@ -1247,4 +1247,81 @@ object Curation {
       |  CAST(n_exact_dups AS DOUBLE) / n_docs AS dup_rate
       |FROM text JOIN dups USING (source)
       |ORDER BY source""".stripMargin
+
+  // ---- E58: DoReMi-style domain reweighting --------------------------
+
+  /** E58 — domain reweighting from excess loss (public anchor: Xie et
+    * al. 2023, "DoReMi: Optimizing Data Mixtures Speeds Up Language
+    * Model Pretraining", arXiv:2305.10429): upweight the domains the
+    * current model finds HARD relative to a reference. One
+    * exponentiated-gradient step from uniform, with the smoothing mix
+    * back toward uniform the paper uses:
+    *
+    *   Λ_i = max(0, L_i − L_ref),  w ∝ u·exp(η·Λ),
+    *   w' = (1−ε)·w/Σw + ε·u
+    *
+    * The proxy/reference losses are served by the corpus itself — E19's
+    * unigram LM as the proxy, the corpus-wide per-token NLL as the
+    * reference — so the mechanics are exact while the loss plug-in is
+    * swappable for real model scores. Determinism: per-domain token
+    * log-probs floor to integer micro-nats BEFORE summing (E19's
+    * device), so L_i and Λ_i are bit-identical cross-engine; exp/round
+    * is the only post-integer float step. Scale: one vocab-keyed
+    * shuffle-hash join (never broadcast a web-scale vocab) + one
+    * domain-keyed aggregate; the EG step runs on |domains| rows.
+    */
+  def domainReweight(spark: SparkSession, dir: String, eta: Double = 1.0,
+                     eps: Double = 0.1): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).as("n_total"), count(lit(1)).as("v"))
+    val perDomain = toks.join(counts.hint("shuffle_hash"), "token")
+      .crossJoin(broadcast(totals))
+      .withColumn("lp_micro",
+        floor(log((col("c") + 1).cast("double") /
+          (col("n_total") + col("v")).cast("double")) * 1e6).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp_micro")).as("s"))
+      .withColumn("nll", -col("s").cast("double") / 1e6 / col("n_tokens"))
+      // |domains| rows; pin ONE evaluation of the vocab-join pass — the
+      // ref/Z/weight stages all re-read this
+      .localCheckpoint()
+    val ref = perDomain.agg(
+      (-sum(col("s")).cast("double") / 1e6 / sum(col("n_tokens"))).as("nll_ref"))
+    val stepped = perDomain.crossJoin(broadcast(ref))
+      .withColumn("excess", greatest(lit(0.0), col("nll") - col("nll_ref")))
+      .withColumn("raw_w", exp(lit(eta) * col("excess")))
+    val z = stepped.agg(sum(col("raw_w")).as("z"), count(lit(1)).as("k"))
+    stepped.crossJoin(broadcast(z))
+      .select(col("source"), col("n_tokens"), col("nll"), col("excess"),
+        round(lit(1.0 - eps) * col("raw_w") / col("z") + lit(eps) / col("k"), 6)
+          .as("weight"))
+      .orderBy(col("source"))
+  }
+
+  val domainReweightSql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+      |counts AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS v FROM counts),
+      |dom AS (
+      |  SELECT t.source, count(*) AS n_tokens,
+      |    CAST(sum(CAST(floor(ln(CAST(c.c + 1 AS DOUBLE) /
+      |      CAST(tot.n_total + tot.v AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS s
+      |  FROM toks t JOIN counts c USING (token) CROSS JOIN tot
+      |  GROUP BY t.source),
+      |l AS (
+      |  SELECT source, n_tokens, -CAST(s AS DOUBLE) / 1000000.0 / n_tokens AS nll,
+      |    -CAST(sum(s) OVER () AS DOUBLE) / 1000000.0 / sum(n_tokens) OVER () AS nll_ref
+      |  FROM dom),
+      |e AS (
+      |  SELECT source, n_tokens, nll,
+      |    greatest(0.0, nll - nll_ref) AS excess,
+      |    exp(1.0 * greatest(0.0, nll - nll_ref)) AS raw_w
+      |  FROM l)
+      |SELECT source, n_tokens, nll, excess,
+      |  round(0.9 * raw_w / sum(raw_w) OVER () + 0.1 / count(*) OVER (), 6) AS weight
+      |FROM e
+      |ORDER BY source""".stripMargin
 }

@@ -1374,4 +1374,57 @@ object Dedup {
       .withColumn("flagged", col("n_hits") >= col("n_paras") * flagRatio)
       .orderBy(col("doc_id"))
   }
+
+  // ---- E57: instruction-pair dedup -----------------------------------
+
+  /** E57 — instruction-data dedup: SFT corpora are (prompt, response)
+    * pairs, and the dedup key is the PROMPT — near-identical prompts
+    * with different responses teach contradiction, so pipelines keep
+    * exactly one pair per normalized prompt, electing the best
+    * response (E1 keys the whole text, E43 elects within near-dup
+    * clusters; this row is the prompt-keyed exact form every
+    * instruction pipeline runs first). Prompt = leading words
+    * (stand-in for the schema'd prompt field), normalized by
+    * lowercasing; keep rule = longest response, doc_id tiebreak.
+    * One groupBy on the prompt hash (md5 — shuffles 16 bytes, not the
+    * prompt text), one rank window inside the hash key.
+    */
+  def instructionDedup(spark: SparkSession, dir: String,
+                       promptWords: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(lower(concat_ws(" ",
+          slice(split(col("text"), " "), 1, promptWords)))).as("prompt_key"),
+        (length(col("text"))).as("resp_len"))
+    val w = Window.partitionBy(col("prompt_key"))
+      .orderBy(col("resp_len").desc, col("doc_id"))
+    pairs
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("prompt_key"))
+      .agg(count(lit(1)).as("n_members"),
+        min(when(col("rk") === 1, col("doc_id"))).as("keep_doc"),
+        sum(when(col("rk") > 1, col("resp_len")).otherwise(0L)).cast("long")
+          .as("dropped_chars"))
+      .filter(col("n_members") > 1)
+      .orderBy(col("prompt_key"))
+  }
+
+  val instructionDedupSql: String =
+    """WITH pairs AS (
+      |  SELECT doc_id,
+      |    md5(lower(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' '))) AS prompt_key,
+      |    length(text) AS resp_len
+      |  FROM documents),
+      |r AS (
+      |  SELECT *, row_number() OVER
+      |    (PARTITION BY prompt_key ORDER BY resp_len DESC, doc_id) AS rk
+      |  FROM pairs)
+      |SELECT prompt_key, count(*) AS n_members,
+      |  min(CASE WHEN rk = 1 THEN doc_id END) AS keep_doc,
+      |  CAST(sum(CASE WHEN rk > 1 THEN resp_len ELSE 0 END) AS BIGINT) AS dropped_chars
+      |FROM r
+      |GROUP BY prompt_key
+      |HAVING count(*) > 1
+      |ORDER BY prompt_key""".stripMargin
 }

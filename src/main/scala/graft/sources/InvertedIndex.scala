@@ -224,6 +224,47 @@ object InvertedIndex {
       |    x -> len(list_filter(p2, y -> y <> x AND abs(y - x) <= 3)))), 0) AS BIGINT) > 0
       |ORDER BY doc_id""".stripMargin
 
+  /** C50h — span_not (OpenSearch `span_not` with pre/post distance:
+    * keep occurrences of the include span NOT near the exclude span —
+    * the "join but not hash join" query). One pruned posting read per
+    * term, LEFT join on doc_id (a doc without the exclude term keeps
+    * every occurrence), and the subtraction is a higher-order
+    * filter/exists over the two position lists — no explode, cost
+    * identical to C50c's near fold.
+    */
+  def searchSpanNot(spark: SparkSession, dir: String,
+                    include: String = "join", exclude: String = "hash",
+                    pre: Int = 1, post: Int = 1): DataFrame = {
+    val path = ensureIndex(spark, dir)
+    val p1 = postings(spark, path, include).select(col("doc_id"), col("positions").as("p1"))
+    val p2 = postings(spark, path, exclude).select(col("doc_id"), col("positions").as("p2"))
+    p1.join(p2, Seq("doc_id"), "left")
+      .withColumn("p2c", coalesce(col("p2"), lit(Array.empty[Int])))
+      .withColumn("n_kept",
+        size(filter(col("p1"), x =>
+          !exists(col("p2c"), y => y >= x - pre && y <= x + post)))
+          .cast("long"))
+      .filter(col("n_kept") > 0)
+      .select(col("doc_id"), col("n_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  val searchSpanNotSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |pos AS (
+      |  SELECT doc_id,
+      |    list_filter(range(1, len(ws) + 1), i -> ws[i] = 'join') AS p1,
+      |    list_filter(range(1, len(ws) + 1), i -> ws[i] = 'hash') AS p2
+      |  FROM toks)
+      |SELECT doc_id,
+      |  CAST(len(list_filter(p1, x ->
+      |    len(list_filter(p2, y -> y >= x - 1 AND y <= x + 1)) = 0)) AS BIGINT) AS n_kept
+      |FROM pos
+      |WHERE len(p1) > 0
+      |  AND CAST(len(list_filter(p1, x ->
+      |    len(list_filter(p2, y -> y >= x - 1 AND y <= x + 1)) = 0)) AS BIGINT) > 0
+      |ORDER BY doc_id""".stripMargin
+
   /** C50e — span_first (OpenSearch `span_first`: match only when the
     * span lies within the first `end` positions of the field — "error
     * mentioned in the opening words", the lead-paragraph query). One

@@ -332,6 +332,85 @@ object LogStore {
       .parquet(dstRoot)
   }
 
+  /** A10c — CONTINUOUS cross-store replication (OpenSearch CCR
+    * re-expressed: a follower index continuously tails its leader;
+    * unified-log fleets run it for cross-region DR and read locality).
+    * A10b consolidates once; this follower converges a replica batch
+    * after batch while the leader keeps writing.
+    *
+    * Spark-native shape: the leader is an A4b rollover store whose
+    * parquet part-files are IMMUTABLE once committed — so the
+    * replication state IS the replica's file listing, no sequence
+    * numbers or soft-delete retention leases needed (the file set
+    * plays the role of CCR's operation history, and a file is the
+    * operation). One tick:
+    *
+    *   1. list the leader's `gen=*` trees (sealed generations never
+    *      change; the live generation only gains files);
+    *   2. diff against the replica by relative path + length —
+    *      already-replicated files are skipped, so ticks are
+    *      idempotent and REDELIVERY-SAFE by construction;
+    *   3. copy each missing file via a hidden `.inflight-` temp then
+    *      rename — a follower killed mid-copy leaves only hidden temps
+    *      (invisible to readers and to the next diff), so resume after
+    *      a crash needs no checkpoint repair; the next tick simply
+    *      re-copies.
+    *
+    * At scale each tick's list-and-diff is metadata-only (an object
+    * store serves it server-side) and copies parallelize per file; the
+    * replica is readable THROUGHOUT via readRollover — every committed
+    * file is whole, hidden temps are filtered by the parquet reader.
+    * Returns the relative paths copied this tick (empty = converged).
+    */
+  def followTick(spark: SparkSession, srcRoot: String, dstRoot: String): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(srcRoot)
+    val fs = src.getFileSystem(conf)
+    require(fs.exists(src), s"follower: leader root does not exist: $srcRoot")
+    val dst = new org.apache.hadoop.fs.Path(dstRoot)
+    val dfs = dst.getFileSystem(conf)
+    def visible(name: String): Boolean =
+      !name.startsWith(".") && !name.startsWith("_")
+    def dataFiles(p: org.apache.hadoop.fs.Path, rel: String): Seq[(String, org.apache.hadoop.fs.FileStatus)] =
+      fs.listStatus(p).toSeq.filter(s => visible(s.getPath.getName)).flatMap { s =>
+        val childRel = if (rel.isEmpty) s.getPath.getName else s"$rel/${s.getPath.getName}"
+        if (s.isDirectory) dataFiles(s.getPath, childRel) else Seq(childRel -> s)
+      }
+    val leaderFiles = fs.listStatus(src).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+      .flatMap(g => dataFiles(g.getPath, g.getPath.getName))
+    val missing = leaderFiles.filter { case (rel, st) =>
+      val t = new org.apache.hadoop.fs.Path(dst, rel)
+      !(dfs.exists(t) && dfs.getFileStatus(t).getLen == st.getLen)
+    }
+    missing.foreach { case (rel, st) =>
+      val target = new org.apache.hadoop.fs.Path(dst, rel)
+      dfs.mkdirs(target.getParent)
+      val tmp = new org.apache.hadoop.fs.Path(target.getParent, s".inflight-${target.getName}")
+      org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, dfs, tmp, false, true, conf)
+      dfs.delete(target, false)
+      dfs.rename(tmp, target)
+    }
+    missing.map(_._1).sorted
+  }
+
+  /** The continuous face of A10c: a rate-source heartbeat drives
+    * `followTick` from a foreachBatch sink, so the follower runs under
+    * Structured Streaming's restart/trigger machinery (kill it, start
+    * it again with any checkpoint — the tick itself owns convergence,
+    * so the checkpoint only schedules heartbeats).
+    */
+  def startFollower(spark: SparkSession, srcRoot: String, dstRoot: String,
+                    ckpt: String, intervalMs: Long = 1000L): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(intervalMs))
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+        followTick(spark, srcRoot, dstRoot); ()
+      }
+      .start()
+
   /** A11 — snapshot: point-in-time copy of the store's partition dirs
     * plus a manifest naming them (the restore contract). Partition
     * granularity means an object-store implementation can copy

@@ -212,4 +212,64 @@ class EntrySpec extends AnyFunSuite {
     // stamping) must share ONE shuffle
     assert(plan.contains("ReusedExchange"), s"range exchange not reused in:\n$plan")
   }
+
+  test("cross-surface parity: DQL, PPL, and SQL answer the same three questions identically") {
+    // The three user-facing query languages (C56 Discover DQL, C57 PPL,
+    // C58 SQL) have always been oracle-checked separately but never
+    // against EACH OTHER. Same logical question per language, collected
+    // rows must match exactly. DQL is a filter grammar, so its arm pairs
+    // the compiled predicate with the canonical DataFrame aggregation —
+    // exactly how Discover composes filter-bar + aggregation UI.
+    import org.apache.spark.sql.functions._
+    import graft.functions.{Ppl, QueryString}
+    val dir = TestSpark.sf
+    val ev = graft.sources.Tables.events(spark, dir)
+    ev.createOrReplaceTempView("events")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().toSeq.map(_.toSeq)
+
+    // Q1 — band-filtered selection
+    val s1dql = ev.filter(QueryString.compile(ev, "event_type:purchase AND value:[150 TO 400]"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+    val s1ppl = Ppl.run(spark, dir,
+      "search source=events | where event_type = 'purchase' and value >= 150 and value <= 400 " +
+        "| fields event_id, user_id, event_type, value | sort + event_id")
+    val s1sql = spark.sql(
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE event_type = 'purchase' AND value >= 150 AND value <= 400
+        |ORDER BY event_id""".stripMargin)
+    assert(rows(s1dql).nonEmpty && rows(s1dql) == rows(s1ppl) && rows(s1ppl) == rows(s1sql))
+
+    // Q2 — filtered per-user stats, ranked (exact min/max metrics)
+    val s2dql = ev.filter(QueryString.compile(ev, "event_type:purchase AND value:>100"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      .orderBy(col("n").desc, col("user_id")).limit(20)
+    val s2ppl = Ppl.run(spark, dir,
+      "search source=events | where value > 100 and event_type = 'purchase' " +
+        "| stats count() as n, min(value) as min_v, max(value) as max_v by user_id " +
+        "| sort - n, + user_id | head 20")
+    val s2sql = spark.sql(
+      """SELECT user_id, count(*) AS n, min(value) AS min_v, max(value) AS max_v
+        |FROM events WHERE value > 100 AND event_type = 'purchase'
+        |GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20""".stripMargin)
+    assert(rows(s2dql).nonEmpty && rows(s2dql) == rows(s2ppl) && rows(s2ppl) == rows(s2sql))
+
+    // Q3 — daily histogram with distinct users over a 2-type filter
+    val s3dql = ev.filter(QueryString.compile(ev, "event_type:view OR event_type:click"))
+      .groupBy(date_trunc("day", col("ts")).as("span_ts"), col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("nu"))
+      .orderBy(col("span_ts"), col("event_type"))
+    val s3ppl = Ppl.run(spark, dir,
+      "search source=events | where event_type = 'view' or event_type = 'click' " +
+        "| stats count() as n, dc(user_id) as nu by span(ts, 1d), event_type " +
+        "| sort + span_ts, + event_type")
+    val s3sql = spark.sql(
+      """SELECT date_trunc('day', ts) AS span_ts, event_type,
+        |  count(*) AS n, count(DISTINCT user_id) AS nu
+        |FROM events WHERE event_type IN ('view', 'click')
+        |GROUP BY 1, 2 ORDER BY span_ts, event_type""".stripMargin)
+    assert(rows(s3dql).nonEmpty && rows(s3dql) == rows(s3ppl) && rows(s3ppl) == rows(s3sql))
+  }
 }

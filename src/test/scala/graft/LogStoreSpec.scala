@@ -574,6 +574,54 @@ class LogStoreSpec extends AnyFunSuite {
     assert(day2.filter(to_date(col("ts")) =!= "2024-01-02").count() == 0)
   }
 
+  test("continuous replication follower converges the replica, tick by tick, idempotent under redelivery and crash-resume (A10c)") {
+    val base = Files.createTempDirectory("graft-ccr").toString
+    val leader = base + "/leader"; val replica = base + "/replica"
+    def batch(day: Int, n: Int) = spark.range(n).select(
+      concat(lit("10.0.0."), col("id") % 250).as("ip"),
+      lit(java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")).as("ts"),
+      lit(200L).as("status"),
+      lit("ec2").as("source"))
+    def rows(root: String) =
+      LogStore.readRollover(spark, root, "2024-01-01", "2024-02-01")
+        .select("ip", "ts", "status", "source")
+        .as[(String, java.sql.Timestamp, Long, String)].collect().sorted.toSeq
+
+    // batch 1 lands in gen 1; the first tick replicates it
+    LogStore.rolloverWrite(batch(1, 300), leader, maxBytes = Long.MaxValue)
+    val t1 = LogStore.followTick(spark, leader, replica)
+    assert(t1.nonEmpty && rows(replica) == rows(leader))
+    // a converged follower's tick copies NOTHING (idempotency/redelivery)
+    assert(LogStore.followTick(spark, leader, replica).isEmpty)
+
+    // the LIVE generation gains files; the tick copies only the delta
+    LogStore.rolloverWrite(batch(2, 300), leader, maxBytes = Long.MaxValue)
+    val t2 = LogStore.followTick(spark, leader, replica)
+    assert(t2.nonEmpty && t2.toSet.intersect(t1.toSet).isEmpty,
+      s"already-replicated files re-copied: ${t2.toSet.intersect(t1.toSet)}")
+    assert(rows(replica) == rows(leader))
+
+    // the leader rolls to a new generation; the follower tails it too
+    LogStore.rolloverWrite(batch(3, 300), leader, maxBytes = 1)
+    val t3 = LogStore.followTick(spark, leader, replica)
+    assert(t3.forall(_.startsWith("gen=000002")), s"unexpected copies: $t3")
+    assert(rows(replica) == rows(leader))
+
+    // crash-resume: a killed follower leaves a missing file and a stale
+    // hidden temp; the next tick restores the file and readers never see
+    // the temp
+    val fs = new org.apache.hadoop.fs.Path(replica)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val victim = new org.apache.hadoop.fs.Path(replica + "/" + t3.head)
+    fs.delete(victim, false)
+    fs.create(new org.apache.hadoop.fs.Path(
+      victim.getParent, ".inflight-" + victim.getName)).close()
+    val t4 = LogStore.followTick(spark, leader, replica)
+    assert(t4 == Seq(t3.head), s"resume tick copied $t4")
+    assert(rows(replica) == rows(leader))
+    assert(LogStore.followTick(spark, leader, replica).isEmpty)
+  }
+
   test("json-lines and csv readers honor the explicit schema") {
     val dir = Files.createTempDirectory("graft-fmt").toString
     java.nio.file.Paths.get(dir)

@@ -47,4 +47,22 @@ class OutlierSpec extends AnyFunSuite {
     assert(df1.forall(t => t._2 > 0.0 && t._2 < 1.0))
     assert(df1.map(_._3) == (1L to 10L))
   }
+
+  test("anomaly replay telemetry (q_anomaly_stream) is deterministic and count-consistent") {
+    import graft.streaming.AnomalyDetector
+    val a = AnomalyDetector.anomalyStreamReplay(spark, TestSpark.sf).collect().toSeq
+    val b = AnomalyDetector.anomalyStreamReplay(spark, TestSpark.sf).collect().toSeq
+    assert(a == b, "seeded replay must be byte-identical across runs")
+    val perKey = graft.sources.Tables.events(spark, TestSpark.sf)
+      .groupBy(org.apache.spark.sql.functions.col("event_type"))
+      .count().as[(String, Long)].collect().toMap
+    assert(a.map(_.getString(0)).toSet == perKey.keySet)
+    a.foreach { r =>
+      val (key, scored, trained, anomalies) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      // every point past the first shingle-1 produces a scored row
+      assert(scored == perKey(key) - 3, s"$key scored=$scored n=${perKey(key)}")
+      assert(trained <= scored && anomalies <= trained, s"$key $r")
+    }
+  }
 }

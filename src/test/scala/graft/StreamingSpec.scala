@@ -348,6 +348,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == Set((1L, 2L), (1L, 4L), (2L, 4L)), s"batch $batch")
   }
 
+  test("streaming anomaly detector flags planted spikes; batch replay is micro-batch-exact parity (C29s)") {
+    import graft.streaming.AnomalyDetector
+    import graft.streaming.AnomalyDetector.MetricPoint
+    implicit val sq = spark.sqlContext
+    // near-constant series with two planted level spikes after warmup
+    def mk(i: Int): MetricPoint =
+      MetricPoint("svc", i.toLong,
+        if (i == 400 || i == 550) 500.0 else 10.0 + (i % 7) * 0.1)
+    val series = (0 until 600).map(mk)
+    val chunks = series.grouped(200).toSeq
+    val ms = MemoryStream[MetricPoint]
+    val q = AnomalyDetector.anomalyStream(spark, ms.toDS()).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("anom")
+      .start()
+    chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+    val streamed = spark.sql("SELECT * FROM anom")
+      .as[AnomalyDetector.AnomalyOut].collect().toSet
+    q.stop()
+    // batch replay with matching pseudo-batch boundaries: EXACT parity
+    val replayed = AnomalyDetector.replay(spark, series.toDS(), chunk = 200)
+      .collect().toSet
+    assert(streamed == replayed,
+      s"stream-only: ${streamed -- replayed}; replay-only: ${replayed -- streamed}")
+    val bySeq = replayed.map(o => o.seq -> o).toMap
+    // batch 1 is untrained (no reservoir at its fit point); batch 2+ trained
+    assert(!bySeq(100L).trained && bySeq(250L).trained && bySeq(450L).trained)
+    // both spikes flagged; the spike value dominates its shingle so the
+    // 3 successor shingles may flag too — but steady-state points well
+    // away from the spikes must NOT
+    assert(bySeq(400L).is_anomaly && bySeq(550L).is_anomaly,
+      s"spike scores: ${bySeq(400L)} ${bySeq(550L)}")
+    ((420 to 540) ++ (560 to 599)).foreach { i =>
+      assert(!bySeq(i.toLong).is_anomaly, s"false positive at $i: ${bySeq(i.toLong)}")
+    }
+    // the model refuses to absorb anomalies: spike scores stay high in
+    // the SECOND spike too (a masked model would have admitted the 400
+    // spike and scored 550 low)
+    assert(bySeq(550L).score > 0.65)
+  }
+
   test("streaming token-budget gate: admits per-language until the budget fills, state persists across batches (E13s)") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[LogPipeline.BudgetDoc]

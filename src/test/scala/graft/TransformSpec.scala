@@ -75,4 +75,20 @@ class TransformSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[String]("level")).forall(_ == "INFO"))
     assert(rows.head.getAs[String]("msg").startsWith("Loading function"))
   }
+
+  test("pattern diff classifies NEW / GONE / BOTH templates around the split (C53b)") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    val frames = Seq(
+      (ts(10), "old failure"), (ts(12), "old failure"),          // GONE
+      (ts(20), "fresh failure"), (ts(21), "fresh failure"),      // NEW
+      (ts(10), "steady"), (ts(20), "steady"), (ts(21), "steady") // BOTH, ratio 2.0
+    ).toDF("ts", "template")
+    val got = graft.operators.Slo.patternDiffDf(frames, "2024-01-16 00:00:00")
+      .select("template", "n_before", "n_after", "status", "after_before_ratio")
+      .as[(String, Long, Long, String, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("old failure") == (("old failure", 2L, 0L, "GONE", None)))
+    assert(got("fresh failure") == (("fresh failure", 0L, 2L, "NEW", None)))
+    assert(got("steady") == (("steady", 1L, 2L, "BOTH", Some(2.0))))
+  }
 }
