@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""Plan-shape gate over Explain's machine-readable audit.
+
+Usage:
+  sbt "runMain graft.Explain /root/testdata/sf0.01 /tmp/explains.txt"
+  python3 tools/check_plans.py /tmp/explains.txt.audit.json
+
+Contract (SURVEY §5):
+  - ZERO CartesianProduct anywhere;
+  - BroadcastNestedLoopJoin only in the documented intentional classes
+    (all-pairs ANN kernels and one-row stats/totals broadcasts) —
+    the allowlist below names them; a NEW query acquiring a BNLJ fails
+    until it is consciously added here with a reason;
+  - no query's explain may fail.
+Exit 1 on any violation.
+"""
+import json
+import sys
+
+# Queries allowed to contain BroadcastNestedLoopJoin, with the reason.
+# One-row stats/totals broadcasts are O(1)-side joins; all-pairs ANN
+# kernels are the documented brute-force baselines.
+BNLJ_ALLOWED = {
+    "q_ann_topk": "all-pairs brute-force baseline",
+    "q_ann_topk_agg": "all-pairs brute-force baseline",
+    "q_ann_ivf": "probe x cell-subset kernel",
+    "q_ann_filtered": "filtered brute-force kernel",
+    "q_ann_radius": "radial kernel",
+    "q_ann_sq": "quantized coarse pass",
+    "q_ann_lsh": "bucket-probe kernel",
+    "q_dedup_embedding": "blocked-pairs cosine verify",
+    "q_dedup_semantic": "cell-bounded pair verify",
+    "q_anomaly_days": "one-row stats broadcast",
+    "q_sig_terms": "one-row totals broadcast",
+    "q_sig_text": "one-row totals broadcast",
+    "q_tfidf_terms": "one-row stats broadcast",
+    "q_search_ranked": "one-row stats broadcast",
+    "q_freq_items": "one-row totals broadcast",
+    "q_rescore": "one-row cutoff broadcast",
+    "q_explain_score": "one-row stats broadcast",
+    "q_multi_match": "one-row stats broadcast",
+    "q_multi_match_cross": "one-row stats broadcast",
+    "q_dis_max": "one-row stats broadcast",
+    "q_boosting": "one-row stats broadcast",
+    "q_function_score": "one-row stats broadcast",
+    "q_search_fuzzy": "small candidate-term nest",
+    "q_more_like_this": "one-row stats broadcast",
+    "q_ks_test": "one-row totals broadcast",
+    "q_bucket_correlation": "one-row totals broadcast",
+    "q_rolling_distinct": "bounded day-window nest",
+    "q_rolling_distinct_approx": "bounded day-window nest",
+    "q_curriculum_order": "broadcast quantile cuts",
+    "q_terms_shard_error": "one-row bound broadcast",
+    "q_suggest_fuzzy": "small candidate-term nest",
+    "q_suggest_phrase": "small candidate-term nest",
+    "q_search_hybrid": "one-row fusion-stats broadcast",
+    "q_search_hybrid_norm": "one-row min/max broadcast",
+    "q_quality_calibration": "one-row threshold broadcast",
+    "q_contamination_embedding": "benchmark-side broadcast kernel",
+    "q_dedup_sweep": "one-row floor broadcast",
+    "q_compression_ratio": "one-row corpus-stats broadcast",
+    "q_lang_mismatch": "one-row stats broadcast",
+    "q_perplexity_buckets": "one-row cuts broadcast",
+    "q_bigram_logprob": "one-row vocab-size broadcast",
+    "q_unigram_logprob": "one-row vocab-size broadcast",
+    "q_importance_resample": "one-row vocab-size broadcast",
+    "q_domain_reweight": "one-row ref/Z broadcasts",
+    "q_vocab_coverage": "one-row totals broadcast",
+    "q_fertility_table": "one-row totals broadcast",
+    "q_dataset_card": "one-row corpus totals broadcast",
+    "q_drift_psi": "one-row totals broadcast",
+    "q_embed_drift": "one-row centroid broadcast",
+    "q_corpus_stats": "one-row totals broadcast",
+    "q_boilerplate_ngrams": "one-row totals broadcast",
+    "q_ngram_diversity": "one-row totals broadcast",
+    "q_burn_rate": "one-row now_ts broadcast",
+    "q_track_total_hits": "single-row result literal",
+    "q_auto_date_histogram": "one-row span-stats broadcast",
+    "q_autocorrelation": "one-row N/S totals broadcast",
+    "q_change_point": "one-row series-totals broadcast",
+    "q_frequent_itemsets": "bounded frequent-item list broadcast",
+    "q_histogram_varwidth": "one-row cut-points broadcast",
+    "q_important_parts": "one-row threshold broadcast (TPC-H Q11)",
+    "q_normalize": "one-row min/max broadcast",
+    "q_rank_eval": "bounded judgment-list broadcast",
+    "q_sales_opportunity": "one-row avg-balance broadcast (TPC-H Q22)",
+    "q_string_stats": "one-row corpus-totals broadcast",
+}
+
+
+def main() -> int:
+    if len(sys.argv) < 2:
+        print(__doc__)
+        return 2
+    with open(sys.argv[1]) as f:
+        audit = json.load(f)
+    bad = []
+    for name, a in sorted(audit.items()):
+        if a.get("failed"):
+            bad.append(f"{name}: EXPLAIN FAILED")
+        if a.get("cartesian", 0) > 0:
+            bad.append(f"{name}: {a['cartesian']} CartesianProduct")
+        if a.get("bnlj", 0) > 0 and name not in BNLJ_ALLOWED:
+            bad.append(f"{name}: {a['bnlj']} BroadcastNestedLoopJoin "
+                       "not in the documented allowlist")
+    stale = sorted(set(BNLJ_ALLOWED) - set(audit))
+    if stale:
+        print(f"note: {len(stale)} allowlisted queries absent from audit: "
+              f"{', '.join(stale[:5])}{'...' if len(stale) > 5 else ''}")
+    for b in bad:
+        print("VIOLATION " + b)
+    n_bnlj = sum(1 for a in audit.values() if a.get("bnlj", 0) > 0)
+    if bad:
+        print(f"== {len(bad)} plan violation(s) over {len(audit)} queries ==")
+        return 1
+    print(f"== plans clean: {len(audit)} queries, 0 CartesianProduct, "
+          f"{n_bnlj} BNLJ all allowlisted ==")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
