@@ -257,6 +257,39 @@ object Similarity {
       .orderBy(col("cell"), col("rk"))
   }
 
+  /** E62 — embedding-space cluster audit / corpus cartography (the
+    * Nomic-Atlas-class map a curation run publishes: how the corpus
+    * distributes over its embedding modes, and whether the clustering
+    * is HONEST — a cell whose members disagree with its majority label
+    * marks mixed modes the downstream balanced-sampling (E40) and
+    * SemDeDup (E22) passes would mistreat). Rides the MEMOIZED IVF
+    * cells; one (cell,label)-keyed aggregate at member cardinality,
+    * majority election by exact struct-max (count desc, label asc),
+    * purity from integer counts. ☆ no_oracle (k-means cells), spec in
+    * SimilaritySpec recomputes the election independently.
+    */
+  def cellAudit(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureIvfIndex(spark, dir)
+    val cells = spark.read.parquet(s"$path/cells")
+      .select(col("n_id"), col("cell"))
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("n_id"), col("label"))
+    val perCellLabel = cells.join(labels, "n_id")
+      .groupBy(col("cell"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    val total = perCellLabel.agg(sum(col("c")).as("corpus_n"))
+    perCellLabel
+      .groupBy(col("cell"))
+      .agg(sum(col("c")).as("n"),
+        max(struct(col("c").as("c"), (-col("label")).cast("long").as("nl"))).as("m"))
+      .crossJoin(broadcast(total))
+      .select(col("cell"), col("n"),
+        (col("n").cast("double") / col("corpus_n")).as("share"),
+        (-col("m.nl")).cast("int").as("majority_label"),
+        (col("m.c").cast("double") / col("n")).as("purity"))
+      .orderBy(col("cell"))
+  }
+
   /** E7d — incremental index maintenance (streaming ingest path).
     *
     * A continuously-ingesting pipeline can't afford a full k-means

@@ -1425,6 +1425,89 @@ object TextAnalysis {
       |GROUP BY lang, tier_n
       |ORDER BY lang, tier""".stripMargin
 
+  /** E66 — perplexity-filter ablation table (the what-if a CCNet-class
+    * pipeline publishes BEFORE committing to a perplexity cut: corpus
+    * size, token volume, and residual mean NLL at each candidate
+    * threshold — E51 sweeps dedup thresholds, this sweeps the quality
+    * filter). Thresholds are mean-relative (corpus mean NLL + offset)
+    * so the ladder stays non-degenerate at any SF; the mean comes from
+    * the same exact integer micro-nat sums as the per-doc scores, so
+    * keep/drop decisions are bit-identical cross-engine. One LM pass
+    * (E30's bigram core), one-row stats broadcast, every cut evaluated
+    * as conditional aggregates in a single pass, stack-unpivot.
+    */
+  def perplexityAblation(spark: SparkSession, dir: String): DataFrame = {
+    val cuts = Seq(("mean-0.10", -0.10), ("mean+0.00", 0.0),
+      ("mean+0.10", 0.10), ("mean+0.20", 0.20))
+    val perDoc = bigramMicroNats(spark, dir)
+    val stats = perDoc.agg(sum(col("s")).as("st"), sum(col("n_bigrams")).as("bt"),
+      count(lit(1)).as("nd_total"))
+    val scored = perDoc.crossJoin(broadcast(stats))
+      .withColumn("nll", -col("s").cast("double") / 1e6 / col("n_bigrams"))
+      .withColumn("mean_nll", -col("st").cast("double") / 1e6 / col("bt"))
+    val aggs = cuts.zipWithIndex.flatMap { case ((_, off), i) =>
+      val keep = col("nll") <= col("mean_nll") + lit(off)
+      Seq(sum(when(keep, 1L).otherwise(0L)).as(s"nd_$i"),
+        sum(when(keep, col("n_bigrams")).otherwise(0L)).as(s"nb_$i"),
+        sum(when(keep, col("s")).otherwise(0L)).as(s"s_$i"))
+    } ++ Seq(max(col("nd_total")).as("nd_4"), sum(col("n_bigrams")).as("nb_4"),
+      sum(col("s")).as("s_4"))
+    val wide = scored.agg(aggs.head, aggs.tail: _*)
+    val stackSpec = (cuts.map(_._1) :+ "zz_all").zipWithIndex
+      .map { case (lbl, i) => s"'$lbl', nd_$i, nb_$i, s_$i" }.mkString(", ")
+    wide.select(expr(s"stack(5, $stackSpec) AS (cut, n_docs, n_bigrams, s)"))
+      .select(col("cut"), col("n_docs"), col("n_bigrams"),
+        when(col("n_bigrams") > 0,
+          -col("s").cast("double") / 1e6 / col("n_bigrams")).as("mean_nll_kept"))
+      .orderBy(col("cut"))
+  }
+
+  val perplexityAblationSql: String = {
+    val cuts = Seq(("mean-0.10", "-0.10"), ("mean+0.00", "0.0"),
+      ("mean+0.10", "0.10"), ("mean+0.20", "0.20"))
+    val arms = cuts.map { case (lbl, off) =>
+      s"""SELECT '$lbl' AS cut,
+         |  CAST(sum(CASE WHEN nll <= mean_nll + $off THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN nll <= mean_nll + $off THEN n_bigrams ELSE 0 END) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(CASE WHEN nll <= mean_nll + $off THEN s ELSE 0 END) AS BIGINT) AS s
+         |FROM withnll""".stripMargin
+    }.mkString("\n  UNION ALL\n  ") +
+      """
+        |  UNION ALL
+        |  SELECT 'zz_all', count(*), CAST(sum(n_bigrams) AS BIGINT),
+        |    CAST(sum(s) AS BIGINT) FROM withnll""".stripMargin
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2),
+       |toks AS (
+       |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+       |  FROM docs, unnest(range(1, len(ws))) AS t(i)),
+       |bi AS (SELECT w1, w2, count(*) AS cb FROM toks GROUP BY 1, 2),
+       |uni AS (SELECT w1, count(*) AS cu FROM toks GROUP BY 1),
+       |vv AS (SELECT count(*) AS v FROM uni),
+       |scored AS (
+       |  SELECT t.doc_id, count(*) AS n_bigrams,
+       |    CAST(sum(CAST(floor(ln(CAST(cb + 1 AS DOUBLE) /
+       |      CAST(cu + v AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS s
+       |  FROM toks t JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vv
+       |  GROUP BY t.doc_id),
+       |tot AS (
+       |  SELECT CAST(sum(s) AS BIGINT) AS st, CAST(sum(n_bigrams) AS BIGINT) AS bt
+       |  FROM scored),
+       |withnll AS (
+       |  SELECT n_bigrams, s,
+       |    -CAST(s AS DOUBLE) / 1000000.0 / n_bigrams AS nll,
+       |    -CAST(st AS DOUBLE) / 1000000.0 / bt AS mean_nll
+       |  FROM scored CROSS JOIN tot),
+       |armed AS (
+       |  $arms)
+       |SELECT cut, n_docs, n_bigrams,
+       |  CASE WHEN n_bigrams > 0
+       |       THEN -CAST(s AS DOUBLE) / 1000000.0 / n_bigrams END AS mean_nll_kept
+       |FROM armed
+       |ORDER BY cut""".stripMargin
+  }
+
   /** E28 — language-mismatch audit (the per-source label-quality table
     * a curation run publishes: which sources' declared languages
     * disagree with the detector — mislabeled crawls poison per-language

@@ -128,4 +128,38 @@ class SimilaritySpec extends AnyFunSuite {
     // deterministic: memoized graph + seeded build + pinned tiebreaks
     assert(hits(GraphAnn.annGraphHigh(spark, dir)) == highHits)
   }
+
+  test("cell audit (E62): partition-exact counts, independent majority election, deterministic") {
+    val dir = "/root/testdata/sf0.01"
+    val got = Similarity.cellAudit(spark, dir)
+      .select("cell", "n", "share", "majority_label", "purity")
+      .as[(Int, Long, Double, Int, Double)].collect().toSeq
+    // the cells partition the INDEXED corpus exactly (the embeddings
+    // table minus the held-out query split the index never stores)
+    val corpus = spark.read.parquet(
+      s"${Similarity.ensureIvfIndex(spark, dir)}/cells").count()
+    assert(got.map(_._2).sum == corpus && corpus > 0)
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-9)
+    got.foreach { r => assert(r._5 > 0.0 && r._5 <= 1.0, s"purity out of range: $r") }
+    // independent election replica: recompute majority from raw (cell, label)
+    val path = Similarity.ensureIvfIndex(spark, dir)
+    val raw = spark.read.parquet(s"$path/cells").select("n_id", "cell")
+      .join(graft.sources.Tables.embeddings(spark, dir)
+        .select(org.apache.spark.sql.functions.col("vec_id").as("n_id"),
+          org.apache.spark.sql.functions.col("label")), "n_id")
+      .select("cell", "label").as[(Int, Int)].collect()
+      .groupBy(_._1).map { case (cell, members) =>
+        val byLabel = members.groupBy(_._2).map { case (l, xs) => (l, xs.size) }
+        val best = byLabel.toSeq.minBy { case (l, c) => (-c, l) }
+        cell -> (members.size.toLong, best._1, best._2.toDouble / members.size)
+      }
+    got.foreach { case (cell, n, _, maj, purity) =>
+      val (rn, rmaj, rpur) = raw(cell)
+      assert(n == rn && maj == rmaj && math.abs(purity - rpur) < 1e-12,
+        s"cell $cell: got ($n,$maj,$purity) want ($rn,$rmaj,$rpur)")
+    }
+    // deterministic across invocations (memoized index + exact arithmetic)
+    assert(Similarity.cellAudit(spark, dir).collect().toSeq ==
+      Similarity.cellAudit(spark, dir).collect().toSeq)
+  }
 }
