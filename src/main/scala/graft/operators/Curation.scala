@@ -1248,6 +1248,113 @@ object Curation {
       |FROM text JOIN dups USING (source)
       |ORDER BY source""".stripMargin
 
+  // ---- E63: end-to-end curation pipeline -----------------------------
+
+  /** E63 — the composed curation pipeline as ONE operator (the "can a
+    * user actually run the whole thing" integration the per-stage rows
+    * imply): raw → quality battery (E14) → exact dedup (E1) → near-dup
+    * canonicalization (E5b's connected components, elected among the
+    * SURVIVORS of the earlier stages) → benchmark decontamination
+    * (E16). Emits the per-stage funnel report (docs + tokens) every
+    * production pipeline publishes. Composition semantics pinned here:
+    * dedup keys/components are mined on the FULL corpus (the mapping
+    * is stage-independent), but each stage's keeper election runs on
+    * the docs still alive — the canonical member of a cluster whose
+    * keeper was quality-filtered falls to the next surviving member,
+    * not to nothing. At 100 TB each stage's survivor set would be
+    * persisted between stages; here the lazily-recomputed lineage is
+    * the same plan shape.
+    */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks"),
+        md5(col("text")).as("h"))
+    val s1 = toks.select(col("doc_id"))
+    val s2 = qualityFilter(spark, dir).filter(col("keep") === 1).select(col("doc_id"))
+    val s3 = toks.join(s2, "doc_id")
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val s4 = s3.join(Dedup.canonicalMapping(spark, dir), "doc_id")
+      .groupBy(col("keep_id")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val flagged = contamination(spark, dir).select(col("doc_id"))
+    val s5 = s4.join(flagged, Seq("doc_id"), "left_anti")
+    val stages = Seq(
+      ("1_raw", s1), ("2_quality", s2), ("3_exact_dedup", s3),
+      ("4_near_dedup", s4), ("5_decontaminated", s5))
+    stages.map { case (lbl, ids) =>
+      ids.join(toks, "doc_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+        .select(lit(lbl).as("stage"), col("n_docs"), col("n_tokens"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("stage"))
+  }
+
+  lazy val curationPipelineSql: String = {
+    // the E5b mapping CTE chain, final SELECT folded into a `canon`
+    // CTE (SqlPatch asserts the surgery still matches the source)
+    val canon = SqlPatch(Dedup.canonicalCorpusSql,
+      "SELECT s AS doc_id, min(d) AS keep_id FROM reach GROUP BY s ORDER BY doc_id",
+      "").stripPrefix("WITH RECURSIVE ").trim
+    s"""WITH RECURSIVE $canon,
+       |canon AS (
+       |  SELECT s AS doc_id, min(d) AS keep_id FROM reach GROUP BY s),
+       |toks AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents),
+       |q AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+       |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS mwl,
+       |    CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS sym,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS stopr
+       |  FROM documents),
+       |s2 AS (
+       |  SELECT doc_id FROM q
+       |  WHERE n_words >= 5 AND n_words <= 1000 AND mwl >= 2 AND mwl <= 12
+       |    AND sym <= 0.1 AND stopr > 0),
+       |s3 AS (
+       |  SELECT min(w.doc_id) AS doc_id
+       |  FROM words w JOIN s2 USING (doc_id)
+       |  GROUP BY w.h),
+       |s4 AS (
+       |  SELECT min(s3.doc_id) AS doc_id
+       |  FROM s3 JOIN canon USING (doc_id)
+       |  GROUP BY canon.keep_id),
+       |cw AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 8),
+       |csh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(w) - 7),
+       |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' ||
+       |         w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] || ' ' || w[i+8]))) AS s
+       |  FROM cw),
+       |flagged AS (
+       |  SELECT DISTINCT c.doc_id
+       |  FROM csh c JOIN csh b ON c.s = b.s AND b.doc_id < 20 AND c.doc_id >= 20),
+       |s5 AS (
+       |  SELECT doc_id FROM s4
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+       |report AS (
+       |  SELECT '1_raw' AS stage, count(*) AS n_docs,
+       |    CAST(sum(n_toks) AS BIGINT) AS n_tokens FROM toks
+       |  UNION ALL
+       |  SELECT '2_quality', count(*), CAST(sum(n_toks) AS BIGINT)
+       |  FROM s2 JOIN toks USING (doc_id)
+       |  UNION ALL
+       |  SELECT '3_exact_dedup', count(*), CAST(sum(n_toks) AS BIGINT)
+       |  FROM s3 JOIN toks USING (doc_id)
+       |  UNION ALL
+       |  SELECT '4_near_dedup', count(*), CAST(sum(n_toks) AS BIGINT)
+       |  FROM s4 JOIN toks USING (doc_id)
+       |  UNION ALL
+       |  SELECT '5_decontaminated', count(*), CAST(sum(n_toks) AS BIGINT)
+       |  FROM s5 JOIN toks USING (doc_id))
+       |SELECT stage, n_docs, n_tokens FROM report
+       |ORDER BY stage""".stripMargin
+  }
+
   // ---- E58: DoReMi-style domain reweighting --------------------------
 
   /** E58 — domain reweighting from excess loss (public anchor: Xie et

@@ -338,16 +338,43 @@ object Dedup {
     * pair — blocking is what keeps it feasible; at 100 TB the MinHash
     * candidates (E2) feed this as the high-precision verifier.
     */
+  /** Hierarchical prefix blocking depth cut-over: a 2-word block whose
+    * membership exceeds this re-keys its docs by their 4-word prefix.
+    * The §8h sf1 scaling study measured flat 2-word blocking at 27× on
+    * 10× data — block depth grows with corpus size, so within-block
+    * pair volume grows quadratically; the second level restores
+    * near-linear candidate growth. Recall concession is explicit: a
+    * pair differing inside words 3–4 separates at level 2 — but such
+    * pairs already risked separating at level 1 if the edit fell in
+    * words 1–2 (the known prefix-blocking trade). Level-2 blocks past
+    * `maxBucketSize` drop entirely, same skew discipline as MinHash
+    * banding. At the oracle-checked SFs every 2-word block is far
+    * below this depth (max 14 at sf0.1), so the tested results are
+    * IDENTICAL to flat blocking.
+    */
+  val levenshteinSubBlockDepth: Int = 32
+
   def levenshteinPairs(spark: SparkSession, dir: String, maxRel: Double = 0.25): DataFrame = {
     // hash-partition on the blocking key BEFORE the self-join: the scan
     // may be a single (or few) parquet split(s), and an O(pairs·len²)
     // kernel must not inherit scan parallelism — this spreads the DP
     // work across the cluster and co-partitions the join in one cheap
     // shuffle of (id, block, text) rows.
-    val docs = Tables.documents(spark, dir).select(
+    val base = Tables.documents(spark, dir).select(
       col("doc_id"),
-      concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("block"),
+      concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("b2"),
+      concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("b4"),
       col("text"))
+    val depth2 = base.groupBy(col("b2")).agg(count(lit(1)).as("n2"))
+    val keyed = base.join(depth2, "b2")
+      .withColumn("block",
+        when(col("n2") <= levenshteinSubBlockDepth, concat(lit("2:"), col("b2")))
+          .otherwise(concat(lit("4:"), col("b4"))))
+    val okBlocks = keyed.groupBy(col("block")).agg(count(lit(1)).as("bn"))
+      .filter(col("bn").between(2, maxBucketSize))
+      .select(col("block"))
+    val docs = keyed.join(okBlocks, "block")
+      .select(col("doc_id"), col("block"), col("text"))
       .repartition(spark.sparkContext.defaultParallelism, col("block"))
     val la = length(col("text_a")); val lb = length(col("text_b"))
     docs.select(col("block"), col("doc_id").as("doc_a"), col("text").as("text_a"))
@@ -890,7 +917,7 @@ object Dedup {
     * Lee et al. 2021, "Deduplicating Training Data Makes Language
     * Models Better" — cut every duplicated run, keep ONE copy). E20c
     * reports which pairs share a run; this operator goes the rest of
-    * the way: locate each shared run (positional `lcs_span` kernel),
+    * the way: locate every shared run (positional `lcs_spans` kernel),
     * keep the copy in the LOWEST-id doc, and CUT the span from every
     * later doc — per doc, overlapping cut spans merge first (classic
     * gaps-and-islands: one window pass, no UDF), then the words
@@ -900,41 +927,80 @@ object Dedup {
     * Scale shape: candidates/verification identical to E20c (winnowing
     * buckets, never corpus²); span merging windows per doc_id (key-
     * partitioned); the cut applies in the scan projection. Determinism:
-    * the kernel's tie rule (first scan-order argmax) + sorted island
-    * fold make byte-identical reruns — the idempotence the spec pins
-    * (a second pass over the cleaned corpus finds nothing ≥ minRun).
+    * the kernel's first-scan-order emission + sorted island fold make
+    * byte-identical reruns — the idempotence the spec pins (a second
+    * pass over the cleaned corpus finds nothing ≥ minRun).
     */
-  def substringRemovalDf(documents: DataFrame, minRun: Int = 10,
-                         restrictTo: Option[DataFrame] = None): DataFrame = {
+  /** Fingerprint table over (doc_id, text) — split out so the fixpoint
+    * caches it and recomputes ONLY changed docs between minings.
+    */
+  private def substringFps(documents: DataFrame): DataFrame =
+    Tables.atComputeParallelism(documents)
+      .select(col("doc_id"),
+        graft.functions.TextFns.fingerprints(col("text")).as("fps"))
+
+  /** Winnowing candidate mining from a fingerprint table; `touching`
+    * (when given) keeps only pairs with at least one member in the set
+    * — the certification pass needs nothing else, because a pair of
+    * two UNCHANGED docs was already cut to completion (its texts are
+    * byte-identical to when its spans were last verified). Split out
+    * so the fixpoint mines once and iterates on the cached pair list —
+    * re-mining the whole corpus every round measured 176× on 10× data
+    * in the §8h scaling study (mining, not the DP, dominated).
+    */
+  private def substringCandidatePairs(fps: DataFrame,
+                                      touching: Option[DataFrame] = None): DataFrame = {
+    val raw = winnowingPairs(fps)
+    touching match {
+      case None => raw
+      case Some(ch) =>
+        // shuffle_hash: these internal frames cross localCheckpoint
+        // boundaries, and a checkpointed scan on a broadcast build side
+        // trips Spark's doExecuteBroadcast hole (observed on this loop)
+        raw
+          .join(ch.select(col("doc_id").as("doc_a"), lit(1).as("t_a")).hint("shuffle_hash"), Seq("doc_a"), "left")
+          .join(ch.select(col("doc_id").as("doc_b"), lit(1).as("t_b")).hint("shuffle_hash"), Seq("doc_b"), "left")
+          .filter(col("t_a").isNotNull || col("t_b").isNotNull)
+          .drop("t_a", "t_b")
+    }
+  }
+
+  /** Verify + cut against a GIVEN candidate pair list; `restrictTo`
+    * narrows the expensive lcs_spans verify to pairs touching a changed
+    * doc (an unchanged pair reproduces its prior verdict, so skipping
+    * it is exact). Equi-join flags, not broadcast — the changed set
+    * starts corpus-sized in the worst case and shrinks geometrically.
+    */
+  private def substringCutPass(documents: DataFrame, rawPairs: DataFrame,
+                               minRun: Int,
+                               restrictTo: Option[DataFrame]): DataFrame = {
     val docs = Tables.atComputeParallelism(documents)
       .select(col("doc_id"),
-        transform(split(col("text"), " "), w => xxhash64(w)).as("ws"),
-        graft.functions.TextFns.fingerprints(col("text")).as("fps"))
-    val rawPairs = winnowingPairs(docs)
-    // fixpoint rounds ≥2 pass the previous round's CUT set: a pair of
-    // two unchanged docs reproduces its round-1 verdict verbatim, so
-    // only pairs touching a changed doc need the O(m·n) verify again.
-    // Equi-join flags (not broadcast): the changed set starts corpus-
-    // sized in the worst case and shrinks geometrically.
+        transform(split(col("text"), " "), w => xxhash64(w)).as("ws"))
     val pairs = restrictTo match {
       case None => rawPairs
       case Some(ch) =>
         rawPairs
-          .join(ch.select(col("doc_id").as("doc_a"), lit(1).as("ch_a")), Seq("doc_a"), "left")
-          .join(ch.select(col("doc_id").as("doc_b"), lit(1).as("ch_b")), Seq("doc_b"), "left")
+          .join(ch.select(col("doc_id").as("doc_a"), lit(1).as("ch_a")).hint("shuffle_hash"), Seq("doc_a"), "left")
+          .join(ch.select(col("doc_id").as("doc_b"), lit(1).as("ch_b")).hint("shuffle_hash"), Seq("doc_b"), "left")
           .filter(col("ch_a").isNotNull || col("ch_b").isNotNull)
           .drop("ch_a", "ch_b")
     }
-    val verified = pairs
+    val verified = pairs.hint("shuffle_hash")
       .join(docs.select(col("doc_id").as("doc_a"), col("ws").as("ws_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("ws").as("ws_b")), "doc_b")
-      // EvalOnce: same single-evaluation discipline as E20c's kernel
-      .withColumn("span",
-        graft.plans.EvalOnce(graft.plans.LcsSpan(col("ws_a"), col("ws_b"))))
-      .filter(col("span.len") >= minRun)
-    // the lower-id doc keeps its copy; the later doc loses [s, e)
-    val spans = verified.select(col("doc_b").as("doc_id"),
-      (col("span.b_end") - col("span.len")).as("s"), col("span.b_end").as("e"))
+      // EvalOnce: same single-evaluation discipline as E20c's kernel.
+      // ALL maximal runs ≥ minRun come back at once (Lee et al. cut
+      // every duplicated substring in one pass — the one-longest-span
+      // kernel forced one fixpoint round per extra run, §8h)
+      .withColumn("spans",
+        graft.plans.EvalOnce(graft.plans.LcsSpans(col("ws_a"), col("ws_b"), minRun)))
+      .filter(size(col("spans")) > 0)
+    // the lower-id doc keeps its copy; the later doc loses every [s, e)
+    val spans = verified
+      .select(col("doc_b").as("doc_id"), explode(col("spans")).as("sp"))
+      .select(col("doc_id"),
+        (col("sp.b_end") - col("sp.len")).as("s"), col("sp.b_end").as("e"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
     val cuts = spans
@@ -961,6 +1027,13 @@ object Dedup {
         concat_ws(" ", col("kept")).as("text_clean"))
   }
 
+  /** Single-pass removal (mine + verify + cut in one): the spec-facing
+    * form and the building block the fixpoint certifies with.
+    */
+  def substringRemovalDf(documents: DataFrame, minRun: Int = 10): DataFrame =
+    substringCutPass(documents, substringCandidatePairs(substringFps(documents)),
+      minRun, None)
+
   /** E20d fixpoint — iterate the single-pass removal to convergence
     * (bounded rounds). One pass cuts only the LONGEST shared span per
     * candidate pair, so a document carrying several disjoint duplicated
@@ -968,39 +1041,76 @@ object Dedup {
     * pass; production dedup (Lee et al. 2022 §4.2 runs suffix-array
     * passes the same way) iterates until no span ≥ minRun remains.
     *
-    * Loop shape per round: re-mine winnowing candidates over the
-    * CLEANED texts, but verify only pairs touching a doc cut in the
-    * previous round (`restrictTo` — an unchanged pair reproduces its
-    * prior verdict, so skipping it is exact, not approximate). Each
-    * round `localCheckpoint`s its outputs to keep the plan constant-
-    * size, same discipline as the other iterative operators. The
-    * changed set shrinks geometrically (only docs with a SECOND
-    * distinct duplicated run survive round 1), so rounds after the
-    * second verify near-nothing; `maxRounds` bounds the tail and the
-    * `converged` flag reports whether the bound bit.
+    * Loop shape (revised after the §8h sf1 scaling study measured the
+    * re-mine-every-round form at 176× on 10× data — candidate MINING,
+    * not the DP, dominated): mine the winnowing pair list ONCE, then
+    * iterate verify+cut on that CACHED list — round ≥2 additionally
+    * narrows the lcs_spans verify to pairs touching a doc cut in the
+    * previous round (an unchanged pair reproduces its verdict, so
+    * skipping it is exact). When a cut round comes up empty, one FULL
+    * re-mine certifies convergence: cutting can in principle seam two
+    * distant words into a fresh duplicated run the old pair list never
+    * saw, so the certificate is a fresh mining finding nothing — if it
+    * DOES find cuts, the loop continues on the new pair list. Benign
+    * corpora therefore pay exactly two minings (one working + one
+    * certifying) instead of one per round. Each round
+    * `localCheckpoint`s its outputs to keep the plan constant-size;
+    * `maxRounds` bounds the cut rounds and `converged` reports whether
+    * the bound bit.
     */
   def substringRemovalFixpointDf(documents: DataFrame, minRun: Int = 10,
                                  maxRounds: Int = 4): DataFrame = {
     var cur = documents.select(col("doc_id"), col("text"))
     var acc: DataFrame = null
-    var changed: Option[DataFrame] = None
     var rounds = 0
     var converged = false
-    while (rounds < maxRounds && !converged) {
-      val pass = substringRemovalDf(cur, minRun, changed).localCheckpoint()
-      val cut = pass.agg(coalesce(sum(col("n_cuts")), lit(0L))).head.getLong(0)
-      if (cut == 0L) converged = true
+    var miningsLeft = maxRounds // certification minings share the bound
+    var fpsCur = substringFps(cur).localCheckpoint()
+    // None = first mining (all pairs); afterwards only pairs touching a
+    // doc changed since the LAST mining need attention — and only those
+    // docs need their fingerprints recomputed
+    var touching: Option[DataFrame] = None
+    while (!converged && rounds < maxRounds && miningsLeft > 0) {
+      miningsLeft -= 1
+      val pairs = substringCandidatePairs(fpsCur, touching).localCheckpoint()
+      var restrict: Option[DataFrame] = None
+      var changedThisMining: DataFrame = null
+      var cutsThisMining = 0L
+      var innerActive = true
+      while (innerActive && rounds < maxRounds) {
+        val pass = substringCutPass(cur, pairs, minRun, restrict).localCheckpoint()
+        val cut = pass.agg(coalesce(sum(col("n_cuts")), lit(0L))).head.getLong(0)
+        if (cut == 0L) innerActive = false
+        else {
+          rounds += 1
+          cutsThisMining += cut
+          val totals = pass.select(col("doc_id"), col("n_cuts"), col("words_removed"))
+          acc =
+            if (acc == null) totals
+            else acc.unionAll(totals).groupBy(col("doc_id"))
+              .agg(sum(col("n_cuts")).as("n_cuts"),
+                sum(col("words_removed")).as("words_removed"))
+              .localCheckpoint()
+          val ch = pass.filter(col("n_cuts") > 0).select(col("doc_id"))
+          restrict = Some(ch)
+          changedThisMining =
+            if (changedThisMining == null) ch
+            else changedThisMining.unionAll(ch).distinct()
+          cur = pass.select(col("doc_id"), col("text_clean").as("text")).localCheckpoint()
+        }
+      }
+      // a mining whose FIRST pass cut nothing is the convergence
+      // certificate; one that cut and then drained sends the loop back
+      // for a fresh (certifying) mining over the changed frontier
+      if (cutsThisMining == 0L) converged = true
       else {
-        rounds += 1
-        val totals = pass.select(col("doc_id"), col("n_cuts"), col("words_removed"))
-        acc =
-          if (acc == null) totals
-          else acc.unionAll(totals).groupBy(col("doc_id"))
-            .agg(sum(col("n_cuts")).as("n_cuts"),
-              sum(col("words_removed")).as("words_removed"))
-            .localCheckpoint()
-        changed = Some(pass.filter(col("n_cuts") > 0).select(col("doc_id")))
-        cur = pass.select(col("doc_id"), col("text_clean").as("text")).localCheckpoint()
+        val changed = changedThisMining.select(col("doc_id"))
+        fpsCur = fpsCur
+          .join(changed.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+          .unionByName(substringFps(
+            cur.join(changed.hint("shuffle_hash"), Seq("doc_id"), "left_semi")))
+          .localCheckpoint()
+        touching = Some(changed)
       }
     }
     val totals =

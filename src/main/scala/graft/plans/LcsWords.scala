@@ -106,30 +106,37 @@ object LcsWords {
       GraftColumnBridge.toExpression(a), GraftColumnBridge.toExpression(b)))
 }
 
-/** Positional sibling of [[LcsWordsExpr]] (E20d): same O(m·n) rolling
-  * DP over pre-hashed long arrays, but returns WHERE the best run sits
-  * — struct(len, a_end, b_end), end indices EXCLUSIVE — so the caller
-  * can cut the duplicated span, not just report it. Ties resolve to
-  * the first (i, j) in scan order: deterministic output for identical
-  * inputs, the property the removal pipeline's idempotence rests on.
+/** ALL maximal shared runs ≥ `minRun` between two hashed-word arrays
+  * (E20d's kernel after the §8h scaling study): Lee et al. 2022 cut
+  * EVERY duplicated substring in one pass, and returning only the
+  * longest run forced the removal loop into one round per additional
+  * run — re-paying candidate mining each time. Same O(m·n) rolling DP;
+  * a run is recorded at its termination cell (the next pair of words
+  * no longer matches, or either array ends), so each maximal diagonal
+  * run reports exactly once as struct(len, b_end) with `b_end`
+  * EXCLUSIVE on the b side. Runs from different diagonals may overlap
+  * on b — the caller's islands merge handles that, exactly as it
+  * already merged spans arriving from different PAIRS. First-scan-order
+  * emission keeps the output deterministic.
   */
-case class LcsSpanExpr(left: Expression, right: Expression)
+case class LcsSpansExpr(left: Expression, right: Expression, minRun: Int)
   extends BinaryExpression with CodegenFallback {
 
   import org.apache.spark.sql.types.StructField
 
-  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
-    StructField("len", IntegerType, nullable = false),
-    StructField("a_end", IntegerType, nullable = false),
-    StructField("b_end", IntegerType, nullable = false)))
-  override def prettyName: String = "lcs_span"
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      StructField("len", IntegerType, nullable = false),
+      StructField("b_end", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "lcs_spans"
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"lcs_span expects two array<long>, got ${l.catalogString}, ${r.catalogString}")
+        s"lcs_spans expects two array<long>, got ${l.catalogString}, ${r.catalogString}")
     }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
@@ -137,7 +144,7 @@ case class LcsSpanExpr(left: Expression, right: Expression)
     val b = r.asInstanceOf[ArrayData].toLongArray()
     val m = a.length
     val n = b.length
-    var best = 0; var bestI = 0; var bestJ = 0
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     if (m > 0 && n > 0) {
       var prev = new Array[Int](n + 1)
       var cur = new Array[Int](n + 1)
@@ -146,8 +153,12 @@ case class LcsSpanExpr(left: Expression, right: Expression)
         val ai = a(i - 1)
         var j = 1
         while (j <= n) {
-          cur(j) = if (ai == b(j - 1)) prev(j - 1) + 1 else 0
-          if (cur(j) > best) { best = cur(j); bestI = i; bestJ = j }
+          val run = if (ai == b(j - 1)) prev(j - 1) + 1 else 0
+          cur(j) = run
+          // maximal-termination test: the run cannot extend past (i, j)
+          if (run >= minRun &&
+              (i == m || j == n || a(i) != b(j)))
+            out += org.apache.spark.sql.catalyst.InternalRow(run, j)
           j += 1
         }
         val t = prev; prev = cur; cur = t
@@ -155,7 +166,7 @@ case class LcsSpanExpr(left: Expression, right: Expression)
         i += 1
       }
     }
-    org.apache.spark.sql.catalyst.InternalRow(best, bestI, bestJ)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
   override protected def withNewChildrenInternal(
@@ -163,8 +174,8 @@ case class LcsSpanExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-object LcsSpan {
-  def apply(a: Column, b: Column): Column =
-    GraftColumnBridge.toColumn(LcsSpanExpr(
-      GraftColumnBridge.toExpression(a), GraftColumnBridge.toExpression(b)))
+object LcsSpans {
+  def apply(a: Column, b: Column, minRun: Int): Column =
+    GraftColumnBridge.toColumn(LcsSpansExpr(
+      GraftColumnBridge.toExpression(a), GraftColumnBridge.toExpression(b), minRun))
 }

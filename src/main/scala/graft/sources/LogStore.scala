@@ -332,6 +332,98 @@ object LogStore {
       .parquet(dstRoot)
   }
 
+  /** A24 — `_delete_by_query` (predicate-driven deletion: the GDPR /
+    * bad-batch surgery every log fleet eventually runs — retention
+    * expiry (A9) drops whole date partitions, this drops ROWS matching
+    * an arbitrary predicate). Same write-then-swap discipline as
+    * compaction: only partitions that actually CONTAIN matches are
+    * rewritten (the delete predicate prunes the probe), the rewrite
+    * lands in a sibling temp dir while the store stays readable, then
+    * swapped in per-partition — a crash mid-write leaves the store
+    * untouched, mid-swap leaves each partition wholly old or wholly
+    * new. Partitions without matches are never touched, so cost
+    * scales with affected data, not store size. Returns the count of
+    * deleted rows (the `_delete_by_query` response's `deleted`).
+    */
+  def deleteByQuery(spark: SparkSession, root: String,
+                    predicate: org.apache.spark.sql.Column): Long = {
+    val all = spark.read.parquet(root)
+    // log_date values of partitions that contain matches — only these rewrite
+    val affected = all.filter(predicate)
+      .select(col("log_date").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (affected.isEmpty) return 0L
+    val affectedCol = col("log_date").cast("string").isin(affected: _*)
+    val deleted = all.filter(predicate && affectedCol).count()
+    val tmp = root.stripSuffix("/") + ".delete-tmp"
+    all.filter(affectedCol && !predicate)
+      .write.mode("overwrite")
+      .partitionBy("log_date", "source")
+      .parquet(tmp)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affected.foreach { d =>
+      val name = s"log_date=$d"
+      val src = new org.apache.hadoop.fs.Path(tmpPath, name)
+      val dest = new org.apache.hadoop.fs.Path(rootPath, name)
+      fs.delete(dest, true)
+      // a partition whose every row matched has no rewritten output dir
+      if (fs.exists(src)) fs.rename(src, dest)
+    }
+    fs.delete(tmpPath, true)
+    deleted
+  }
+
+  /** A25 — `_update_by_query` (in-place predicate-driven rewrite: fix
+    * a bad mapping, scrub a field, backfill an enrichment — A10's
+    * reindex rewrites the WHOLE store to a new root; this touches only
+    * the partitions containing matches, in place). The transform
+    * applies to the MATCHING rows only; non-matching rows of affected
+    * partitions are carried unchanged; untouched partitions keep their
+    * exact files. Same write-then-swap crash discipline as A24/A8.
+    * Returns the updated-row count.
+    */
+  def updateByQuery(spark: SparkSession, root: String,
+                    predicate: org.apache.spark.sql.Column)
+                   (transform: DataFrame => DataFrame): Long = {
+    val all = spark.read.parquet(root)
+    val affected = all.filter(predicate)
+      .select(col("log_date").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (affected.isEmpty) return 0L
+    val affectedCol = col("log_date").cast("string").isin(affected: _*)
+    val updated = all.filter(predicate && affectedCol).count()
+    val out = transform(all.filter(affectedCol && predicate))
+    require(out.columns.sorted.sameElements(all.columns.sorted),
+      "update_by_query transform must preserve the store schema")
+    // a transform that MOVES rows across partitions would strand them in
+    // unswapped tmp dirs (and could collide with live partitions) — that
+    // migration is A10 reindex's job, not an in-place update's
+    require(out.filter(!col("log_date").cast("string").isin(affected: _*)).isEmpty,
+      "update_by_query transform must not change log_date; use reindex")
+    val tmp = root.stripSuffix("/") + ".update-tmp"
+    all.filter(affectedCol && !predicate)
+      .unionByName(out.select(all.columns.map(col): _*))
+      .write.mode("overwrite")
+      .partitionBy("log_date", "source")
+      .parquet(tmp)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affected.foreach { d =>
+      val name = s"log_date=$d"
+      val src = new org.apache.hadoop.fs.Path(tmpPath, name)
+      val dest = new org.apache.hadoop.fs.Path(rootPath, name)
+      if (fs.exists(src)) {
+        fs.delete(dest, true)
+        fs.rename(src, dest)
+      }
+    }
+    fs.delete(tmpPath, true)
+    updated
+  }
+
   /** A10c — CONTINUOUS cross-store replication (OpenSearch CCR
     * re-expressed: a follower index continuously tails its leader;
     * unified-log fleets run it for cross-region DR and read locality).

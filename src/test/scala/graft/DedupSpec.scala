@@ -224,13 +224,14 @@ class DedupSpec extends AnyFunSuite {
       (2L, s"m1 m2 $r1 m3 m4 m5 $r2 m6 $r3 m7 m8 m9 m10"),  // three disjoint runs
       (3L, (1 to 25).map(i => s"n$i").mkString(" "))
     ).toDF("doc_id", "text")
-    // single pass cuts only the LONGEST shared span (r1): 2 runs remain
+    // one pass cuts ALL THREE maximal runs (the lcs_spans kernel — a
+    // one-longest-span kernel would leave r2 and r3 for later rounds)
     val one = Dedup.substringRemovalDf(docs, minRun = 10)
       .filter(col("doc_id") === 2L)
       .select("n_cuts", "words_removed").as[(Long, Long)].head()
-    assert(one == (1L, 20L), s"single pass: $one")
-    // the fixpoint iterates: r1 (20w) then r2 (15w) then r3 (12w), and a
-    // fourth verify pass finds nothing — converged inside the default bound
+    assert(one == (3L, 47L), s"single pass: $one")
+    // the fixpoint certifies: one cut round, then a fresh mining finds
+    // nothing — converged with rounds=1
     val fix = Dedup.substringRemovalFixpointDf(docs, minRun = 10)
       .select("doc_id", "n_cuts", "words_removed", "n_words_after", "rounds", "converged", "text_clean")
       .as[(Long, Long, Long, Long, Long, Boolean, String)].collect()
@@ -239,15 +240,16 @@ class DedupSpec extends AnyFunSuite {
     assert(!fix(2L)._7.contains("a1") && !fix(2L)._7.contains("b1") &&
       !fix(2L)._7.contains("c1") && fix(2L)._7.contains("m1"))
     assert(fix(2L)._4 == 10)
-    assert(fix(2L)._5 == 3 && fix(2L)._6, s"rounds/converged ${fix(2L)}")
+    assert(fix(2L)._5 == 1 && fix(2L)._6, s"rounds/converged ${fix(2L)}")
     // keeper and unrelated doc untouched
     assert(fix(1L)._3 == 0 && fix(3L)._3 == 0)
-    // the round bound terminates the loop and reports non-convergence
+    // the round bound exits BEFORE the certification mining: everything
+    // cut, but convergence unproven — reported honestly
     val bounded = Dedup.substringRemovalFixpointDf(docs, minRun = 10, maxRounds = 1)
       .filter(col("doc_id") === 2L)
       .select("words_removed", "rounds", "converged")
       .as[(Long, Long, Boolean)].head()
-    assert(bounded == (20L, 1L, false), s"bounded: $bounded")
+    assert(bounded == (47L, 1L, false), s"bounded: $bounded")
   }
 
   test("lcs_words kernel matches a naive independent replica on random inputs") {

@@ -213,6 +213,15 @@ class EntrySpec extends AnyFunSuite {
     assert(plan.contains("ReusedExchange"), s"range exchange not reused in:\n$plan")
   }
 
+  test("q_burn_rate computes every window in ONE fact scan (C4b contract)") {
+    val df = graft.operators.Slo.burnRate(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    // one scan for the conditional aggregate + one for the max(ts) row
+    assert(scans <= 2, s"expected <=2 events scans, got $scans:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("cross-surface parity: DQL, PPL, and SQL answer the same three questions identically") {
     // The three user-facing query languages (C56 Discover DQL, C57 PPL,
     // C58 SQL) have always been oracle-checked separately but never

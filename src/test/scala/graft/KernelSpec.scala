@@ -292,6 +292,33 @@ class KernelSpec extends AnyFunSuite {
       s"unexpected head of merge table: $firstPairs")
   }
 
+  test("lcs_spans kernel: every maximal shared run >= minRun, vs a naive replica") {
+    val rng = new scala.util.Random(17)
+    def doc() = Seq.fill(10 + rng.nextInt(60))(rng.nextInt(6).toLong)
+    // naive: for every (i, j) where a run STARTS (not preceded by a
+    // match), walk its full length; report (len, b_end_exclusive)
+    def naive(a: Seq[Long], b: Seq[Long], minRun: Int): Seq[(Int, Int)] =
+      (for {
+        i <- a.indices; j <- b.indices
+        if a(i) == b(j) && (i == 0 || j == 0 || a(i - 1) != b(j - 1))
+      } yield {
+        var k = 0
+        while (i + k < a.length && j + k < b.length && a(i + k) == b(j + k)) k += 1
+        (k, j + k)
+      }).filter(_._1 >= minRun).sorted
+    val cases = Seq.fill(30)((doc(), doc())) :+ {
+      // planted: two disjoint runs plus a sub-minRun one
+      val run1 = Seq.fill(7)(99L); val run2 = Seq.fill(5)(88L)
+      ((run1 ++ Seq(1L, 2L) ++ run2 ++ Seq(3L), Seq(4L, 5L) ++ run1 ++ Seq(6L) ++ run2))
+    }
+    val got = cases.toDF("a", "b")
+      .select(graft.plans.LcsSpans(col("a"), col("b"), 4))
+      .as[Seq[(Int, Int)]].collect().toSeq.map(_.sorted)
+    cases.zip(got).foreach { case ((a, b), g) =>
+      assert(g == naive(a, b, 4), s"a=$a b=$b got=$g want=${naive(a, b, 4)}")
+    }
+  }
+
   test("simhash: equal token multisets agree; near-identical docs are close, unrelated far") {
     val doc = randDoc(60)
     val near = doc.updated(0, "CHANGED")

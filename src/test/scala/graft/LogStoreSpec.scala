@@ -622,6 +622,72 @@ class LogStoreSpec extends AnyFunSuite {
     assert(LogStore.followTick(spark, leader, replica).isEmpty)
   }
 
+  test("delete_by_query rewrites only affected partitions and reports the deleted count (A24)") {
+    val root = Files.createTempDirectory("graft-dbq").toString + "/logs"
+    def batch(day: Int, status: Long, n: Int) = spark.range(n).select(
+      concat(lit("10.0.0."), col("id") % 250).as("ip"),
+      lit(java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")).as("ts"),
+      lit(status).as("status"),
+      lit("ec2").as("source"))
+    LogStore.write(batch(1, 200L, 100).unionAll(batch(1, 500L, 40))
+      .unionAll(batch(2, 200L, 60)), root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val day2Before = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/log_date=2024-01-02"))
+      .map(s => s.getPath.getName -> s.getModificationTime).toSet
+
+    val deleted = LogStore.deleteByQuery(spark, root, col("status") === 500L)
+    assert(deleted == 40L, s"deleted $deleted")
+    val left = spark.read.parquet(root)
+    assert(left.count() == 160 && left.filter(col("status") === 500L).count() == 0)
+    // the untouched partition keeps its exact files (no needless rewrite)
+    val day2After = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/log_date=2024-01-02"))
+      .map(s => s.getPath.getName -> s.getModificationTime).toSet
+    assert(day2After == day2Before, "unaffected partition was rewritten")
+    // idempotent: nothing left to delete
+    assert(LogStore.deleteByQuery(spark, root, col("status") === 500L) == 0L)
+    // a predicate matching a WHOLE partition removes the partition dir
+    assert(LogStore.deleteByQuery(spark, root,
+      col("log_date") === "2024-01-02") == 60L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/log_date=2024-01-02")))
+    assert(spark.read.parquet(root).count() == 100)
+  }
+
+  test("update_by_query transforms matching rows in place; unaffected partitions untouched (A25)") {
+    val root = Files.createTempDirectory("graft-ubq").toString + "/logs"
+    def batch(day: Int, status: Long, n: Int) = spark.range(n).select(
+      concat(lit("10.0.0."), col("id") % 250).as("ip"),
+      lit(java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")).as("ts"),
+      lit(status).as("status"),
+      lit("ec2").as("source"))
+    LogStore.write(batch(1, 500L, 30).unionAll(batch(1, 200L, 70))
+      .unionAll(batch(2, 200L, 50)), root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val day2Before = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/log_date=2024-01-02"))
+      .map(s => s.getPath.getName -> s.getModificationTime).toSet
+    val n = LogStore.updateByQuery(spark, root, col("status") === 500L)(
+      _.withColumn("status", lit(503L)))
+    assert(n == 30L)
+    val after = spark.read.parquet(root)
+    assert(after.count() == 150)
+    assert(after.filter(col("status") === 500L).count() == 0)
+    assert(after.filter(col("status") === 503L).count() == 30)
+    val day2After = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/log_date=2024-01-02"))
+      .map(s => s.getPath.getName -> s.getModificationTime).toSet
+    assert(day2After == day2Before, "unaffected partition was rewritten")
+    // a partition-moving transform is refused before touching the store
+    intercept[IllegalArgumentException] {
+      LogStore.updateByQuery(spark, root, col("status") === 503L)(
+        _.withColumn("log_date", lit("2024-02-01").cast("date")))
+    }
+    assert(spark.read.parquet(root).count() == 150)
+  }
+
   test("json-lines and csv readers honor the explicit schema") {
     val dir = Files.createTempDirectory("graft-fmt").toString
     java.nio.file.Paths.get(dir)

@@ -389,6 +389,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(bySeq(550L).score > 0.65)
   }
 
+  test("streaming drift monitor: stable window stays quiet, shifted window alerts (E70)") {
+    implicit val sq = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp((1440 + min) * 60000L)
+    val ms = MemoryStream[(java.sql.Timestamp, Double)]
+    // reference: uniform over buckets (<10, [10,20), >=20)
+    val q = graft.streaming.DriftMonitor.psiStream(
+      ms.toDS().toDF("ts", "value"), edges = Seq(10.0, 20.0),
+      refShares = Seq(1.0 / 3, 1.0 / 3, 1.0 / 3)).writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory").queryName("drift")
+      .start()
+    // window 1 (minutes 0-9): matches the reference — one value per bucket
+    ms.addData((ts(0), 5.0), (ts(1), 15.0), (ts(2), 25.0),
+      (ts(3), 5.0), (ts(4), 15.0), (ts(5), 25.0))
+    // window 2 (minutes 10-19): mass collapses into the top bucket
+    ms.addData((ts(10), 25.0), (ts(11), 27.0), (ts(12), 29.0),
+      (ts(13), 25.0), (ts(14), 28.0), (ts(15), 26.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT window_start, n, psi, drifted FROM drift")
+      .as[(java.sql.Timestamp, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    q.stop()
+    assert(rows.size == 2)
+    val (w1, w2) = (rows(ts(0)), rows(ts(10)))
+    assert(w1._2 == 6 && !w1._4 && w1._3 < 0.05, s"stable window drifted: $w1")
+    assert(w2._2 == 6 && w2._4 && w2._3 > 1.0, s"shifted window quiet: $w2")
+  }
+
   test("streaming token-budget gate: admits per-language until the budget fills, state persists across batches (E13s)") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[LogPipeline.BudgetDoc]
