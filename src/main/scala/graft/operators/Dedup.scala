@@ -360,21 +360,25 @@ object Dedup {
     // kernel must not inherit scan parallelism — this spreads the DP
     // work across the cluster and co-partitions the join in one cheap
     // shuffle of (id, block, text) rows.
-    val base = Tables.documents(spark, dir).select(
+    // the block ASSIGNMENT computes on thin (doc_id, b2, b4) rows —
+    // document text must not ride the depth/cap aggregates' shuffles
+    // (measured +1.5 s at sf0.1 when it did)
+    val keys = Tables.documents(spark, dir).select(
       col("doc_id"),
       concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("b2"),
-      concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("b4"),
-      col("text"))
-    val depth2 = base.groupBy(col("b2")).agg(count(lit(1)).as("n2"))
-    val keyed = base.join(depth2, "b2")
+      concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("b4"))
+    val depth2 = keys.groupBy(col("b2")).agg(count(lit(1)).as("n2"))
+    val keyed = keys.join(depth2, "b2")
       .withColumn("block",
         when(col("n2") <= levenshteinSubBlockDepth, concat(lit("2:"), col("b2")))
           .otherwise(concat(lit("4:"), col("b4"))))
     val okBlocks = keyed.groupBy(col("block")).agg(count(lit(1)).as("bn"))
       .filter(col("bn").between(2, maxBucketSize))
       .select(col("block"))
-    val docs = keyed.join(okBlocks, "block")
-      .select(col("doc_id"), col("block"), col("text"))
+    val assignment = keyed.join(okBlocks, "block")
+      .select(col("doc_id"), col("block"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .join(assignment, "doc_id")
       .repartition(spark.sparkContext.defaultParallelism, col("block"))
     val la = length(col("text_a")); val lb = length(col("text_b"))
     docs.select(col("block"), col("doc_id").as("doc_a"), col("text").as("text_a"))

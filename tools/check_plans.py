@@ -85,6 +85,8 @@ BNLJ_ALLOWED = {
     "q_rank_eval": "bounded judgment-list broadcast",
     "q_sales_opportunity": "one-row avg-balance broadcast (TPC-H Q22)",
     "q_string_stats": "one-row corpus-totals broadcast",
+    "q_cell_audit": "one-row corpus-total broadcast",
+    "q_perplexity_ablation": "one-row LM-stats broadcast per cut",
 }
 
 
