@@ -1185,4 +1185,59 @@ object Extras {
       |GROUP BY user_id
       |HAVING object_match
       |ORDER BY user_id""".stripMargin
+  /** C3w — distance_feature query (OpenSearch `distance_feature` on a
+    * date field: boost relevance by CLOSENESS to an origin timestamp —
+    * the "prefer recent docs" scoring device Discover users wrap
+    * around every search). The upstream formula is reciprocal decay,
+    * score = boost * pivot / (pivot + |field - origin|); must-clauses
+    * here are FILTER context (score 0, exactly OpenSearch's filter
+    * semantics), so the ranking comes entirely from the decay term.
+    *
+    * Determinism across engines: timestamps truncate to whole seconds
+    * first (the sessionize playbook), making |ts - origin| an exact
+    * BIGINT; the score is scaled to micro-units by INTEGER division
+    * (boost*pivot*1e6 div (pivot+d)) — no float division, no rounding
+    * boundary. Scale shape: the filter + distance arithmetic live in
+    * the scan projection (the range filter pushes down), and the only
+    * exchange is the O(k) mergeable TopKAgg.
+    */
+  def distanceFeature(spark: SparkSession, dir: String,
+                      eventType: String = "click",
+                      origin: String = "2024-01-15 00:00:00",
+                      pivotS: Long = 604800L, k: Int = 20): DataFrame = {
+    val originS = java.time.LocalDateTime
+      .parse(origin.replace(' ', 'T'))
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+    // `div` (true integer division) — float division + floor can land a
+    // near-integer quotient on the wrong side of the boundary
+    val scoreU = expr(
+      s"(2000000L * ${pivotS}L) div (${pivotS}L + abs(cast(ts as long) - ${originS}L))")
+    val topk = graft.plans.TopKAgg.udafFor(k)
+    Tables.events(spark, dir)
+      .filter(col("event_type") === eventType)
+      .select(col("event_id"), scoreU.as("score_u"))
+      .agg(topk(col("event_id"), col("score_u").cast("double")).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col._2").as("event_id"),
+        col("col._1").cast("long").as("score_u"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy(col("rank"))
+  }
+
+  val distanceFeatureSql: String =
+    """WITH e AS (
+      |  SELECT event_id,
+      |    abs(CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+      |        - CAST(epoch(TIMESTAMP '2024-01-15 00:00:00') AS BIGINT)) AS d
+      |  FROM events WHERE event_type = 'click'),
+      |scored AS (
+      |  SELECT event_id,
+      |    (CAST(2000000 AS BIGINT) * 604800) // (604800 + d) AS score_u FROM e),
+      |ranked AS (
+      |  SELECT event_id, CAST(score_u AS BIGINT) AS score_u,
+      |    CAST(row_number() OVER (ORDER BY score_u DESC, event_id) AS BIGINT) AS rank
+      |  FROM scored)
+      |SELECT event_id, score_u, rank FROM ranked
+      |WHERE rank <= 20
+      |ORDER BY rank""".stripMargin
 }

@@ -459,4 +459,39 @@ object Geo {
        |GROUP BY 1
        |ORDER BY event_type""".stripMargin
   }
+
+  /** C46g — geo_bounding_box filter (the Discover map-viewport query:
+    * every map pan/zoom re-issues the dashboard's aggregations with the
+    * viewport as a bounding box). Deliberately NOT a polygon test: a
+    * box is two closed ranges, so the filter is four comparisons that
+    * stay ordinary range predicates — on a store with materialized
+    * coordinate columns they push into the parquet scan as min/max
+    * row-group pruning (the reason OpenSearch treats bounding-box as
+    * the cheap geo filter and polygon as the expensive one; same plan
+    * economics here). The aggregation after the cut is one map-side-
+    * combined pass.
+    */
+  def geoBoundingBox(spark: SparkSession, dir: String,
+                     latMin: Double = 10.0, latMax: Double = 50.0,
+                     lonMin: Double = -30.0, lonMax: Double = 60.0): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        latCol.as("lat"), lonCol.as("lon"))
+      .filter(col("lat").between(latMin, latMax) &&
+        col("lon").between(lonMin, lonMax))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("lat")).as("min_lat"), max(col("lat")).as("max_lat"))
+      .orderBy(col("event_type"))
+
+  val geoBoundingBoxSql: String =
+    s"""WITH g AS (
+       |  SELECT event_type, user_id, $latSql AS lat, $lonSql AS lon FROM events)
+       |SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+       |  min(lat) AS min_lat, max(lat) AS max_lat
+       |FROM g
+       |WHERE lat BETWEEN 10.0 AND 50.0 AND lon BETWEEN -30.0 AND 60.0
+       |GROUP BY 1
+       |ORDER BY event_type""".stripMargin
 }

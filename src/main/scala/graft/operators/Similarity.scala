@@ -705,4 +705,56 @@ object Similarity {
       |FROM e
       |GROUP BY label, dim
       |ORDER BY label, dim""".stripMargin
+  /** E71 — contrastive hard-negative mining (the embedding-training
+    * data op: for each anchor, the most-similar corpus vectors whose
+    * LABEL differs — "hardest" negatives, the pairs InfoNCE-style
+    * losses learn most from; random negatives are trivially easy and
+    * teach nothing, which is why production pipelines mine). Anchors =
+    * the E6 query set; negatives ranked by rounded cosine with n_id
+    * tiebreak (bit-reproducible cross-engine).
+    *
+    * Scale shape: identical to E6 — the anchor set broadcasts, the
+    * corpus scan stays partition-local, the label test is one extra
+    * predicate in the scored projection, and the per-anchor top-k is a
+    * window over anchor-keyed groups. At real scale the candidate pass
+    * swaps for the E7 family (label-filtered IVF/LSH probes) exactly
+    * as for neighbor search — mining IS ANN with a label constraint.
+    */
+  def hardNegatives(spark: SparkSession, dir: String,
+                    negK: Int = 3): DataFrame = {
+    CosineSim.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val anchors = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val corpus = e.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("label").as("n_label"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("n_id"))
+    corpus.join(broadcast(anchors))
+      .filter(col("n_label") =!= col("q_label"))
+      .withColumn("cos_sim", round(CosineSim(col("q_emb"), col("n_emb")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= negK)
+      .select(col("q_id"), col("n_id"), col("n_label"), col("cos_sim"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val hardNegativesSql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb, label AS q_label
+      |  FROM embeddings WHERE vec_id < 10),
+      |c AS (
+      |  SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS n_emb, label AS n_label
+      |  FROM embeddings WHERE vec_id >= 10),
+      |scored AS (
+      |  SELECT q_id, n_id, n_label,
+      |    round(list_cosine_similarity(q_emb, n_emb), 6) AS cos_sim
+      |  FROM q CROSS JOIN c
+      |  WHERE n_label <> q_label),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, n_id, n_label, cos_sim, rank FROM ranked WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin
 }

@@ -1707,4 +1707,357 @@ object TextAnalysis {
        |GROUP BY term
        |ORDER BY term""".stripMargin
   }
+
+  /** C3y — pinned query (OpenSearch `pinned`: curated doc ids rank
+    * FIRST in their listed order, organic results fill the remaining
+    * slots — the "promote these three docs for this campaign" tool).
+    * Two defining behaviors both kept: a pinned doc appears even when
+    * the organic query does NOT match it (score 0), and a pinned doc
+    * never re-appears in the organic tail (OpenSearch dedups).
+    *
+    * Shape for scale: organic ranking is C3b's single doc-keyed pass +
+    * mergeable TopKAgg; the pinned side is an |ids|-row broadcast
+    * lookup into the SAME scored frame; the final rank is one window
+    * over ≤ k + |ids| rows. Nothing new is corpus-sized.
+    */
+  def pinnedSearch(spark: SparkSession, dir: String,
+                   ids: Seq[Long] = Seq(42L, 7L, 99L),
+                   terms: Seq[String] = Seq("spark", "window", "merge"),
+                   k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val pins = ids.zipWithIndex.map { case (id, o) => (id, o + 1) }
+      .toDF("doc_id", "pin_order")
+    val scored = bm25Scored(spark, dir, terms)
+      .select(col("doc_id"), col("score"))
+    // pinned arm: scored row looked up per id (score may be 0 — pinned
+    // docs surface regardless of the organic match)
+    val pinned = scored.join(broadcast(pins), "doc_id")
+      .select(col("doc_id"), col("score"), lit(true).as("pinned"), col("pin_order"))
+    val topk = graft.plans.TopKAgg.udafFor(k)
+    val organic = scored
+      .filter(col("score") > 0 && !col("doc_id").isin(ids: _*))
+      .agg(topk(col("doc_id"), col("score")).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t._2").as("doc_id"), col("t._1").as("score"),
+        lit(false).as("pinned"), lit(Int.MaxValue).as("pin_order"))
+    val w = Window.orderBy(col("pin_order"), col("score").desc, col("doc_id"))
+    pinned.unionByName(organic)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("doc_id"), col("score"), col("pinned"))
+      .orderBy(col("rank"))
+  }
+
+  val pinnedSearchSql: String = {
+    val terms = Seq("spark", "window", "merge")
+    val tfs = terms.map(t =>
+      s"CAST(sum(CASE WHEN token = '$t' THEN 1 ELSE 0 END) AS DOUBLE) AS tf_$t").mkString(",\n    ")
+    val dfs = terms.map(t =>
+      s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t").mkString(",\n    ")
+    val score = terms.map(t =>
+      s"ln(1.0 + (n_docs - df_$t + 0.5) / (df_$t + 0.5)) * " +
+        s"(tf_$t * 2.2 / (tf_$t + 1.2 * (0.25 + 0.75 * dl / avgdl)))")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl,
+       |    $tfs
+       |  FROM toks GROUP BY doc_id),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |    sum(dl) / count(*) AS avgdl,
+       |    $dfs
+       |  FROM perdoc),
+       |scored AS (
+       |  SELECT doc_id, round($score, 6) AS score
+       |  FROM perdoc CROSS JOIN stats),
+       |pins AS (SELECT * FROM (VALUES (42, 1), (7, 2), (99, 3)) p(doc_id, pin_order)),
+       |united AS (
+       |  SELECT s.doc_id, s.score, TRUE AS pinned, p.pin_order
+       |  FROM scored s JOIN pins p ON s.doc_id = p.doc_id
+       |  UNION ALL
+       |  SELECT doc_id, score, FALSE, 2147483647
+       |  FROM scored
+       |  WHERE score > 0 AND doc_id NOT IN (SELECT doc_id FROM pins)),
+       |ranked AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY pin_order, score DESC, doc_id) AS BIGINT) AS rank,
+       |    doc_id, score, pinned
+       |  FROM united)
+       |SELECT rank, doc_id, score, pinned FROM ranked
+       |WHERE rank <= 20
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** C3x — `combined_fields` query (Lucene CombinedFieldQuery / the
+    * OpenSearch combined_fields type): the PRINCIPLED term-centric
+    * multi-field ranking that supersedes cross_fields' statistics
+    * blending. Instead of scoring each field and combining, the fields
+    * are merged into ONE synthetic field BEFORE BM25 (the BM25F
+    * simplification of Robertson/Zaragoza 2009): weighted tf
+    * (tf_c = Σ_f w_f·tf_f), weighted length (dl_c = Σ_f w_f·dl_f),
+    * ONE document frequency (doc matches if ANY field contains the
+    * term) and therefore one idf — so, unlike cross_fields, a term's
+    * weight never depends on WHICH field it landed in, only how often.
+    *
+    * Same scale shape as C3n/C3t: one doc-keyed pass computes the
+    * per-field tf/dl battery, the synthetic-field stats collapse to a
+    * one-row broadcast, and the mergeable TopKAgg ranks — no new
+    * exchange over the corpus.
+    */
+  def combinedFields(spark: SparkSession, dir: String,
+                     terms: Seq[String] = Seq("spark", "window", "merge"),
+                     titleLen: Int = 8, k: Int = 20): DataFrame = {
+    val fields = Seq(("title", 2.0), ("body", 1.0))
+    val perField = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        slice(col("ws"), 1, titleLen).as("f_title"),
+        expr(s"slice(ws, $titleLen + 1, greatest(size(ws) - $titleLen, 0))").as("f_body"))
+    // the synthetic combined field: weighted tf and dl, computed in the
+    // same projection — the per-field columns never leave the scan
+    val perDoc = perField.select(col("doc_id") +:
+      (fields.map { case (f, w) => lit(w) * size(col(s"f_$f")).cast("double") }
+        .reduce(_ + _).as("dl_c") +:
+        terms.map(t =>
+          fields.map { case (f, w) =>
+            lit(w) * size(filter(col(s"f_$f"), x => x === t)).cast("double")
+          }.reduce(_ + _).as(s"tf_c_$t"))): _*)
+    val stats = perDoc.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl_c")) / count(lit(1))).as("avgdl_c") +:
+        terms.map(t =>
+          sum(when(col(s"tf_c_$t") > 0, 1).otherwise(0)).cast("double").as(s"df_$t")): _*)
+    val scoreExpr = terms.map { t =>
+      val tf = col(s"tf_c_$t"); val df = col(s"df_$t")
+      log(lit(1.0) + (col("n_docs") - df + 0.5) / (df + 0.5)) *
+        (tf * 2.2 / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl_c") / col("avgdl_c"))))
+    }.reduce(_ + _)
+    val topk = graft.plans.TopKAgg.udafFor(k)
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("score", round(scoreExpr, 6))
+      .filter(col("score") > 0)
+      .agg(topk(col("doc_id"), col("score")).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col._2").as("doc_id"), col("col._1").as("score"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy(col("rank"))
+  }
+
+  val combinedFieldsSql: String = {
+    val terms = Seq("spark", "window", "merge")
+    val fields = Seq(("title", "2.0"), ("body", "1.0"))
+    val dlC = fields.map { case (f, w) => s"$w * len(f_$f)" }.mkString(" + ")
+    val tfs = s"CAST($dlC AS DOUBLE) AS dl_c" +:
+      terms.map { t =>
+        val s = fields.map { case (f, w) =>
+          s"$w * len(list_filter(f_$f, w_ -> w_ = '$t'))" }.mkString(" + ")
+        s"CAST($s AS DOUBLE) AS tf_c_$t"
+      }
+    val dfs = s"sum(dl_c) / count(*) AS avgdl_c" +:
+      terms.map(t =>
+        s"CAST(sum(CASE WHEN tf_c_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t")
+    val score = terms.map(t =>
+      s"ln(1.0 + (n_docs - df_$t + 0.5) / (df_$t + 0.5)) * " +
+        s"(tf_c_$t * 2.2 / (tf_c_$t + 1.2 * (0.25 + 0.75 * dl_c / avgdl_c)))")
+      .mkString(" + ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |fsplit AS (
+       |  SELECT doc_id, ws[1:8] AS f_title,
+       |    CASE WHEN len(ws) > 8 THEN ws[9:] ELSE [] END AS f_body
+       |  FROM docs),
+       |perdoc AS (
+       |  SELECT doc_id,
+       |    ${tfs.mkString(",\n    ")}
+       |  FROM fsplit),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |    ${dfs.mkString(",\n    ")}
+       |  FROM perdoc),
+       |scored AS (
+       |  SELECT doc_id, round($score, 6) AS score
+       |  FROM perdoc CROSS JOIN stats),
+       |ranked AS (
+       |  SELECT doc_id, score,
+       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |  FROM scored WHERE score > 0)
+       |SELECT doc_id, score, rank FROM ranked
+       |WHERE rank <= 20
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** C3z — match_bool_prefix (the search-as-you-type query: every
+    * typed term matches as a normal term, the LAST — still being typed
+    * — matches as a prefix). Per OpenSearch semantics the complete
+    * terms score with BM25 while the prefix clause is a multi-term
+    * query under the default constant_score rewrite: any doc with a
+    * token starting with the prefix gets a flat 1.0 contribution —
+    * prefix expansions deliberately carry no per-term idf (scoring
+    * thousands of expansions would be both slow and meaningless).
+    *
+    * One doc-keyed pass: tf for the complete terms and a `startswith`
+    * existence flag for the prefix come out of the same token
+    * aggregate; stats broadcast; TopKAgg ranks.
+    */
+  def matchBoolPrefix(spark: SparkSession, dir: String,
+                      terms: Seq[String] = Seq("spark", "merge"),
+                      prefix: String = "win", k: Int = 20): DataFrame = {
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("double").as("dl"),
+        (terms.map(t =>
+          sum(when(col("token") === t, 1).otherwise(0)).cast("double").as(s"tf_$t")) :+
+          max(when(col("token").startsWith(prefix), 1).otherwise(0)).as("has_prefix")): _*)
+    val stats = perDoc.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl") +:
+        terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1).otherwise(0)).cast("double").as(s"df_$t")): _*)
+    val termScore = terms.map { t =>
+      val tf = col(s"tf_$t"); val df = col(s"df_$t")
+      log(lit(1.0) + (col("n_docs") - df + 0.5) / (df + 0.5)) *
+        (tf * 2.2 / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+    }.reduce(_ + _)
+    val topk = graft.plans.TopKAgg.udafFor(k)
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("score",
+        round(termScore + when(col("has_prefix") === 1, 1.0).otherwise(0.0), 6))
+      .filter(col("score") > 0)
+      .agg(topk(col("doc_id"), col("score")).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col._2").as("doc_id"), col("col._1").as("score"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy(col("rank"))
+  }
+
+  val matchBoolPrefixSql: String = {
+    val terms = Seq("spark", "merge")
+    val tfs = terms.map(t =>
+      s"CAST(sum(CASE WHEN token = '$t' THEN 1 ELSE 0 END) AS DOUBLE) AS tf_$t").mkString(",\n    ")
+    val dfs = terms.map(t =>
+      s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t").mkString(",\n    ")
+    val score = terms.map(t =>
+      s"ln(1.0 + (n_docs - df_$t + 0.5) / (df_$t + 0.5)) * " +
+        s"(tf_$t * 2.2 / (tf_$t + 1.2 * (0.25 + 0.75 * dl / avgdl)))")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl,
+       |    $tfs,
+       |    max(CASE WHEN token LIKE 'win%' THEN 1 ELSE 0 END) AS has_prefix
+       |  FROM toks GROUP BY doc_id),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |    sum(dl) / count(*) AS avgdl,
+       |    $dfs
+       |  FROM perdoc),
+       |scored AS (
+       |  SELECT doc_id,
+       |    round(($score) + (CASE WHEN has_prefix = 1 THEN 1.0 ELSE 0.0 END), 6) AS score
+       |  FROM perdoc CROSS JOIN stats),
+       |ranked AS (
+       |  SELECT doc_id, score,
+       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |  FROM scored WHERE score > 0)
+       |SELECT doc_id, score, rank FROM ranked
+       |WHERE rank <= 20
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** C66 — neural sparse search (the OpenSearch `neural_sparse` query /
+    * SPLADE-class retrieval, Formal et al. 2021): documents and queries
+    * are SPARSE term-weight vectors scored by dot product over the
+    * inverted index — the learned-retrieval middle ground between BM25
+    * and dense ANN. The sandbox has no encoder model, so the doc-side
+    * "learned" weights are a deterministic stand-in (log-saturated tf ×
+    * idf, the analytic core SPLADE's regularizer pushes toward) — the
+    * part that matters for the engine is the PLUMBING, and that is
+    * real: per-doc top-m sparsification (the doc-side expansion cap),
+    * integer micro-weights (float dot products are summation-order-
+    * dependent across engines; integer products sum exactly), a
+    * token-keyed posting table, and a bounded query-side expansion list
+    * joined posting-style.
+    *
+    * Scale shape: tf (doc,token) and df (token) aggregates are the two
+    * corpus exchanges; the top-m cut windows per doc_id; the probe side
+    * is an |expansion|-literal `isin` PUSHED INTO the posting scan (a
+    * real deployment stores the postings token-bucketed, making this a
+    * pruned read); scoring groupBy(doc_id) touches only matched
+    * postings; TopKAgg bounds the final exchange to O(k).
+    */
+  def neuralSparse(spark: SparkSession, dir: String,
+                   expansion: Seq[(String, Long)] =
+                     Seq("spark" -> 1200L, "merge" -> 800L, "window" -> 1000L, "fast" -> 500L),
+                   docTerms: Int = 8, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("token"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val nDocs = tf.agg(countDistinct(col("doc_id")).cast("double").as("n_docs"))
+    // doc-side sparse vector: micro-int weights, top-m terms per doc
+    // (deterministic tiebreak token ASC — the sparsification cap)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("w_u").desc, col("token"))
+    val postings = tf.join(df, "token").crossJoin(broadcast(nDocs))
+      .withColumn("w_u",
+        round(log(lit(1.0) + col("tf")) *
+          log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) * 1e6)
+          .cast("long"))
+      .filter(col("w_u") > 0)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= docTerms)
+      .select(col("doc_id"), col("token"), col("w_u"))
+    val qExp = expansion.toDF("token", "q_w")
+    val topk = graft.plans.TopKAgg.udafFor(k)
+    postings
+      .filter(col("token").isin(expansion.map(_._1): _*))
+      .join(broadcast(qExp), "token")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w_u") * col("q_w")).as("score_u"))
+      .agg(topk(col("doc_id"), col("score_u").cast("double")).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col._2").as("doc_id"),
+        col("col._1").cast("long").as("score_u"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy(col("rank"))
+  }
+
+  val neuralSparseSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (
+      |  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+      |  FROM toks GROUP BY doc_id, token),
+      |df AS (
+      |  SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+      |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf),
+      |weighted AS (
+      |  SELECT tf.doc_id, tf.token,
+      |    CAST(round(ln(1.0 + tf.tf) *
+      |      ln(1.0 + (nd.n_docs - df.df + 0.5) / (df.df + 0.5)) * 1e6) AS BIGINT) AS w_u
+      |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN nd),
+      |sparse AS (
+      |  SELECT doc_id, token, w_u,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY w_u DESC, token) AS rk
+      |  FROM weighted WHERE w_u > 0),
+      |postings AS (SELECT doc_id, token, w_u FROM sparse WHERE rk <= 8),
+      |qexp AS (SELECT * FROM (VALUES ('spark', 1200), ('merge', 800),
+      |                               ('window', 1000), ('fast', 500)) q(token, q_w)),
+      |scored AS (
+      |  SELECT p.doc_id, CAST(sum(p.w_u * q.q_w) AS BIGINT) AS score_u
+      |  FROM postings p JOIN qexp q ON p.token = q.token
+      |  GROUP BY p.doc_id),
+      |ranked AS (
+      |  SELECT doc_id, score_u,
+      |    CAST(row_number() OVER (ORDER BY score_u DESC, doc_id) AS BIGINT) AS rank
+      |  FROM scored)
+      |SELECT doc_id, score_u, rank FROM ranked
+      |WHERE rank <= 20
+      |ORDER BY rank""".stripMargin
 }
