@@ -1431,4 +1431,77 @@ object Curation {
       |  round(0.9 * raw_w / sum(raw_w) OVER () + 0.1 / count(*) OVER (), 6) AS weight
       |FROM e
       |ORDER BY source""".stripMargin
+  /** E76 — two-phase anneal mix (the WSD decay-phase recipe: MiniCPM
+    * — Hu et al. 2024 §4 — and the Llama-3 report both anneal the LAST
+    * few percent of training on a quality-upweighted mix; the stable
+    * phase samples sources by natural token mass). The plan table says,
+    * per source: its stable-phase token allocation (∝ tokens), whether
+    * it qualifies for the anneal phase (mean quality above the corpus
+    * mean), and its anneal-phase allocation (∝ tokens over qualifying
+    * sources only).
+    *
+    * Determinism discipline: per-doc quality quantizes to integer
+    * micro-units at the DOC (round(q·1e4), the same expression the
+    * ★-green E9 row rounds), so source sums are exact BIGINTs; "above
+    * corpus mean" compares cross-multiplied sums (sum_s·n_total >
+    * sum_total·n_s) — no float division anywhere; allocations are
+    * integer div of BIGINT budgets. One corpus pass + a one-row totals
+    * broadcast.
+    */
+  def annealMix(spark: SparkSession, dir: String,
+                stableBudget: Long = 100000000L,
+                annealBudget: Long = 10000000L): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        round(graft.functions.TextFns.qualityScore(col("text")) * 10000).cast("long").as("q_u"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("toks"),
+        sum(col("q_u")).as("q_sum_u"))
+    val totals = perSource.agg(
+      sum(col("n_docs")).as("n_total"), sum(col("toks")).as("toks_total"),
+      sum(col("q_sum_u")).as("q_total_u"))
+    val flagged = perSource.crossJoin(broadcast(totals))
+      .withColumn("hq", col("q_sum_u") * col("n_total") > col("q_total_u") * col("n_docs"))
+    val hqTotal = flagged.agg(
+      sum(when(col("hq"), col("toks")).otherwise(0L)).as("hq_toks_total"))
+    flagged.crossJoin(broadcast(hqTotal))
+      .select(col("source"), col("n_docs"), col("toks"), col("hq"),
+        expr(s"(${stableBudget}L * toks) div toks_total").as("stable_alloc"),
+        when(col("hq"), expr(s"(${annealBudget}L * toks) div hq_toks_total"))
+          .otherwise(0L).as("anneal_alloc"))
+      .orderBy(col("source"))
+  }
+
+  val annealMixSql: String =
+    """WITH d AS (
+      |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+      |    CAST(round(ln(CAST(len(string_split(text, ' ')) AS DOUBLE) + 1)
+      |      * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')))
+      |      * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+      |            x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+      |          / len(string_split(text, ' '))) * 10000) AS BIGINT) AS q_u
+      |  FROM documents),
+      |per_source AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(toks) AS BIGINT) AS toks, CAST(sum(q_u) AS BIGINT) AS q_sum_u
+      |  FROM d GROUP BY source),
+      |totals AS (
+      |  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+      |    CAST(sum(toks) AS BIGINT) AS toks_total,
+      |    CAST(sum(q_sum_u) AS BIGINT) AS q_total_u
+      |  FROM per_source),
+      |flagged AS (
+      |  SELECT p.*, t.toks_total,
+      |    p.q_sum_u * t.n_total > t.q_total_u * p.n_docs AS hq
+      |  FROM per_source p CROSS JOIN totals t),
+      |hqt AS (
+      |  SELECT CAST(sum(CASE WHEN hq THEN toks ELSE 0 END) AS BIGINT) AS hq_toks_total
+      |  FROM flagged)
+      |SELECT source, n_docs, toks, hq,
+      |  CAST((CAST(100000000 AS BIGINT) * toks) // toks_total AS BIGINT) AS stable_alloc,
+      |  CAST(CASE WHEN hq THEN (CAST(10000000 AS BIGINT) * toks) // hq_toks_total
+      |            ELSE 0 END AS BIGINT) AS anneal_alloc
+      |FROM flagged CROSS JOIN hqt
+      |ORDER BY source""".stripMargin
 }

@@ -455,4 +455,122 @@ object Stats {
       |  round(sqrt(CAST(s_sq AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0, 6) AS rms
       |FROM combined
       |ORDER BY event_type""".stripMargin
+  /** C6b — theta/KMV sketch set operations (the DataSketches family
+    * OpenSearch ships for "distinct users in segment A AND B" — plain
+    * HLL (C6's approx path) gives per-set cardinality but CANNOT
+    * intersect; the k-minimum-values theta sketch can: keep the k
+    * smallest hashes per set, θ = h_(k)/2^48, |A| ≈ (k−1)/θ, and set
+    * algebra happens ON THE SKETCHES — union = k smallest of the
+    * merged retained sets, intersection = matching retained hashes
+    * below min(θ_A, θ_B) scaled by 1/θ. The 100 TB story: per-segment
+    * sketches are O(k) mergeable aggregates (map-side combined — the
+    * sketch IS the F5 TopKAgg carrying −hash), and every cross-segment
+    * distinct question afterwards is list arithmetic on k-row state —
+    * no re-scan per segment pair.
+    *
+    * Determinism: the hash is the portable 48-bit md5 prefix (the E13
+    * stratified-sample playbook — lowercase hex is lexicographic-
+    * numeric), estimates are INTEGER divisions, and the exact
+    * intersection rides along as the accuracy column the spec checks.
+    */
+  def thetaSketch(spark: SparkSession, dir: String,
+                  typeA: String = "click", typeB: String = "purchase",
+                  k: Int = 64): DataFrame = {
+    val two48 = 281474976710656L // 2^48
+    // entity = user-DAY visit (user_id alone degenerates here: every
+    // user eventually fires every event type, making A ≡ B — user-days
+    // keep the two sets partially overlapping at every SF, which is
+    // the case set-operation sketches exist for)
+    val ent = concat(col("user_id").cast("string"), lit(":"),
+      date_format(col("ts"), "yyyy-MM-dd"))
+    val h = conv(substring(md5(ent), 1, 12), 16, 10).cast("long")
+    // distinct hashes per set first (KMV retains DISTINCT minima; the
+    // duplicate cut is the only data-sized shuffle)
+    val distinctH = Tables.events(spark, dir)
+      .filter(col("event_type").isin(typeA, typeB))
+      .select(col("event_type"), h.as("h"))
+      .distinct()
+    val topk = graft.plans.TopKAgg.udafFor(k)
+    // k smallest = TopKAgg on score −h; retained ids back out of _2
+    val sketches = distinctH
+      .groupBy(col("event_type"))
+      .agg(topk(col("h"), -col("h").cast("double")).as("top"))
+      .select(col("event_type"),
+        sort_array(transform(col("top"), t => t.getField("_2"))).as("hs"))
+    val row = sketches.agg(
+      first(when(col("event_type") === typeA, col("hs")), ignoreNulls = true).as("hs_a"),
+      first(when(col("event_type") === typeB, col("hs")), ignoreNulls = true).as("hs_b"))
+    // exact intersection (the accuracy column): user-days seen in BOTH
+    val exact = Tables.events(spark, dir)
+      .filter(col("event_type").isin(typeA, typeB))
+      .select(col("event_type"), ent.as("ent")).distinct()
+      .groupBy(col("ent"))
+      .agg(count(lit(1)).as("n_types"))
+      .filter(col("n_types") === 2)
+      .agg(count(lit(1)).as("exact_inter"))
+    def est(hs: org.apache.spark.sql.Column) =
+      when(size(hs) < k, size(hs).cast("long"))
+        .otherwise(expr(s"(${k - 1}L * ${two48}L) div element_at(${hs.toString}, $k)"))
+    row.crossJoin(exact)
+      .withColumn("hs_u", slice(array_sort(array_union(col("hs_a"), col("hs_b"))), 1, k))
+      .withColumn("hmax_c",
+        least(
+          when(size(col("hs_a")) < k, two48).otherwise(element_at(col("hs_a"), k)),
+          when(size(col("hs_b")) < k, two48).otherwise(element_at(col("hs_b"), k))))
+      .withColumn("matches",
+        size(filter(array_intersect(col("hs_a"), col("hs_b")), x => x < col("hmax_c"))).cast("long"))
+      .select(
+        est(col("hs_a")).as("est_a"),
+        est(col("hs_b")).as("est_b"),
+        est(col("hs_u")).as("est_union"),
+        expr(s"(matches * ${two48}L) div hmax_c").as("est_inter"),
+        col("exact_inter"))
+  }
+
+  val thetaSketchSql: String =
+    """WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' ||
+      |      strftime(ts, '%Y-%m-%d')), 1, 12) AS BIGINT) AS h
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |ranked AS (
+      |  SELECT event_type, h,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      |  FROM h),
+      |sk AS (
+      |  SELECT event_type, list(h ORDER BY h) AS hs
+      |  FROM ranked WHERE rk <= 64 GROUP BY event_type),
+      |ab AS (
+      |  SELECT
+      |    (SELECT hs FROM sk WHERE event_type = 'click') AS hs_a,
+      |    (SELECT hs FROM sk WHERE event_type = 'purchase') AS hs_b),
+      |exact AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS exact_inter FROM (
+      |    SELECT ent FROM (
+      |      SELECT DISTINCT event_type,
+      |        CAST(user_id AS VARCHAR) || ':' || strftime(ts, '%Y-%m-%d') AS ent
+      |      FROM events
+      |      WHERE event_type IN ('click', 'purchase'))
+      |    GROUP BY ent HAVING count(*) = 2)),
+      |calc AS (
+      |  SELECT hs_a, hs_b,
+      |    list_sort(list_distinct(hs_a || hs_b))[1:64] AS hs_u,
+      |    least(
+      |      CASE WHEN len(hs_a) < 64 THEN 281474976710656 ELSE hs_a[64] END,
+      |      CASE WHEN len(hs_b) < 64 THEN 281474976710656 ELSE hs_b[64] END) AS hmax_c
+      |  FROM ab),
+      |m AS (
+      |  SELECT *,
+      |    CAST(len(list_filter(list_intersect(hs_a, hs_b), x -> x < hmax_c)) AS BIGINT) AS matches
+      |  FROM calc)
+      |SELECT
+      |  CAST(CASE WHEN len(hs_a) < 64 THEN len(hs_a)
+      |       ELSE (CAST(63 AS BIGINT) * 281474976710656) // hs_a[64] END AS BIGINT) AS est_a,
+      |  CAST(CASE WHEN len(hs_b) < 64 THEN len(hs_b)
+      |       ELSE (CAST(63 AS BIGINT) * 281474976710656) // hs_b[64] END AS BIGINT) AS est_b,
+      |  CAST(CASE WHEN len(hs_u) < 64 THEN len(hs_u)
+      |       ELSE (CAST(63 AS BIGINT) * 281474976710656) // hs_u[64] END AS BIGINT) AS est_union,
+      |  CAST((matches * 281474976710656) // hmax_c AS BIGINT) AS est_inter,
+      |  exact_inter
+      |FROM m CROSS JOIN exact""".stripMargin
 }

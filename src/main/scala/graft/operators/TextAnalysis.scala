@@ -2060,4 +2060,48 @@ object TextAnalysis {
       |SELECT doc_id, score_u, rank FROM ranked
       |WHERE rank <= 20
       |ORDER BY rank""".stripMargin
+  /** C3v — rank_feature query (boost by a per-document static FEATURE
+    * — pagerank, url_length, quality — with the saturation function,
+    * the default: S(f) = f / (f + pivot), monotone, bounded, strongly
+    * diminishing — so a 10× feature gap near zero matters and the same
+    * gap in the tail doesn't). The match clause runs in filter context
+    * (the C3w discipline); the ranking signal is the feature alone,
+    * exactly how "boost popular pages" deployments layer rank_feature
+    * over a bool filter.
+    *
+    * Feature = n_chars (the table's materialized static per-doc
+    * numeric). Integer micro-unit division (boost·1e6·f div (f+pivot))
+    * — exact cross-engine, no float boundary. The filter + arithmetic
+    * live in the scan projection; the O(k) TopKAgg is the only
+    * exchange.
+    */
+  def rankFeature(spark: SparkSession, dir: String,
+                  term: String = "spark", pivot: Long = 350L,
+                  k: Int = 20): DataFrame = {
+    val topk = graft.plans.TopKAgg.udafFor(k)
+    Tables.documents(spark, dir)
+      .filter(col("text").contains(term))
+      .select(col("doc_id"),
+        expr(s"(2000000L * n_chars) div (n_chars + ${pivot}L)").as("score_u"))
+      .agg(topk(col("doc_id"), col("score_u").cast("double")).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col._2").as("doc_id"),
+        col("col._1").cast("long").as("score_u"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy(col("rank"))
+  }
+
+  val rankFeatureSql: String =
+    """WITH scored AS (
+      |  SELECT doc_id,
+      |    (CAST(2000000 AS BIGINT) * n_chars) // (n_chars + 350) AS score_u
+      |  FROM documents
+      |  WHERE position('spark' IN text) > 0),
+      |ranked AS (
+      |  SELECT doc_id, CAST(score_u AS BIGINT) AS score_u,
+      |    CAST(row_number() OVER (ORDER BY score_u DESC, doc_id) AS BIGINT) AS rank
+      |  FROM scored)
+      |SELECT doc_id, score_u, rank FROM ranked
+      |WHERE rank <= 20
+      |ORDER BY rank""".stripMargin
 }
