@@ -757,4 +757,107 @@ object Similarity {
       |  FROM scored)
       |SELECT q_id, n_id, n_label, cos_sim, rank FROM ranked WHERE rank <= 3
       |ORDER BY q_id, rank""".stripMargin
+  // ---- E7g: product-quantized (PQ/ADC) ANN ---------------------------
+
+  /** E7g — product quantization with asymmetric distance computation
+    * (Jégou et al. 2011, the IVF-PQ memory path every billion-vector
+    * deployment runs): split each vector into `m` subvectors, k-means
+    * each subspace to `ks` centroids, store each vector as m 4-bit
+    * codes (here 8×16 → 32 bits vs 64 fp32 = 64× compression — at
+    * 100 TB of embeddings the difference between RAM-resident and
+    * not). A query never decodes the corpus: it builds an m×ks lookup
+    * table of exact subvector dot products (ADC), so a candidate's
+    * approximate score is m table adds over its codes. Full-precision
+    * rerank of the top `rerank` finishes, the E7f two-stage recipe.
+    *
+    * Determinism discipline: corpus/query normalize per-row; Lloyd
+    * centroid updates sum integer NANOS (exact under any partitioning
+    * — the VecMomentsAgg playbook), seeds are the md5-rank-first ks
+    * vectors, and argmin ties break on cent_id via struct-min. The
+    * codebook is plan-sized (m·ks rows) and driver-iterated — the
+    * same bounded-collect contract as sqParams/probe cells; corpus
+    * passes per Lloyd round are one broadcast join + one aggregate.
+    */
+  def annPq(spark: SparkSession, dir: String, m: Int = 8, ks: Int = 16,
+            iters: Int = 5, rerank: Int = 50): DataFrame = {
+    import spark.implicits._
+    val (q, c) = queryCorpus(spark, dir)
+    val subDim = 64 / m
+    def normalized(df: DataFrame, emb: String): DataFrame = {
+      val nrm = sqrt(aggregate(col(emb), lit(0.0d),
+        (acc, v) => acc + v.cast("double") * v.cast("double")))
+      df.withColumn("nemb",
+        transform(col(emb), v => v.cast("double") / nrm))
+    }
+    def subvecs(df: DataFrame, idCol: String): DataFrame =
+      df.select(col(idCol), explode(array((0 until m).map(i =>
+        struct(lit(i).as("sub"),
+          slice(col("nemb"), i * subDim + 1, subDim).as("sv"))): _*)).as("s"))
+        .select(col(idCol), col("s.sub").as("sub"), col("s.sv").as("sv"))
+    val cN = normalized(c, "n_emb").select(col("n_id"), col("nemb"))
+    val subs = subvecs(cN, "n_id").persist()
+    // seeds: md5-rank-first ks corpus vectors (deterministic spread-ish)
+    val seedIds = cN.select(col("n_id"), md5(col("n_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("n_id")).limit(ks)
+      .select(col("n_id")).as[Long].collect()
+    var cents: Seq[(Int, Int, Seq[Double])] =
+      subs.filter(col("n_id").isin(seedIds: _*)).collect().flatMap { r =>
+        val id = r.getLong(0)
+        val rank = seedIds.indexOf(id)
+        Seq((r.getInt(1), rank, r.getSeq[Double](2)))
+      }.toSeq
+    def centDf() = cents.toDF("sub", "cent_id", "cv")
+    def assigned() = {
+      val dist2 = aggregate(zip_with(col("sv"), col("cv"),
+        (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, v) => acc + v)
+      subs.join(broadcast(centDf()), "sub")
+        .withColumn("d2", dist2)
+        .groupBy(col("n_id"), col("sub"))
+        .agg(min(struct(col("d2"), col("cent_id"))).as("mn"),
+          first(col("sv")).as("sv"))
+        .select(col("n_id"), col("sub"), col("mn.cent_id").as("cent_id"), col("sv"))
+    }
+    for (_ <- 0 until iters) {
+      // centroid update in exact integer nanos: bit-identical under any
+      // partitioning; empty clusters keep their previous centroid
+      val upd = assigned()
+        .select(col("sub"), col("cent_id"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("cent_id"), col("pos"))
+        .agg(sum(floor(col("v") * 1e9).cast("long")).as("s_nano"),
+          count(lit(1)).as("n"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+      cents = cents.map { case (sub, cid, old) =>
+        upd.get((sub, cid)) match {
+          case Some(rows) =>
+            val comp = new Array[Double](subDim)
+            rows.foreach(r =>
+              comp(r.getInt(2)) = r.getLong(3).toDouble / r.getLong(4) / 1e9)
+            (sub, cid, comp.toSeq)
+          case None => (sub, cid, old)
+        }
+      }
+    }
+    val codes = assigned().select(col("n_id"), col("sub"), col("cent_id"))
+    // ADC lookup table: exact query-subvector × centroid dot products
+    val qN = normalized(q, "q_emb").select(col("q_id"), col("nemb"))
+    val lut = subvecs(qN, "q_id").join(broadcast(centDf()), "sub")
+      .select(col("q_id"), col("sub"), col("cent_id"),
+        aggregate(zip_with(col("sv"), col("cv"), (a, b) => a * b),
+          lit(0.0d), (acc, v) => acc + v).as("part"))
+    val coarseK = graft.plans.TopKAgg.udafFor(rerank)
+    val cand = codes.join(broadcast(lut), Seq("sub", "cent_id"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("part")).as("adc_sim"))
+      .groupBy(col("q_id"))
+      .agg(coarseK(col("n_id"), col("adc_sim")).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t._2").as("n_id"))
+    subs.unpersist()
+    rankTopK(
+      cand
+        .join(c, "n_id")
+        .join(q.withColumnRenamed("q_emb", "q_emb2"), "q_id")
+        .withColumn("cos_sim", round(CosineSim(col("q_emb2"), col("n_emb")), 6)))
+  }
 }

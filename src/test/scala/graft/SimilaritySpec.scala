@@ -51,6 +51,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.size <= exact.size)
   }
 
+  test("PQ/ADC ANN: 32-bit codes + table-add scoring + rerank recover the top-k") {
+    val exact = Similarity.annTopK(spark, TestSpark.sf)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.annPq(spark, TestSpark.sf)
+    val got = pq.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    // 8×16 codes keep ~64× less than fp32; with a 20-candidate exact
+    // rerank the label-clustered corpus should recover most of top-5
+    info(f"PQ 8x16 + rerank-50 recall@5 = $recall%.2f")
+    assert(recall >= 0.5, s"recall $recall")
+    assert(got.size <= exact.size)
+    // determinism: the integer-nano Lloyd + md5 seeding make reruns
+    // byte-identical
+    val again = Similarity.annPq(spark, TestSpark.sf)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(got == again)
+  }
+
   test("SQ8 ANN: int8 coarse + full-precision rerank recovers near-exact top-k") {
     val exact = Similarity.annTopK(spark, TestSpark.sf)
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
