@@ -2104,4 +2104,124 @@ object TextAnalysis {
       |SELECT doc_id, score_u, rank FROM ranked
       |WHERE rank <= 20
       |ORDER BY rank""".stripMargin
+  /** C3k2 — `_mtermvectors` with `term_statistics: true` (the batch
+    * form dashboards use: one call, several docs, each term carrying
+    * CORPUS df/ttf beside its per-doc tf/positions — the single-doc
+    * C3k omits the corpus side). The ids list pushes into the scan as
+    * a row-group-pruned point read; per-doc tf/positions aggregate
+    * over the handful of surviving rows; the corpus df/ttf table is
+    * the one data-sized aggregate, and the tiny request-vocabulary
+    * side BROADCASTS into it — the corpus token table never moves.
+    */
+  def mtermVectors(spark: SparkSession, dir: String,
+                   ids: Seq[Long] = Seq(3L, 7L, 11L)): DataFrame = {
+    val docSide = Tables.documents(spark, dir)
+      .filter(col("doc_id").isin(ids: _*))
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"),
+        array_join(sort_array(collect_list(col("pos").cast("long"))), ",").as("positions"))
+    val corpusStats = Tables.documents(spark, dir)
+      .select(col("doc_id").as("c_doc"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(countDistinct(col("c_doc")).as("df"), count(lit(1)).as("ttf"))
+    corpusStats
+      .join(broadcast(docSide), "token")
+      .select(col("doc_id"), col("token"), col("tf"), col("positions"),
+        col("df"), col("ttf"))
+      .orderBy(col("doc_id"), col("token"))
+  }
+
+  val mtermVectorsSql: String =
+    """WITH docside AS (
+      |  SELECT doc_id, tok AS token, count(*) AS tf,
+      |    array_to_string(list_sort(list(CAST(i - 1 AS BIGINT))), ',') AS positions
+      |  FROM (
+      |    SELECT doc_id, ws[i] AS tok, i
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |          WHERE doc_id IN (3, 7, 11)) d,
+      |         unnest(range(1, len(ws) + 1)) AS t(i))
+      |  GROUP BY doc_id, tok),
+      |corpus AS (
+      |  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+      |    CAST(count(*) AS BIGINT) AS ttf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY token)
+      |SELECT d.doc_id, d.token, d.tf, d.positions, c.df, c.ttf
+      |FROM docside d JOIN corpus c ON d.token = c.token
+      |ORDER BY d.doc_id, d.token""".stripMargin
+
+  /** E30b — interpolated Kneser–Ney bigram perplexity (Kneser & Ney
+    * 1995; the smoothing KenLM actually ships, and therefore what the
+    * CCNet-class quality filters E30 approximates with add-1 really
+    * run): p(w2|w1) = max(c(w1w2)−D, 0)/c(w1·) + D·N1+(w1·)/c(w1·) ·
+    * N1+(·w2)/|bigram types| with D = 0.75 — the defining device is
+    * the CONTINUATION probability: "Francisco" is frequent but only
+    * ever follows "San", so its unigram backoff weight should be tiny,
+    * which continuation counts (distinct left contexts) capture and
+    * raw unigram counts cannot.
+    *
+    * Same scale scaffold as E30: bigrams cut as array expressions in
+    * the scan, count tables joined shuffle-hash on their keys (bigram
+    * vocabularies never broadcast), the type-count total a one-row
+    * broadcast, and every log-prob floored to integer micro-nats
+    * BEFORE the per-doc sum — deterministic at any partitioning.
+    */
+  def knPerplexity(spark: SparkSession, dir: String,
+                   discount: Double = 0.75): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("w1"),
+            element_at(col("ws"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bi = toks.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    // c(w1·) and N1+(w1·) out of ONE pass over the bigram-type table
+    val uni = toks.groupBy(col("w1"))
+      .agg(count(lit(1)).as("cu"), countDistinct(col("w2")).as("n1fw"))
+    val cont = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1pw"))
+    val types = bi.agg(count(lit(1)).as("n_types"))
+    val d = lit(discount)
+    val pKn =
+      greatest(col("cb") - d, lit(0.0)) / col("cu") +
+        (d * col("n1fw") / col("cu")) * (col("n1pw").cast("double") / col("n_types"))
+    toks.join(bi.hint("shuffle_hash"), Seq("w1", "w2"))
+      .join(uni.hint("shuffle_hash"), Seq("w1"))
+      .join(cont.hint("shuffle_hash"), Seq("w2"))
+      .crossJoin(broadcast(types))
+      .withColumn("lp_micro", floor(log(pKn) * 1e6).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (-col("s").cast("double") / 1e6 / col("n_bigrams")).as("nll_kn"))
+      .orderBy(col("doc_id"))
+  }
+
+  val knPerplexitySql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |toks AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      |  FROM docs, unnest(range(1, len(ws))) AS t(i)),
+      |bi AS (SELECT w1, w2, count(*) AS cb FROM toks GROUP BY 1, 2),
+      |uni AS (SELECT w1, count(*) AS cu, count(DISTINCT w2) AS n1fw
+      |        FROM toks GROUP BY 1),
+      |cont AS (SELECT w2, count(*) AS n1pw FROM bi GROUP BY 1),
+      |types AS (SELECT count(*) AS n_types FROM bi),
+      |scored AS (
+      |  SELECT t.doc_id, count(*) AS n_bigrams,
+      |    CAST(sum(CAST(floor(ln(
+      |      greatest(cb - 0.75, 0.0) / cu +
+      |      (0.75 * n1fw / cu) * (CAST(n1pw AS DOUBLE) / n_types)
+      |    ) * 1000000) AS BIGINT)) AS BIGINT) AS s
+      |  FROM toks t JOIN bi USING (w1, w2) JOIN uni USING (w1)
+      |    JOIN cont USING (w2) CROSS JOIN types
+      |  GROUP BY t.doc_id)
+      |SELECT doc_id, n_bigrams,
+      |  -CAST(s AS DOUBLE) / 1000000.0 / n_bigrams AS nll_kn
+      |FROM scored
+      |ORDER BY doc_id""".stripMargin
 }
