@@ -860,4 +860,78 @@ object Similarity {
         .join(q.withColumnRenamed("q_emb", "q_emb2"), "q_id")
         .withColumn("cos_sim", round(CosineSim(col("q_emb2"), col("n_emb")), 6)))
   }
+  // ---- E7h: binary-quantized (1-bit) ANN -----------------------------
+
+  /** E7h — binary quantization (the OpenSearch 2.17 `binary` kNN mode /
+    * faiss BQ: ONE bit per dimension — sign — so a 64-dim fp32 vector
+    * becomes 8 bytes, 32× smaller, and candidate scoring is XOR +
+    * popcount, the cheapest distance that exists). Two-stage like
+    * E7f/E7g: hamming-distance coarse pass over the code table keeps
+    * `rerank` candidates per query, full-precision rerank finishes.
+    *
+    * Unlike SQ/PQ there is NOTHING to train and NOTHING stochastic —
+    * sign bits, XOR, popcount and the exact rerank are all
+    * bit-deterministic — so this quantization path is fully
+    * ORACLE-CHECKED (★), not recall-specced: DuckDB replicates the
+    * codes and the two-stage cut exactly. Codes pack as two 32-bit
+    * halves (a 1<<63 shift overflows DuckDB's checked BIGINT shift).
+    * Scale shape: the code table is a projection of the corpus scan;
+    * the coarse pass scans codes only (the 32×-smaller frame) with the
+    * bounded query side broadcast; TopKAgg bounds the exchange.
+    */
+  def annBq(spark: SparkSession, dir: String, rerank: Int = 50): DataFrame = {
+    val (q, c) = queryCorpus(spark, dir)
+    def codes(emb: String): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = (
+      expr(s"aggregate(transform(slice($emb, 1, 32), (v, i) -> IF(v >= 0, shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)"),
+      expr(s"aggregate(transform(slice($emb, 33, 32), (v, i) -> IF(v >= 0, shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)"))
+    val (qLo, qHi) = codes("q_emb")
+    val (cLo, cHi) = codes("n_emb")
+    val qc = q.select(col("q_id"), qLo.as("q_lo"), qHi.as("q_hi"))
+    val cc = c.select(col("n_id"), cLo.as("c_lo"), cHi.as("c_hi"))
+    val ham = (bit_count(expr("q_lo ^ c_lo")) + bit_count(expr("q_hi ^ c_hi"))).cast("double")
+    val coarseK = graft.plans.TopKAgg.udafFor(rerank)
+    val cand = cc.join(broadcast(qc))
+      .select(col("q_id"), col("n_id"), (-ham).as("neg_ham"))
+      .groupBy(col("q_id"))
+      .agg(coarseK(col("n_id"), col("neg_ham")).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t._2").as("n_id"))
+    rankTopK(
+      cand
+        .join(c, "n_id")
+        .join(q.withColumnRenamed("q_emb", "q_emb2"), "q_id")
+        .withColumn("cos_sim", round(CosineSim(col("q_emb2"), col("n_emb")), 6)))
+  }
+
+  val annBqSql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb,
+      |    CAST(list_sum(list_transform(range(0, 32),
+      |      i -> CASE WHEN embedding[i+1] >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS q_lo,
+      |    CAST(list_sum(list_transform(range(0, 32),
+      |      i -> CASE WHEN embedding[i+33] >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS q_hi
+      |  FROM embeddings WHERE vec_id < 10),
+      |c AS (
+      |  SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS n_emb,
+      |    CAST(list_sum(list_transform(range(0, 32),
+      |      i -> CASE WHEN embedding[i+1] >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS c_lo,
+      |    CAST(list_sum(list_transform(range(0, 32),
+      |      i -> CASE WHEN embedding[i+33] >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS c_hi
+      |  FROM embeddings WHERE vec_id >= 10),
+      |coarse AS (
+      |  SELECT q_id, n_id, n_emb, q_emb,
+      |    bit_count(xor(q_lo, c_lo)) + bit_count(xor(q_hi, c_hi)) AS ham
+      |  FROM q CROSS JOIN c),
+      |cand AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ham, n_id) AS crk
+      |  FROM coarse),
+      |scored AS (
+      |  SELECT q_id, n_id, round(list_cosine_similarity(q_emb, n_emb), 6) AS cos_sim
+      |  FROM cand WHERE crk <= 50),
+      |ranked AS (
+      |  SELECT q_id, n_id, cos_sim,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, n_id, cos_sim, rank FROM ranked WHERE rank <= 5
+      |ORDER BY q_id, rank""".stripMargin
 }

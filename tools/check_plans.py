@@ -24,6 +24,7 @@ BNLJ_ALLOWED = {
     "q_ann_topk": "all-pairs brute-force baseline",
     "q_ann_topk_agg": "all-pairs brute-force baseline",
     "q_hard_negatives": "bounded anchor-set broadcast (E6 brute-force class)",
+    "q_ann_bq": "code-scan hamming coarse pass (quantized brute-force class)",
     "q_ann_ivf": "probe x cell-subset kernel",
     "q_ann_filtered": "filtered brute-force kernel",
     "q_ann_radius": "radial kernel",
