@@ -472,7 +472,7 @@ object Geo {
     * combined pass.
     */
   def geoBoundingBox(spark: SparkSession, dir: String,
-                     latMin: Double = 10.0, latMax: Double = 50.0,
+                     latMin: Double = -80.0, latMax: Double = -60.0,
                      lonMin: Double = -30.0, lonMax: Double = 60.0): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_type"), col("user_id"),
@@ -491,7 +491,7 @@ object Geo {
        |SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
        |  min(lat) AS min_lat, max(lat) AS max_lat
        |FROM g
-       |WHERE lat BETWEEN 10.0 AND 50.0 AND lon BETWEEN -30.0 AND 60.0
+       |WHERE lat BETWEEN -80.0 AND -60.0 AND lon BETWEEN -30.0 AND 60.0
        |GROUP BY 1
        |ORDER BY event_type""".stripMargin
 }
