@@ -770,16 +770,18 @@ object Similarity {
     * approximate score is m table adds over its codes. Full-precision
     * rerank of the top `rerank` finishes, the E7f two-stage recipe.
     *
-    * Determinism discipline: corpus/query normalize per-row; Lloyd
-    * centroid updates sum integer NANOS (exact under any partitioning
-    * — the VecMomentsAgg playbook), seeds are the md5-rank-first ks
-    * vectors, and argmin ties break on cent_id via struct-min. The
-    * codebook is plan-sized (m·ks rows) and driver-iterated — the
-    * same bounded-collect contract as sqParams/probe cells; corpus
-    * passes per Lloyd round are one broadcast join + one aggregate.
+    * Training follows faiss practice: codebooks fit on a BOUNDED
+    * deterministic sample (the md5-rank-first `trainSample` vectors,
+    * collected ONCE — faiss itself caps PQ training around 256·ks
+    * points per centroid), with Lloyd run driver-side on that
+    * plan-sized object — the sqParams/IRLS bounded-collect contract.
+    * The corpus is touched DISTRIBUTED exactly once for encoding (one
+    * broadcast join + argmin aggregate). Determinism: per-row
+    * normalization, fixed sample order, seeds = first ks sample
+    * subvectors, argmin ties break on cent_id.
     */
   def annPq(spark: SparkSession, dir: String, m: Int = 8, ks: Int = 16,
-            iters: Int = 5, rerank: Int = 50): DataFrame = {
+            iters: Int = 10, rerank: Int = 50, trainSample: Int = 2048): DataFrame = {
     import spark.implicits._
     val (q, c) = queryCorpus(spark, dir)
     val subDim = 64 / m
@@ -795,53 +797,51 @@ object Similarity {
           slice(col("nemb"), i * subDim + 1, subDim).as("sv"))): _*)).as("s"))
         .select(col(idCol), col("s.sub").as("sub"), col("s.sv").as("sv"))
     val cN = normalized(c, "n_emb").select(col("n_id"), col("nemb"))
-    val subs = subvecs(cN, "n_id").persist()
-    // seeds: md5-rank-first ks corpus vectors (deterministic spread-ish)
-    val seedIds = cN.select(col("n_id"), md5(col("n_id").cast("string")).as("h"))
-      .orderBy(col("h"), col("n_id")).limit(ks)
-      .select(col("n_id")).as[Long].collect()
-    var cents: Seq[(Int, Int, Seq[Double])] =
-      subs.filter(col("n_id").isin(seedIds: _*)).collect().flatMap { r =>
-        val id = r.getLong(0)
-        val rank = seedIds.indexOf(id)
-        Seq((r.getInt(1), rank, r.getSeq[Double](2)))
-      }.toSeq
-    def centDf() = cents.toDF("sub", "cent_id", "cv")
-    def assigned() = {
-      val dist2 = aggregate(zip_with(col("sv"), col("cv"),
-        (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, v) => acc + v)
-      subs.join(broadcast(centDf()), "sub")
-        .withColumn("d2", dist2)
-        .groupBy(col("n_id"), col("sub"))
-        .agg(min(struct(col("d2"), col("cent_id"))).as("mn"),
-          first(col("sv")).as("sv"))
-        .select(col("n_id"), col("sub"), col("mn.cent_id").as("cent_id"), col("sv"))
-    }
-    for (_ <- 0 until iters) {
-      // centroid update in exact integer nanos: bit-identical under any
-      // partitioning; empty clusters keep their previous centroid
-      val upd = assigned()
-        .select(col("sub"), col("cent_id"), posexplode(col("sv")).as(Seq("pos", "v")))
-        .groupBy(col("sub"), col("cent_id"), col("pos"))
-        .agg(sum(floor(col("v") * 1e9).cast("long")).as("s_nano"),
-          count(lit(1)).as("n"))
-        .collect()
-        .groupBy(r => (r.getInt(0), r.getInt(1)))
-      cents = cents.map { case (sub, cid, old) =>
-        upd.get((sub, cid)) match {
-          case Some(rows) =>
-            val comp = new Array[Double](subDim)
-            rows.foreach(r =>
-              comp(r.getInt(2)) = r.getLong(3).toDouble / r.getLong(4) / 1e9)
-            (sub, cid, comp.toSeq)
-          case None => (sub, cid, old)
+    // bounded deterministic training sample, collected once
+    val sample: Array[Seq[Double]] = cN
+      .select(col("nemb"), md5(col("n_id").cast("string")).as("h"), col("n_id"))
+      .orderBy(col("h"), col("n_id")).limit(trainSample)
+      .select(col("nemb")).as[Seq[Double]].collect()
+    // driver-side Lloyd per subspace on the sample (plan-sized work)
+    val codebook: Seq[(Int, Int, Seq[Double])] = (0 until m).flatMap { sub =>
+      val pts = sample.map(v => v.slice(sub * subDim, (sub + 1) * subDim).toArray)
+      var cents = Array.tabulate(math.min(ks, pts.length))(i => pts(i).clone())
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(cents.length, subDim)(0.0)
+        val counts = new Array[Int](cents.length)
+        pts.foreach { p =>
+          var best = 0; var bd = Double.MaxValue
+          var ci = 0
+          while (ci < cents.length) {
+            var d = 0.0; var k = 0
+            while (k < subDim) { val t = p(k) - cents(ci)(k); d += t * t; k += 1 }
+            if (d < bd) { bd = d; best = ci }
+            ci += 1
+          }
+          var k = 0
+          while (k < subDim) { sums(best)(k) += p(k); k += 1 }
+          counts(best) += 1
+        }
+        cents = cents.zipWithIndex.map { case (old, i) =>
+          if (counts(i) == 0) old
+          else Array.tabulate(subDim)(k => sums(i)(k) / counts(i))
         }
       }
+      cents.zipWithIndex.map { case (cv, cid) => (sub, cid, cv.toSeq) }
     }
-    val codes = assigned().select(col("n_id"), col("sub"), col("cent_id"))
+    val centDf = codebook.toDF("sub", "cent_id", "cv")
+    // ONE distributed pass encodes the corpus against the broadcast book
+    val dist2 = aggregate(zip_with(col("sv"), col("cv"),
+      (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, v) => acc + v)
+    val codes = subvecs(cN, "n_id")
+      .join(broadcast(centDf), "sub")
+      .withColumn("d2", dist2)
+      .groupBy(col("n_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("cent_id"))).as("mn"))
+      .select(col("n_id"), col("sub"), col("mn.cent_id").as("cent_id"))
     // ADC lookup table: exact query-subvector × centroid dot products
     val qN = normalized(q, "q_emb").select(col("q_id"), col("nemb"))
-    val lut = subvecs(qN, "q_id").join(broadcast(centDf()), "sub")
+    val lut = subvecs(qN, "q_id").join(broadcast(centDf), "sub")
       .select(col("q_id"), col("sub"), col("cent_id"),
         aggregate(zip_with(col("sv"), col("cv"), (a, b) => a * b),
           lit(0.0d), (acc, v) => acc + v).as("part"))
@@ -853,7 +853,6 @@ object Similarity {
       .agg(coarseK(col("n_id"), col("adc_sim")).as("top"))
       .select(col("q_id"), explode(col("top")).as("t"))
       .select(col("q_id"), col("t._2").as("n_id"))
-    subs.unpersist()
     rankTopK(
       cand
         .join(c, "n_id")
