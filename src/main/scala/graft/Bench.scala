@@ -120,7 +120,7 @@ object Bench {
       // cache defaults to 100 entries — thrashing once a battery's
       // codegen stages outgrow it (measured ~+0.1-0.15 s on every small
       // query in round 6)
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // Warm the JVM before timing: codegen compilation, classloading, and

@@ -23,7 +23,7 @@ object GraftSession {
       // static conf (must precede session creation): the generated-class
       // cache defaults to 100 entries — query batteries the size of this
       // library's thrash it (~+0.1 s per small query once exceeded)
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
 
   def get(master: String = "local[*]"): SparkSession = {

@@ -89,6 +89,13 @@ BNLJ_ALLOWED = {
     "q_string_stats": "one-row corpus-totals broadcast",
     "q_cell_audit": "one-row corpus-total broadcast",
     "q_perplexity_ablation": "one-row LM-stats broadcast per cut",
+    "q_combined_fields": "one-row BM25F-stats broadcast",
+    "q_match_bool_prefix": "one-row BM25-stats broadcast",
+    "q_pinned": "one-row BM25-stats broadcast (both arms)",
+    "q_neural_sparse": "one-row n_docs broadcast into the weight projection",
+    "q_kn_perplexity": "one-row bigram-type-total broadcast",
+    "q_theta_sketch": "one-row sketch-state x one-row exact-intersection join",
+    "q_anneal_mix": "one-row corpus-totals + hq-totals broadcasts",
 }
 
 
