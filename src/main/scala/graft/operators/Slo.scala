@@ -41,11 +41,16 @@ object Slo {
       windows.map { case (lbl, _) => s"'$lbl', total_$lbl, errors_$lbl" }.mkString(", ")
     }) AS (win, total, errors)"))
       .select(col("win"), col("total"), col("errors"),
+        // Gate page/ticket on the UNROUNDED ratio (mirroring burnRateSql);
+        // round() is display-only — rounding first would page on a burn of
+        // 1.1999996 that the oracle (and a real monitor) would not.
         when(col("total") > 0,
-          round(col("errors").cast("double") / col("total") / lit(budget), 6))
-          .as("burn_rate"))
-      .withColumn("page", coalesce(col("burn_rate") >= 1.2, lit(false)))
-      .withColumn("ticket", coalesce(col("burn_rate") >= 1.05, lit(false)))
+          col("errors").cast("double") / col("total") / lit(budget))
+          .as("burn_raw"))
+      .select(col("win"), col("total"), col("errors"),
+        round(col("burn_raw"), 6).as("burn_rate"),
+        coalesce(col("burn_raw") >= 1.2, lit(false)).as("page"),
+        coalesce(col("burn_raw") >= 1.05, lit(false)).as("ticket"))
       .orderBy(col("win"))
   }
 

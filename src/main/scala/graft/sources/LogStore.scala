@@ -287,8 +287,7 @@ object LogStore {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("log_date="))
       .foreach { s =>
         val dest = new org.apache.hadoop.fs.Path(rootPath, s.getPath.getName)
-        fs.delete(dest, true)
-        fs.rename(s.getPath, dest)
+        swapPartition(fs, s.getPath, dest)
       }
     fs.delete(tmpPath, true)
   }
@@ -348,15 +347,19 @@ object LogStore {
   def deleteByQuery(spark: SparkSession, root: String,
                     predicate: org.apache.spark.sql.Column): Long = {
     val all = spark.read.parquet(root)
+    // Normalize once: under three-valued logic a NULL-valued predicate is
+    // neither `p` nor `!p`, so filtering keep-rows with `!predicate` would
+    // silently drop them. `_delete_by_query` semantics: NULL = no match.
+    val p = coalesce(predicate, lit(false))
     // log_date values of partitions that contain matches — only these rewrite
-    val affected = all.filter(predicate)
+    val affected = all.filter(p)
       .select(col("log_date").cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq
     if (affected.isEmpty) return 0L
     val affectedCol = col("log_date").cast("string").isin(affected: _*)
-    val deleted = all.filter(predicate && affectedCol).count()
+    val deleted = all.filter(p && affectedCol).count()
     val tmp = root.stripSuffix("/") + ".delete-tmp"
-    all.filter(affectedCol && !predicate)
+    all.filter(affectedCol && !p)
       .write.mode("overwrite")
       .partitionBy("log_date", "source")
       .parquet(tmp)
@@ -367,12 +370,28 @@ object LogStore {
       val name = s"log_date=$d"
       val src = new org.apache.hadoop.fs.Path(tmpPath, name)
       val dest = new org.apache.hadoop.fs.Path(rootPath, name)
-      fs.delete(dest, true)
-      // a partition whose every row matched has no rewritten output dir
-      if (fs.exists(src)) fs.rename(src, dest)
+      swapPartition(fs, src, dest)
     }
     fs.delete(tmpPath, true)
     deleted
+  }
+
+  /** Crash-safe partition swap: park the old directory beside the live one
+    * (`.old`, same filesystem → atomic rename), move the new one in, delete
+    * the parked copy last. A crash after step 1 leaves the data recoverable
+    * at `dest.old`; after step 2 the partition is wholly new — at no point
+    * is the partition's only copy a half-deleted tree. A partition whose
+    * every row matched the delete predicate has no rewritten output dir:
+    * the old tree is still parked then removed, completing the delete.
+    */
+  private def swapPartition(fs: org.apache.hadoop.fs.FileSystem,
+                            src: org.apache.hadoop.fs.Path,
+                            dest: org.apache.hadoop.fs.Path): Unit = {
+    val parked = new org.apache.hadoop.fs.Path(dest.getParent, dest.getName + ".old")
+    fs.delete(parked, true) // stale parking from a previous crashed swap
+    val hadOld = fs.exists(dest) && fs.rename(dest, parked)
+    if (fs.exists(src)) fs.rename(src, dest)
+    if (hadOld) fs.delete(parked, true)
   }
 
   /** A25 — `_update_by_query` (in-place predicate-driven rewrite: fix
@@ -388,13 +407,17 @@ object LogStore {
                     predicate: org.apache.spark.sql.Column)
                    (transform: DataFrame => DataFrame): Long = {
     val all = spark.read.parquet(root)
-    val affected = all.filter(predicate)
+    // NULL predicate = no match (see deleteByQuery) — without this a
+    // NULL-valued row in an affected partition is neither transformed
+    // nor carried by `!predicate`, i.e. silently dropped.
+    val p = coalesce(predicate, lit(false))
+    val affected = all.filter(p)
       .select(col("log_date").cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq
     if (affected.isEmpty) return 0L
     val affectedCol = col("log_date").cast("string").isin(affected: _*)
-    val updated = all.filter(predicate && affectedCol).count()
-    val out = transform(all.filter(affectedCol && predicate))
+    val updated = all.filter(p && affectedCol).count()
+    val out = transform(all.filter(affectedCol && p))
     require(out.columns.sorted.sameElements(all.columns.sorted),
       "update_by_query transform must preserve the store schema")
     // a transform that MOVES rows across partitions would strand them in
@@ -403,7 +426,7 @@ object LogStore {
     require(out.filter(!col("log_date").cast("string").isin(affected: _*)).isEmpty,
       "update_by_query transform must not change log_date; use reindex")
     val tmp = root.stripSuffix("/") + ".update-tmp"
-    all.filter(affectedCol && !predicate)
+    all.filter(affectedCol && !p)
       .unionByName(out.select(all.columns.map(col): _*))
       .write.mode("overwrite")
       .partitionBy("log_date", "source")
@@ -415,10 +438,7 @@ object LogStore {
       val name = s"log_date=$d"
       val src = new org.apache.hadoop.fs.Path(tmpPath, name)
       val dest = new org.apache.hadoop.fs.Path(rootPath, name)
-      if (fs.exists(src)) {
-        fs.delete(dest, true)
-        fs.rename(src, dest)
-      }
+      if (fs.exists(src)) swapPartition(fs, src, dest)
     }
     fs.delete(tmpPath, true)
     updated

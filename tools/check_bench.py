@@ -37,8 +37,12 @@ def main() -> int:
     tol = DEFAULT_TOL
     update = "--update" in args
     if "--tolerance" in args:
-        tol = float(args[args.index("--tolerance") + 1])
-    paths = [a for a in args if not a.startswith("--") and a != str(tol)]
+        # consume the value by index — filtering positionals by string
+        # equality with str(tol) drops '1.4' but not '1.40'
+        i = args.index("--tolerance")
+        tol = float(args[i + 1])
+        del args[i:i + 2]
+    paths = [a for a in args if not a.startswith("--")]
     if not paths:
         print(__doc__)
         return 2
