@@ -128,6 +128,30 @@ object LogLines {
             .as("source"),
           apacheLineCol.as("log"))).as("envelope"))
 
+  /** events → one RFC-5424-ish syslog application line per event —
+    * the third wire format a unified-log fleet tails (beside Apache
+    * access/error): structured `key=value` app logs behind a syslog
+    * priority + ISO timestamp header. Exists to exercise the C69 grok
+    * processor on a format none of the hand-written batteries cover.
+    * `<134>2024-01-01T00:00:07Z host-8 app[462]: level=ERROR user=8 took=6.55ms GET /error/0`
+    */
+  def syslogLines(spark: SparkSession, dir: String): DataFrame = {
+    val level = when(col("event_type") === "error", "ERROR")
+      .when(col("event_type") === "signup", "WARN")
+      .otherwise("INFO")
+    Tables.atComputeParallelism(Tables.events(spark, dir))
+      .select(
+        col("event_id"),
+        concat(
+          lit("<"), (lit(128) + col("user_id") % 8).cast("string"), lit(">"),
+          date_format(date_trunc("second", col("ts")), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+          lit(" host-"), (col("user_id") % 50).cast("string"),
+          lit(" app["), (col("event_id") % 1000).cast("string"), lit("]: level="),
+          level, lit(" user="), col("user_id").cast("string"),
+          lit(" took="), col("value").cast("string"), lit("ms "),
+          verbCol, lit(" "), pathCol).as("line"))
+  }
+
   /** events → one Lambda-extension JSON batch per event (the shape the
     * reference's Firehose transformer receives — README.md:94-147:
     * an array of {time, type, record} entries where only
