@@ -100,6 +100,34 @@ object ImageCodec {
     out
   }
 
+  /** Average-hash perceptual fingerprint (the aHash of every
+    * image-dedup pipeline): resample to 8×8 (area-averaging, so the
+    * hash sees block means), gray each cell, threshold against the
+    * global mean → 64 bits. Invariant under uniform brightness shift
+    * and any resize that preserves block structure; near-duplicate
+    * images land within a few bits of Hamming distance.
+    */
+  def aHash64(img: BufferedImage): Long = {
+    val small = resample(img, 8, 8)
+    val gray = new Array[Int](64)
+    var sum = 0L
+    var i = 0
+    while (i < 64) {
+      val p = small.getRGB(i % 8, i / 8)
+      gray(i) = ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+      sum += gray(i)
+      i += 1
+    }
+    val mean = sum / 64
+    var h = 0L
+    i = 0
+    while (i < 64) {
+      if (gray(i) > mean) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
   /** Deterministic synthetic PNG — a seeded RGB gradient pattern. Used
     * by tests and by pipelines that need real decodable payloads
     * without external media files.

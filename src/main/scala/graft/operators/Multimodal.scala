@@ -205,6 +205,85 @@ object Multimodal {
     path
   }
 
+  // ---- E90: perceptual image dedup (aHash) ---------------------------
+
+  case class ImgHash(doc_id: Long, ahash: Long)
+
+  /** Synthetic image corpus for the perceptual-dedup path: every doc
+    * renders the pattern of its `doc_id % 40` family, brightness-shifted
+    * per member (aHash-invariant by design) and, for every fifth doc, an
+    * 8×8 corner patch (flips ~1 hash bit) — exact-dup families with
+    * planted near-dup members and 40 distinct base patterns.
+    */
+  private def syntheticVariant(id: Long): Array[Byte] = {
+    val img = ImageCodec.decode(ImageCodec.syntheticBmp(64, 64, id % 40)).get
+    val shift = ((id % 7) * 3).toInt
+    var y = 0
+    while (y < 64) {
+      var x = 0
+      while (x < 64) {
+        val p = img.getRGB(x, y)
+        def ch(v: Int) = math.min(v + shift, 255)
+        img.setRGB(x, y,
+          (ch((p >> 16) & 0xFF) << 16) | (ch((p >> 8) & 0xFF) << 8) | ch(p & 0xFF))
+        x += 1
+      }
+      y += 1
+    }
+    if (id % 5 == 0) {
+      var py = 0
+      while (py < 8) { var px = 0; while (px < 8) { img.setRGB(px, py, 0); px += 1 }; py += 1 }
+    }
+    ImageCodec.encodeBmp(img)
+  }
+
+  /** E90 — near-duplicate image detection by perceptual hash (the
+    * image-side sibling of E3 SimHash: decode → aHash64 → banded
+    * Hamming join; the multimodal-corpus dedup step every image
+    * training set runs). Candidate generation is the pigeonhole band
+    * trick — 4×16-bit bands, a pair within Hamming ≤ 3 MUST share a
+    * band — so no all-pairs kernel exists at any scale; band buckets
+    * carry a declared skew cap (oversized buckets are boilerplate
+    * patterns, dropped like E2's). Decode+hash is partition-local
+    * codec work at compute parallelism; the output is the bounded
+    * Hamming histogram with sample pairs.
+    */
+  def imageDedup(spark: SparkSession, dir: String,
+                 maxHamming: Int = 3, bucketCap: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val hashes = Tables.atComputeParallelism(
+        Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val img = ImageCodec.decode(syntheticVariant(id)).get
+          ImgHash(id, ImageCodec.aHash64(img))
+        }
+      }.toDF()
+    val bands = hashes.select(col("doc_id"), col("ahash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("ahash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bkey"))): _*)).as("bk"))
+      .select(col("doc_id"), col("ahash"), col("bk.band"), col("bk.bkey"))
+    val small = bands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") <= bucketCap)
+      .select(col("band"), col("bkey"))
+    val capped = bands.join(small, Seq("band", "bkey"))
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+    pairs.groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(struct(col("doc_a"), col("doc_b"))).as("s"))
+      .select(col("hamming"), col("n_pairs"),
+        col("s.doc_a").as("sample_a"), col("s.doc_b").as("sample_b"))
+      .orderBy(col("hamming"))
+  }
+
   /** E12 query surface: metadata + extracted features, deterministic. */
   def features(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(spark,

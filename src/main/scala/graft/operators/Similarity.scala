@@ -757,6 +757,79 @@ object Similarity {
       |  FROM scored)
       |SELECT q_id, n_id, n_label, cos_sim, rank FROM ranked WHERE rank <= 3
       |ORDER BY q_id, rank""".stripMargin
+  // ---- E89: Matryoshka truncation-dim recall sweep -------------------
+
+  /** E89 — Matryoshka embedding evaluation (Kusupati et al. 2022:
+    * MRL-trained embeddings keep their leading dimensions meaningful,
+    * so a deployment can store/search a PREFIX of each vector and
+    * trade recall for a 2–8× footprint cut). This is the audit that
+    * decides the trade: for each truncation width, brute-force top-k
+    * on the sliced vectors and score recall@k against the full-width
+    * baseline, plus the full-dim similarity actually achieved by the
+    * truncated ranking (the quality the user would serve).
+    *
+    * One pass computes every width: the q×corpus pair stream carries
+    * all four sliced cosines, stack-unpivots to (dim_cut, cos) rows,
+    * and one window ranks each (dim_cut, query) — the corpus is
+    * scanned ONCE, not once per width. Scale shape matches E6: query
+    * side broadcast, exchange is O(widths × queries × k).
+    */
+  def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    val (q, c) = queryCorpus(spark, dir)
+    val dims = Seq(64, 32, 16, 8)
+    val withCos = dims.foldLeft(c.join(broadcast(q))) { (df, d) =>
+      df.withColumn(s"c$d",
+        round(graft.plans.CosineSim(slice(col("q_emb"), 1, d), slice(col("n_emb"), 1, d)), 6))
+    }
+    val long = withCos.select(col("q_id"), col("n_id"), col("c64").as("full_sim"),
+      expr("stack(4, 64, c64, 32, c32, 16, c16, 8, c8) AS (dim_cut, cos_sim)"))
+    val w = Window.partitionBy(col("dim_cut"), col("q_id"))
+      .orderBy(col("cos_sim").desc, col("n_id"))
+    val top = long.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= topK)
+    val base = top.filter(col("dim_cut") === 64)
+      .select(col("q_id").as("b_q"), col("n_id").as("b_n"))
+    top.join(broadcast(base),
+        col("q_id") === col("b_q") && col("n_id") === col("b_n"), "left")
+      .groupBy(col("dim_cut"))
+      .agg(
+        round(avg(when(col("b_n").isNotNull, 1.0).otherwise(0.0)), 4).as("avg_recall"),
+        round(avg(col("full_sim")), 6).as("avg_full_sim"))
+      .orderBy(col("dim_cut").desc)
+  }
+
+  val matryoshkaRecallSql: String =
+    """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS n_emb FROM embeddings WHERE vec_id >= 10),
+      |pairs AS (
+      |  SELECT q_id, n_id,
+      |    round(list_cosine_similarity(q_emb, n_emb), 6) AS c64,
+      |    round(list_cosine_similarity(q_emb[1:32], n_emb[1:32]), 6) AS c32,
+      |    round(list_cosine_similarity(q_emb[1:16], n_emb[1:16]), 6) AS c16,
+      |    round(list_cosine_similarity(q_emb[1:8], n_emb[1:8]), 6) AS c8
+      |  FROM q CROSS JOIN c),
+      |long AS (
+      |  SELECT q_id, n_id, c64 AS full_sim, 64 AS dim_cut, c64 AS cos_sim FROM pairs
+      |  UNION ALL
+      |  SELECT q_id, n_id, c64, 32, c32 FROM pairs
+      |  UNION ALL
+      |  SELECT q_id, n_id, c64, 16, c16 FROM pairs
+      |  UNION ALL
+      |  SELECT q_id, n_id, c64, 8, c8 FROM pairs),
+      |top AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY dim_cut, q_id
+      |                                 ORDER BY cos_sim DESC, n_id) AS rnk
+      |    FROM long)
+      |  WHERE rnk <= 5),
+      |base AS (
+      |  SELECT q_id AS b_q, n_id AS b_n FROM top WHERE dim_cut = 64)
+      |SELECT CAST(t.dim_cut AS INTEGER) AS dim_cut,
+      |  round(avg(CASE WHEN b.b_n IS NULL THEN 0.0 ELSE 1.0 END), 4) AS avg_recall,
+      |  round(avg(t.full_sim), 6) AS avg_full_sim
+      |FROM top t LEFT JOIN base b ON t.q_id = b.b_q AND t.n_id = b.b_n
+      |GROUP BY t.dim_cut
+      |ORDER BY dim_cut DESC""".stripMargin
+
   // ---- E7g: product-quantized (PQ/ADC) ANN ---------------------------
 
   /** E7g — product quantization with asymmetric distance computation

