@@ -327,6 +327,20 @@ object Ppl {
             require(p.length == 2, s"rename needs '<old> as <new>', got: $pair")
             df = df.withColumnRenamed(p(0).trim, p(1).trim)
           }
+        case "patterns" =>
+          // patterns <field> [new_field=<name>] — PPL's log-grouping
+          // command (simple_pattern mode): strip alphanumerics, keep
+          // the punctuation/whitespace skeleton as the group key. One
+          // codegen'd regexp_replace projection; the follow-on
+          // `stats by patterns_field` is the C53 categorize shape.
+          val sp = arg.split("\\s+").filter(_.nonEmpty)
+          require(sp.nonEmpty, "patterns needs a field")
+          val field = sp(0)
+          val newField = sp.drop(1).collectFirst {
+            case s if s.toLowerCase.startsWith("new_field=") =>
+              s.substring("new_field=".length).stripPrefix("'").stripSuffix("'")
+          }.getOrElse("patterns_field")
+          df = df.withColumn(newField, regexp_replace(col(field), "[a-zA-Z0-9]", ""))
         case "parse" =>
           // parse <field> '<regex with (?<name>…) groups>' — named
           // captures become columns via codegen'd regexp_extract (the

@@ -1082,6 +1082,26 @@ object Extras {
       |GROUP BY 1, 2
       |ORDER BY span_ts, event_type""".stripMargin
 
+  /** C57d (fifth entry) — the `patterns` command: strip alphanumerics,
+    * group the punctuation/whitespace skeletons (PPL's log-template
+    * grouping, the pipe form of C53 categorize_text). Over `documents`
+    * the skeleton is the doc's whitespace shape, so the stats tail
+    * buckets docs by token count — one projection + one hash aggregate.
+    */
+  val pplPatternsDemo: String =
+    "search source=documents | patterns text " +
+      "| stats count() as n_docs by patterns_field | sort + patterns_field"
+
+  def pplPatterns(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Ppl.run(spark, dir, pplPatternsDemo)
+
+  val pplPatternsSql: String =
+    """SELECT regexp_replace(text, '[a-zA-Z0-9]', '', 'g') AS patterns_field,
+      |  count(*) AS n_docs
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY patterns_field""".stripMargin
+
   val pplTopSearchSql: String =
     """WITH p AS (
       |  SELECT event_type, regexp_extract(props, 'k": ([0-9]+)', 1) AS kv

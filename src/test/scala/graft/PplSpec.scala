@@ -155,4 +155,14 @@ class PplSpec extends AnyFunSuite {
       run("search source=events | parse props 'no captures here'")
     }.getMessage.contains("no (?<name>"))
   }
+
+  test("patterns strips alphanumerics into the template skeleton; new_field renames (C57d)") {
+    val got = run("search source=events | patterns props | fields event_id, patterns_field " +
+        "| sort + event_id | head 3")
+      .collect().map(_.getString(1)).toSeq
+    // props is {"k": NN} -> skeleton is always {"": }
+    assert(got == Seq("{\"\": }", "{\"\": }", "{\"\": }"))
+    val renamed = run("search source=events | patterns props new_field=shape | head 1")
+    assert(renamed.columns.contains("shape") && !renamed.columns.contains("patterns_field"))
+  }
 }
