@@ -1504,4 +1504,104 @@ object Curation {
       |            ELSE 0 END AS BIGINT) AS anneal_alloc
       |FROM flagged CROSS JOIN hqt
       |ORDER BY source""".stripMargin
+
+  // ---- E92: k-anonymity audit ----------------------------------------
+
+  /** E92 — k-anonymity audit over quasi-identifiers (Sweeney 2002: a
+    * record is k-anonymous if its quasi-identifier combination is
+    * shared by ≥ k records; the privacy review a training corpus with
+    * user-derived fields runs beside E15's direct-identifier scrub).
+    * Quasi-identifiers here: (nation, market segment, account-balance
+    * band) on the customer dim. ONE group-count of the QI tuple, then
+    * a bounded histogram over equivalence-class sizes — re-identifiable
+    * rows are exactly those in classes below k. Both aggregates are
+    * map-side combined; at 100 TB the shuffle carries |QI classes|.
+    */
+  def kAnonymity(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val classes = Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+      .agg(count(lit(1)).as("cls"))
+    classes
+      .select(
+        when(col("cls") === 1, "k=1 (unique)")
+          .when(col("cls") < k, s"k<$k (small)")
+          .otherwise(s"k>=$k (anonymous)").as("bucket"),
+        col("cls"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("cls")).as("n_rows"))
+      .crossJoin(broadcast(
+        Tables.customer(spark, dir).agg(count(lit(1)).as("total"))))
+      .select(col("bucket"), col("n_classes"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("total"), 6).as("row_share"))
+      .orderBy(col("bucket"))
+  }
+
+  val kAnonymitySql: String =
+    """WITH cls AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+      |    count(*) AS cls
+      |  FROM customer
+      |  GROUP BY 1, 2, 3),
+      |h AS (
+      |  SELECT CASE WHEN cls = 1 THEN 'k=1 (unique)'
+      |              WHEN cls < 5 THEN 'k<5 (small)'
+      |              ELSE 'k>=5 (anonymous)' END AS bucket,
+      |    count(*) AS n_classes, CAST(sum(cls) AS BIGINT) AS n_rows
+      |  FROM cls GROUP BY 1)
+      |SELECT bucket, n_classes, n_rows,
+      |  round(CAST(n_rows AS DOUBLE) / (SELECT count(*) FROM customer), 6) AS row_share
+      |FROM h
+      |ORDER BY bucket""".stripMargin
+
+  // ---- E93: text normalization battery -------------------------------
+
+  /** E93 — text normalization (the canonicalization pass every corpus
+    * runs before dedup/tokenization: case-fold, collapse whitespace
+    * runs, trim — so byte-identical content hashes identically
+    * regardless of formatting noise). Dirt is planted deterministically
+    * (upper-cased / double-spaced by doc_id band) so the oracle
+    * reproduces both the dirty input and the clean output; the
+    * normalizer itself is three codegen'd string expressions, linear
+    * in corpus bytes, no shuffle before the summary aggregate.
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = when(col("doc_id") % 3 === 0, upper(col("text")))
+      .when(col("doc_id") % 3 === 1,
+        regexp_replace(col("text"), " ", "  "))
+      .otherwise(col("text"))
+    Tables.documents(spark, dir)
+      .withColumn("dirty", dirty)
+      .withColumn("norm",
+        trim(regexp_replace(lower(col("dirty")), "\\s+", " ")))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("dirty") =!= col("norm"), 1L).otherwise(0L)).as("n_changed"),
+        sum(length(col("dirty")) - length(col("norm"))).cast("long").as("bytes_removed"),
+        sum(when(col("norm") === col("text"), 1L).otherwise(0L)).as("n_restored"))
+      .orderBy(col("source"))
+  }
+
+  val textNormalizeSql: String =
+    """WITH t AS (
+      |  SELECT source, text,
+      |    CASE WHEN doc_id % 3 = 0 THEN upper(text)
+      |         WHEN doc_id % 3 = 1 THEN replace(text, ' ', '  ')
+      |         ELSE text END AS dirty
+      |  FROM documents),
+      |n AS (
+      |  SELECT source, text, dirty,
+      |    trim(regexp_replace(lower(dirty), '\s+', ' ', 'g')) AS norm
+      |  FROM t)
+      |SELECT source,
+      |  count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN dirty <> norm THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      |  CAST(sum(length(dirty) - length(norm)) AS BIGINT) AS bytes_removed,
+      |  CAST(sum(CASE WHEN norm = text THEN 1 ELSE 0 END) AS BIGINT) AS n_restored
+      |FROM n
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
 }

@@ -207,6 +207,59 @@ object Observability {
         round(sum(col("has_err")).cast("double") / count(lit(1)), 4).as("error_rate"))
       .orderBy(col("trace_group"))
 
+  /** C71c — tail-based trace sampling (the Data-Prepper/collector
+    * policy that keeps observability affordable: retain EVERY trace
+    * that contains an error, plus a deterministic hash-percentage of
+    * healthy traces — the decision needs the WHOLE trace, hence
+    * "tail"). Spark shape: one spans→traces aggregate (the C71b
+    * exchange) computes each trace's error flag, the keep decision is
+    * a pure hash expression on the trace id (md5 prefix as the
+    * sampling lottery — deterministic, uniform, replayable), and the
+    * report aggregates kept/dropped traffic per trace group. No
+    * per-trace state store: the batch form IS the replay-exact
+    * reference for the streaming sampler.
+    */
+  def tailSampling(spark: SparkSession, dir: String, pct: Int = 10): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        concat(col("user_id"), lit(":"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd-HH")).as("trace_id"),
+        col("event_id"), col("event_type"),
+        (col("event_type") === "error").cast("long").as("is_err"))
+      .groupBy(col("trace_id"))
+      .agg(min_by(col("event_type"), col("event_id")).as("trace_group"),
+        count(lit(1)).as("n_spans"), max(col("is_err")).as("has_err"))
+      // the lottery: first 4 md5 hex chars as an integer in [0, 65536)
+      .withColumn("keep",
+        col("has_err") === 1 ||
+          conv(substring(md5(col("trace_id")), 1, 4), 16, 10).cast("long") < pct * 65536 / 100)
+      .groupBy(col("trace_group"), col("keep"))
+      .agg(count(lit(1)).as("n_traces"), sum(col("n_spans")).as("n_spans"),
+        sum(col("has_err")).as("n_err_traces"))
+      .orderBy(col("trace_group"), col("keep"))
+
+  val tailSamplingSql: String =
+    """WITH traces AS (
+      |  SELECT
+      |    concat(user_id, ':', strftime(date_trunc('hour', ts), '%Y-%m-%d-%H')) AS trace_id,
+      |    arg_min(event_type, event_id) AS trace_group,
+      |    count(*) AS n_spans,
+      |    max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS has_err
+      |  FROM events
+      |  GROUP BY 1),
+      |d AS (
+      |  SELECT *,
+      |    has_err = 1 OR
+      |      CAST(('0x' || substr(md5(trace_id), 1, 4))::BIGINT AS BIGINT) < 6553 AS keep
+      |  FROM traces)
+      |SELECT trace_group, keep,
+      |  count(*) AS n_traces,
+      |  CAST(sum(n_spans) AS BIGINT) AS n_spans,
+      |  CAST(sum(has_err) AS BIGINT) AS n_err_traces
+      |FROM d
+      |GROUP BY trace_group, keep
+      |ORDER BY trace_group, keep""".stripMargin
+
   val traceGroupsSql: String =
     """WITH traces AS (
       |  SELECT
