@@ -855,8 +855,32 @@ object Similarity {
     */
   def annPq(spark: SparkSession, dir: String, m: Int = 8, ks: Int = 16,
             iters: Int = 10, rerank: Int = 50, trainSample: Int = 2048): DataFrame = {
-    import spark.implicits._
     val (q, c) = queryCorpus(spark, dir)
+    val (codes, lut) = pqParts(spark, q, c, m, ks, iters, trainSample)
+    val coarseK = graft.plans.TopKAgg.udafFor(rerank)
+    val cand = codes.join(broadcast(lut), Seq("sub", "cent_id"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("part")).as("adc_sim"))
+      .groupBy(col("q_id"))
+      .agg(coarseK(col("n_id"), col("adc_sim")).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t._2").as("n_id"))
+    rankTopK(
+      cand
+        .join(c, "n_id")
+        .join(q.withColumnRenamed("q_emb", "q_emb2"), "q_id")
+        .withColumn("cos_sim", round(CosineSim(col("q_emb2"), col("n_emb")), 6)))
+  }
+
+  /** Shared PQ machinery (E7g/E7i): codebooks trained driver-side on
+    * the bounded md5-rank sample, corpus encoded in ONE distributed
+    * pass, query ADC LUTs built against the broadcast book. Returns
+    * (codes: n_id × sub → cent_id, lut: q_id × sub × cent_id → part).
+    */
+  private def pqParts(spark: SparkSession, q: DataFrame, c: DataFrame,
+                      m: Int, ks: Int, iters: Int,
+                      trainSample: Int): (DataFrame, DataFrame) = {
+    import spark.implicits._
     val subDim = 64 / m
     def normalized(df: DataFrame, emb: String): DataFrame = {
       val nrm = sqrt(aggregate(col(emb), lit(0.0d),
@@ -918,8 +942,33 @@ object Similarity {
       .select(col("q_id"), col("sub"), col("cent_id"),
         aggregate(zip_with(col("sv"), col("cv"), (a, b) => a * b),
           lit(0.0d), (acc, v) => acc + v).as("part"))
+    (codes, lut)
+  }
+
+  /** E7i — IVF-PQ (the composition every billion-vector deployment
+    * actually runs — faiss `IVFx,PQy`, the OpenSearch faiss engine's
+    * ivf+pq method_spec): IVF cells prune WHICH vectors a query
+    * scores (nProbe/nCells of the corpus), PQ codes shrink WHAT is
+    * scored (32-bit codes + m table adds instead of 64-float dots),
+    * and exact rerank repairs the top. Both halves reuse their E7b/E7g
+    * machinery unchanged — the glue is one join order: probe cells →
+    * members → codes → broadcast LUT, so ADC scoring touches ONLY
+    * probed-cell candidates. At 100 TB this is the difference between
+    * scanning 1/4 of a code table and all of a float table.
+    */
+  def annIvfPq(spark: SparkSession, dir: String,
+               nCells: Int = 16, nProbe: Int = 4, m: Int = 8, ks: Int = 16,
+               iters: Int = 10, rerank: Int = 50, trainSample: Int = 2048): DataFrame = {
+    val (q, c) = queryCorpus(spark, dir)
+    val (corpusCells, centroids) = ivfParts(spark, dir, nCells)
+    val (codes, lut) = pqParts(spark, q, c, m, ks, iters, trainSample)
+    val candPairs = probeCells(q, centroids, nProbe)
+      .select(col("q_id"), col("cell"))
+      .join(corpusCells.select(col("n_id"), col("cell")), "cell")
+      .select(col("q_id"), col("n_id"))
     val coarseK = graft.plans.TopKAgg.udafFor(rerank)
-    val cand = codes.join(broadcast(lut), Seq("sub", "cent_id"))
+    val cand = candPairs.join(codes, "n_id")
+      .join(broadcast(lut), Seq("q_id", "sub", "cent_id"))
       .groupBy(col("q_id"), col("n_id"))
       .agg(sum(col("part")).as("adc_sim"))
       .groupBy(col("q_id"))

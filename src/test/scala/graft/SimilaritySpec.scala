@@ -69,6 +69,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == again)
   }
 
+  test("IVF-PQ composes cell pruning with code scoring; recall bounded by its IVF half") {
+    val exact = Similarity.annTopK(spark, TestSpark.sf)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.annIvf(spark, TestSpark.sf)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.annIvfPq(spark, TestSpark.sf)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(f"IVF16/probe4 + PQ 8x16 + rerank-50 recall@5 = $recall%.2f")
+    // the composition can never see vectors its IVF half pruned; with
+    // rerank ≥ k·queries the PQ stage inside probed cells loses little
+    val ivfRecall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= ivfRecall - 0.2, s"recall $recall vs ivf $ivfRecall")
+    assert(recall >= 0.3, s"recall $recall")
+    assert(got.size <= exact.size)
+  }
+
   test("SQ8 ANN: int8 coarse + full-precision rerank recovers near-exact top-k") {
     val exact = Similarity.annTopK(spark, TestSpark.sf)
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
