@@ -171,20 +171,26 @@ object CorpusAudit {
     val checkpoints = nDocs
       .select(explode(sequence(lit(1), lit(10))).as("decile"), col("n_docs"))
       .select(col("decile"), floor(col("n_docs") * col("decile") / 10).cast("long").as("rank_cut"))
-    // tokens seen by each decile: cumulative doc token counts at the cut
-    val toksSeen = ranked.select(col("doc_rank"), col("n_tok"))
-      .join(broadcast(checkpoints), col("doc_rank") <= col("rank_cut"))
-      .groupBy(col("decile"), col("rank_cut"))
-      .agg(sum(col("n_tok")).as("tokens_seen"))
-    // types seen: first-occurrence rank per token, counted under the cut
+    // Accumulation via ONE running-sum window over the doc order the
+    // row_number already paid for, then an EQUI join picks the decile
+    // rows — no broadcast range join. New-type counts per rank densify
+    // through the ranked frame (left equi join on first-occurrence
+    // rank), so the cumulative count exists at EVERY rank cut.
     val firstRank = ranked
       .select(col("doc_rank"), explode(col("grams")).as("tok"))
       .groupBy(col("tok")).agg(min(col("doc_rank")).as("fr"))
-    val vocabSeen = firstRank
-      .join(broadcast(checkpoints), col("fr") <= col("rank_cut"))
-      .groupBy(col("decile"))
-      .agg(count(lit(1)).as("vocab_seen"))
-    val points = toksSeen.join(vocabSeen, "decile")
+    val newAtRank = firstRank.groupBy(col("fr")).agg(count(lit(1)).as("new_types"))
+    val cumW = Window.orderBy(col("doc_rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = ranked.select(col("doc_rank"), col("n_tok"))
+      .join(newAtRank, col("doc_rank") === col("fr"), "left")
+      .select(col("doc_rank"), col("n_tok"), coalesce(col("new_types"), lit(0L)).as("nt"))
+      .select(col("doc_rank"),
+        sum(col("n_tok")).over(cumW).as("tokens_seen"),
+        sum(col("nt")).over(cumW).as("vocab_seen"))
+    val points = cum
+      .join(broadcast(checkpoints), col("doc_rank") === col("rank_cut"))
+      .select(col("decile"), col("rank_cut"), col("tokens_seen"), col("vocab_seen"))
     val fit = points
       .select(
         floor(log(col("tokens_seen").cast("double")) * 1e6).cast("long").as("xu"),

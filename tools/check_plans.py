@@ -96,6 +96,11 @@ BNLJ_ALLOWED = {
     "q_kn_perplexity": "one-row bigram-type-total broadcast",
     "q_theta_sketch": "one-row sketch-state x one-row exact-intersection join",
     "q_anneal_mix": "one-row corpus-totals + hq-totals broadcasts",
+    "q_matryoshka": "documented brute-force baseline: 10-query broadcast x corpus (the E6 class), both in the sweep and its dim-64 base replica",
+    "q_maxsim_rerank": "9-row query-token broadcast x distinct doc tokens (posting-traversal contract)",
+    "q_kanonymity": "one-row total-rows broadcast",
+    "q_ann_ivfpq": "queries x nCells centroid broadcast (probe selection, the ann_ivf class)",
+    "q_heaps_law": "one-row log-log fit broadcast (the corpus_stats slope class)",
 }
 
 
