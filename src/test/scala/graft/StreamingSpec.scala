@@ -461,4 +461,42 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(emitted.toSeq == Seq((1L, 2L, 15.0)))
   }
+
+  test("streaming tail sampling decides a trace only when it goes quiet; errors always kept; batch-lottery parity (C71d)") {
+    import graft.streaming.TailSampler
+    import graft.streaming.TailSampler.SpanIn
+    implicit val sq = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp((1440 + min) * 60000L)
+    val ms = MemoryStream[SpanIn]
+    val q = TailSampler.sampleStream(spark, ms.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("tailsamp")
+      .start()
+    // two traces: A has an error span, B is healthy; both quiet after min 2
+    ms.addData(
+      SpanIn("A", ts(0), 1L, is_err = false), SpanIn("A", ts(2), 2L, is_err = true),
+      SpanIn("B", ts(1), 3L, is_err = false))
+    q.processAllAvailable()
+    // no decision yet — the traces are still inside the gap
+    assert(spark.sql("SELECT * FROM tailsamp").count() == 0)
+    // a far-future heartbeat advances the watermark past both timeouts
+    ms.addData(SpanIn("HB", ts(120), 9L, is_err = false))
+    q.processAllAvailable()
+    ms.addData(SpanIn("HB2", ts(240), 10L, is_err = false))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT trace_id, n_spans, has_err, keep FROM tailsamp")
+      .as[(String, Int, Boolean, Boolean)].collect().map(r => r._1 -> r).toMap
+    q.stop()
+    assert(got.contains("A") && got.contains("B"), s"got $got")
+    assert(got("A") == ("A", 2, true, true))            // error trace always kept
+    assert(got("B")._4 == TailSampler.lottery("B", 10)) // healthy trace: the lottery
+    // lottery parity with the BATCH plan's md5 expression
+    val ids = Seq("A", "B", "u:2024-01-01-10", "x", "y", "z")
+    val sparkSide = ids.toDF("trace_id")
+      .select(col("trace_id"),
+        (conv(substring(md5(col("trace_id")), 1, 4), 16, 10).cast("long") <
+          lit(10 * 65536 / 100)).as("keep"))
+      .as[(String, Boolean)].collect().toMap
+    ids.foreach(id => assert(sparkSide(id) == TailSampler.lottery(id, 10), id))
+  }
 }
