@@ -848,4 +848,96 @@ object LogStore {
       }
       .map { p => fs.delete(p, true); p.getName }
   }
+
+  // ---- A26: Bloom-filter partition-skipping index ---------------------
+
+  /** A26 — per-partition Bloom skipping index for point lookups (the
+    * doc-values/terms-skipping role an index plays for OpenSearch term
+    * queries; the same design as Delta/Hudi Bloom indexes). Parquet
+    * min/max footers prune RANGES; a needle-in-haystack term lookup
+    * ("find request-id X across 90 days") prunes NOTHING because every
+    * partition's [min,max] spans the needle. The sidecar stores one
+    * fixed-size Bloom filter per (log_date, source) partition over the
+    * indexed column; a probe consults the plan-sized sidecar first and
+    * scans only partitions whose filter claims the value.
+    *
+    * Spark-first build (the E45 BFF device): k bit positions are
+    * xxhash64 double-hashing column arithmetic; the filter is ONE
+    * `bit_or` aggregate per 64-bit word — mergeable map-side, so the
+    * build is a single scan at any scale. Probe hashing runs through
+    * the SAME Spark expressions on a one-row frame, so build and probe
+    * can never disagree on the hash. Bloom guarantees NO false
+    * negatives: the candidate list always contains every partition
+    * truly holding the value (LogStoreSpec pins this plus the pruning).
+    */
+  val bloomIdxBitsLog2 = 16 // 65536 bits = 1024 words per partition
+  val bloomIdxK = 4
+
+  private def bloomPositions(value: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = {
+    val m = 1L << bloomIdxBitsLog2
+    // reduce both hashes mod m BEFORE combining: xxhash64 spans the full
+    // long range and i·h2 would overflow under ANSI arithmetic
+    val h1 = pmod(xxhash64(value.cast("string")), lit(m))
+    val h2 = pmod(xxhash64(value.cast("string"), lit(1)), lit(m))
+    (0 until bloomIdxK).map(i => pmod(h1 + lit(i.toLong) * h2, lit(m)))
+  }
+
+  def bloomIndexPath(root: String, column: String): String =
+    root.stripSuffix("/") + s".bloomidx-$column"
+
+  def writeBloomIndex(spark: SparkSession, root: String, column: String): String = {
+    val path = bloomIndexPath(root, column)
+    val pos = explode(array(bloomPositions(col(column)): _*)).as("pos")
+    spark.read.parquet(root)
+      .select(col("log_date").cast("string").as("log_date"), col("source"), pos)
+      .select(col("log_date"), col("source"),
+        (col("pos") / 64).cast("long").as("word"),
+        call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int")).as("mask"))
+      .groupBy(col("log_date"), col("source"), col("word"))
+      .agg(bit_or(col("mask")).as("bits"))
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** Partitions whose filter claims `value` — every true holder is in
+    * the list (no false negatives); FP rate is the filter's ~(1-e^-kn/m)^k.
+    */
+  def bloomCandidates(spark: SparkSession, root: String, column: String,
+                      value: String): Seq[(String, String)] = {
+    // hash the probe through the SAME expressions as the build
+    val posRow = spark.range(1)
+      .select(array(bloomPositions(lit(value)): _*).as("ps"))
+      .select(explode(col("ps")).as("pos"))
+      .select((col("pos") / 64).cast("long").as("word"),
+        call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int")).as("mask"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct.toSeq
+    val idx = spark.read.parquet(bloomIndexPath(root, column))
+    // per sidecar row, how many of the distinct probe bits it satisfies;
+    // a partition qualifies when EVERY probe bit is set somewhere in it
+    val hit = posRow.map { case (w, mk) =>
+      (col("word") === w && (col("bits").bitwiseAND(mk)) =!= 0L).cast("int")
+    }.reduce(_ + _)
+    idx
+      .select(col("log_date"), col("source"), hit.as("nhit"))
+      .groupBy(col("log_date"), col("source"))
+      .agg(sum(col("nhit")).as("nhit"))
+      .filter(col("nhit") === posRow.size)
+      .select(col("log_date"), col("source"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+  }
+
+  /** Point lookup through the index: read ONLY candidate partitions
+    * (isin on the partition columns → directory pruning), then apply
+    * the exact predicate.
+    */
+  def readWithBloomIndex(spark: SparkSession, root: String, column: String,
+                         value: String): DataFrame = {
+    val cands = bloomCandidates(spark, root, column, value)
+    val base = spark.read.parquet(root)
+    if (cands.isEmpty) return base.filter(lit(false))
+    base.filter(
+        col("log_date").cast("string").isin(cands.map(_._1).distinct: _*) &&
+        col("source").isin(cands.map(_._2).distinct: _*) &&
+        col(column).cast("string") === value)
+  }
 }

@@ -702,4 +702,36 @@ class LogStoreSpec extends AnyFunSuite {
     val c = LogStore.readCsvLogs(spark, dir + "/b.csv")
     assert(c.count() == 1 && c.select("source").as[String].head() == "ecs")
   }
+
+  test("Bloom skipping index: point lookup prunes partitions, never loses a holder (A26)") {
+    val root = Files.createTempDirectory("graft-bloom").toString + "/logs"
+    def day(d: Int, reqs: Seq[String]) = reqs.toDF("req_id")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")))
+      .withColumn("source", lit("ec2"))
+    // the needle lives ONLY on day 3; 9 other days carry 50 ids each
+    (1 to 10).foreach { d =>
+      val ids = (1 to 50).map(i => s"req-$d-$i") ++
+        (if (d == 3) Seq("needle-1") else Nil)
+      LogStore.write(day(d, ids), root)
+    }
+    LogStore.writeBloomIndex(spark, root, "req_id")
+
+    // no false negatives: the true holder is always a candidate
+    val cands = LogStore.bloomCandidates(spark, root, "req_id", "needle-1")
+    assert(cands.map(_._1).contains("2024-01-03"), s"cands $cands")
+    // the filter actually prunes: candidates ≪ 10 partitions
+    assert(cands.size < 10, s"no pruning: $cands")
+
+    // the pruned read returns exactly the unpruned truth
+    val pruned = LogStore.readWithBloomIndex(spark, root, "req_id", "needle-1")
+      .select("req_id", "log_date").collect()
+    assert(pruned.length == 1 && pruned.head.getString(0) == "needle-1")
+    // an absent value: candidate list is (almost always) empty and the
+    // read returns nothing either way
+    assert(LogStore.readWithBloomIndex(spark, root, "req_id", "no-such-id").count() == 0)
+    // a value present in every partition qualifies every partition
+    (1 to 10).foreach(d => assert(
+      LogStore.bloomCandidates(spark, root, "req_id", s"req-$d-7").map(_._1)
+        .contains(f"2024-01-$d%02d")))
+  }
 }
