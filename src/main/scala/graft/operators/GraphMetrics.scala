@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** C73 — graph analytics over the service-dependency graph (SURVEY §2):
+  * weighted PageRank as the service-criticality ranking ("which service
+  * does the fleet lean on?") — the read an operator does on the C71
+  * service map when deciding what pages first. Brin & Page 1998, the
+  * weighted variant: rank flows along call edges proportional to call
+  * volume.
+  *
+  * Exact integer recurrence so the result is bit-identical cross-engine
+  * AND at any partitioning: ranks live in micro-units (S = 1e9); edge
+  * weights normalize to per-source micro-ratios once (wr = w·1e6 div
+  * W_u ≤ 1e6, so r·wr ≤ 1e15 — overflow-safe at any corpus size);
+  * each of the fixed `iters` rounds is
+  *     r'(v) = (15·S) div (100·N)  +  (85 · Σ_u r(u)·wr(u,v) div 1e6) div 100
+  * with floor division everywhere (documented mass leak from flooring
+  * and dangling nodes — identical in both engines by construction).
+  *
+  * Spark shape: the rank table iterates through `iters` join+aggregate
+  * rounds against the STATIC normalized edge list (localCheckpoint per
+  * round keeps the plan constant-size — the BpeTrain loop discipline).
+  * The exchange each round carries |nodes| + |edges| rows; node count
+  * is service-fleet-sized, never event-sized. The DuckDB oracle unrolls
+  * the same fixed iteration count as chained CTEs.
+  */
+object GraphMetrics {
+
+  private val S = 1000000000L // rank scale: micro-units of 1e9
+  private val WS = 1000000L   // weight-ratio scale
+
+  /** (src, dst, calls) edges from the C71 span model — re-derived here
+    * exactly as serviceMap does so the oracle can mirror it.
+    */
+  private def edges(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        when(col("user_id") % 3 === 0, "web")
+          .when(col("user_id") % 3 === 1, "mobile")
+          .otherwise("api-gw").as("src"),
+        when(col("event_type") === "view", "catalog")
+          .when(col("event_type") === "click", "frontend")
+          .when(col("event_type") === "signup", "auth")
+          .when(col("event_type") === "purchase", "payment")
+          .otherwise(when(col("user_id") % 2 === 0, "payment").otherwise("catalog"))
+          .as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+
+  def pageRank(spark: SparkSession, dir: String, iters: Int = 10): DataFrame = {
+    val e = edges(spark, dir)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    val base15 = (15L * S) / (100L * n)
+    // per-source normalized integer weight ratios, computed once
+    val norm = e
+      .join(e.groupBy(col("src")).agg(sum(col("w")).as("wout")), "src")
+      .select(col("src"), col("dst"),
+        expr(s"CAST((w * $WS) div wout AS LONG)").as("wr"))
+      .localCheckpoint()
+    var rank = nodes.select(col("node"), lit(S / n).as("r"))
+    for (_ <- 1 to iters) {
+      val inflow = norm
+        .join(rank.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr(s"CAST((r * wr) div $WS AS LONG)").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+      rank = nodes
+        .join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"CAST($base15 + (85 * coalesce(inflow, 0)) div 100 AS LONG)").as("r"))
+        .localCheckpoint()
+    }
+    rank
+      .select(col("node").as("service"), col("r").as("rank_micro"),
+        round(col("r").cast("double") / S, 6).as("rank_share"))
+      .orderBy(col("rank_micro").desc, col("service"))
+  }
+
+  /** The identical recurrence, iterations unrolled as chained CTEs. */
+  def pageRankSql(iters: Int = 10): String = {
+    val head =
+      s"""WITH e AS (
+         |  SELECT
+         |    CASE WHEN user_id % 3 = 0 THEN 'web'
+         |         WHEN user_id % 3 = 1 THEN 'mobile' ELSE 'api-gw' END AS src,
+         |    CASE WHEN event_type = 'view' THEN 'catalog'
+         |         WHEN event_type = 'click' THEN 'frontend'
+         |         WHEN event_type = 'signup' THEN 'auth'
+         |         WHEN event_type = 'purchase' THEN 'payment'
+         |         WHEN user_id % 2 = 0 THEN 'payment' ELSE 'catalog' END AS dst,
+         |    count(*) AS w
+         |  FROM events GROUP BY 1, 2),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |norm AS (
+         |  SELECT e.src, e.dst, CAST((e.w * ${WS}) // t.wout AS BIGINT) AS wr
+         |  FROM e JOIN (SELECT src, sum(w) AS wout FROM e GROUP BY src) t USING (src)),
+         |r0 AS (SELECT node, CAST(CAST(${S} AS BIGINT) // n AS BIGINT) AS r FROM nodes CROSS JOIN nn)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT nodes.node,
+         |    CAST((15 * CAST(${S} AS BIGINT)) // (100 * nn.n)
+         |      + (85 * coalesce(f.inflow, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT norm.dst AS node,
+         |      CAST(sum((p.r * norm.wr) // ${WS}) AS BIGINT) AS inflow
+         |    FROM norm JOIN r${i - 1} p ON norm.src = p.node
+         |    GROUP BY norm.dst) f ON nodes.node = f.node)""".stripMargin
+    }
+    s"""$head,
+       |${steps.mkString(",\n")}
+       |SELECT node AS service, r AS rank_micro,
+       |  round(CAST(r AS DOUBLE) / ${S}, 6) AS rank_share
+       |FROM r$iters
+       |ORDER BY rank_micro DESC, service""".stripMargin
+  }
+}
