@@ -960,7 +960,12 @@ object Similarity {
                nCells: Int = 16, nProbe: Int = 4, m: Int = 8, ks: Int = 16,
                iters: Int = 10, rerank: Int = 50, trainSample: Int = 2048): DataFrame = {
     val (q, c) = queryCorpus(spark, dir)
-    val (corpusCells, centroids) = ivfParts(spark, dir, nCells)
+    // cells come from the MEMOIZED persisted index (E7c) — the deployed
+    // shape builds once and probes many times, so the query measures
+    // probe latency, not a fresh k-means fit per run
+    val indexPath = ensureIvfIndex(spark, dir, nCells)
+    val corpusCells = spark.read.parquet(s"$indexPath/cells")
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
     val (codes, lut) = pqParts(spark, q, c, m, ks, iters, trainSample)
     val candPairs = probeCells(q, centroids, nProbe)
       .select(col("q_id"), col("cell"))
