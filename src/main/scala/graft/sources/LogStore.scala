@@ -849,6 +849,77 @@ object LogStore {
       .map { p => fs.delete(p, true); p.getName }
   }
 
+  // ---- A27: document-identity upserts (the _id semantics) -------------
+
+  /** A27 — document-identity upserts: OpenSearch indexes a doc with an
+    * existing `_id` by REPLACING it, and deletes by id; an append-only
+    * parquet store expresses both as the Hudi/Iceberg merge-on-read
+    * pattern. Writes append (doc_id, seq, deleted, payload) rows —
+    * immutable files, no read-modify-write; `readLatest` resolves each
+    * id to its highest-seq version and drops tombstones (ONE max_by
+    * aggregate keyed on doc_id — map-side combined, the exchange
+    * carries live ids); `compactUpserts` folds the history physically
+    * (same crash-safe write-then-swap as A8), after which reads carry
+    * no merge debt. `seq` is caller-supplied and monotone per id (the
+    * OpenSearch `_seq_no` contract) so replay/redelivery is idempotent:
+    * re-writing an old seq can never resurrect an old version.
+    */
+  def upsertWrite(batch: DataFrame, root: String, seq: Long,
+                  deleted: Boolean = false): Unit =
+    batch
+      .withColumn("seq", lit(seq))
+      .withColumn("deleted", lit(deleted))
+      .withColumn("log_date", to_date(col("ts")))
+      .write.mode("append")
+      .partitionBy("log_date", "source")
+      .parquet(root)
+
+  /** Merge-on-read: latest version per doc id, tombstones dropped. */
+  def readLatest(spark: SparkSession, root: String): DataFrame = {
+    val all = spark.read.parquet(root)
+    val payload = all.columns.filterNot(Seq("doc_id", "seq", "deleted").contains)
+    all
+      .groupBy(col("doc_id"))
+      .agg(max(col("seq")).as("seq"),
+        max_by(struct((col("deleted") +: payload.map(col)): _*), col("seq")).as("v"))
+      .filter(!col("v.deleted"))
+      .select(col("doc_id") +: col("seq") +: payload.map(p => col(s"v.$p").as(p)): _*)
+  }
+
+  /** Fold the upsert history physically: rewrite each partition to its
+    * resolved latest versions (tombstoned ids disappear), with the A8
+    * swap discipline. NOTE: resolution is global (an id's versions may
+    * span log_date partitions when its ts changed) — the fold keeps
+    * each surviving id in its LATEST version's partition.
+    */
+  def compactUpserts(spark: SparkSession, root: String): Unit = {
+    val tmp = root.stripSuffix("/") + ".upsert-tmp"
+    readLatest(spark, root)
+      .withColumn("deleted", lit(false))
+      .withColumn("log_date", to_date(col("ts")))
+      .write.mode("overwrite")
+      .partitionBy("log_date", "source")
+      .parquet(tmp)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // swap in rewritten partitions, then drop partitions that resolved
+    // to nothing (every id moved or tombstoned)
+    val newParts = fs.listStatus(tmpPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("log_date="))
+      .map(_.getPath.getName)
+    fs.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("log_date="))
+      .map(_.getPath.getName)
+      .filterNot(newParts.contains)
+      .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(rootPath, n), true))
+    newParts.foreach { name =>
+      swapPartition(fs, new org.apache.hadoop.fs.Path(tmpPath, name),
+        new org.apache.hadoop.fs.Path(rootPath, name))
+    }
+    fs.delete(tmpPath, true)
+  }
+
   // ---- A26: Bloom-filter partition-skipping index ---------------------
 
   /** A26 — per-partition Bloom skipping index for point lookups (the

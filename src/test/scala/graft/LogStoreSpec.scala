@@ -703,6 +703,35 @@ class LogStoreSpec extends AnyFunSuite {
     assert(c.count() == 1 && c.select("source").as[String].head() == "ecs")
   }
 
+  test("upsert store: latest version wins, tombstones delete, compaction folds history (A27)") {
+    val root = Files.createTempDirectory("graft-upsert").toString + "/docs"
+    def batch(rows: Seq[(Long, String)], day: Int) = rows.toDF("doc_id", "body")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")))
+      .withColumn("source", lit("ec2"))
+    LogStore.upsertWrite(batch(Seq((1L, "v1"), (2L, "v1"), (3L, "v1")), 1), root, seq = 1)
+    LogStore.upsertWrite(batch(Seq((1L, "v2")), 2), root, seq = 2)       // replace id 1
+    LogStore.upsertWrite(batch(Seq((2L, "gone")), 2), root, seq = 3, deleted = true) // delete id 2
+    val latest = LogStore.readLatest(spark, root)
+      .select("doc_id", "body").as[(Long, String)].collect().toMap
+    assert(latest == Map(1L -> "v2", 3L -> "v1"))
+    // redelivery of an OLD seq cannot resurrect an old version
+    LogStore.upsertWrite(batch(Seq((1L, "v1")), 1), root, seq = 1)
+    assert(LogStore.readLatest(spark, root)
+      .filter(col("doc_id") === 1L).select("body").as[String].head() == "v2")
+    // compaction folds physically: history rows disappear, reads unchanged
+    val rawBefore = spark.read.parquet(root).count()
+    LogStore.compactUpserts(spark, root)
+    val rawAfter = spark.read.parquet(root).count()
+    assert(rawAfter == 2 && rawBefore > rawAfter, s"$rawBefore -> $rawAfter")
+    val after = LogStore.readLatest(spark, root)
+      .select("doc_id", "body").as[(Long, String)].collect().toMap
+    assert(after == Map(1L -> "v2", 3L -> "v1"))
+    // id 1's survivor lives in its LATEST version's partition (day 2)
+    assert(spark.read.parquet(root)
+      .filter(col("doc_id") === 1L)
+      .select(col("log_date").cast("string")).as[String].head() == "2024-01-02")
+  }
+
   test("Bloom skipping index: point lookup prunes partitions, never loses a holder (A26)") {
     val root = Files.createTempDirectory("graft-bloom").toString + "/logs"
     def day(d: Int, reqs: Seq[String]) = reqs.toDF("req_id")
