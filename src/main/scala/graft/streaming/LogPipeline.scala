@@ -162,6 +162,38 @@ object LogPipeline {
       .partitionBy("log_date")
       .parquet(s"$root/epoch=$batchId")
 
+  /** A27s — STREAMING upserts into the document-identity store: the
+    * continuous form of OpenSearch `_bulk` with `_id`s (index/update/
+    * delete ops on identified documents). foreachBatch appends each
+    * micro-batch as one upsert generation with `seq = batchId` —
+    * monotone, so A27's latest-wins resolution gives the stream
+    * UPDATE semantics over an append-only sink, and a crash-redelivered
+    * batch rewrites the same seq (identical rows) instead of minting a
+    * newer version: exactly-once OUTCOME from at-least-once delivery
+    * without coordination. Rows with `op = 'delete'` become tombstones.
+    * Contract: an id appears at most once per micro-batch (the _bulk
+    * in-batch ordering case needs a row-level sub-sequence; upstream
+    * dedup-last-wins inside `docs` is the standard pre-step).
+    */
+  def startUpsertIngest(spark: SparkSession, docs: DataFrame, outDir: String,
+                        checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        val live = batch.filter(col("op") =!= "delete").drop("op")
+        val dead = batch.filter(col("op") === "delete").drop("op")
+        if (!live.isEmpty)
+          graft.sources.LogStore.upsertWrite(live, outDir, seq = batchId)
+        if (!dead.isEmpty)
+          graft.sources.LogStore.upsertWrite(dead, outDir, seq = batchId, deleted = true)
+        batch.unpersist()
+        ()
+      }
+      .start()
+
   /** C10: near-real-time dashboard aggregation — watermarked 5-minute
     * windows per (source, status).
     */

@@ -462,6 +462,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted.toSeq == Seq((1L, 2L, 15.0)))
   }
 
+  test("streaming upserts: batchId seq gives update/delete semantics over the append-only store (A27s)") {
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-supsert").toString
+    def ts(min: Long) = new java.sql.Timestamp((1440 + min) * 60000L)
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String, String, String)]
+    def run() = {
+      val q = LogPipeline.startUpsertIngest(spark,
+        ms.toDS().toDF("doc_id", "ts", "source", "body", "op"),
+        s"$root/docs", s"$root/ck")
+      q.awaitTermination(60000); ()
+    }
+    ms.addData((1L, ts(0), "ec2", "v1", "index"), (2L, ts(0), "ec2", "v1", "index"))
+    run()
+    ms.addData((1L, ts(1), "ec2", "v2", "index"), (2L, ts(1), "ec2", "", "delete"),
+      (3L, ts(1), "ec2", "v1", "index"))
+    run()
+    val latest = graft.sources.LogStore.readLatest(spark, s"$root/docs")
+      .select("doc_id", "body").as[(Long, String)].collect().toMap
+    assert(latest == Map(1L -> "v2", 3L -> "v1"), s"got $latest")
+  }
+
   test("streaming tail sampling decides a trace only when it goes quiet; errors always kept; batch-lottery parity (C71d)") {
     import graft.streaming.TailSampler
     import graft.streaming.TailSampler.SpanIn
