@@ -407,6 +407,63 @@ object Curation {
       |FROM t
       |ORDER BY doc_id""".stripMargin
 
+  /** E95 — checksum-validated PII detection (Luhn mod-10 over 16-digit
+    * candidates — the validation layer a production scrubber runs so a
+    * random digit run doesn't mask as a credit card; ISO/IEC 7812).
+    * E15's regex face finds digit runs; this DECIDES. Cards are planted
+    * deterministically ('4' + zero-padded doc_id + a doc_id%10 check
+    * digit), so validity is a pure arithmetic property both engines
+    * recompute — roughly one in ten plants passes. Valid cards mask to
+    * a PCI-style last-4 token; invalid runs are left alone (they are
+    * not PII, and over-masking destroys training text).
+    *
+    * Shape: the Luhn sum unrolls to a FIXED 16-term integer expression
+    * over substr() digits — one codegen'd projection, no UDF, no
+    * per-digit explode (the explode would shuffle 16× corpus rows at
+    * 100 TB for what is a scalar kernel).
+    */
+  def luhnPii(spark: SparkSession, dir: String): DataFrame = {
+    val luhnSum = (1 to 16).map { i =>
+      val d = substring(col("cand"), i, 1).cast("int")
+      if (i % 2 == 1) when(d * 2 > 9, d * 2 - 9).otherwise(d * 2) else d
+    }.reduce(_ + _)
+    Tables.documents(spark, dir)
+      .withColumn("raw",
+        concat(col("text"), lit(" card "),
+          lit("4"), lpad(col("doc_id").cast("string"), 14, "0"),
+          (col("doc_id") % 10).cast("string")))
+      .withColumn("cand", regexp_extract(col("raw"), "[0-9]{16}", 0))
+      .withColumn("luhn_valid", (luhnSum % 10 === 0).cast("long"))
+      .select(col("doc_id"), col("luhn_valid"),
+        when(col("luhn_valid") === 1,
+          concat(lit("[CARD-"), substring(col("cand"), 13, 4), lit("]")))
+          .otherwise(col("cand")).as("masked"))
+      .orderBy(col("doc_id"))
+  }
+
+  val luhnPiiSql: String = {
+    val terms = (1 to 16).map { i =>
+      val d = s"CAST(substr(cand, $i, 1) AS INT)"
+      if (i % 2 == 1) s"(CASE WHEN $d * 2 > 9 THEN $d * 2 - 9 ELSE $d * 2 END)"
+      else d
+    }.mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    regexp_extract(
+       |      text || ' card 4' || lpad(CAST(doc_id AS VARCHAR), 14, '0') || CAST(doc_id % 10 AS VARCHAR),
+       |      '[0-9]{16}', 0) AS cand
+       |  FROM documents),
+       |v AS (
+       |  SELECT doc_id, cand,
+       |    CASE WHEN ($terms) % 10 = 0 THEN 1 ELSE 0 END AS luhn_valid
+       |  FROM t)
+       |SELECT doc_id, CAST(luhn_valid AS BIGINT) AS luhn_valid,
+       |  CASE WHEN luhn_valid = 1
+       |    THEN '[CARD-' || substr(cand, 13, 4) || ']' ELSE cand END AS masked
+       |FROM v
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** E18 — repetition metrics (the Gopher repetition rules, Rae et al.
     * 2021 §A1.1: fraction of content inside the most-frequent n-gram
     * and inside duplicated n-grams — high values flag boilerplate /

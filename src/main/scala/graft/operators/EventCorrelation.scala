@@ -223,6 +223,87 @@ object EventCorrelation {
       .orderBy(col("event_type"), col("day"))
   }
 
+  // ---------------------------------------------------------------- C79
+
+  /** C79 — anomaly localization (the ML-commons localization API: a
+    * dashboard aggregate spiked — WHICH entity drove it?). For each
+    * C29-anomalous day (rounded |z| > 2, spike side), decompose the
+    * day's excess over baseline by event_type and report the top
+    * contributor with its share of the global excess.
+    *
+    * Exact arithmetic: with N = day count, S = total events, S_t =
+    * type-t total, a type's excess on day d is `n_td·N − S_t` and the
+    * day's is `n_d·N − S` — pure int64 (scaled by N, so shares divide
+    * once at the end). A type absent on day d would have excess −S_t,
+    * which can never beat a present type's `n·N − S_t ≥ −S_t`, so NO
+    * zero-fill join is needed — the absent-entity case the naive
+    * mean-join gets wrong. Day selection gates on the same rounded z
+    * the C29 oracle uses.
+    *
+    * Spark shape: the typed daily aggregate is ONE map-side-combined
+    * shuffle; type totals roll up from it; global stats are a one-row
+    * broadcast; the top contributor is a per-day rank over ≤|types|
+    * rows. Nothing here scales with raw event count beyond the first
+    * aggregate.
+    */
+  def anomalyLocalization(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val typed = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_t"))
+    val daily = typed.groupBy(col("day")).agg(sum(col("n_t")).as("n"))
+    val tstats = typed.groupBy(col("event_type")).agg(sum(col("n_t")).as("s_t"))
+    val stats = daily.agg(count(lit(1)).as("nd"), sum(col("n")).as("s"),
+      avg(col("n")).as("mean_n"), stddev_pop(col("n")).as("sd_n"))
+    val spikes = daily.crossJoin(broadcast(stats))
+      .withColumn("z", round((col("n") - col("mean_n")) / col("sd_n"), 4))
+      .filter(col("z") > 2)
+    spikes
+      .join(typed, "day")
+      .join(broadcast(tstats), "event_type")
+      .withColumn("excess", col("n_t") * col("nd") - col("s_t"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("day"))
+          .orderBy(col("excess").desc, col("event_type"))))
+      .filter(col("rk") === 1)
+      .select(col("day"), col("n"), col("z"),
+        col("event_type").as("top_type"), col("excess").as("top_excess"),
+        round(col("excess").cast("double") /
+          (col("n") * col("nd") - col("s")).cast("double"), 4).as("share"))
+      .orderBy(col("day"))
+  }
+
+  val anomalyLocalizationSql: String =
+    """WITH typed AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n_t
+      |  FROM events GROUP BY 1, 2),
+      |daily AS (
+      |  SELECT day, CAST(sum(n_t) AS BIGINT) AS n FROM typed GROUP BY 1),
+      |tstats AS (
+      |  SELECT event_type, CAST(sum(n_t) AS BIGINT) AS s_t FROM typed GROUP BY 1),
+      |stats AS (
+      |  SELECT count(*) AS nd, CAST(sum(n) AS BIGINT) AS s,
+      |    avg(n) AS mean_n, stddev_pop(n) AS sd_n
+      |  FROM daily),
+      |spikes AS (
+      |  SELECT day, n, round((n - mean_n) / sd_n, 4) AS z, nd, s
+      |  FROM daily CROSS JOIN stats
+      |  WHERE round((n - mean_n) / sd_n, 4) > 2),
+      |contrib AS (
+      |  SELECT sp.day, sp.n, sp.z, t.event_type,
+      |    t.n_t * sp.nd - ts.s_t AS excess,
+      |    sp.n * sp.nd - sp.s AS g_excess,
+      |    row_number() OVER (PARTITION BY sp.day
+      |      ORDER BY t.n_t * sp.nd - ts.s_t DESC, t.event_type) AS rk
+      |  FROM spikes sp
+      |  JOIN typed t ON t.day = sp.day
+      |  JOIN tstats ts ON ts.event_type = t.event_type)
+      |SELECT day, n, z, event_type AS top_type,
+      |  CAST(excess AS BIGINT) AS top_excess,
+      |  round(CAST(excess AS DOUBLE) / CAST(g_excess AS DOUBLE), 4) AS share
+      |FROM contrib WHERE rk = 1
+      |ORDER BY day""".stripMargin
+
   val hcadAnomaliesSql: String =
     """WITH daily AS (
       |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n

@@ -1060,4 +1060,80 @@ object Similarity {
       |  FROM scored)
       |SELECT q_id, n_id, cos_sim, rank FROM ranked WHERE rank <= 5
       |ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- E96
+
+  /** E96 — RAG context assembly (the retrieve-then-stitch read a
+    * retrieval-augmented generator runs per request): top-k chunks by
+    * cosine for the query, EXPANDED to their ±1 neighbors in document
+    * order (adjacent chunks restore the context a hard chunk boundary
+    * cut — the "sentence-window / auto-merging retrieval" pattern),
+    * overlaps deduped (a chunk that is both a hit and a neighbor counts
+    * once, best rank wins), then packed greedily into a character
+    * budget in (rank, id) order. vec_id == doc_id in the test corpus,
+    * so neighbor-of-chunk is id±1.
+    *
+    * Scale shape: the retrieval is E6's broadcast-query scoring pass;
+    * everything after it — expansion, dedup, packing — operates on
+    * O(k) rows, so assembly cost is independent of corpus size; the
+    * neighbor fetch is an id-keyed join the docs-side store serves
+    * point-wise. The packing cumsum is a window over ≤3k rows, not a
+    * corpus sort.
+    */
+  def ragContext(spark: SparkSession, dir: String,
+                 budgetChars: Long = 1500L): DataFrame = {
+    val (q, c) = queryCorpus(spark, dir)
+    val hits = rankTopK(
+      c.join(broadcast(q.filter(col("q_id") === 0)))
+        .withColumn("cos_sim", round(CosineSim(col("q_emb"), col("n_emb")), 6)))
+      .filter(col("rank") <= 3)
+    val expanded = hits
+      .select(col("n_id"), col("rank"),
+        explode(array(lit(-1), lit(0), lit(1))).as("off"))
+      .select((col("n_id") + col("off")).as("doc_id"),
+        when(col("off") === 0, "hit").otherwise("neighbor").as("role"),
+        col("rank"))
+      .filter(col("doc_id") >= nQueries)
+    val best = expanded.groupBy(col("doc_id"))
+      .agg(min(col("rank")).cast("long").as("best_rank"), min(col("role")).as("role"))
+    val w = Window.orderBy(col("best_rank"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+      .join(broadcast(best), "doc_id")
+      .withColumn("cum_chars", sum(col("n_chars")).over(w))
+      .filter(col("cum_chars") <= budgetChars)
+      .select(col("doc_id"), col("role"), col("best_rank"),
+        col("n_chars"), col("cum_chars"))
+      .orderBy(col("best_rank"), col("doc_id"))
+  }
+
+  val ragContextSql: String =
+    """WITH q AS (
+      |  SELECT CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id = 0),
+      |c AS (
+      |  SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS n_emb
+      |  FROM embeddings WHERE vec_id >= 10),
+      |scored AS (
+      |  SELECT n_id, round(list_cosine_similarity(q_emb, n_emb), 6) AS cos_sim
+      |  FROM q CROSS JOIN c),
+      |hits AS (
+      |  SELECT n_id, row_number() OVER (ORDER BY cos_sim DESC, n_id) AS rank
+      |  FROM scored QUALIFY rank <= 3),
+      |expanded AS (
+      |  SELECT n_id + off AS doc_id,
+      |    CASE WHEN off = 0 THEN 'hit' ELSE 'neighbor' END AS role, rank
+      |  FROM hits CROSS JOIN (SELECT unnest([-1, 0, 1]) AS off)
+      |  WHERE n_id + off >= 10),
+      |best AS (
+      |  SELECT doc_id, min(rank) AS best_rank, min(role) AS role
+      |  FROM expanded GROUP BY doc_id),
+      |packed AS (
+      |  SELECT b.doc_id, b.role, b.best_rank, d.n_chars,
+      |    CAST(sum(d.n_chars) OVER (ORDER BY b.best_rank, b.doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_chars
+      |  FROM best b JOIN documents d ON d.doc_id = b.doc_id)
+      |SELECT doc_id, role, CAST(best_rank AS BIGINT) AS best_rank,
+      |  n_chars, cum_chars
+      |FROM packed WHERE cum_chars <= 1500
+      |ORDER BY best_rank, doc_id""".stripMargin
 }

@@ -410,4 +410,60 @@ object LogPipeline {
       .groupByKey(_.lang)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(tokenBudgetFn(budget))
   }
+
+  // ---- C75s: streaming EQL sequence matcher --------------------------
+
+  case class SeqEv(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  /** -1 sentinels = unset. (s2us, s2start) is the latest COMPLETED
+    * (view, click) prefix — exactly the struct the batch window max
+    * carries in operators.EventCorrelation.eqlChain.
+    */
+  case class SeqState(s1: Long, s2us: Long, s2start: Long)
+  case class SeqMatch(user_id: Long, t_view: java.sql.Timestamp,
+                      t_click: java.sql.Timestamp, t_purchase: java.sql.Timestamp)
+
+  val seqSpanMs: Long = 7L * 86400L * 1000L
+
+  /** C75s — the streaming face of the C75 EQL sequence query: the same
+    * latest-binding, whole-span-bounded state machine, with the prefix
+    * state (latest view time; latest completed prefix and its start)
+    * riding in GroupState — THREE longs per user, bounded at any key
+    * cardinality. A detection can't wait for a batch re-scan; the match
+    * fires in the micro-batch that completes the chain. Events sort by
+    * time within a micro-batch; cross-batch order relies on the
+    * source's per-key ordering (the partitioned-log contract), and the
+    * state transition is identical to the batch window algebra, so
+    * stream and batch agree micro-batch-exactly (spec-pinned).
+    */
+  def eqlSeqFn(userId: Long, events: Iterator[SeqEv],
+               state: GroupState[SeqState]): Iterator[SeqMatch] = {
+    var s = state.getOption.getOrElse(SeqState(-1L, -1L, -1L))
+    val out = Seq.newBuilder[SeqMatch]
+    events.toSeq.sortBy(_.ts.getTime).foreach { e =>
+      val t = e.ts.getTime
+      e.event_type match {
+        case "view" =>
+          if (t > s.s1) s = s.copy(s1 = t)
+        case "click" =>
+          // lexicographic (t, start) improvement == the batch struct max
+          if (s.s1 >= 0 && t - s.s1 <= seqSpanMs &&
+              (t > s.s2us || (t == s.s2us && s.s1 > s.s2start)))
+            s = s.copy(s2us = t, s2start = s.s1)
+        case "purchase" =>
+          if (s.s2start >= 0 && t - s.s2start <= seqSpanMs)
+            out += SeqMatch(userId, new java.sql.Timestamp(s.s2start),
+              new java.sql.Timestamp(s.s2us), new java.sql.Timestamp(t))
+        case _ => ()
+      }
+    }
+    state.update(s)
+    out.result().iterator
+  }
+
+  def eqlSequenceStream(spark: SparkSession, events: Dataset[SeqEv]): Dataset[SeqMatch] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(eqlSeqFn)
+  }
 }

@@ -520,4 +520,42 @@ class StreamingSpec extends AnyFunSuite {
       .as[(String, Boolean)].collect().toMap
     ids.foreach(id => assert(sparkSide(id) == TailSampler.lottery(id, 10), id))
   }
+
+  test("streaming EQL sequence: matches fire in the completing micro-batch, parity with batch") {
+    import graft.streaming.LogPipeline.SeqEv
+    val t = (s: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[SeqEv]
+    val q = LogPipeline.eqlSequenceStream(spark, ms.toDS())
+      .writeStream.format("memory").queryName("eqlm")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: an open prefix — nothing may fire yet
+      ms.addData(SeqEv(1L, t(1), "view"), SeqEv(1L, t(2), "click"),
+        SeqEv(2L, t(3), "view"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM eqlm").count() == 0)
+      // batch 2: two purchases close over the SAME carried prefix
+      // (state survived the batch boundary); user 2 has no click
+      ms.addData(SeqEv(1L, t(4), "purchase"), SeqEv(1L, t(5), "purchase"),
+        SeqEv(2L, t(6), "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("SELECT user_id, t_view, t_click, t_purchase FROM eqlm")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().toSet
+    assert(got == Set((1L, t(1), t(2), t(4)), (1L, t(1), t(2), t(5))))
+    // micro-batch-exact parity with the batch window-algebra operator
+    val batch = graft.operators.EventCorrelation.eqlChain(
+      Seq((1L, 1L, "view", 1000000L), (1L, 2L, "click", 2000000L),
+        (2L, 3L, "view", 3000000L), (1L, 4L, "purchase", 4000000L),
+        (1L, 5L, "purchase", 5000000L), (2L, 6L, "purchase", 6000000L))
+        .toDF("user_id", "event_id", "event_type", "us"),
+      spanUs = LogPipeline.seqSpanMs * 1000L)
+      .select(col("user_id"), unix_micros(col("t_view")),
+        unix_micros(col("t_click")), unix_micros(col("t_purchase")))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(batch == Set((1L, 1000000L, 2000000L, 4000000L),
+      (1L, 1000000L, 2000000L, 5000000L)))
+  }
 }
