@@ -407,6 +407,82 @@ object Curation {
       |FROM t
       |ORDER BY doc_id""".stripMargin
 
+  /** E102 — span-corruption objective materialization (T5, Raffel et
+    * al. 2020 §3.1.4: mask ~15% of tokens, CONSECUTIVE masked tokens
+    * collapse into one sentinel — the pretraining-target generation a
+    * data pipeline runs ahead of training, not in the training loop).
+    * The mask decision is the C71c md5-lottery per (doc, pos) — so the
+    * corruption is replay-deterministic across retries/executors, the
+    * property a resumable 100 TB materialization job needs — and spans
+    * come from gaps-and-islands windows over the token order (run
+    * starts counted by a prefix sum; continuation tokens drop, starts
+    * become `<Xk>` sentinels). Corrupted text reassembles via an
+    * order-preserving collect (null pieces — the continuations — are
+    * skipped by collect in BOTH engines).
+    *
+    * Scale shape: one doc-keyed window pass over the exploded tokens
+    * (the shuffle every positional text operator pays), then one
+    * doc-keyed aggregate; state per row O(1).
+    */
+  def spanCorruption(spark: SparkSession, dir: String, pct: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val thresh = pct * 65536 / 100
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .withColumn("m",
+        conv(substring(md5(concat(lit("mask-v1:"), col("doc_id"), lit(":"), col("pos"))),
+          1, 4), 16, 10).cast("long") < thresh)
+      .withColumn("span_start", col("m") && !lag(col("m"), 1, false).over(w))
+      .withColumn("span_id", sum(when(col("span_start"), 1L).otherwise(0L)).over(run))
+      .withColumn("piece",
+        when(!col("m"), col("token"))
+          .when(col("span_start"), concat(lit("<X"), col("span_id"), lit(">"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("m").cast("long")).as("n_masked"),
+        max(col("span_id")).as("n_spans"),
+        round(sum(col("m").cast("long")).cast("double") / count(lit(1)), 4).as("mask_ratio"),
+        substring(array_join(expr(
+          "transform(array_sort(collect_list(struct(pos, piece))), x -> x.piece)"),
+          " "), 1, 80).as("corrupted_head"))
+      .orderBy(col("doc_id"))
+  }
+
+  val spanCorruptionSql: String = {
+    val thresh = 15 * 65536 / 100
+    s"""WITH toks AS (
+       |  SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS token
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+       |marked AS (
+       |  SELECT doc_id, pos, token,
+       |    ('0x' || substr(md5('mask-v1:' || doc_id || ':' || pos), 1, 4))::BIGINT < $thresh AS m
+       |  FROM toks),
+       |runs AS (
+       |  SELECT *,
+       |    m AND NOT coalesce(lag(m) OVER (PARTITION BY doc_id ORDER BY pos), false) AS span_start
+       |  FROM marked),
+       |ids AS (
+       |  SELECT *,
+       |    sum(CASE WHEN span_start THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
+       |  FROM runs),
+       |pieces AS (
+       |  SELECT *,
+       |    CASE WHEN NOT m THEN token
+       |         WHEN span_start THEN '<X' || span_id || '>' END AS piece
+       |  FROM ids)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       |  CAST(max(span_id) AS BIGINT) AS n_spans,
+       |  round(CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS mask_ratio,
+       |  substr(string_agg(piece, ' ' ORDER BY pos), 1, 80) AS corrupted_head
+       |FROM pieces
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** E95 — checksum-validated PII detection (Luhn mod-10 over 16-digit
     * candidates — the validation layer a production scrubber runs so a
     * random digit run doesn't mask as a credit card; ISO/IEC 7812).

@@ -760,4 +760,72 @@ object PipelineAggs {
        |FROM g
        |ORDER BY gap_scaled DESC, day
        |LIMIT 1""".stripMargin
+  // ---------------------------------------------------------------- C80
+
+  /** C80 — series forecast (the forecasting API the AD plugin grew:
+    * project the daily series h steps AHEAD, not smooth it — C45n
+    * smooths). Holt linear-trend state (alpha=0.5, beta=0.25, the C45n
+    * model and recursion exactly) folds once over the FULL ordered
+    * series, then the h-step-ahead projection is the closed form
+    * l + h*t for h = 1..horizon.
+    *
+    * Shape: the daily series collapses to ONE row (sort_array over a
+    * bucket-count list — bounded by the day span, not event count); the
+    * fold is a single higher-order `aggregate` over that array (no
+    * per-row window recursion — the forecast needs only the FINAL
+    * state); the horizon explodes from a `sequence` literal. Beyond
+    * the daily aggregate every step is O(days + horizon) on one row.
+    * Determinism: the fold is the same fixed-order IEEE chain as the
+    * oracle's recursive CTE; round(6) on output.
+    */
+  def forecast(spark: SparkSession, dir: String, horizon: Int = 7,
+               alpha: Double = 0.5, beta: Double = 0.25): DataFrame = {
+    val ys = expr("transform(array_sort(arr), x -> CAST(x.n AS DOUBLE))")
+    val st = aggregate(
+      ys,
+      struct(lit(0.0).as("l"), lit(0.0).as("tr"), lit(0).as("i")),
+      (acc, y) => {
+        val lPrev = acc.getField("l"); val tPrev = acc.getField("tr")
+        val lNew = lit(alpha) * y + lit(1.0 - alpha) * (lPrev + tPrev)
+        when(acc.getField("i") === 0,
+          struct(y.as("l"), lit(0.0).as("tr"), lit(1).as("i")))
+          .otherwise(struct(
+            lNew.as("l"),
+            (lit(beta) * (lNew - lPrev) + lit(1.0 - beta) * tPrev).as("tr"),
+            (acc.getField("i") + 1).as("i")))
+      })
+    dailyBuckets(spark, dir)
+      .agg(collect_list(struct(col("day"), col("n"))).as("arr"),
+        max(col("day")).as("last_day"))
+      .withColumn("st", st)
+      .select(col("last_day"), col("st.l").as("l"), col("st.tr").as("tr"),
+        explode(sequence(lit(1L), lit(horizon.toLong))).as("h"))
+      .select(col("h"),
+        expr("timestampadd(DAY, CAST(h AS INT), last_day)").as("day"),
+        round(col("l") + col("h") * col("tr"), 6).as("forecast"))
+      .orderBy(col("h"))
+  }
+
+  val forecastSql: String =
+    """WITH RECURSIVE b AS (
+      |  SELECT row_number() OVER (ORDER BY day) AS rn, day, n
+      |  FROM (SELECT date_trunc('day', ts) AS day, count(*) AS n
+      |        FROM events GROUP BY 1)),
+      |rec AS (
+      |  SELECT rn, day, CAST(n AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS tr
+      |  FROM b WHERE rn = 1
+      |  UNION ALL
+      |  SELECT b.rn, b.day,
+      |    0.5 * CAST(b.n AS DOUBLE) + 0.5 * (rec.l + rec.tr) AS l,
+      |    0.25 * ((0.5 * CAST(b.n AS DOUBLE) + 0.5 * (rec.l + rec.tr)) - rec.l)
+      |      + 0.75 * rec.tr AS tr
+      |  FROM rec JOIN b ON b.rn = rec.rn + 1),
+      |last AS (
+      |  SELECT day, l, tr FROM rec WHERE rn = (SELECT max(rn) FROM rec)),
+      |hs AS (SELECT unnest(range(1, 8)) AS h)
+      |SELECT CAST(hs.h AS BIGINT) AS h,
+      |  last.day + hs.h * INTERVAL 1 DAY AS day,
+      |  round(l + hs.h * tr, 6) AS forecast
+      |FROM last CROSS JOIN hs
+      |ORDER BY h""".stripMargin
 }
