@@ -804,6 +804,39 @@ object Extras {
       |  AND (contains(text, 'hash join') OR contains(text, 'stream'))
       |ORDER BY doc_id""".stripMargin
 
+  /** C82 — Query DSL (`_search` body) search: the STRUCTURED JSON
+    * grammar clients and dashboards POST (C56 covers the search-bar
+    * string grammar). functions/QueryDsl compiles the whole tree to
+    * one native Column predicate — the conjunctive legs (terms, the
+    * value range) land in the parquet scan as PushedFilters, so the
+    * DSL surface costs nothing at execution time.
+    */
+  val queryDslDemo: String =
+    """{"query": {"bool": {
+      |  "must":     [{"terms": {"event_type": ["purchase", "view"]}}],
+      |  "filter":   [{"range": {"value": {"gte": 100, "lt": 300}}}],
+      |  "must_not": [{"wildcard": {"props": "*\"k\": 1*"}}],
+      |  "should":   [{"term": {"user_id": 7}},
+      |               {"range": {"user_id": {"gte": 100, "lte": 200}}}],
+      |  "minimum_should_match": 1
+      |}}}""".stripMargin
+
+  def queryDslSearch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.filter(graft.functions.QueryDsl.compile(ev, queryDslDemo))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  val queryDslSearchSql: String =
+    """SELECT event_id, user_id, event_type, value FROM events
+      |WHERE event_type IN ('purchase', 'view')
+      |  AND value >= 100 AND value < 300
+      |  AND NOT coalesce(props LIKE '%"k": 1%', false)
+      |  AND (CAST(coalesce(user_id = 7, false) AS INT)
+      |     + CAST(coalesce(user_id >= 100 AND user_id <= 200, false) AS INT)) >= 1
+      |ORDER BY event_id""".stripMargin
+
   /** C67 — rolling-window distinct users (the WAU tile: distinct
     * actives over the TRAILING 7 days per day — C45j's cumulative
     * cardinality answers "to date", this answers "last week", and a
