@@ -1689,6 +1689,181 @@ object Curation {
       |FROM h
       |ORDER BY bucket""".stripMargin
 
+  /** E105 — l-diversity audit (Machanavajjhala et al. 2007: k-anonymity
+    * bounds class SIZE but a class can still be homogeneous in the
+    * sensitive attribute — every member shares one segment — and then
+    * membership alone discloses it; l-diversity requires ≥l distinct
+    * sensitive values per QI class). QI here = (nation, balance band),
+    * sensitive = market segment — E92's QI minus the sensitive column.
+    *
+    * Scale shape: one distinct-count aggregate over the QI tuple (the
+    * only data-sized shuffle — |QI classes| rows out), then a bounded
+    * histogram over diversity levels. Shares divide exact longs.
+    */
+  def lDiversity(spark: SparkSession, dir: String, l: Int = 3): DataFrame = {
+    val classes = Tables.customer(spark, dir)
+      .select(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"),
+        col("c_mktsegment"))
+      .groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(count(lit(1)).as("cls"), countDistinct(col("c_mktsegment")).as("ldiv"))
+    classes
+      .select(
+        when(col("ldiv") === 1, "l=1 (homogeneous)")
+          .when(col("ldiv") < l, s"l<$l (low)")
+          .otherwise(s"l>=$l (diverse)").as("bucket"),
+        col("cls"), col("ldiv"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("cls")).as("n_rows"),
+        min(col("ldiv")).as("min_l"))
+      .crossJoin(broadcast(
+        Tables.customer(spark, dir).agg(count(lit(1)).as("total"))))
+      .select(col("bucket"), col("n_classes"), col("n_rows"), col("min_l"),
+        round(col("n_rows").cast("double") / col("total"), 6).as("row_share"))
+      .orderBy(col("bucket"))
+  }
+
+  val lDiversitySql: String =
+    """WITH cls AS (
+      |  SELECT c_nationkey,
+      |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+      |    count(*) AS cls,
+      |    count(DISTINCT c_mktsegment) AS ldiv
+      |  FROM customer
+      |  GROUP BY 1, 2),
+      |h AS (
+      |  SELECT CASE WHEN ldiv = 1 THEN 'l=1 (homogeneous)'
+      |              WHEN ldiv < 3 THEN 'l<3 (low)'
+      |              ELSE 'l>=3 (diverse)' END AS bucket,
+      |    count(*) AS n_classes, CAST(sum(cls) AS BIGINT) AS n_rows,
+      |    CAST(min(ldiv) AS BIGINT) AS min_l
+      |  FROM cls GROUP BY 1)
+      |SELECT bucket, n_classes, n_rows, min_l,
+      |  round(CAST(n_rows AS DOUBLE) / (SELECT count(*) FROM customer), 6) AS row_share
+      |FROM h
+      |ORDER BY bucket""".stripMargin
+
+  /** E103 — training-shard export manifest (the last step of every
+    * corpus materialization: split the corpus into N shards a data
+    * loader can stream, and emit the manifest — doc/token/byte counts
+    * and a content fingerprint per shard — that downstream training
+    * jobs pin for reproducibility; the WebDataset/Parquet-shard
+    * convention). Shard assignment is the coordination-free md5 draw
+    * (content-keyed on doc_id, never round-robin — a re-run on
+    * different parallelism must produce the SAME shards), and the
+    * fingerprint is an ORDER-INDEPENDENT sum of per-doc 32-bit hashes
+    * (commutative, so any partitioning/merge order yields the same
+    * manifest — the property a distributed writer needs).
+    *
+    * Scale shape: one map-side-combined aggregate on a 4-bit key; the
+    * skew audit (max/mean token ratio) rides the same pass via a
+    * one-row broadcast of totals.
+    */
+  def shardManifest(spark: SparkSession, dir: String, nShards: Int = 16): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        (conv(substring(md5(concat(lit("shard-v1:"), col("doc_id"))), 1, 4), 16, 10)
+          .cast("long") % nShards).as("shard_id"),
+        (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")).as("doc_fp"))
+    val shards = docs.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_bytes"), sum(col("doc_fp")).as("fingerprint"))
+    shards
+      .crossJoin(broadcast(shards.agg(
+        sum(col("n_tokens")).as("tok_total"), count(lit(1)).as("n_sh"))))
+      .select(col("shard_id"), col("n_docs"), col("n_tokens"), col("n_bytes"),
+        col("fingerprint"),
+        round(col("n_tokens") * col("n_sh") / col("tok_total").cast("double"), 4)
+          .as("balance"))
+      .orderBy(col("shard_id"))
+  }
+
+  val shardManifestSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    ('0x' || substr(md5('shard-v1:' || doc_id), 1, 4))::BIGINT % 16 AS shard_id,
+      |    ('0x' || substr(md5(text), 1, 8))::BIGINT AS doc_fp
+      |  FROM documents),
+      |s AS (
+      |  SELECT shard_id, count(*) AS n_docs,
+      |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |    CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+      |    CAST(sum(doc_fp) AS BIGINT) AS fingerprint
+      |  FROM d GROUP BY 1)
+      |SELECT shard_id, n_docs, n_tokens, n_bytes, fingerprint,
+      |  round(n_tokens * (SELECT count(*) FROM s)
+      |    / (SELECT CAST(sum(n_tokens) AS DOUBLE) FROM s), 4) AS balance
+      |FROM s
+      |ORDER BY shard_id""".stripMargin
+
+  /** E104 — length-grouped batch assembly audit (the `group_by_length`
+    * device every trainer uses: batching similar-length sequences
+    * together so per-batch padding-to-max wastes less compute;
+    * Transformer-era folklore, e.g. fairseq/HF trainers). Both arms —
+    * length-sorted batches vs content-hash "random" batches — are
+    * computed in one query so the saving is the deliverable.
+    *
+    * Padding waste per batch = rows·max(len) − Σlen (the last partial
+    * batch pads to its own max over its own rows). The oracle-checked
+    * form uses a global (len, doc_id) order; at 100 TB the same
+    * assignment comes from the E25/E13d two-pass bucket-offset cumsum
+    * (rank within length-band buckets + broadcast bucket offsets), so
+    * the dominant length band never lands in one task.
+    */
+  def lengthGroupedBatches(spark: SparkSession, dir: String, batchSize: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("len"),
+        md5(concat(lit("batch-v1:"), col("doc_id"))).as("rk"))
+    def arm(name: String, order: Seq[org.apache.spark.sql.Column]) = {
+      val w = Window.orderBy(order: _*)
+      docs
+        .withColumn("batch", ((row_number().over(w) - 1) / batchSize).cast("long"))
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("rows"), max(col("len")).as("mx"), sum(col("len")).as("toks"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("toks")).as("real_tokens"),
+          sum(col("rows") * col("mx") - col("toks")).as("pad_tokens"))
+        .select(lit(name).as("strategy"), col("n_batches"), col("real_tokens"),
+          col("pad_tokens"),
+          round(col("pad_tokens") / (col("pad_tokens") + col("real_tokens"))
+            .cast("double"), 6).as("waste"))
+    }
+    arm("grouped", Seq(col("len").desc, col("doc_id")))
+      .unionByName(arm("random", Seq(col("rk"), col("doc_id"))))
+      .orderBy(col("strategy"))
+  }
+
+  val lengthGroupedBatchesSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+      |    md5('batch-v1:' || doc_id) AS rk
+      |  FROM documents),
+      |g AS (
+      |  SELECT CAST((row_number() OVER (ORDER BY len DESC, doc_id) - 1) // 32 AS BIGINT) AS batch, len FROM d),
+      |r AS (
+      |  SELECT CAST((row_number() OVER (ORDER BY rk, doc_id) - 1) // 32 AS BIGINT) AS batch, len FROM d),
+      |gb AS (
+      |  SELECT batch, count(*) AS rows_, max(len) AS mx, sum(len) AS toks FROM g GROUP BY 1),
+      |rb AS (
+      |  SELECT batch, count(*) AS rows_, max(len) AS mx, sum(len) AS toks FROM r GROUP BY 1),
+      |s AS (
+      |  SELECT 'grouped' AS strategy, count(*) AS n_batches,
+      |    CAST(sum(toks) AS BIGINT) AS real_tokens,
+      |    CAST(sum(rows_ * mx - toks) AS BIGINT) AS pad_tokens
+      |  FROM gb
+      |  UNION ALL
+      |  SELECT 'random', count(*),
+      |    CAST(sum(toks) AS BIGINT), CAST(sum(rows_ * mx - toks) AS BIGINT)
+      |  FROM rb)
+      |SELECT strategy, n_batches, real_tokens, pad_tokens,
+      |  round(pad_tokens / CAST(pad_tokens + real_tokens AS DOUBLE), 6) AS waste
+      |FROM s
+      |ORDER BY strategy""".stripMargin
+
   // ---- E93: text normalization battery -------------------------------
 
   /** E93 — text normalization (the canonicalization pass every corpus
