@@ -122,10 +122,29 @@ object QueryDsl {
     legs.reduce(_ && _)
   }
 
-  // OpenSearch wildcard: * = any run, ? = one char; escape LIKE's own
-  private def toLike(p: String): String =
-    p.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
-      .replace('*', '%').replace('?', '_')
+  // OpenSearch wildcard: * = any run, ? = one char, backslash escapes a
+  // metacharacter (`\*` = literal asterisk). Tokenize left-to-right so the
+  // escape is seen BEFORE the wildcard substitution; LIKE's own
+  // metacharacters (% _ \) are escaped with LIKE's default `\`.
+  private def toLike(p: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < p.length) {
+      p.charAt(i) match {
+        case '\\' if i + 1 < p.length && "*?\\".contains(p.charAt(i + 1)) =>
+          val c = p.charAt(i + 1)
+          sb.append(if (c == '\\') "\\\\" else c.toString)
+          i += 2
+        case '*'  => sb.append('%'); i += 1
+        case '?'  => sb.append('_'); i += 1
+        case '%'  => sb.append("\\%"); i += 1
+        case '_'  => sb.append("\\_"); i += 1
+        case '\\' => sb.append("\\\\"); i += 1 // lone backslash = literal
+        case c    => sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
 
   private def fieldVal(body: JValue): (String, JValue) = body match {
     case JObject(List((f, v))) => (f, v)

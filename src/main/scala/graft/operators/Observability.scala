@@ -48,7 +48,7 @@ object Observability {
       |  CASE WHEN event_type = 'error' THEN 'ERROR'
       |       WHEN event_type = 'signup' THEN 'WARN' ELSE 'INFO' END AS level,
       |  CAST(user_id AS BIGINT) AS user,
-      |  value AS took,
+      |  CAST(CAST(value AS DECIMAL(20,6)) AS DOUBLE) AS took,
       |  CASE WHEN event_type IN ('signup','purchase') THEN 'POST' ELSE 'GET' END AS verb,
       |  concat('/', event_type, '/', event_id % 100) AS path
       |FROM events

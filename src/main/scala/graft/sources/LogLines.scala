@@ -148,7 +148,11 @@ object LogLines {
           lit(" host-"), (col("user_id") % 50).cast("string"),
           lit(" app["), (col("event_id") % 1000).cast("string"), lit("]: level="),
           level, lit(" user="), col("user_id").cast("string"),
-          lit(" took="), col("value").cast("string"), lit("ms "),
+          // decimal(20,6) render, not cast(string): a raw double-to-string
+          // cast emits scientific notation outside [1e-3,1e7) ("1.0E-4"),
+          // which %{NUMBER} can't match — the whole line would silently
+          // fail grok. Decimal stringifies fixed-point at any magnitude.
+          lit(" took="), col("value").cast("decimal(20,6)").cast("string"), lit("ms "),
           verbCol, lit(" "), pathCol).as("line"))
   }
 

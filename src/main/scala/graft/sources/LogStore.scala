@@ -274,6 +274,7 @@ object LogStore {
     * partitions, which never receive concurrent appends.
     */
   def compact(spark: SparkSession, root: String, filesPerPartition: Int = 1): Unit = {
+    recoverParkedPartitions(spark, root)
     val tmp = root.stripSuffix("/") + ".compact-tmp"
     spark.read.parquet(root)
       .repartition(filesPerPartition, col("log_date"), col("source"))
@@ -346,6 +347,7 @@ object LogStore {
     */
   def deleteByQuery(spark: SparkSession, root: String,
                     predicate: org.apache.spark.sql.Column): Long = {
+    recoverParkedPartitions(spark, root)
     val all = spark.read.parquet(root)
     // Normalize once: under three-valued logic a NULL-valued predicate is
     // neither `p` nor `!p`, so filtering keep-rows with `!predicate` would
@@ -383,15 +385,61 @@ object LogStore {
     * is the partition's only copy a half-deleted tree. A partition whose
     * every row matched the delete predicate has no rewritten output dir:
     * the old tree is still parked then removed, completing the delete.
+    *
+    * Every rename is checked: a false return aborts the swap (throw)
+    * BEFORE the caller deletes its tmp dir, so a failed rewrite is never
+    * reported as success. Recovery: parking left by a crashed prior swap
+    * is the partition's ONLY copy when `dest` is absent — it is restored,
+    * not deleted; parking beside a live `dest` (crash after the new dir
+    * landed) is genuinely stale and dropped.
     */
   private def swapPartition(fs: org.apache.hadoop.fs.FileSystem,
                             src: org.apache.hadoop.fs.Path,
                             dest: org.apache.hadoop.fs.Path): Unit = {
+    def fail(msg: String) = throw new java.io.IOException(s"swapPartition: $msg")
     val parked = new org.apache.hadoop.fs.Path(dest.getParent, dest.getName + ".old")
-    fs.delete(parked, true) // stale parking from a previous crashed swap
-    val hadOld = fs.exists(dest) && fs.rename(dest, parked)
-    if (fs.exists(src)) fs.rename(src, dest)
+    if (fs.exists(parked)) {
+      if (!fs.exists(dest)) {
+        // prior swap crashed between parking and move-in: restore the copy
+        if (!fs.rename(parked, dest)) fail(s"cannot restore parked $parked to $dest")
+      } else fs.delete(parked, true) // stale parking beside a live dest
+    }
+    val hadOld = fs.exists(dest)
+    if (hadOld && !fs.rename(dest, parked)) fail(s"cannot park $dest at $parked")
+    if (fs.exists(src) && !fs.rename(src, dest)) {
+      // put the old copy back so the store stays readable, then abort
+      if (hadOld) fs.rename(parked, dest)
+      fail(s"cannot move $src into $dest")
+    }
     if (hadOld) fs.delete(parked, true)
+  }
+
+  /** Startup/next-run recovery for crashed swaps: a `<dir>.old` parking
+    * left WITHOUT a live `<dir>` is the partition's only copy (the crash
+    * hit between parking and move-in) — restore it; parking beside a
+    * live dir is stale and dropped. Every swap-discipline entry point
+    * (compact / delete_by_query / update_by_query / upsert-compaction)
+    * runs this before reading the store, so a crashed prior run never
+    * makes data invisible to the next one. Returns restored-dir count.
+    */
+  def recoverParkedPartitions(spark: SparkSession, root: String): Int = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return 0
+    var restored = 0
+    fs.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.endsWith(".old"))
+      .foreach { s =>
+        val dest = new org.apache.hadoop.fs.Path(
+          rootPath, s.getPath.getName.stripSuffix(".old"))
+        if (!fs.exists(dest)) {
+          if (!fs.rename(s.getPath, dest))
+            throw new java.io.IOException(
+              s"recoverParkedPartitions: cannot restore ${s.getPath} to $dest")
+          restored += 1
+        } else fs.delete(s.getPath, true)
+      }
+    restored
   }
 
   /** A25 — `_update_by_query` (in-place predicate-driven rewrite: fix
@@ -406,6 +454,7 @@ object LogStore {
   def updateByQuery(spark: SparkSession, root: String,
                     predicate: org.apache.spark.sql.Column)
                    (transform: DataFrame => DataFrame): Long = {
+    recoverParkedPartitions(spark, root)
     val all = spark.read.parquet(root)
     // NULL predicate = no match (see deleteByQuery) — without this a
     // NULL-valued row in an affected partition is neither transformed
@@ -894,6 +943,7 @@ object LogStore {
     */
   def compactUpserts(spark: SparkSession, root: String): Unit = {
     val tmp = root.stripSuffix("/") + ".upsert-tmp"
+    recoverParkedPartitions(spark, root)
     readLatest(spark, root)
       .withColumn("deleted", lit(false))
       .withColumn("log_date", to_date(col("ts")))
@@ -1006,9 +1056,12 @@ object LogStore {
     val cands = bloomCandidates(spark, root, column, value)
     val base = spark.read.parquet(root)
     if (cands.isEmpty) return base.filter(lit(false))
-    base.filter(
-        col("log_date").cast("string").isin(cands.map(_._1).distinct: _*) &&
-        col("source").isin(cands.map(_._2).distinct: _*) &&
-        col(column).cast("string") === value)
+    // exact per-pair disjunction, not isin(dates) AND isin(sources): the
+    // cross product would scan non-candidate partitions whenever the
+    // claims span multiple dates and sources
+    val pairPred = cands.map { case (d, s) =>
+      col("log_date").cast("string") === d && col("source") === s
+    }.reduce(_ || _)
+    base.filter(pairPred && col(column).cast("string") === value)
   }
 }

@@ -413,7 +413,8 @@ object LogPipeline {
 
   // ---- C75s: streaming EQL sequence matcher --------------------------
 
-  case class SeqEv(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  case class SeqEv(user_id: Long, ts: java.sql.Timestamp, event_type: String,
+                   event_id: Long = 0L)
   /** -1 sentinels = unset. (s2us, s2start) is the latest COMPLETED
     * (view, click) prefix — exactly the struct the batch window max
     * carries in operators.EventCorrelation.eqlChain.
@@ -439,7 +440,9 @@ object LogPipeline {
                state: GroupState[SeqState]): Iterator[SeqMatch] = {
     var s = state.getOption.getOrElse(SeqState(-1L, -1L, -1L))
     val out = Seq.newBuilder[SeqMatch]
-    events.toSeq.sortBy(_.ts.getTime).foreach { e =>
+    // (ts, event_id) — the batch window's ORDER BY us, event_id tiebreak,
+    // so same-timestamp events bind identically stream vs batch
+    events.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
       val t = e.ts.getTime
       e.event_type match {
         case "view" =>

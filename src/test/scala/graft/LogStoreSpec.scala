@@ -763,4 +763,56 @@ class LogStoreSpec extends AnyFunSuite {
       LogStore.bloomCandidates(spark, root, "req_id", s"req-$d-7").map(_._1)
         .contains(f"2024-01-$d%02d")))
   }
+
+  test("bloom read scans exact (log_date, source) PAIRS, not the isin cross product") {
+    val root = Files.createTempDirectory("graft-bloompair").toString + "/logs"
+    def part(d: Int, src: String, ids: Seq[String]) = ids.toDF("req_id")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")))
+      .withColumn("source", lit(src))
+    // the probe value lives in (d1, ec2) and (d2, ecs) ONLY; the cross
+    // product would also scan (d1, ecs) and (d2, ec2)
+    LogStore.write(part(1, "ec2", Seq("needle", "a1")), root)
+    LogStore.write(part(1, "ecs", Seq("b1", "b2")), root)
+    LogStore.write(part(2, "ec2", Seq("c1", "c2")), root)
+    LogStore.write(part(2, "ecs", Seq("needle", "d1")), root)
+    LogStore.writeBloomIndex(spark, root, "req_id")
+    val df = LogStore.readWithBloomIndex(spark, root, "req_id", "needle")
+    assert(df.count() == 2)
+    val scan = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.selectedPartitions.partitionCount == 2,
+      s"scanned ${scan.selectedPartitions.partitionCount} partitions, want the 2 candidates")
+  }
+
+  test("crashed-swap recovery: parked .old with no live dir restored, stale parking dropped") {
+    val root = Files.createTempDirectory("graft-park").toString + "/logs"
+    def batch(day: Int, n: Int) = spark.range(n).select(
+      concat(lit("10.0.0."), col("id") % 250).as("ip"),
+      lit(java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")).as("ts"),
+      lit(200L).as("status"), lit("ec2").as("source"))
+    LogStore.write(batch(1, 30).unionAll(batch(2, 20)), root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(n: String) = new org.apache.hadoop.fs.Path(s"$root/$n")
+    // crash between parking and move-in: the only copy sits at .old —
+    // discovered (if at all) under the CORRUPTED key '2024-01-01.old',
+    // so date-pruned readers miss it entirely
+    assert(fs.rename(p("log_date=2024-01-01"), p("log_date=2024-01-01.old")))
+    assert(spark.read.parquet(root)
+      .filter(col("log_date").cast("string") === "2024-01-01").count() == 0)
+    assert(LogStore.recoverParkedPartitions(spark, root) == 1)
+    assert(spark.read.parquet(root).count() == 50)
+    assert(spark.read.parquet(root)
+      .filter(col("log_date").cast("string") === "2024-01-01").count() == 30)
+    // stale parking beside a live dir is dropped, not restored over it
+    fs.mkdirs(p("log_date=2024-01-02.old"))
+    assert(LogStore.recoverParkedPartitions(spark, root) == 0)
+    assert(!fs.exists(p("log_date=2024-01-02.old")))
+    assert(spark.read.parquet(root).count() == 50)
+    // every swap entry point self-heals: delete_by_query after a "crash"
+    assert(fs.rename(p("log_date=2024-01-02"), p("log_date=2024-01-02.old")))
+    assert(LogStore.deleteByQuery(spark, root, col("status") === 999L) == 0L)
+    assert(spark.read.parquet(root).count() == 50)
+  }
 }

@@ -64,6 +64,24 @@ class QueryDslSpec extends AnyFunSuite {
     assert(ids("""{"ids":{"values":[2,4]}}""") == Seq(2L, 4L))
   }
 
+  test("wildcard backslash-escapes: \\* and \\? are literals, lone backslash literal") {
+    val esc = Seq((10L, "star * here", "x", 0L, 0.0),
+      (11L, "question ? mark", "x", 0L, 0.0),
+      (12L, "back\\slash", "x", 0L, 0.0),
+      (13L, "starless line", "x", 0L, 0.0)
+    ).toDF("doc_id", "msg", "source", "status", "latency")
+    def eids(json: String): Seq[Long] =
+      esc.filter(QueryDsl.compile(esc, json)).select("doc_id")
+        .as[Long].collect().sorted.toSeq
+    // escaped * = literal asterisk, not any-run: doc 13 must NOT match
+    assert(eids("""{"wildcard":{"msg":"star \\* here"}}""") == Seq(10L))
+    assert(eids("""{"wildcard":{"msg":"*\\**"}}""") == Seq(10L))
+    // escaped ? = literal question mark
+    assert(eids("""{"wildcard":{"msg":"*\\?*"}}""") == Seq(11L))
+    // \\ = literal backslash; unescaped * still wildcards around it
+    assert(eids("""{"wildcard":{"msg":"*\\\\*"}}""") == Seq(12L))
+  }
+
   test("must_not over a NULL field keeps the row (three-valued logic normalized)") {
     // doc 5 has msg NULL: NOT contains(NULL) would be NULL and drop it
     assert(ids("""{"bool":{"must_not":[{"match":{"msg":"error"}}]}}""") == Seq(2L, 4L, 5L))

@@ -558,4 +558,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == Set((1L, 1000000L, 2000000L, 4000000L),
       (1L, 1000000L, 2000000L, 5000000L)))
   }
+
+  test("streaming EQL tie: same-ts events bind in (ts, event_id) order like the batch window") {
+    import graft.streaming.LogPipeline.{SeqEv, SeqState}
+    val t = (s: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    // view and click share ts=t(2); batch ORDER BY (us, event_id) puts the
+    // view (id 1) BEFORE the click (id 2), so the click completes the
+    // prefix. Feed them in reversed iterator order to prove the sort,
+    // not iterator stability, decides.
+    val out = LogPipeline.eqlSeqFn(7L,
+      Iterator(SeqEv(7L, t(2), "click", 2L), SeqEv(7L, t(2), "view", 1L),
+        SeqEv(7L, t(3), "purchase", 3L)),
+      org.apache.spark.sql.streaming.TestGroupState.create[SeqState](
+        org.apache.spark.api.java.Optional.empty[SeqState](),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(), 0L,
+        org.apache.spark.api.java.Optional.empty[java.lang.Object]()
+          .asInstanceOf[org.apache.spark.api.java.Optional[Long]],
+        hasTimedOut = false)).toSeq
+    assert(out.map(m => (m.t_view, m.t_click, m.t_purchase)) ==
+      Seq((t(2), t(2), t(3))))
+    // batch operator agrees on the same rows
+    val batchTie = graft.operators.EventCorrelation.eqlChain(
+      Seq((7L, 2L, "click", 2000000L), (7L, 1L, "view", 2000000L),
+        (7L, 3L, "purchase", 3000000L))
+        .toDF("user_id", "event_id", "event_type", "us"),
+      spanUs = LogPipeline.seqSpanMs * 1000L)
+    assert(batchTie.count() == 1)
+  }
 }

@@ -101,6 +101,17 @@ BNLJ_ALLOWED = {
     "q_kanonymity": "one-row total-rows broadcast",
     "q_ann_ivfpq": "queries x nCells centroid broadcast (probe selection, the ann_ivf class)",
     "q_heaps_law": "one-row log-log fit broadcast (the corpus_stats slope class)",
+    # r11 adjudication of the five late-r10 queries (judge-confirmed
+    # one-row Cross BuildRight shapes; none grows with data):
+    "q_ltr": "one-row BM25-stats broadcasts + k=20-bounded candidate list "
+             "broadcast (Ltr.scala:42-50; the search_ranked class)",
+    "q_rag_context": "single-query-row broadcast x corpus scoring (the E6 "
+                     "brute-force class; assembly after it is O(k) rows)",
+    "q_anomaly_localization": "one-row daily-stats broadcast "
+                              "(EventCorrelation.scala:256-258)",
+    "q_ldiversity": "one-row customer-total broadcast (Curation.scala:1719)",
+    "q_shard_manifest": "one-row token-total broadcast over nShards=16 rows "
+                        "(Curation.scala:1773)",
 }
 
 
