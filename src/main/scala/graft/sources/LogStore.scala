@@ -275,6 +275,10 @@ object LogStore {
     */
   def compact(spark: SparkSession, root: String, filesPerPartition: Int = 1): Unit = {
     recoverParkedPartitions(spark, root)
+    // the A5b epoch-idempotent sink's layout folds here (one rewrite
+    // doubles as the small-file compaction, so an epoched store pays
+    // the scan once, not twice)
+    if (foldEpochs(spark, root, filesPerPartition)) return
     val tmp = root.stripSuffix("/") + ".compact-tmp"
     spark.read.parquet(root)
       .repartition(filesPerPartition, col("log_date"), col("source"))
@@ -291,6 +295,45 @@ object LogStore {
         swapPartition(fs, s.getPath, dest)
       }
     fs.delete(tmpPath, true)
+  }
+
+  /** A8b — fold the A5b epoch layout (`epoch=<batchId>/log_date=…/
+    * source=…`, the idempotent streaming sink's unit of replacement)
+    * into the plain date layout the batch store uses. The fold CHANGES
+    * the directory scheme, so the per-partition swap doesn't apply; the
+    * whole root is replaced atomically instead: rewrite to a sibling
+    * tmp, park the old root (`.pre-fold`), move the rewrite in, drop
+    * the parking. A crash between the two renames leaves the complete
+    * store parked — the next fold (or compact) restores it before doing
+    * anything else; at no point can a reader see a HALF-folded mix of
+    * epoch and date dirs. No-op (false) on stores with no epoch dirs.
+    */
+  def foldEpochs(spark: SparkSession, root: String,
+                 filesPerPartition: Int = 1): Boolean = {
+    def fail(msg: String) = throw new java.io.IOException(s"foldEpochs: $msg")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parked = new org.apache.hadoop.fs.Path(root.stripSuffix("/") + ".pre-fold")
+    if (!fs.exists(rootPath) && fs.exists(parked) && !fs.rename(parked, rootPath))
+      fail(s"cannot restore parked $parked to $rootPath")
+    if (!fs.exists(rootPath)) return false
+    val hasEpochs = fs.listStatus(rootPath).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("epoch="))
+    if (!hasEpochs) return false
+    val tmp = root.stripSuffix("/") + ".fold-tmp"
+    spark.read.parquet(root).drop("epoch")
+      .repartition(filesPerPartition, col("log_date"), col("source"))
+      .write.mode("overwrite")
+      .partitionBy("log_date", "source")
+      .parquet(tmp)
+    fs.delete(parked, true) // stale parking from a crash after both renames
+    if (!fs.rename(rootPath, parked)) fail(s"cannot park $rootPath")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), rootPath)) {
+      fs.rename(parked, rootPath) // put the store back, then abort
+      fail(s"cannot move $tmp into $rootPath")
+    }
+    fs.delete(parked, true)
+    true
   }
 
   /** A10 — reindex (the OpenSearch `_reindex` API re-expressed):

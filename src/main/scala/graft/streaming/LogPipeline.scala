@@ -83,11 +83,6 @@ object LogPipeline {
         coalesce(col("e.msg"), col("ng.msg")).as("msg"))
       .withColumn("log_date", to_date(col("ts")))
 
-  /** A3–A5: start the ingest query. Each micro-batch dual-writes:
-    * parsed rows → date/source-partitioned parquet ("the index"),
-    * unparseable rows → dead-letter parquet. The batch is persisted so
-    * the split doesn't recompute the parse.
-    */
   /** C49 streaming arm — percolate the parsed stream against a static
     * stored-rule table (stream-static join, rule side broadcast; as in
     * the batch operator the term predicate is the equi key and the
@@ -118,23 +113,39 @@ object LogPipeline {
       .withWatermark("ts", period)
       .dropDuplicatesWithinWatermark(Seq("rule_id", "ip"))
 
+  /** A3–A5 + A5b: start the ingest query. Each micro-batch dual-writes
+    * through the EPOCH-IDEMPOTENT sink (the default path, not an
+    * opt-in): parsed rows → `logs/epoch=<batchId>/log_date=…/source=…`
+    * ("the index"), unparseable rows → `dlq/epoch=<batchId>` — a
+    * crash-redelivered batch re-runs with the same batchId and
+    * REPLACES its own epoch directory instead of appending beside it,
+    * so the default delivery contract is exactly-once into the store
+    * (the posture of the reference's Firehose→index path,
+    * utils.ts:68). Readers see `epoch` as one more partition column;
+    * `LogStore.compact` folds epochs into the plain date layout on its
+    * own schedule. The batch is persisted so the valid/DLQ split
+    * doesn't recompute the parse.
+    *
+    * `trigger` and `maxFilesPerTrigger` are the Firehose buffering
+    * hints re-expressed (utils.ts:69-72's 60 s / 1 MB): a
+    * processing-time trigger sets the latency floor, the per-trigger
+    * file cap bounds micro-batch size on backlog catch-up.
+    */
   def startIngest(spark: SparkSession, inDir: String, outDir: String,
-                  checkpointDir: String): StreamingQuery =
-    transformed(rawStream(spark, inDir)).writeStream
+                  checkpointDir: String,
+                  trigger: Trigger = Trigger.AvailableNow(),
+                  maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    transformed(FileLines(inDir, maxFilesPerTrigger).load(spark)).writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
-        batch.filter(col("valid"))
-          .drop("valid", "line")
-          .write.mode("append")
-          .partitionBy("log_date", "source")
-          .parquet(s"$outDir/logs")
-        batch.filter(!col("valid"))
-          .select(col("source"), col("line"))
-          .write.mode("append")
-          .parquet(s"$outDir/dlq")
+        idempotentBatchWrite(batch.filter(col("valid")).drop("valid", "line"),
+          s"$outDir/logs", batchId, Seq("log_date", "source"))
+        idempotentBatchWrite(batch.filter(!col("valid"))
+          .select(col("source"), col("line")),
+          s"$outDir/dlq", batchId, Seq.empty)
         batch.unpersist()
         ()
       }
@@ -150,17 +161,21 @@ object LogPipeline {
     * as one more partition column; downstream compaction (A8) folds
     * epochs into the date layout on its own schedule.
     */
-  def idempotentBatchWrite(batch: DataFrame, root: String, batchId: Long): Unit =
-    batch
-      .withColumn("log_date", to_date(col("ts")))
-      .write.mode("overwrite")
+  def idempotentBatchWrite(batch: DataFrame, root: String, batchId: Long,
+                           partitionCols: Seq[String] = Seq("log_date")): Unit = {
+    val dated =
+      if (partitionCols.contains("log_date") && !batch.columns.contains("log_date"))
+        batch.withColumn("log_date", to_date(col("ts")))
+      else batch
+    val w = dated.write.mode("overwrite")
       // pinned per-write: a session-level partitionOverwriteMode=dynamic
       // would only replace the log_date partitions present in the RETRY,
       // letting partitions from a partial first attempt survive and
       // duplicate — static replaces the whole epoch directory
       .option("partitionOverwriteMode", "static")
-      .partitionBy("log_date")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(s"$root/epoch=$batchId")
+  }
 
   /** A27s — STREAMING upserts into the document-identity store: the
     * continuous form of OpenSearch `_bulk` with `_id`s (index/update/

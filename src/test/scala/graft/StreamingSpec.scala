@@ -35,11 +35,56 @@ class StreamingSpec extends AnyFunSuite {
     val logs = spark.read.parquet(s"$out/logs")
     assert(logs.count() == 2)
     assert(logs.select("source").as[String].collect().toSet == Set("ec2", "eks"))
-    // daily "index rotation": data lands under log_date=…/source=… partitions
-    assert(Files.exists(Paths.get(s"$out/logs/log_date=2021-07-29/source=ec2")))
+    // daily "index rotation" under the DEFAULT epoch-idempotent layout:
+    // data lands at epoch=<batchId>/log_date=…/source=…
+    assert(Files.exists(Paths.get(s"$out/logs/epoch=0/log_date=2021-07-29/source=ec2")))
     val dlq = spark.read.parquet(s"$out/dlq")
     assert(dlq.count() == 1)
     assert(dlq.select("line").as[String].collect().head == badLine)
+
+    // crash-redelivery on the DEFAULT path: losing the checkpoint replays
+    // the same batches with the same ids — epochs REPLACE their previous
+    // output instead of appending beside it
+    val q2 = LogPipeline.startIngest(spark, in, out, tmpDir("ckpt2"))
+    q2.awaitTermination()
+    assert(spark.read.parquet(s"$out/logs").count() == 2)
+    assert(spark.read.parquet(s"$out/dlq").count() == 1)
+
+    // compaction folds the epoch layout into the plain date layout
+    graft.sources.LogStore.compact(spark, s"$out/logs")
+    assert(Files.exists(Paths.get(s"$out/logs/log_date=2021-07-29/source=ec2")))
+    assert(!Files.exists(Paths.get(s"$out/logs/epoch=0")))
+    val folded = spark.read.parquet(s"$out/logs")
+    assert(folded.count() == 2 && !folded.columns.contains("epoch"))
+  }
+
+  test("maxFilesPerTrigger caps micro-batch size; metrics listener surfaces per-batch progress") {
+    val in = tmpDir("in-cap"); val out = tmpDir("out-cap")
+    Files.createDirectories(Paths.get(s"$in/ec2"))
+    Files.writeString(Paths.get(s"$in/ec2/a.log"), s"$goodLine\n")
+    Files.writeString(Paths.get(s"$in/ec2/b.log"), s"$goodLine\n$goodLine\n")
+    val metrics = new graft.streaming.IngestMetrics(spark).attach()
+    try {
+      val q = LogPipeline.startIngest(spark, in, out, tmpDir("ckpt-cap"),
+        maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      // the 1-file cap split the backlog into one epoch per file
+      val epochs = new java.io.File(s"$out/logs").list().count(_.startsWith("epoch="))
+      assert(epochs == 2, s"expected 2 epochs, got $epochs")
+      assert(spark.read.parquet(s"$out/logs").count() == 3)
+      // the listener bus is async — wait for both batches to surface
+      val deadline = System.currentTimeMillis() + 20000
+      def batchRows() = metrics.snapshot(spark)
+        .filter(col("num_input_rows") > 0)
+      while (batchRows().count() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val got = batchRows()
+        .select("batch_id", "num_input_rows", "batch_duration_ms")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      // file→batch order is not pinned; the CAP is: one file per batch
+      assert(got.map(_._2).sorted.toSeq == Seq(1L, 2L), s"got ${got.toSeq}")
+      assert(got.forall(_._3 >= 0))
+    } finally metrics.detach()
   }
 
   test("transform graph is source-agnostic: MemoryLines binding feeds the same pipeline") {
@@ -127,6 +172,32 @@ class StreamingSpec extends AnyFunSuite {
     //    failing ON THE KAFKA SOURCE proves the wiring reached it
     val err = intercept[Throwable](k.load(spark)).getMessage.toLowerCase
     assert(err.contains("kafka"), s"unexpected failure: $err")
+  }
+
+  test("KinesisLines binding: stream-per-source expansion, contract projection, DataSource resolution (A3b)") {
+    import graft.streaming.KinesisLines
+    val kin = KinesisLines(region = "eu-west-1", startingPosition = "TRIM_HORIZON")
+    // 1. the glob expands to the reference's four per-source delivery
+    //    streams (lib/common/utils.ts:30-89), options reach the reader
+    assert(kin.readerOptions == Map(
+      "streamName" -> "unified-logs-ec2,unified-logs-ecs,unified-logs-eks,unified-logs-lambda",
+      "region" -> "eu-west-1",
+      "startingPosition" -> "TRIM_HORIZON"))
+    assert(KinesisLines(streamPattern = "only-this", endpointUrl = Some("http://localstack:4566"))
+      .readerOptions("streamName") == "only-this")
+    // 2. wire-schema → contract projection on a static frame: payload
+    //    decoded, source recovered from the delivery-stream name
+    val wire = Seq(
+      ("unified-logs-ec2", "pk-1", "seq-1", "line-a".getBytes("UTF-8")),
+      ("unified-logs-eks", "pk-2", "seq-2", "line-b".getBytes("UTF-8"))
+    ).toDF("streamName", "partitionKey", "sequenceNumber", "data")
+    val got = KinesisLines.contract(wire).as[(String, String)].collect().toMap
+    assert(got == Map("line-a" -> "ec2", "line-b" -> "eks"))
+    // 3. load() reaches Spark's DataSource lookup for the kinesis
+    //    format — the connector jar is deployment-provided, so failing
+    //    ON THE KINESIS SOURCE proves the wiring reached it
+    val err = intercept[Throwable](kin.load(spark)).getMessage.toLowerCase
+    assert(err.contains("kinesis"), s"unexpected failure: $err")
   }
 
   test("streaming sink rolls generations by size via foreachBatch (A3 + A4b)") {
