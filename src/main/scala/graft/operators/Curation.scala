@@ -241,9 +241,13 @@ object Curation {
     * bucket-local — zero cross-group coordination, compute
     * parallelism = bucket count at any corpus size. Docs longer than
     * seqLen get a single-doc overflow bin (truncation is the caller's
-    * mixture policy, not the packer's). ☆ rows-only; PackingSpec
-    * asserts the invariants (every doc placed once, no bin overflows,
-    * ≥ chop-path efficiency) and determinism.
+    * mixture policy, not the packer's). ★ oracle-checked since r11:
+    * FFD is deterministic, so the DuckDB replica runs the SAME
+    * sequential recurrence as a recursive CTE per (lang, bucket) group
+    * — bin-fill state carried as a list, one item placed per recursion
+    * step (sequencePackFfdSql); PackingSpec still asserts the
+    * invariants (every doc placed once, no bin overflows, ≥ chop-path
+    * efficiency) and determinism.
     */
   def sequencePackFfd(spark: SparkSession, dir: String,
                       seqLen: Int = 512, nBuckets: Int = 64): DataFrame = {
@@ -273,6 +277,54 @@ object Curation {
       .toDF("doc_id", "lang", "bkt", "bin_no", "n_toks")
       .orderBy(col("doc_id"))
   }
+
+  /** The identical FFD recurrence in DuckDB: items of each (lang,
+    * bucket) group ordered (n desc, doc_id), ONE placed per recursion
+    * step against the carried bin-fill list; first-fit =
+    * `list_position` over fills+n<=cap (NULLIF: 0 = no fit), the
+    * fill update is an indexed `list_transform`. Loop vs declarative
+    * recursion agreeing bin-for-bin is the cross-engine check for a
+    * genuinely sequential algorithm.
+    */
+  val sequencePackFfdSql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |    ('0x' || substr(md5(text), 1, 3))::BIGINT % 64 AS bkt
+      |  FROM documents),
+      |ordered AS (
+      |  SELECT *, row_number() OVER (PARTITION BY lang, bkt
+      |      ORDER BY n_toks DESC, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang, bkt) AS cnt
+      |  FROM d),
+      |ffd(lang, bkt, rn, cnt, fills, bins) AS (
+      |  SELECT lang, bkt, CAST(0 AS BIGINT), cnt,
+      |    CAST([] AS BIGINT[]),
+      |    CAST([] AS STRUCT(doc_id BIGINT, bin_no BIGINT, n_toks BIGINT)[])
+      |  FROM (SELECT DISTINCT lang, bkt, cnt FROM ordered)
+      |  UNION ALL
+      |  SELECT f.lang, f.bkt, f.rn + 1, f.cnt,
+      |    CASE WHEN o.n_toks > 512 THEN list_append(f.fills, CAST(512 AS BIGINT))
+      |         WHEN slot IS NOT NULL THEN list_transform(f.fills,
+      |           (x, i) -> CASE WHEN i = slot THEN x + o.n_toks ELSE x END)
+      |         ELSE list_append(f.fills, o.n_toks) END,
+      |    list_append(f.bins, {'doc_id': o.doc_id,
+      |      'bin_no': CAST(CASE WHEN o.n_toks > 512 THEN len(f.fills)
+      |                          WHEN slot IS NOT NULL THEN slot - 1
+      |                          ELSE len(f.fills) END AS BIGINT),
+      |      'n_toks': o.n_toks})
+      |  FROM (SELECT f0.*,
+      |          NULLIF(list_position(
+      |            list_transform(f0.fills, x -> x + o0.n_toks <= 512), true), 0) AS slot
+      |        FROM ffd f0 JOIN ordered o0
+      |          ON o0.lang = f0.lang AND o0.bkt = f0.bkt AND o0.rn = f0.rn + 1
+      |        WHERE f0.rn < f0.cnt) f
+      |  JOIN ordered o ON o.lang = f.lang AND o.bkt = f.bkt AND o.rn = f.rn + 1),
+      |placed AS (
+      |  SELECT lang, bkt, unnest(bins) AS u FROM ffd WHERE rn = cnt)
+      |SELECT u.doc_id AS doc_id, lang, bkt, u.bin_no AS bin_no, u.n_toks AS n_toks
+      |FROM placed
+      |ORDER BY doc_id""".stripMargin
 
   /** E13e — data-constrained epoch planning (Muennighoff et al. 2023:
     * when a source's available tokens fall short of its mixture

@@ -31,9 +31,12 @@ object TextAnalysis {
     * (plans/BpeTokenizer, Sennrich et al. 2016) next to the regex
     * pre-token count it refines; `fertility` (BPE tokens per word, the
     * standard tokenizer metric) shows how finely the merge table splits
-    * each document. ☆ rows-only: the greedy merge loop is deliberately
-    * not replicated in SQL — KernelSpec pins exact token vectors
-    * instead.
+    * each document. ★ oracle-checked since r11: the greedy merge loop
+    * IS replicated in DuckDB as a recursive CTE over the DISTINCT
+    * pre-token vocabulary (see [[bpeOracleChain]]) — loop vs
+    * declarative-recursion agreeing on every count is the strongest
+    * cross-engine check an iterative kernel admits; KernelSpec still
+    * pins exact token vectors.
     */
   def tokenCountBpe(spark: SparkSession, dir: String): DataFrame =
     Tables.atComputeParallelism(Tables.documents(spark, dir)).select(
@@ -47,9 +50,11 @@ object TextAnalysis {
   /** E10d — BYTE-level BPE token counts (plans/BpeByteTokenizer, the
     * GPT-2-class scheme) next to E10b's char-BPE count and the true
     * UTF-8 byte length; `bytes_per_token` is the compression ratio
-    * frontier tokenizer reports quote. ☆ rows-only like E10b — the
-    * greedy byte-merge loop is not replicated in SQL; KernelSpec pins
-    * exact token vectors against an independent replica.
+    * frontier tokenizer reports quote. ★ oracle-checked since r11 via
+    * the same recursive-CTE merge replica as E10b, run over BOTH merge
+    * systems (byte pretokens carry GPT-2's leading-space convention);
+    * KernelSpec pins exact token vectors against an independent
+    * replica.
     */
   def tokenCountByte(spark: SparkSession, dir: String): DataFrame =
     Tables.atComputeParallelism(Tables.documents(spark, dir)).select(
@@ -60,6 +65,81 @@ object TextAnalysis {
     .withColumn("bytes_per_token",
       round(col("n_bytes").cast("double") / col("byte_tokens"), 4))
     .orderBy(col("doc_id"))
+
+  /** DuckDB replica of the greedy lowest-rank BPE merge loop
+    * (BpeTokenizer.encodeWord / the shared inference loop), as a
+    * recursive CTE over the DISTINCT pre-token vocabulary. Encoding
+    * device: a word's symbol state is a string with every symbol
+    * individually `|`-wrapped (`spark` → `|s||p||a||r||k|`), so
+    * applying the best-ranked merge everywhere left-to-right is
+    * DuckDB's own `replace` (left-to-right, non-overlapping — exactly
+    * the kernel's skip-after-merge scan), and mid-symbol false matches
+    * are impossible because the pattern carries both wrappers. The
+    * recursion ends when no merge pattern occurs; token count =
+    * surviving separator count + 1. Corpus text is ASCII (pinned by
+    * the generator), so char-split == byte-split and `|` never appears
+    * as a symbol. VALUES are generated from the LIVE merge table —
+    * oracle and kernel can't drift.
+    */
+  private def bpeOracleChain(p: String, preRegex: String,
+                             ms: Seq[(String, String)]): String = {
+    val seen = scala.collection.mutable.HashSet.empty[(String, String)]
+    val values = ms.zipWithIndex.flatMap { case ((a, b), i) =>
+      if (seen.add((a, b))) {
+        def q(s: String) = s.replace("'", "''")
+        Some(s"($i, '|${q(a)}||${q(b)}|', '|${q(a)}${q(b)}|')")
+      } else None // putIfAbsent: first rank wins, like ranksOf
+    }.mkString(",\n    ")
+    s"""${p}merges(rank, pat, rep) AS (
+       |  SELECT * FROM (VALUES
+       |    $values) v(rank, pat, rep)),
+       |${p}words AS (
+       |  SELECT DISTINCT unnest(regexp_extract_all(text, '$preRegex')) AS w
+       |  FROM documents),
+       |${p}enc(w, s) AS (
+       |  SELECT w, regexp_replace(w, '(.)', '|${"\\"}1|', 'g') FROM ${p}words
+       |  UNION ALL
+       |  SELECT e.w, replace(e.s, m.pat, m.rep)
+       |  FROM ${p}enc e JOIN ${p}merges m ON m.rank = (
+       |    SELECT min(m2.rank) FROM ${p}merges m2 WHERE contains(e.s, m2.pat))),
+       |${p}wc AS (
+       |  SELECT w, length(s) - length(replace(s, '||', '|')) + 1 AS ntok
+       |  FROM ${p}enc e
+       |  WHERE NOT EXISTS (SELECT 1 FROM ${p}merges m WHERE contains(e.s, m.pat))),
+       |${p}dw AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '$preRegex')) AS w
+       |  FROM documents),
+       |${p}counts AS (
+       |  SELECT d.doc_id, CAST(sum(wc.ntok) AS BIGINT) AS ntoks
+       |  FROM ${p}dw d JOIN ${p}wc wc USING (w) GROUP BY 1)""".stripMargin
+  }
+
+  private val charPreRegex = """[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"""
+  private val bytePreRegex = """ ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s"""
+
+  val tokenCountBpeSql: String =
+    s"""WITH RECURSIVE ${bpeOracleChain("c", charPreRegex, graft.plans.BpeTokenizer.merges)}
+       |SELECT d.doc_id,
+       |  c.ntoks AS bpe_tokens,
+       |  CAST(len(regexp_extract_all(d.text, '$charPreRegex')) AS BIGINT) AS pre_tokens,
+       |  round(CAST(c.ntoks AS DOUBLE)
+       |    / len(regexp_extract_all(d.text, '$charPreRegex')), 4) AS fertility
+       |FROM documents d JOIN ccounts c USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  val tokenCountByteSql: String =
+    s"""WITH RECURSIVE ${bpeOracleChain("b", bytePreRegex, graft.plans.BpeByteTokenizer.merges)},
+       |${bpeOracleChain("c", charPreRegex, graft.plans.BpeTokenizer.merges)}
+       |SELECT d.doc_id,
+       |  b.ntoks AS byte_tokens,
+       |  c.ntoks AS char_tokens,
+       |  CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+       |  round(CAST(octet_length(encode(d.text)) AS DOUBLE) / b.ntoks, 4)
+       |    AS bytes_per_token
+       |FROM documents d
+       |JOIN bcounts b USING (doc_id)
+       |JOIN ccounts c USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   /** E9 — quality scoring: log-length × vocab diversity × stopword factor. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
