@@ -216,8 +216,14 @@ object Extras {
     */
   def histogramVarWidth(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
     val fracs = (1 until k).map(i => i.toDouble / k).mkString(", ")
+    // cuts rounded to 6 decimals: the interpolated quantile double can
+    // differ from DuckDB's in the last ulp at small N (different
+    // lerp operation order), flipping a `value > cut` at an exact tie;
+    // 6-decimal cuts are identical cross-engine and equally valid
+    // equal-frequency bounds
     val cuts = Tables.events(spark, dir)
-      .agg(expr(s"percentile(value, array($fracs))").as("cuts"))
+      .agg(transform(expr(s"percentile(value, array($fracs))"),
+        c => round(c, 6)).as("cuts"))
     Tables.events(spark, dir)
       .crossJoin(broadcast(cuts))
       .select(
@@ -235,7 +241,8 @@ object Extras {
   val histogramVarWidthSql: String = {
     val fracs = (1 until 8).map(i => i / 8.0).mkString(", ")
     s"""WITH cuts AS (
-       |  SELECT quantile_cont(value, [$fracs]) AS qs FROM events)
+       |  SELECT list_transform(quantile_cont(value, [$fracs]),
+       |    c -> round(c, 6)) AS qs FROM events)
        |SELECT CAST(len(list_filter(qs, c -> value > c)) AS BIGINT) AS bin,
        |  count(*) AS n, round(min(value), 4) AS lo, round(max(value), 4) AS hi
        |FROM events CROSS JOIN cuts

@@ -793,7 +793,11 @@ object Similarity {
       .groupBy(col("dim_cut"))
       .agg(
         round(avg(when(col("b_n").isNotNull, 1.0).otherwise(0.0)), 4).as("avg_recall"),
-        round(avg(col("full_sim")), 6).as("avg_full_sim"))
+        // exact-integer mean: full_sim is 6-decimal quantized, so summing
+        // micro-units in BIGINT removes the engine-order float-sum ulp
+        // that can straddle round()'s half boundary (bit at sf0.001)
+        round(sum(round(col("full_sim") * 1e6).cast("long")).cast("double")
+          / count(lit(1)) / 1e6, 6).as("avg_full_sim"))
       .orderBy(col("dim_cut").desc)
   }
 
@@ -825,7 +829,8 @@ object Similarity {
       |  SELECT q_id AS b_q, n_id AS b_n FROM top WHERE dim_cut = 64)
       |SELECT CAST(t.dim_cut AS INTEGER) AS dim_cut,
       |  round(avg(CASE WHEN b.b_n IS NULL THEN 0.0 ELSE 1.0 END), 4) AS avg_recall,
-      |  round(avg(t.full_sim), 6) AS avg_full_sim
+      |  round(CAST(sum(CAST(round(t.full_sim * 1000000) AS BIGINT)) AS DOUBLE)
+      |    / count(*) / 1000000, 6) AS avg_full_sim
       |FROM top t LEFT JOIN base b ON t.q_id = b.b_q AND t.n_id = b.b_n
       |GROUP BY t.dim_cut
       |ORDER BY dim_cut DESC""".stripMargin
