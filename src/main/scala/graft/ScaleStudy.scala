@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** §8 scaling-study harness for the dedup tail (local iteration tool,
+  * not part of the driver contract): prints the winnowing candidate
+  * statistics of the PRODUCTION (xxhash64) pipeline plus wall times for
+  * the two heaviest entries (q_dedup_lcs, q_dedup_substring) at a given
+  * SF dir. Run at sf0.1 and a GenScale sf1 to measure the candidate-
+  * growth curve behind the "winnowing prune" claim:
+  *
+  *   sbt "runMain graft.GenScale /root/testdata/sf0.1 /tmp/graft_data/sf1 10"
+  *   sbt "runMain graft.ScaleStudy /root/testdata/sf0.1"
+  *   sbt "runMain graft.ScaleStudy /tmp/graft_data/sf1"
+  */
+object ScaleStudy {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val stats = graft.operators.Dedup.candidateStats(
+      graft.sources.Tables.documents(spark, sfDir)).collect().head
+    println(s"[scale] $sfDir candidateStats: " +
+      stats.schema.fieldNames.zip(stats.toSeq).map { case (n, v) => s"$n=$v" }
+        .mkString(", "))
+    Seq("q_dedup_lcs", "q_dedup_substring").foreach { name =>
+      val fn = SparkEntry.queries(name)
+      System.gc()
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+    }
+    spark.stop()
+  }
+}

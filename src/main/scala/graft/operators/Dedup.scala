@@ -915,6 +915,108 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Winnowing-bucket candidate statistics over the REAL (xxhash64)
+    * fingerprint pipeline — the §8 scaling instrument behind the E20c/
+    * E20d "40× prune" claim: how many buckets are usable, how many
+    * candidate pairs the buckets admit, and how many survive the ≥2
+    * shared-fingerprint cut that gates the O(m·n) LCS kernel. One row.
+    */
+  def candidateStats(documents: DataFrame): DataFrame = {
+    val docs = Tables.atComputeParallelism(documents)
+      .select(col("doc_id"),
+        graft.functions.TextFns.fingerprints(col("text")).as("fps"))
+    val cand = docs.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val buckets = cand.groupBy(col("fp")).agg(count(lit(1)).as("bn"))
+    val inBucket = cand.join(
+      buckets.filter(col("bn").between(2, maxBucketSize)).select(col("fp")), "fp")
+    val pairs = inBucket.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(inBucket.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(buckets.agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("bn") === 1, 1L).otherwise(0L)).as("singleton_buckets"),
+        sum(when(col("bn") > maxBucketSize, 1L).otherwise(0L)).as("capped_buckets"))))
+      .crossJoin(broadcast(pairs.agg(
+        count(lit(1)).as("candidate_pairs"),
+        sum(when(col("shared_fps") >= 2, 1L).otherwise(0L)).as("ge2_pairs"))))
+  }
+
+  /** E20e — dedup-candidate audit as a QUERY (the pre-flight a corpus
+    * operator runs before paying for E20c/E20d: bucket usability and
+    * the single-collision vs ≥2-shared pair split — the measured prune
+    * factor). Runs on the md5 winnowing variant (E11's q_fingerprint
+    * parity table) so every count is DuckDB-verifiable; the xxhash64
+    * production pipeline has the same structure (candidateStats above)
+    * — collisions aside, the counts coincide.
+    */
+  def dedupCandidateAudit(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val hs = transform(
+      sequence(lit(1), greatest(size(words) - 2, lit(1))),
+      i => md5(concat_ws(" ",
+        try_element_at(words, i), try_element_at(words, i + 1),
+        try_element_at(words, i + 2))))
+    // materialize hs behind an EvalOnce alias boundary: inlined into the
+    // winnowing lambda it would re-evaluate the md5 array per WINDOW
+    // element — O(words²) md5s per doc (measured 242 s vs 4 s at sf0.1)
+    val docs = Tables.atComputeParallelism(Tables.documents(spark, dir))
+      .select(col("doc_id"), graft.plans.EvalOnce(hs).as("hs"))
+      .select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(col("hs")) - 3, lit(1))),
+          i => array_min(slice(col("hs"), i, lit(4))))).as("fps"))
+    val cand = docs.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val buckets = cand.groupBy(col("fp")).agg(count(lit(1)).as("bn"))
+    val inBucket = cand.join(
+      buckets.filter(col("bn").between(2, maxBucketSize)).select(col("fp")), "fp")
+    val pairs = inBucket.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(inBucket.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(buckets.agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("bn") === 1, 1L).otherwise(0L)).as("singleton_buckets"),
+        sum(when(col("bn") > maxBucketSize, 1L).otherwise(0L)).as("capped_buckets"))))
+      .crossJoin(broadcast(pairs.agg(
+        count(lit(1)).as("candidate_pairs"),
+        sum(when(col("shared_fps") >= 2, 1L).otherwise(0L)).as("ge2_pairs"))))
+  }
+
+  val dedupCandidateAuditSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |h AS (
+       |  SELECT doc_id, list_transform(range(greatest(len(w) - 2, 1)),
+       |    i -> md5(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS hs
+       |  FROM t),
+       |wins AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(greatest(len(hs) - 3, 1)),
+       |    i -> list_aggregate(hs[i+1:i+4], 'min'))) AS fps
+       |  FROM h),
+       |fps AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
+       |buckets AS (SELECT fp, count(*) AS bn FROM fps GROUP BY 1),
+       |ib AS (SELECT f.fp, f.doc_id FROM fps f
+       |       JOIN (SELECT fp FROM buckets WHERE bn BETWEEN 2 AND $maxBucketSize) ok USING (fp)),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM ib a JOIN ib b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT
+       |  (SELECT count(*) FROM t) AS n_docs,
+       |  (SELECT count(*) FROM buckets) AS n_buckets,
+       |  (SELECT CAST(coalesce(sum(CASE WHEN bn = 1 THEN 1 END), 0) AS BIGINT)
+       |     FROM buckets) AS singleton_buckets,
+       |  (SELECT CAST(coalesce(sum(CASE WHEN bn > $maxBucketSize THEN 1 END), 0) AS BIGINT)
+       |     FROM buckets) AS capped_buckets,
+       |  (SELECT count(*) FROM pairs) AS candidate_pairs,
+       |  (SELECT CAST(coalesce(sum(CASE WHEN shared >= 2 THEN 1 END), 0) AS BIGINT)
+       |     FROM pairs) AS ge2_pairs""".stripMargin
+
   // ---- E20d: exact-substring dedup REMOVAL ---------------------------
 
   /** E20d — exact-substring dedup with span REMOVAL (public anchor:
