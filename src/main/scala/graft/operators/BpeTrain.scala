@@ -90,12 +90,15 @@ object BpeTrain {
     learned.toSeq.toDF("rank", "left", "right", "weight")
   }
 
-  /** ☆ `q_bpe_train` — learned merge table over the documents corpus.
-    * Deterministic (exact integer weights, total-order tie-break);
-    * rows-only at the driver gate — the iterative argmax is
-    * deliberately not replicated in SQL. KernelSpec proves the loop
-    * against an independent in-memory replica on planted text and
-    * feeds the learned table back through the inference kernel.
+  /** ★ `q_bpe_train` — learned merge table over the documents corpus.
+    * Deterministic (exact integer weights, total-order tie-break) and
+    * — since r11 — oracle-checked: the K training rounds unroll as
+    * chained MATERIALIZED CTEs in DuckDB (the C81 k-means device), the
+    * merge application riding the E10b pipe-wrapped-string `replace`
+    * trick, so the iterative argmax is verified round for round
+    * cross-engine. KernelSpec additionally proves the loop against an
+    * independent in-memory replica on planted text and feeds the
+    * learned table back through the inference kernel.
     *
     * Memoized per data dir like the IVF/graph/text indexes: a learned
     * tokenizer is a BUILD ARTIFACT — train once, tokenize forever —
@@ -116,5 +119,46 @@ object BpeTrain {
       fs.create(marker, true).close()
     }
     spark.read.parquet(s"$path/merges").orderBy(col("rank"))
+  }
+
+  /** The identical training recurrence, rounds unrolled as chained
+    * MATERIALIZED CTEs (materialization is semantic here too: DuckDB
+    * would otherwise re-inline each round's vocab into its two
+    * consumers — 2^K scans). Vocab state = the E10b pipe-wrapped
+    * symbol string, so "merge every occurrence left-to-right" is one
+    * `replace`; a round whose best pair drops below minWeight emits
+    * nothing and passes its vocab through unchanged, matching the
+    * loop's early stop.
+    */
+  def bpeTrainSql(k: Int = 12, minWeight: Long = 2L): String = {
+    val parts = scala.collection.mutable.ArrayBuffer(
+      s"""v0 AS MATERIALIZED (
+         |  SELECT regexp_replace(word, '(.)', '|${"\\"}1|', 'g') AS s, count(*) AS freq
+         |  FROM (SELECT unnest(regexp_extract_all(text,
+         |          '${TextFns.bpeTokenPattern}')) AS word
+         |        FROM documents)
+         |  GROUP BY 1)""".stripMargin)
+    (0 until k).foreach { i =>
+      parts += s"""p$i AS MATERIALIZED (
+                  |  SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS w FROM (
+                  |    SELECT freq, unnest(list_transform(range(len(syms) - 1),
+                  |      j -> {'l': syms[j+1], 'r': syms[j+2]})) AS p
+                  |    FROM (SELECT string_split(trim(s, '|'), '||') AS syms, freq FROM v$i)
+                  |    WHERE len(syms) > 1)
+                  |  GROUP BY 1, 2)""".stripMargin
+      parts += s"""t$i AS MATERIALIZED (
+                  |  SELECT l, r, w FROM p$i WHERE w >= $minWeight
+                  |  ORDER BY w DESC, l, r LIMIT 1)""".stripMargin
+      parts += s"""v${i + 1} AS MATERIALIZED (
+                  |  SELECT CASE WHEN t.l IS NULL THEN v.s
+                  |         ELSE replace(v.s, '|' || t.l || '||' || t.r || '|',
+                  |                      '|' || t.l || t.r || '|') END AS s,
+                  |         v.freq
+                  |  FROM v$i v LEFT JOIN t$i t ON true)""".stripMargin
+    }
+    val ranks = (0 until k).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS rank, l AS "left", r AS "right", w AS weight FROM t$i""")
+      .mkString("\nUNION ALL\n")
+    "WITH " + parts.mkString(",\n") + s"\nSELECT * FROM (\n$ranks\n) ORDER BY rank"
   }
 }
