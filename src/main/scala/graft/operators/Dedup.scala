@@ -926,7 +926,9 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.TextFns.fingerprints(col("text")).as("fps"))
     val cand = docs.select(col("doc_id"), explode(col("fps")).as("fp"))
+      .localCheckpoint()
     val buckets = cand.groupBy(col("fp")).agg(count(lit(1)).as("bn"))
+      .localCheckpoint()
     val inBucket = cand.join(
       buckets.filter(col("bn").between(2, maxBucketSize)).select(col("fp")), "fp")
     val pairs = inBucket.select(col("fp"), col("doc_id").as("doc_a"))
@@ -934,7 +936,7 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared_fps"))
-    docs.agg(count(lit(1)).as("n_docs"))
+    documents.select(col("doc_id")).agg(count(lit(1)).as("n_docs"))
       .crossJoin(broadcast(buckets.agg(
         count(lit(1)).as("n_buckets"),
         sum(when(col("bn") === 1, 1L).otherwise(0L)).as("singleton_buckets"),
@@ -968,8 +970,13 @@ object Dedup {
         array_distinct(transform(
           sequence(lit(1), greatest(size(col("hs")) - 3, lit(1))),
           i => array_min(slice(col("hs"), i, lit(4))))).as("fps"))
+    // localCheckpoint: the posting table feeds FOUR plan subtrees
+    // (bucket agg + both self-join sides + its own derivation); without
+    // the cut each one re-runs the md5 winnowing explode
     val cand = docs.select(col("doc_id"), explode(col("fps")).as("fp"))
+      .localCheckpoint()
     val buckets = cand.groupBy(col("fp")).agg(count(lit(1)).as("bn"))
+      .localCheckpoint()
     val inBucket = cand.join(
       buckets.filter(col("bn").between(2, maxBucketSize)).select(col("fp")), "fp")
     val pairs = inBucket.select(col("fp"), col("doc_id").as("doc_a"))
@@ -977,7 +984,7 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared_fps"))
-    docs.agg(count(lit(1)).as("n_docs"))
+    Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
       .crossJoin(broadcast(buckets.agg(
         count(lit(1)).as("n_buckets"),
         sum(when(col("bn") === 1, 1L).otherwise(0L)).as("singleton_buckets"),

@@ -861,7 +861,7 @@ object Similarity {
   def annPq(spark: SparkSession, dir: String, m: Int = 8, ks: Int = 16,
             iters: Int = 10, rerank: Int = 50, trainSample: Int = 2048): DataFrame = {
     val (q, c) = queryCorpus(spark, dir)
-    val (codes, lut) = pqParts(spark, q, c, m, ks, iters, trainSample)
+    val (codes, lut) = pqPartsMemoized(spark, dir, q, m, ks, iters, trainSample)
     val coarseK = graft.plans.TopKAgg.udafFor(rerank)
     val cand = codes.join(broadcast(lut), Seq("sub", "cent_id"))
       .groupBy(col("q_id"), col("n_id"))
@@ -877,28 +877,80 @@ object Similarity {
         .withColumn("cos_sim", round(CosineSim(col("q_emb2"), col("n_emb")), 6)))
   }
 
+  /** E7g/E7i deployment shape: the PQ codebook + corpus codes are a
+    * BUILD ARTIFACT exactly like the E7c IVF index — train/encode once
+    * per data dir, persist, and every later probe pays only the
+    * query-side LUT + ADC join. `_COMPLETE` written last; fingerprint
+    * key rebuilds on in-place data regeneration (the ensureIvfIndex
+    * contract).
+    */
+  def ensurePqIndex(spark: SparkSession, dir: String, m: Int = 8,
+                    ks: Int = 16, iters: Int = 10,
+                    trainSample: Int = 2048): String = {
+    val fp = dataFingerprint(spark, dir)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir#$m#$ks#$iters#$trainSample#$fp".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val path = new java.io.File(sys.props("java.io.tmpdir"), s"graft-pqidx-v1-$key").getPath
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_COMPLETE")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      val (_, c) = queryCorpus(spark, dir)
+      val (books, codes) = pqTrainEncode(spark, c, m, ks, iters, trainSample)
+      codes.write.mode("overwrite").parquet(s"$path/codes")
+      books.write.mode("overwrite").parquet(s"$path/books")
+      fs.create(marker, true).close()
+    }
+    path
+  }
+
+  /** Memoized (codes, lut) for the benched PQ entries: corpus half from
+    * the persisted artifact, query LUT rebuilt per call (queries are
+    * not index state).
+    */
+  private def pqPartsMemoized(spark: SparkSession, dir: String, q: DataFrame,
+                              m: Int, ks: Int, iters: Int,
+                              trainSample: Int): (DataFrame, DataFrame) = {
+    val path = ensurePqIndex(spark, dir, m, ks, iters, trainSample)
+    val codes = spark.read.parquet(s"$path/codes")
+    val books = spark.read.parquet(s"$path/books")
+    (codes, pqLut(q, books, m))
+  }
+
+  /** Query-side ADC lookup table against a (sub, cent_id, cv) book. */
+  private def pqLut(q: DataFrame, centDf: DataFrame, m: Int): DataFrame = {
+    val qN = pqNormalized(q, "q_emb").select(col("q_id"), col("nemb"))
+    pqSubvecs(qN, "q_id", m).join(broadcast(centDf), "sub")
+      .select(col("q_id"), col("sub"), col("cent_id"),
+        aggregate(zip_with(col("sv"), col("cv"), (a, b) => a * b),
+          lit(0.0d), (acc, v) => acc + v).as("part"))
+  }
+
+  private def pqNormalized(df: DataFrame, emb: String): DataFrame = {
+    val nrm = sqrt(aggregate(col(emb), lit(0.0d),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+    df.withColumn("nemb", transform(col(emb), v => v.cast("double") / nrm))
+  }
+
+  private def pqSubvecs(df: DataFrame, idCol: String, m: Int): DataFrame = {
+    val subDim = 64 / m
+    df.select(col(idCol), explode(array((0 until m).map(i =>
+      struct(lit(i).as("sub"),
+        slice(col("nemb"), i * subDim + 1, subDim).as("sv"))): _*)).as("s"))
+      .select(col(idCol), col("s.sub").as("sub"), col("s.sv").as("sv"))
+  }
+
   /** Shared PQ machinery (E7g/E7i): codebooks trained driver-side on
     * the bounded md5-rank sample, corpus encoded in ONE distributed
-    * pass, query ADC LUTs built against the broadcast book. Returns
-    * (codes: n_id × sub → cent_id, lut: q_id × sub × cent_id → part).
+    * pass. Returns (books: sub × cent_id → cv,
+    * codes: n_id × sub → cent_id).
     */
-  private def pqParts(spark: SparkSession, q: DataFrame, c: DataFrame,
-                      m: Int, ks: Int, iters: Int,
-                      trainSample: Int): (DataFrame, DataFrame) = {
+  private def pqTrainEncode(spark: SparkSession, c: DataFrame,
+                            m: Int, ks: Int, iters: Int,
+                            trainSample: Int): (DataFrame, DataFrame) = {
     import spark.implicits._
     val subDim = 64 / m
-    def normalized(df: DataFrame, emb: String): DataFrame = {
-      val nrm = sqrt(aggregate(col(emb), lit(0.0d),
-        (acc, v) => acc + v.cast("double") * v.cast("double")))
-      df.withColumn("nemb",
-        transform(col(emb), v => v.cast("double") / nrm))
-    }
-    def subvecs(df: DataFrame, idCol: String): DataFrame =
-      df.select(col(idCol), explode(array((0 until m).map(i =>
-        struct(lit(i).as("sub"),
-          slice(col("nemb"), i * subDim + 1, subDim).as("sv"))): _*)).as("s"))
-        .select(col(idCol), col("s.sub").as("sub"), col("s.sv").as("sv"))
-    val cN = normalized(c, "n_emb").select(col("n_id"), col("nemb"))
+    val cN = pqNormalized(c, "n_emb").select(col("n_id"), col("nemb"))
     // bounded deterministic training sample, collected once
     val sample: Array[Seq[Double]] = cN
       .select(col("nemb"), md5(col("n_id").cast("string")).as("h"), col("n_id"))
@@ -935,19 +987,13 @@ object Similarity {
     // ONE distributed pass encodes the corpus against the broadcast book
     val dist2 = aggregate(zip_with(col("sv"), col("cv"),
       (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, v) => acc + v)
-    val codes = subvecs(cN, "n_id")
+    val codes = pqSubvecs(cN, "n_id", m)
       .join(broadcast(centDf), "sub")
       .withColumn("d2", dist2)
       .groupBy(col("n_id"), col("sub"))
       .agg(min(struct(col("d2"), col("cent_id"))).as("mn"))
       .select(col("n_id"), col("sub"), col("mn.cent_id").as("cent_id"))
-    // ADC lookup table: exact query-subvector × centroid dot products
-    val qN = normalized(q, "q_emb").select(col("q_id"), col("nemb"))
-    val lut = subvecs(qN, "q_id").join(broadcast(centDf), "sub")
-      .select(col("q_id"), col("sub"), col("cent_id"),
-        aggregate(zip_with(col("sv"), col("cv"), (a, b) => a * b),
-          lit(0.0d), (acc, v) => acc + v).as("part"))
-    (codes, lut)
+    (centDf, codes)
   }
 
   /** E7i — IVF-PQ (the composition every billion-vector deployment
@@ -971,7 +1017,7 @@ object Similarity {
     val indexPath = ensureIvfIndex(spark, dir, nCells)
     val corpusCells = spark.read.parquet(s"$indexPath/cells")
     val centroids = spark.read.parquet(s"$indexPath/centroids")
-    val (codes, lut) = pqParts(spark, q, c, m, ks, iters, trainSample)
+    val (codes, lut) = pqPartsMemoized(spark, dir, q, m, ks, iters, trainSample)
     val candPairs = probeCells(q, centroids, nProbe)
       .select(col("q_id"), col("cell"))
       .join(corpusCells.select(col("n_id"), col("cell")), "cell")
