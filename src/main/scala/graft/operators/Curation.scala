@@ -370,6 +370,71 @@ object Curation {
       |FROM a
       |ORDER BY source""".stripMargin
 
+  /** E13f — UniMax budget allocation (Chung et al. 2023, "UniMax:
+    * Fairer and More Effective Language Sampling for Large-Scale
+    * Multilingual Pretraining": spread the token budget as uniformly as
+    * possible across languages, capping each at maxEpochs repeats of
+    * its available data — the principled alternative to temperature
+    * sampling whose knob E13c exposes). Exact integer water-filling:
+    * languages ascend by capacity; each takes min(cap, floor(remaining
+    * / remaining_langs)) — floor division keeps every allocation an
+    * exact BIGINT so the plan is bit-identical cross-engine (the E94
+    * integer-arithmetic discipline).
+    *
+    * Spark shape: ONE map-side-combined per-language aggregate
+    * (|langs| rows out — plan-sized), then the sequential fill runs
+    * driver-side on that collected handful (the sqParams bounded-
+    * collect contract; the recurrence has no window form because each
+    * quota depends on every earlier allocation).
+    */
+  def unimaxMix(spark: SparkSession, dir: String,
+                budgetTokens: Long = 12000L, maxEpochs: Int = 4): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val perLang = Tables.documents(spark, dir)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy(col("lang")).agg(sum(col("n")).as("avail"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (l, a) => (a, l) }
+    var remaining = budgetTokens
+    var k = perLang.length
+    val rows = perLang.map { case (lang, avail) =>
+      val cap = avail * maxEpochs
+      val alloc = math.min(cap, remaining / k)
+      remaining -= alloc; k -= 1
+      (lang, avail, cap, alloc, alloc == cap)
+    }
+    rows.toSeq.toDF("lang", "available_tokens", "cap_tokens", "alloc_tokens", "capped")
+      .withColumn("epochs",
+        round(col("alloc_tokens").cast("double") / col("available_tokens"), 6))
+      .orderBy(col("lang"))
+  }
+
+  /** The identical water-filling recurrence as a recursive CTE over the
+    * capacity-ascending language order (state: remaining budget).
+    */
+  val unimaxMixSql: String =
+    """WITH RECURSIVE cap AS (
+      |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail
+      |  FROM documents GROUP BY 1),
+      |ordered AS (
+      |  SELECT lang, avail, avail * 4 AS cap,
+      |    row_number() OVER (ORDER BY avail, lang) AS rn,
+      |    count(*) OVER () AS n
+      |  FROM cap),
+      |alloc(rn, rem, lang, avail, cap, a) AS (
+      |  SELECT CAST(0 AS BIGINT), CAST(12000 AS BIGINT), CAST(NULL AS VARCHAR),
+      |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+      |  UNION ALL
+      |  SELECT o.rn, al.rem - least(o.cap, al.rem // (o.n - al.rn)),
+      |         o.lang, o.avail, o.cap, least(o.cap, al.rem // (o.n - al.rn))
+      |  FROM alloc al JOIN ordered o ON o.rn = al.rn + 1)
+      |SELECT lang, avail AS available_tokens, cap AS cap_tokens,
+      |  a AS alloc_tokens, a = cap AS capped,
+      |  round(CAST(a AS DOUBLE) / avail, 6) AS epochs
+      |FROM alloc WHERE rn > 0
+      |ORDER BY lang""".stripMargin
+
   /** E14 — quality-filter battery (Gopher-style rules, Rae et al. 2021,
     * public): word-count bounds, mean-word-length bounds, symbol ratio,
     * stopword presence. Flags are kept per-rule (a real pipeline audits

@@ -915,6 +915,46 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** E39 — MinHash-LSH parameter planner (the design table every LSH
+    * deployment derives before committing to a banding; public theory:
+    * Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets" §3.4): for
+    * each (bands, rows) factorization of the 64-wide E2 signature, the
+    * S-curve threshold (1/b)^(1/r) and the candidate-collision
+    * probability 1-(1-s^r)^b at representative Jaccard levels — the
+    * false-positive (s below threshold) and false-negative (s above)
+    * rates the banding trades. Pure plan-time arithmetic on |divisors|
+    * rows; `deployed` marks E2's shipped 16×4 point, chosen so the
+    * curve's knee sits at the 0.7 near-dup threshold.
+    */
+  def lshPlanner(spark: SparkSession, dir: String, nSig: Int = 64): DataFrame = {
+    val s = spark
+    import s.implicits._
+    def pAt(sim: Double) = round(
+      lit(1.0) - pow(lit(1.0) - pow(lit(sim), col("rows_per_band")), col("bands")), 6)
+    (0 to 6).map(1 << _).filter(nSig % _ == 0)
+      .map(b => (b.toLong, (nSig / b).toLong)).toDF("bands", "rows_per_band")
+      .withColumn("s_threshold",
+        round(pow(lit(1.0) / col("bands"), lit(1.0) / col("rows_per_band")), 6))
+      .withColumn("p_at_050", pAt(0.5))
+      .withColumn("p_at_070", pAt(0.7))
+      .withColumn("p_at_090", pAt(0.9))
+      .withColumn("deployed", col("bands") === 16)
+      .orderBy(col("bands"))
+  }
+
+  val lshPlannerSql: String =
+    """WITH f AS (
+      |  SELECT CAST(b AS BIGINT) AS bands, CAST(64 // b AS BIGINT) AS rows_per_band
+      |  FROM (SELECT unnest([1, 2, 4, 8, 16, 32, 64]) AS b))
+      |SELECT bands, rows_per_band,
+      |  round(pow(1.0 / bands, 1.0 / rows_per_band), 6) AS s_threshold,
+      |  round(1.0 - pow(1.0 - pow(0.5, rows_per_band), bands), 6) AS p_at_050,
+      |  round(1.0 - pow(1.0 - pow(0.7, rows_per_band), bands), 6) AS p_at_070,
+      |  round(1.0 - pow(1.0 - pow(0.9, rows_per_band), bands), 6) AS p_at_090,
+      |  bands = 16 AS deployed
+      |FROM f
+      |ORDER BY bands""".stripMargin
+
   /** Winnowing-bucket candidate statistics over the REAL (xxhash64)
     * fingerprint pipeline — the §8 scaling instrument behind the E20c/
     * E20d "40× prune" claim: how many buckets are usable, how many

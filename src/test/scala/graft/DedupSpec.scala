@@ -334,4 +334,21 @@ class DedupSpec extends AnyFunSuite {
     assert(splits.getOrElse("train", 0L) > 0 && splits.getOrElse("val", 0L) > 0,
       s"both splits must be populated at the 20% cluster rate, got $splits")
   }
+
+  test("LSH planner: threshold monotone in bands; deployed 16x4 knee brackets 0.7 (E39)") {
+    val rows = Dedup.lshPlanner(spark, TestSpark.sf)
+      .select("bands", "rows_per_band", "s_threshold", "p_at_050", "p_at_090", "deployed")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5)))
+    // more bands = lower S-curve threshold (strictly monotone)
+    rows.sliding(2).foreach { case Array(a, b) => assert(a._3 > b._3, s"$a vs $b") }
+    // the shipped 16x4 point: high-Jaccard pairs almost surely collide,
+    // low-Jaccard pairs almost surely don't — the knee straddles 0.7
+    val d = rows.find(_._6).get
+    assert(d._1 == 16 && d._2 == 4)
+    assert(d._3 > 0.4 && d._3 < 0.8, s"knee ${d._3}")
+    assert(d._5 > 0.99, s"p@0.9 ${d._5}")
+    assert(d._4 < 0.65, s"p@0.5 ${d._4}")
+  }
 }

@@ -51,4 +51,33 @@ class PackingSpec extends AnyFunSuite {
   test("deterministic across reruns") {
     assert(packed() == packed())
   }
+
+  test("UniMax allocation: budget conserved, caps respected, uncapped languages uniform (E13f)") {
+    val rows = Curation.unimaxMix(TestSpark.spark, "/root/testdata/sf0.001",
+      budgetTokens = 12000L, maxEpochs = 4)
+      .select("lang", "available_tokens", "cap_tokens", "alloc_tokens", "capped")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    // nothing exceeds its cap; capped rows sit exactly at it
+    rows.foreach { case (l, _, cap, a, capped) =>
+      assert(a <= cap, l)
+      assert(!capped || a == cap, l)
+    }
+    // total allocation never exceeds the budget, and the leftover is
+    // smaller than the uncapped count (pure floor-division remainder) —
+    // i.e. the budget is exhausted up to integer quantization whenever
+    // some language is uncapped
+    val total = rows.map(_._4).sum
+    assert(total <= 12000L)
+    val uncapped = rows.filter(!_._5)
+    if (uncapped.nonEmpty)
+      assert(12000L - total < uncapped.length, s"left ${12000L - total}")
+    // uniformity: uncapped allocations differ by at most 1 (floor steps)
+    if (uncapped.length > 1)
+      assert(uncapped.map(_._4).max - uncapped.map(_._4).min <= 1)
+    // and no capped language out-draws an uncapped one
+    val capped = rows.filter(_._5)
+    if (capped.nonEmpty && uncapped.nonEmpty)
+      assert(capped.map(_._4).max <= uncapped.map(_._4).min)
+  }
 }
