@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.HashFns
@@ -434,6 +434,61 @@ object Curation {
       |  round(CAST(a AS DOUBLE) / avail, 6) AS epochs
       |FROM alloc WHERE rn > 0
       |ORDER BY lang""".stripMargin
+
+  /** E53 — budgeted quality selection (the greedy knapsack a
+    * data-constrained run uses to SPEND a token budget on the best
+    * documents, rather than filter-then-hope: rank by quality density
+    * — E9 quality per token — and take documents until the budget is
+    * exhausted; the greedy is the standard density heuristic for
+    * knapsack when items are small vs capacity). Deterministic: density
+    * rounded to 6 then (density, doc_id) total order, exact BIGINT
+    * token cumsum decides the cut.
+    *
+    * Scale shape: one scan computes density; the global order is ONE
+    * sort of (density, doc_id, n_toks) THIN rows — at 100 TB the same
+    * cut comes from the E25/E13d two-pass bucket-offset cumsum
+    * (density-band bucket counts broadcast, rank within bucket), so no
+    * single task ever holds the corpus order.
+    */
+  def qualitySelect(spark: SparkSession, dir: String,
+                    budgetTokens: Long = 6000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        round(graft.functions.TextFns.qualityScore(col("text")), 4).as("quality"))
+      .withColumn("density",
+        round(col("quality") / col("n_toks"), 6))
+    val w = Window.orderBy(col("density").desc, col("doc_id"))
+    docs
+      .withColumn("sel_rank", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_toks")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col("doc_id"), col("n_toks"), col("quality"), col("density"),
+        col("sel_rank"), col("cum_tokens"))
+      .orderBy(col("sel_rank"))
+  }
+
+  val qualitySelectSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |q AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_toks,
+      |    round(ln(CAST(len(w) AS DOUBLE) + 1)
+      |      * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
+      |      * (1.0 - CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(w)), 4) AS quality
+      |  FROM t),
+      |d AS (
+      |  SELECT *, round(quality / n_toks, 6) AS density FROM q),
+      |r AS (
+      |  SELECT *,
+      |    CAST(row_number() OVER (ORDER BY density DESC, doc_id) AS BIGINT) AS sel_rank,
+      |    CAST(sum(n_toks) OVER (ORDER BY density DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      |  FROM d)
+      |SELECT doc_id, n_toks, quality, density, sel_rank, cum_tokens
+      |FROM r WHERE cum_tokens <= 6000
+      |ORDER BY sel_rank""".stripMargin
 
   /** E14 — quality-filter battery (Gopher-style rules, Rae et al. 2021,
     * public): word-count bounds, mean-word-length bounds, symbol ratio,
@@ -2009,6 +2064,76 @@ object Curation {
         sum(when(col("norm") === col("text"), 1L).otherwise(0L)).as("n_restored"))
       .orderBy(col("source"))
   }
+
+  /** E44 — encoding-artifact repair (the ftfy-class pass web corpora
+    * run before anything else: double-encoded UTF-8 read back as
+    * latin-1/cp1252 litters text with "Ã©"-style digraphs, smart
+    * punctuation arrives as "â€™", NBSP as "Â ", and stray control
+    * bytes break tokenizers; public reference: the ftfy
+    * "fixes-by-example" catalogue). Like E93 the dirt is planted
+    * deterministically by doc band next to its INTENDED form, so both
+    * engines reproduce corruption, repair, and the restored check; the
+    * repair battery itself is four codegen'd string rewrites — linear
+    * in corpus bytes, no shuffle before the summary.
+    */
+  def mojibakeRepair(spark: SparkSession, dir: String): DataFrame = {
+    val intended = when(col("doc_id") % 5 === 0, regexp_replace(col("text"), "e", "é"))
+      .when(col("doc_id") % 5 === 1, regexp_replace(col("text"), "a", "’"))
+      .otherwise(col("text"))
+    val dirty = when(col("doc_id") % 5 === 0, regexp_replace(col("text"), "e", "Ã©"))
+      .when(col("doc_id") % 5 === 1, regexp_replace(col("text"), "a", "â€™"))
+      .when(col("doc_id") % 5 === 2, regexp_replace(col("text"), " ", "Â "))
+      .when(col("doc_id") % 5 === 3, concat(col("text"), lit("\u0007\u0001")))
+      .otherwise(col("text"))
+    def repair(c: Column): Column =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(c, "Ã©", "é"),
+            "â€™", "’"),
+          "Â ", " "),
+        "[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")
+    Tables.documents(spark, dir)
+      .withColumn("intended", intended)
+      .withColumn("dirty", dirty)
+      .withColumn("repaired", repair(col("dirty")))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("dirty") =!= col("intended"), 1L).otherwise(0L)).as("n_corrupted"),
+        sum(when(col("repaired") =!= col("dirty"), 1L).otherwise(0L)).as("n_fixed"),
+        sum(when(col("repaired") === col("intended"), 1L).otherwise(0L)).as("n_restored"),
+        sum(length(col("dirty")) - length(col("repaired"))).cast("long").as("chars_removed"))
+      .orderBy(col("source"))
+  }
+
+  val mojibakeRepairSql: String =
+    """WITH t AS (
+      |  SELECT source, doc_id, text,
+      |    CASE WHEN doc_id % 5 = 0 THEN replace(text, 'e', 'é')
+      |         WHEN doc_id % 5 = 1 THEN replace(text, 'a', '’')
+      |         ELSE text END AS intended,
+      |    CASE WHEN doc_id % 5 = 0 THEN replace(text, 'e', 'Ã©')
+      |         WHEN doc_id % 5 = 1 THEN replace(text, 'a', 'â€™')
+      |         WHEN doc_id % 5 = 2 THEN replace(text, ' ', 'Â ')
+      |         WHEN doc_id % 5 = 3 THEN text || chr(7) || chr(1)
+      |         ELSE text END AS dirty
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, intended, dirty,
+      |    regexp_replace(
+      |      replace(replace(replace(dirty, 'Ã©', 'é'), 'â€™', '’'), 'Â ', ' '),
+      |      '[\x01-\x08\x0B\x0C\x0E-\x1F]', '', 'g') AS repaired
+      |  FROM t)
+      |SELECT source,
+      |  count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN dirty <> intended THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupted,
+      |  CAST(sum(CASE WHEN repaired <> dirty THEN 1 ELSE 0 END) AS BIGINT) AS n_fixed,
+      |  CAST(sum(CASE WHEN repaired = intended THEN 1 ELSE 0 END) AS BIGINT) AS n_restored,
+      |  CAST(sum(length(dirty) - length(repaired)) AS BIGINT) AS chars_removed
+      |FROM r
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
 
   val textNormalizeSql: String =
     """WITH t AS (
