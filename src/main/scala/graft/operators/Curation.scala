@@ -490,6 +490,86 @@ object Curation {
       |FROM r WHERE cum_tokens <= 6000
       |ORDER BY sel_rank""".stripMargin
 
+  /** E100 — session-transcript materialization (the agent-trajectory /
+    * chat-SFT shape: sessionize an event stream per user on an
+    * inactivity gap, render each event as a typed turn, assemble turns
+    * in event-time order into one transcript per session, and truncate
+    * at the context cap — exactly how interaction logs become
+    * supervised trajectories). Determinism: (ts, event_id) total order
+    * inside a session (the C75 tiebreak), fixed-point decimal turn
+    * rendering (the B-tier syslog lesson: a raw double cast goes
+    * scientific off-range), exact micro-second gap arithmetic.
+    *
+    * Scale shape: ONE shuffle on user_id drives both windows (gap
+    * lag + cumsum, then per-session rank — same partitioning, Catalyst
+    * reuses the exchange); the transcript is a per-session bounded
+    * aggregate (≤ maxTurns rendered turns survive the cap), so state
+    * never exceeds cap × turn bytes per group.
+    */
+  def sessionTranscripts(spark: SparkSession, dir: String,
+                         gapMin: Int = 30, maxTurns: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        concat(lit("["), col("event_type"), lit("] v="),
+          col("value").cast("decimal(10,2)").cast("string")).as("turn"))
+    val gapUs = gapMin * 60L * 1000000L
+    val ws = Window.partitionBy(col("user_id"), col("session_no"))
+      .orderBy(col("us"), col("event_id"))
+    ev
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        (col("prev").isNull || col("us") - col("prev") > gapUs).cast("long"))
+      .withColumn("session_no", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("turn_rank", row_number().over(ws))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(when(col("turn_rank") <= maxTurns, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("turn_rank") <= maxTurns,
+            struct(col("us"), col("event_id"), col("turn"))))),
+          s => s.getField("turn")), " | ").as("transcript"),
+        min(col("us")).as("min_us"), max(col("us")).as("max_us"))
+      .select(col("user_id"), col("session_no"), col("n_turns"), col("n_kept"),
+        (col("n_turns") > maxTurns).as("truncated"), col("transcript"),
+        expr("(max_us - min_us) div 1000000").as("span_sec"))
+      .orderBy(col("user_id"), col("session_no"))
+  }
+
+  val sessionTranscriptsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    '[' || event_type || '] v=' ||
+      |      CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) AS turn
+      |  FROM events),
+      |s AS (
+      |  SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+      |                 THEN 1 ELSE 0 END AS new_s
+      |  FROM (SELECT *, lag(us) OVER (PARTITION BY user_id
+      |                                ORDER BY us, event_id) AS prev FROM e)),
+      |s2 AS (
+      |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+      |      ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+      |  FROM s),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, session_no
+      |                               ORDER BY us, event_id) AS turn_rank
+      |  FROM s2)
+      |SELECT user_id, session_no,
+      |  count(*) AS n_turns,
+      |  CAST(sum(CASE WHEN turn_rank <= 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  count(*) > 16 AS truncated,
+      |  coalesce(string_agg(turn, ' | ' ORDER BY us, event_id)
+      |    FILTER (WHERE turn_rank <= 16), '') AS transcript,
+      |  (max(us) - min(us)) // 1000000 AS span_sec
+      |FROM r
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   /** E14 — quality-filter battery (Gopher-style rules, Rae et al. 2021,
     * public): word-count bounds, mean-word-length bounds, symbol ratio,
     * stopword presence. Flags are kept per-rule (a real pipeline audits

@@ -112,6 +112,9 @@ BNLJ_ALLOWED = {
     "q_ldiversity": "one-row customer-total broadcast (Curation.scala:1719)",
     "q_shard_manifest": "one-row token-total broadcast over nShards=16 rows "
                         "(Curation.scala:1773)",
+    "q_dedup_candidates": "one-row bucket-stats and pair-stats broadcasts "
+                          "crossed into the one-row summary (E20e audit; "
+                          "every side is a single-row aggregate)",
 }
 
 
