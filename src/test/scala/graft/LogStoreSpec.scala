@@ -815,4 +815,30 @@ class LogStoreSpec extends AnyFunSuite {
     assert(LogStore.deleteByQuery(spark, root, col("status") === 999L) == 0L)
     assert(spark.read.parquet(root).count() == 50)
   }
+
+  test("epoch fold: crash between the whole-root renames is recovered from the .pre-fold parking") {
+    val base = Files.createTempDirectory("graft-fold").toString
+    val root = s"$base/logs"
+    def batch(n: Int) = spark.range(n).select(
+      concat(lit("10.3.0."), col("id")).as("ip"),
+      lit(java.sql.Timestamp.valueOf("2024-04-01 00:00:00")).as("ts"),
+      lit(200L).as("status"), lit("ec2").as("source"))
+    graft.streaming.LogPipeline.idempotentBatchWrite(
+      batch(30), root, 0, Seq("log_date", "source"))
+    graft.streaming.LogPipeline.idempotentBatchWrite(
+      batch(20), root, 1, Seq("log_date", "source"))
+    assert(spark.read.parquet(root).count() == 50)
+    // simulate the fold crash window: root parked, replacement not moved in
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(root),
+      new org.apache.hadoop.fs.Path(s"$root.pre-fold")))
+    // next fold restores the parking FIRST, then folds to the date layout
+    assert(LogStore.foldEpochs(spark, root))
+    val folded = spark.read.parquet(root)
+    assert(folded.count() == 50 && !folded.columns.contains("epoch"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root.pre-fold")))
+    // idempotent: a date-layout store folds as a no-op
+    assert(!LogStore.foldEpochs(spark, root))
+  }
 }
