@@ -141,8 +141,18 @@ object LogPipeline {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
-        idempotentBatchWrite(batch.filter(col("valid")).drop("valid", "line"),
-          s"$outDir/logs", batchId, Seq("log_date", "source"))
+        // A5c: bounded-retry delivery; a batch the store refuses lands
+        // whole (with the error) in the delivery dead-letter area
+        // instead of stalling the stream
+        deliverWithRetry(batch.filter(col("valid")).drop("valid", "line")) {
+          b => idempotentBatchWrite(b, s"$outDir/logs", batchId,
+            Seq("log_date", "source"))
+        } { (b, e) =>
+          idempotentBatchWrite(
+            b.withColumn("delivery_error",
+              lit(Option(e.getMessage).getOrElse(e.getClass.getName))),
+            s"$outDir/delivery_dlq", batchId, Seq.empty)
+        }
         idempotentBatchWrite(batch.filter(!col("valid"))
           .select(col("source"), col("line")),
           s"$outDir/dlq", batchId, Seq.empty)
@@ -161,6 +171,36 @@ object LogPipeline {
     * as one more partition column; downstream compaction (A8) folds
     * epochs into the date layout on its own schedule.
     */
+  /** A5c — delivery-failure dead-lettering (the OTHER half of the
+    * reference's failure handling: A5's DLQ catches PARSE failures,
+    * while Firehose `retryOptions` + `s3BackupMode:
+    * 'FailedDocumentsOnly'` (utils.ts:57-68) also catch DELIVERY
+    * failures — a sink that refuses the write). Bounded retries with
+    * linear backoff; a batch that still fails is diverted WHOLE to the
+    * dead-letter writer so the stream keeps moving and nothing is
+    * silently dropped. Returns true when the primary write landed. If
+    * the dead-letter write itself fails, the exception propagates —
+    * the micro-batch fails and the checkpoint replays it, the correct
+    * last resort.
+    */
+  def deliverWithRetry(batch: DataFrame, retries: Int = 2,
+                       backoffMs: Long = 100L)
+                      (write: DataFrame => Unit)
+                      (deadLetter: (DataFrame, Throwable) => Unit): Boolean = {
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt <= retries) {
+      try { write(batch); return true }
+      catch { case e: Throwable =>
+        lastErr = e
+        attempt += 1
+        if (attempt <= retries) Thread.sleep(backoffMs * attempt)
+      }
+    }
+    deadLetter(batch, lastErr)
+    false
+  }
+
   def idempotentBatchWrite(batch: DataFrame, root: String, batchId: Long,
                            partitionCols: Seq[String] = Seq("log_date")): Unit = {
     val dated =

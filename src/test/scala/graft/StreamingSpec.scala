@@ -174,6 +174,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(err.contains("kafka"), s"unexpected failure: $err")
   }
 
+  test("delivery retry + dead-letter: transient failure retries through, persistent failure diverts whole batch (A5c)") {
+    val df = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    // transient: first two attempts refused, third lands
+    var attempts = 0
+    var delivered: Long = -1
+    val ok = LogPipeline.deliverWithRetry(df, retries = 2, backoffMs = 1) { b =>
+      attempts += 1
+      if (attempts < 3) sys.error("store refused the write")
+      delivered = b.count()
+    } { (_, _) => fail("must not dead-letter a transiently failing write") }
+    assert(ok && attempts == 3 && delivered == 2)
+
+    // persistent: all attempts fail, the WHOLE batch reaches the
+    // dead-letter writer with the error
+    var dead: Option[(Long, String)] = None
+    val ok2 = LogPipeline.deliverWithRetry(df, retries = 1, backoffMs = 1) { _ =>
+      sys.error("disk full")
+    } { (b, e) => dead = Some((b.count(), e.getMessage)) }
+    assert(!ok2 && dead.contains((2L, "disk full")))
+
+    // wired into the DEFAULT ingest path: a read-only logs dir refuses
+    // the epoch write and the batch lands in delivery_dlq instead
+    val in = tmpDir("in-dlq"); val out = tmpDir("out-dlq")
+    Files.createDirectories(Paths.get(s"$in/ec2"))
+    Files.writeString(Paths.get(s"$in/ec2/a.log"), s"$goodLine\n")
+    // a FILE at the logs path makes the directory write fail
+    Files.writeString(Paths.get(s"$out/logs"), "not a directory")
+    LogPipeline.startIngest(spark, in, out, tmpDir("ckpt-dlq")).awaitTermination()
+    val dlq = spark.read.parquet(s"$out/delivery_dlq")
+    assert(dlq.count() == 1)
+    assert(dlq.columns.contains("delivery_error"))
+  }
+
   test("KinesisLines binding: stream-per-source expansion, contract projection, DataSource resolution (A3b)") {
     import graft.streaming.KinesisLines
     val kin = KinesisLines(region = "eu-west-1", startingPosition = "TRIM_HORIZON")
