@@ -570,6 +570,71 @@ object Curation {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** E101 — preference-pair construction (the DPO/RLHF data shape:
+    * (chosen, rejected) document pairs with a quality margin — built
+    * here from the E9 scalar judge the way weak-supervision pipelines
+    * bootstrap preference data before human labels exist; public
+    * anchor: Rafailov et al. 2023 consume exactly this pair schema).
+    * Within each language the i-th best document pairs with the i-th
+    * worst (maximal-margin matching under a rank bijection), pairs
+    * below the margin floor drop, and a document never appears on both
+    * sides (the top/bottom halves are disjoint by construction).
+    *
+    * Scale shape: two window ranks over the SAME (lang)-partitioned
+    * order + one equi-join on (lang, pair_rank) — rank rows are thin;
+    * the self-join key is the rank, so no pair blow-up is possible.
+    */
+  def preferencePairs(spark: SparkSession, dir: String,
+                      minMargin: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        round(graft.functions.TextFns.qualityScore(col("text")), 4).as("q"))
+    val best = Window.partitionBy(col("lang")).orderBy(col("q").desc, col("doc_id"))
+    val worst = Window.partitionBy(col("lang")).orderBy(col("q").asc, col("doc_id").desc)
+    val ranked = scored
+      .withColumn("r_best", row_number().over(best).cast("long"))
+      .withColumn("r_worst", row_number().over(worst).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+    val chosen = ranked.filter(col("r_best") <= expr("n div 2"))
+      .select(col("lang"), col("r_best").as("pair_rank"),
+        col("doc_id").as("chosen_id"), col("q").as("chosen_q"))
+    val rejected = ranked.filter(col("r_worst") <= expr("n div 2"))
+      .select(col("lang"), col("r_worst").as("pair_rank"),
+        col("doc_id").as("rejected_id"), col("q").as("rejected_q"))
+    chosen.join(rejected, Seq("lang", "pair_rank"))
+      .withColumn("margin", round(col("chosen_q") - col("rejected_q"), 4))
+      .filter(col("margin") >= minMargin)
+      .select(col("lang"), col("pair_rank"), col("chosen_id"), col("chosen_q"),
+        col("rejected_id"), col("rejected_q"), col("margin"))
+      .orderBy(col("lang"), col("pair_rank"))
+  }
+
+  val preferencePairsSql: String =
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      |s AS (
+      |  SELECT doc_id, lang,
+      |    round(ln(CAST(len(w) AS DOUBLE) + 1)
+      |      * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
+      |      * (1.0 - CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(w)), 4) AS q
+      |  FROM t),
+      |r AS (
+      |  SELECT *,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS BIGINT) AS r_best,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY q ASC, doc_id DESC) AS BIGINT) AS r_worst,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM s),
+      |c AS (SELECT lang, r_best AS pair_rank, doc_id AS chosen_id, q AS chosen_q
+      |      FROM r WHERE r_best <= n // 2),
+      |j AS (SELECT lang, r_worst AS pair_rank, doc_id AS rejected_id, q AS rejected_q
+      |      FROM r WHERE r_worst <= n // 2)
+      |SELECT c.lang AS lang, c.pair_rank AS pair_rank,
+      |  chosen_id, chosen_q, rejected_id, rejected_q,
+      |  round(chosen_q - rejected_q, 4) AS margin
+      |FROM c JOIN j ON c.lang = j.lang AND c.pair_rank = j.pair_rank
+      |WHERE round(chosen_q - rejected_q, 4) >= 0.5
+      |ORDER BY c.lang, c.pair_rank""".stripMargin
+
   /** E14 — quality-filter battery (Gopher-style rules, Rae et al. 2021,
     * public): word-count bounds, mean-word-length bounds, symbol ratio,
     * stopword presence. Flags are kept per-rule (a real pipeline audits
