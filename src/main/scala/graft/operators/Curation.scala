@@ -2299,4 +2299,90 @@ object Curation {
       |FROM n
       |GROUP BY source
       |ORDER BY source""".stripMargin
+
+  /** E103 — fill-in-the-middle restructuring (Bavarian et al. 2022,
+    * arXiv:2207.14255: move a random middle span to the end so an
+    * autoregressive model learns infilling "for free"; the transform
+    * every code-model data pipeline applies at ~0.5 rate). Per doc the
+    * two cut points and the PSM-vs-SPM choice derive from md5 of the
+    * doc id (the E16 mask-v1 device), so the restructuring is a pure
+    * deterministic projection: same doc → same split on any run, any
+    * partitioning, any engine. Docs under the minimum length pass
+    * through in plain autoregressive form, as do the (1 - fim_rate)
+    * unselected docs. Sentinel layout follows the paper: PSM =
+    * pre+suf+mid, SPM = suf+pre+mid (mid always last so the model
+    * completes it).
+    *
+    * Scale shape: one scan, zero exchanges — every column is codegen'd
+    * string/hash arithmetic in the projection; at 100 TB this runs at
+    * source parallelism and the sink sees the same row count in.
+    */
+  def fimSplit(spark: SparkSession, dir: String): DataFrame = {
+    val n = length(col("text"))
+    val hMode = conv(substring(md5(concat(lit("fim-v1:"), col("doc_id"))), 1, 4), 16, 10)
+      .cast("long")
+    val span = greatest(n - 1, lit(1))
+    val c1 = lit(1) + conv(substring(md5(concat(lit("fimc1-v1:"), col("doc_id"))), 1, 6), 16, 10)
+      .cast("long") % span
+    val c2 = lit(1) + conv(substring(md5(concat(lit("fimc2-v1:"), col("doc_id"))), 1, 6), 16, 10)
+      .cast("long") % span
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    val fimmed = n >= 10 && hMode % 100 < 50
+    // (h % 200) >= 100  ⟺  floor(h/100) is odd — the SPM coin
+    val spm = hMode % 200 >= 100
+    val pre = expr("substring(text, 1, CAST(cut_lo AS INT))")
+    val mid = expr("substring(text, CAST(cut_lo AS INT) + 1, CAST(cut_hi - cut_lo AS INT))")
+    val suf = expr("substring(text, CAST(cut_hi AS INT) + 1)")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), n.cast("long").as("n_chars_in"),
+        when(fimmed, when(spm, lit("spm")).otherwise(lit("psm")))
+          .otherwise(lit("ar")).as("mode"),
+        when(fimmed, lo).otherwise(lit(0L)).as("cut_lo"),
+        when(fimmed, hi).otherwise(lit(0L)).as("cut_hi"))
+      .select(col("doc_id"), col("mode"), col("cut_lo"), col("cut_hi"),
+        when(col("mode") === "psm",
+          concat(lit("<|fim_pre|>"), pre, lit("<|fim_suf|>"), suf, lit("<|fim_mid|>"), mid))
+          .when(col("mode") === "spm",
+            concat(lit("<|fim_suf|>"), suf, lit("<|fim_pre|>"), pre, lit("<|fim_mid|>"), mid))
+          .otherwise(col("text")).as("rendered"),
+        (col("cut_hi") - col("cut_lo")).as("n_middle"),
+        col("n_chars_in"))
+      .withColumn("n_chars_out", length(col("rendered")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  val fimSplitSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |    ('0x' || substr(md5('fim-v1:' || doc_id), 1, 4))::BIGINT AS h_mode,
+      |    1 + ('0x' || substr(md5('fimc1-v1:' || doc_id), 1, 6))::BIGINT % greatest(length(text) - 1, 1) AS c1,
+      |    1 + ('0x' || substr(md5('fimc2-v1:' || doc_id), 1, 6))::BIGINT % greatest(length(text) - 1, 1) AS c2
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, text, n,
+      |    CASE WHEN n >= 10 AND h_mode % 100 < 50
+      |         THEN CASE WHEN (h_mode % 200) >= 100 THEN 'spm' ELSE 'psm' END
+      |         ELSE 'ar' END AS mode,
+      |    CASE WHEN n >= 10 AND h_mode % 100 < 50 THEN least(c1, c2) ELSE 0 END AS cut_lo,
+      |    CASE WHEN n >= 10 AND h_mode % 100 < 50 THEN greatest(c1, c2) ELSE 0 END AS cut_hi
+      |  FROM b),
+      |r AS (
+      |  SELECT doc_id, mode, cut_lo, cut_hi,
+      |    CASE WHEN mode = 'psm' THEN
+      |           '<|fim_pre|>' || substr(text, 1, CAST(cut_lo AS INT))
+      |        || '<|fim_suf|>' || substr(text, CAST(cut_hi AS INT) + 1)
+      |        || '<|fim_mid|>' || substr(text, CAST(cut_lo AS INT) + 1, CAST(cut_hi - cut_lo AS INT))
+      |         WHEN mode = 'spm' THEN
+      |           '<|fim_suf|>' || substr(text, CAST(cut_hi AS INT) + 1)
+      |        || '<|fim_pre|>' || substr(text, 1, CAST(cut_lo AS INT))
+      |        || '<|fim_mid|>' || substr(text, CAST(cut_lo AS INT) + 1, CAST(cut_hi - cut_lo AS INT))
+      |         ELSE text END AS rendered,
+      |    cut_hi - cut_lo AS n_middle,
+      |    CAST(n AS BIGINT) AS n_chars_in
+      |  FROM c)
+      |SELECT doc_id, mode, cut_lo, cut_hi, rendered, n_middle, n_chars_in,
+      |  CAST(length(rendered) AS BIGINT) AS n_chars_out
+      |FROM r
+      |ORDER BY doc_id""".stripMargin
 }

@@ -68,4 +68,56 @@ class CorpusAuditSpec extends AnyFunSuite {
       assert(out((qid, 1L)) == maxsim(qt, Seq("scan")))
     }
   }
+
+  test("bradley-terry: undefeated source ranks first, winless last; matrix columns exact (E104)") {
+    // all-distinct words, no stopwords -> q = ln(n_words+1), monotone in
+    // word count; quality order is doc 0 > 1 > ... > 5. Adjacent cross-
+    // source matches: doc1(s1) beats doc2(s2), doc3(s2) beats doc4(s3).
+    writeDocs("/tmp/ca_bt", Seq(
+      (0L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", "en", "s1"),
+      (1L, "v1 v2 v3 v4 v5 v6 v7 v8", "en", "s1"),
+      (2L, "u1 u2 u3 u4 u5 u6", "en", "s2"),
+      (3L, "t1 t2 t3 t4 t5", "en", "s2"),
+      (4L, "r1 r2 r3 r4", "en", "s3"),
+      (5L, "p1 p2 p3", "en", "s3")))
+    val rows = graft.operators.Preference.bradleyTerry(spark, "/tmp/ca_bt").collect()
+    val bySrc = rows.map(r => r.getString(0) ->
+      (r.getAs[Long]("wins"), r.getAs[Long]("games"), r.getAs[Long]("strength"),
+        r.getAs[Long]("bt_rank"))).toMap
+    assert(bySrc("s1") == ((1L, 1L, bySrc("s1")._3, 1L)))
+    assert(bySrc("s2") == ((1L, 2L, bySrc("s2")._3, 2L)))
+    assert(bySrc("s3") == ((0L, 1L, bySrc("s3")._3, 3L)))
+    assert(bySrc("s1")._3 > bySrc("s2")._3 && bySrc("s2")._3 > bySrc("s3")._3)
+    // deterministic: a rerun reproduces the fit bit-for-bit
+    val again = graft.operators.Preference.bradleyTerry(spark, "/tmp/ca_bt").collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("fim split: sentinel reassembly restores the doc; modes and lengths consistent (E103)") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.operators.Curation.fimSplit(spark, dir).collect()
+    val modes = rows.map(_.getAs[String]("mode")).toSet
+    assert(modes == Set("psm", "spm", "ar"))
+    val orig = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val (id, mode, rend) = (r.getAs[Long]("doc_id"),
+        r.getAs[String]("mode"), r.getAs[String]("rendered"))
+      val nIn = r.getAs[Long]("n_chars_in"); val nOut = r.getAs[Long]("n_chars_out")
+      mode match {
+        case "ar" =>
+          assert(rend == orig(id) && nOut == nIn)
+        case "psm" =>
+          val m = "(?s)^<\\|fim_pre\\|>(.*)<\\|fim_suf\\|>(.*)<\\|fim_mid\\|>(.*)$".r
+          val m(pre, suf, mid) = rend
+          assert(pre + mid + suf == orig(id) && nOut == nIn + 33)
+          assert(mid.length == r.getAs[Long]("n_middle"))
+        case "spm" =>
+          val m = "(?s)^<\\|fim_suf\\|>(.*)<\\|fim_pre\\|>(.*)<\\|fim_mid\\|>(.*)$".r
+          val m(suf, pre, mid) = rend
+          assert(pre + mid + suf == orig(id) && nOut == nIn + 33)
+      }
+    }
+  }
 }
