@@ -1,0 +1,266 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** SFT / instruction-tuning data shaping tier: the operators that turn
+  * interaction logs into supervised chat training data — rendered
+  * transcripts with LOSS-MASK spans (train on assistant turns only),
+  * role-sequence format validation, and best-of-n rejection-sampling
+  * selection. Public anchors: Ouyang et al. 2022 (InstructGPT SFT
+  * masking), Touvron et al. 2023 (Llama 2 rejection sampling),
+  * Zheng et al. 2023 (chat-template conventions).
+  *
+  * Reference tie-in: the sample's interaction events land in the same
+  * unified log store these operators read (aws-samples
+  * unified-log-aggregation-and-analytics README:16 — one aggregated
+  * event stream); the SFT shaping is the downstream consumer a
+  * training pipeline bolts onto that store.
+  */
+object SftData {
+
+  private val GapUs = 30L * 60L * 1000000L // 30-min inactivity gap (E100)
+  private val MaxTurns = 16                // context cap (E100)
+
+  /** Role projection: the interaction log's event types map onto chat
+    * roles (requests → user, system responses → assistant). Pure
+    * column CASE — deterministic on any engine.
+    */
+  private def roleOf(eventType: org.apache.spark.sql.Column) =
+    when(eventType.isin("click", "view", "signup"), "user")
+      .otherwise("assistant") // purchase, error: system-emitted outcomes
+
+  /** Shared sessionize + turn rendering (the E100 machinery): gap
+    * sessionize per user, (us, event_id) total order, fixed-point
+    * decimal value rendering, context-cap truncation.
+    */
+  private def turns(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"),
+        concat(roleOf(col("event_type")), lit(": ["), col("event_type"),
+          lit("] v="), col("value").cast("decimal(10,2)").cast("string")).as("turn"),
+        roleOf(col("event_type")).as("role"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        (col("prev").isNull || col("us") - col("prev") > GapUs).cast("long"))
+      .withColumn("session_no", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("turn_rank", row_number().over(
+        Window.partitionBy(col("user_id"), col("session_no"))
+          .orderBy(col("us"), col("event_id"))))
+      .filter(col("turn_rank") <= MaxTurns)
+  }
+
+  private val turnsSql: String =
+    """e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+      |    CASE WHEN event_type IN ('click','view','signup')
+      |         THEN 'user' ELSE 'assistant' END AS role,
+      |    (CASE WHEN event_type IN ('click','view','signup')
+      |          THEN 'user' ELSE 'assistant' END)
+      |      || ': [' || event_type || '] v='
+      |      || CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) AS turn
+      |  FROM events),
+      |s AS (
+      |  SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+      |                 THEN 1 ELSE 0 END AS new_s
+      |  FROM (SELECT *, lag(us) OVER (PARTITION BY user_id
+      |                                ORDER BY us, event_id) AS prev FROM e)),
+      |s2 AS (
+      |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+      |      ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+      |  FROM s),
+      |t AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, session_no
+      |                                 ORDER BY us, event_id) AS turn_rank
+      |    FROM s2)
+      |  WHERE turn_rank <= 16)""".stripMargin
+
+  /** E105 — loss-mask span materialization (the SFT masking contract:
+    * the model trains on ASSISTANT tokens only; user/system turns are
+    * context with loss weight 0 — Ouyang et al. 2022 §3.5's supervised
+    * fine-tuning setup, and the `train_on_inputs=false` convention of
+    * every public SFT trainer). Renders each session's transcript
+    * (newline-joined typed turns) and emits the character spans the
+    * loss applies to — `start-end` offsets of every assistant turn in
+    * the rendered string — plus the mask ratio in exact basis points.
+    *
+    * Determinism: offsets are exact-integer prefix sums of rendered
+    * turn lengths over the (us, event_id) total order; the mask ratio
+    * is an integer floor division — nothing floats.
+    *
+    * Scale shape: the ONE user_id exchange drives gap-lag, session
+    * cumsum, per-session rank AND the offset prefix sum (same
+    * partitioning, Spark reuses the exchange); the span aggregate is
+    * bounded at cap × turn bytes per group, same as the transcript.
+    */
+  def lossMask(spark: SparkSession, dir: String): DataFrame = {
+    val ws = Window.partitionBy(col("user_id"), col("session_no"))
+      .orderBy(col("us"), col("event_id"))
+    turns(spark, dir)
+      .withColumn("tlen", length(col("turn")).cast("long"))
+      .withColumn("start",
+        coalesce(sum(col("tlen") + 1).over(
+          ws.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("end", col("start") + col("tlen"))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        (sum(col("tlen")) + count(lit(1)) - 1L).as("total_chars"),
+        coalesce(sum(when(col("role") === "assistant", col("tlen"))), lit(0L))
+          .as("train_chars"),
+        array_join(transform(
+          filter(
+            array_sort(collect_list(struct(col("us"), col("event_id"),
+              col("role"),
+              concat(col("start").cast("string"), lit("-"),
+                col("end").cast("string")).as("span")))),
+            s => s.getField("role") === "assistant"),
+          s => s.getField("span")), ";").as("train_spans"))
+      .withColumn("mask_bp",
+        expr("train_chars * 10000 div total_chars"))
+      .select(col("user_id"), col("session_no"), col("n_turns"),
+        col("total_chars"), col("train_chars"), col("mask_bp"),
+        col("train_spans"))
+      .orderBy(col("user_id"), col("session_no"))
+  }
+
+  val lossMaskSql: String =
+    s"WITH $turnsSql,\n" +
+    """o AS (
+      |  SELECT *, length(turn) AS tlen,
+      |    CAST(coalesce(sum(length(turn) + 1) OVER (
+      |      PARTITION BY user_id, session_no ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s_off
+      |  FROM t)
+      |SELECT user_id, session_no,
+      |  count(*) AS n_turns,
+      |  CAST(sum(tlen) + count(*) - 1 AS BIGINT) AS total_chars,
+      |  CAST(coalesce(sum(tlen) FILTER (WHERE role = 'assistant'), 0) AS BIGINT)
+      |    AS train_chars,
+      |  CAST(coalesce(sum(tlen) FILTER (WHERE role = 'assistant'), 0) * 10000
+      |    // (sum(tlen) + count(*) - 1) AS BIGINT) AS mask_bp,
+      |  coalesce(string_agg(s_off || '-' || (s_off + tlen), ';' ORDER BY us, event_id)
+      |    FILTER (WHERE role = 'assistant'), '') AS train_spans
+      |FROM o
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** E106 — chat-format validation (the QA gate every SFT pipeline
+    * runs before training: roles must alternate, a conversation must
+    * not OPEN with the assistant, and a session with no assistant turn
+    * teaches nothing — sessions failing any rule are dropped or
+    * repaired upstream of the trainer; the validator every public chat
+    * template implementation ships).
+    *
+    * Scale shape: one lag over the already-paid session window + one
+    * map-side-combined aggregate; flags are exact integer counts.
+    */
+  def chatValidate(spark: SparkSession, dir: String): DataFrame = {
+    val ws = Window.partitionBy(col("user_id"), col("session_no"))
+      .orderBy(col("us"), col("event_id"))
+    turns(spark, dir)
+      .withColumn("prev_role", lag(col("role"), 1).over(ws))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        coalesce(sum((col("role") === col("prev_role")).cast("long")), lit(0L))
+          .as("n_breaks"),
+        max(when(col("turn_rank") === 1,
+          (col("role") === "assistant").cast("long"))).as("opens_assistant_i"),
+        max((col("role") === "assistant").cast("long")).as("has_assistant_i"))
+      .select(col("user_id"), col("session_no"), col("n_turns"),
+        col("n_breaks"),
+        (col("opens_assistant_i") === 1L).as("opens_assistant"),
+        (col("has_assistant_i") === 1L).as("has_assistant"),
+        (col("n_breaks") === 0L && col("opens_assistant_i") === 0L &&
+          col("has_assistant_i") === 1L).as("valid"))
+      .orderBy(col("user_id"), col("session_no"))
+  }
+
+  val chatValidateSql: String =
+    s"WITH $turnsSql,\n" +
+    """v AS (
+      |  SELECT *, lag(role) OVER (PARTITION BY user_id, session_no
+      |                            ORDER BY us, event_id) AS prev_role
+      |  FROM t)
+      |SELECT user_id, session_no,
+      |  count(*) AS n_turns,
+      |  CAST(coalesce(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |    AS n_breaks,
+      |  max(CASE WHEN turn_rank = 1 AND role = 'assistant' THEN 1 ELSE 0 END) = 1
+      |    AS opens_assistant,
+      |  max(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) = 1 AS has_assistant,
+      |  coalesce(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END), 0) = 0
+      |    AND max(CASE WHEN turn_rank = 1 AND role = 'assistant' THEN 1 ELSE 0 END) = 0
+      |    AND max(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) = 1 AS valid
+      |FROM v
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** E107 — best-of-n rejection-sampling selection (Touvron et al.
+    * 2023 §3.2.2 / RFT: per prompt, sample n candidates, keep the
+    * highest-reward one above a floor — the selection that turns a
+    * scored candidate pool into an SFT corpus). Candidate pools are
+    * the deterministic md5 prompt-groups within a language (the E13d2
+    * bucket device standing in for prompt ids); the reward is the E9
+    * scalar judge; the winner must clear the floor AND its margin over
+    * the runner-up is reported (low-margin wins are ambiguous labels a
+    * curator audits first).
+    *
+    * Scale shape: one scan scores; ONE (lang, grp) exchange drives the
+    * rank and the runner-up lead — group count is bounded (langs ×
+    * 16), group size corpus/groups; no self-join, no pair blow-up.
+    */
+  def rejectionSample(spark: SparkSession, dir: String,
+                      rewardFloor: Double = 1.0): DataFrame = {
+    val wg = Window.partitionBy(col("lang"), col("grp"))
+      .orderBy(col("q").desc, col("doc_id"))
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(concat(lit("rs-v1:"), col("doc_id"))), 1, 4), 16, 10)
+          .cast("long") % 16L).as("grp"),
+        round(graft.functions.TextFns.qualityScore(col("text")), 4).as("q"))
+      .withColumn("rk", row_number().over(wg))
+      .withColumn("runner_q", lead(col("q"), 1).over(wg))
+      .withColumn("n_candidates",
+        count(lit(1)).over(Window.partitionBy(col("lang"), col("grp"))))
+    scored.filter(col("rk") === 1)
+      .withColumn("margin",
+        when(col("runner_q").isNotNull, round(col("q") - col("runner_q"), 4)))
+      .select(col("lang"), col("grp"), col("n_candidates"),
+        col("doc_id").as("best_id"), col("q").as("best_q"),
+        col("runner_q"), col("margin"),
+        (col("q") >= rewardFloor).as("kept"))
+      .orderBy(col("lang"), col("grp"))
+  }
+
+  val rejectionSampleSql: String =
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      |s AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5('rs-v1:' || doc_id), 1, 4))::BIGINT % 16 AS grp,
+      |    round(ln(CAST(len(w) AS DOUBLE) + 1)
+      |      * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
+      |      * (1.0 - CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(w)), 4) AS q
+      |  FROM t),
+      |r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY lang, grp ORDER BY q DESC, doc_id) AS rk,
+      |    lead(q) OVER (PARTITION BY lang, grp ORDER BY q DESC, doc_id) AS runner_q,
+      |    count(*) OVER (PARTITION BY lang, grp) AS n_candidates
+      |  FROM s)
+      |SELECT lang, grp, n_candidates, doc_id AS best_id, q AS best_q,
+      |  runner_q,
+      |  CASE WHEN runner_q IS NOT NULL THEN round(q - runner_q, 4) END AS margin,
+      |  q >= 1.0 AS kept
+      |FROM r WHERE rk = 1
+      |ORDER BY lang, grp""".stripMargin
+}

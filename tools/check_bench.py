@@ -10,13 +10,19 @@ of a round-close eyeball.
 Usage:
   python3 tools/check_bench.py bench_out.json            # gate (exit 1 on violation)
   python3 tools/check_bench.py bench_out.json --tolerance 1.4
-  python3 tools/check_bench.py bench_out.json --update   # re-baseline from this artifact
+  python3 tools/check_bench.py runA.json [runB.json ...] --update
+      # re-baseline: elementwise MAX across the given idle artifacts
 
 Rules:
   - violation: cur > tolerance * max(budget, floor). The floor (0.15 s)
-    keeps sub-100 ms queries from tripping the gate on scheduler noise;
-    the ±10-20% documented run-to-run variance motivates the default
-    1.5x tolerance (a real regression is a multiple, not a percent).
+    keeps sub-100 ms queries from tripping the gate on scheduler noise.
+  - the budget must be the elementwise MAX over >= 2 idle round-close
+    runs: measured r11, two idle runs 30 min apart each put a DISJOINT
+    ~dozen sub-second queries past 1.5x of the other (long-tailed
+    JIT/GC timing, not regressions) — a single run's medians sit on the
+    lucky side of that noise for some queries. Against the slow-side
+    max, the default 1.5x tolerance is a real-regression detector
+    again (a real regression is a multiple, not a percent).
   - queries missing from the budget are listed as UNBUDGETED (info, not
     failure) so a round that adds entries still gates the old ones;
     rerun with --update at the idle round-close to adopt them.
@@ -50,9 +56,16 @@ def main() -> int:
         cur = json.load(f)["queries"]
 
     if update:
+        merged = dict(cur)
+        for extra in paths[1:]:
+            with open(extra) as f:
+                for name, sec in json.load(f)["queries"].items():
+                    if sec >= 0 and sec > merged.get(name, -1.0):
+                        merged[name] = sec
         with open(BUDGET_PATH, "w") as f:
-            json.dump(dict(sorted(cur.items())), f, indent=1)
-        print(f"budget re-baselined: {len(cur)} queries -> {BUDGET_PATH}")
+            json.dump(dict(sorted(merged.items())), f, indent=1)
+        print(f"budget re-baselined: {len(merged)} queries "
+              f"(elementwise max over {len(paths)} artifact(s)) -> {BUDGET_PATH}")
         return 0
 
     if not os.path.exists(BUDGET_PATH):
