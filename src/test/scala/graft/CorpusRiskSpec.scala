@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.CorpusRisk
+
+/** E108–E109: duplicated-passage exposure and DoReMi excess-loss
+  * weights on planted corpora.
+  */
+class CorpusRiskSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def writeDocs(path: String, rows: Seq[(Long, String, String, String)]): Unit =
+    rows.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$path/documents.parquet")
+
+  test("dup exposure: shared 8-gram run flags both carriers, unique doc scores zero") {
+    // docs 0 and 1 share tokens 1..9 (two 8-grams: 1..8 and 2..9);
+    // doc 0 has 10 tokens -> 3 grams, 2 shared; doc 1 has 9 -> 2, both shared
+    writeDocs("/tmp/cr_spec1", Seq(
+      (0L, "x t1 t2 t3 t4 t5 t6 t7 t8 t9", "en", "s"),
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9", "en", "s"),
+      (2L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10", "en", "s")))
+    val m = CorpusRisk.dupExposure(spark, "/tmp/cr_spec1").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_shared"),
+          r.getAs[Long]("exposure_bp")))).toMap
+    assert(m(0L) == ((3L, 2L, 6666L)))
+    assert(m(1L) == ((2L, 2L, 10000L)))
+    assert(m(2L) == ((3L, 0L, 0L)))
+  }
+
+  test("dup exposure: short doc (<8 tokens) forms one whole-doc gram") {
+    writeDocs("/tmp/cr_spec2", Seq(
+      (0L, "a b c", "en", "s"),
+      (1L, "a b c", "en", "s"),
+      (2L, "d e f", "en", "s")))
+    val m = CorpusRisk.dupExposure(spark, "/tmp/cr_spec2").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("exposure_bp")))).toMap
+    assert(m(0L) == ((1L, 10000L)))
+    assert(m(2L) == ((1L, 0L)))
+  }
+
+  test("doremi: off-distribution domain gets positive excess and an upweight over its share") {
+    // source "common" speaks the global majority language; source "odd"
+    // uses tokens rare globally but uniform within itself -> large
+    // proxy-vs-reference gap -> weight/share ratio above common's
+    val commonText = Seq.fill(30)("alpha beta gamma delta").mkString(" ")
+    writeDocs("/tmp/cr_spec3", Seq(
+      (0L, commonText, "en", "common"),
+      (1L, commonText, "en", "common"),
+      (2L, "zeta eta theta iota kappa zeta eta theta iota kappa", "en", "odd")))
+    val rows = CorpusRisk.doremiWeights(spark, "/tmp/cr_spec3").collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_toks"), r.getAs[Long]("excess_mnats"),
+          r.getAs[Double]("weight")))).toMap
+    val totalToks = rows.values.map(_._1).sum.toDouble
+    assert(math.abs(rows.values.map(_._3).sum - 1.0) < 1e-5)
+    val (nOdd, excessOdd, wOdd) = rows("odd")
+    val (nCommon, _, wCommon) = rows("common")
+    assert(excessOdd > 0L)
+    assert(wOdd / (nOdd / totalToks) > wCommon / (nCommon / totalToks))
+  }
+}
