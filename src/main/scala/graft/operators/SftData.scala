@@ -242,6 +242,115 @@ object SftData {
       .orderBy(col("lang"), col("grp"))
   }
 
+  /** E110 — MLM mask materialization (Devlin et al. 2018 §3.1: mask
+    * 15% of positions; of those 80% become [MASK], 10% a random vocab
+    * token, 10% stay — the BERT-family objective a data pipeline
+    * materializes ahead of training, the encoder-side sibling of
+    * E102's T5 span corruption). Every decision is an md5 lottery per
+    * (doc, pos) (the E16 mask-v1 device) so corruption is
+    * replay-deterministic across retries/executors; the random
+    * replacement is the vocab token at a lottery-chosen GLOBAL RANK,
+    * resolved through the E25 distributed range-rank (no
+    * single-partition vocabulary window).
+    *
+    * Scale shape: flags are one codegen'd projection over exploded
+    * positions; only the ~1.5% random-replacement arm joins the
+    * vocab (thin int rank key), rejoined on (doc, pos); the per-doc
+    * reassembly pays ONE doc-keyed exchange.
+    */
+  def mlmMasks(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("token"))
+      .withColumn("masked",
+        conv(substring(md5(concat(lit("mlm-v1:"), col("doc_id"), lit(":"), col("pos"))),
+          1, 4), 16, 10).cast("long") % 100L < 15L)
+      .withColumn("op",
+        conv(substring(md5(concat(lit("mlmop-v1:"), col("doc_id"), lit(":"), col("pos"))),
+          1, 4), 16, 10).cast("long") % 10L)
+    val vocab = Extras.rankedByRange(
+      toks.select(col("token")).distinct(), Seq("token"))
+      .select(col("token").as("repl_token"), col("rank"))
+    val nVocab = vocab.agg(count(lit(1))).first().getLong(0)
+    val repl = toks
+      .filter(col("masked") && col("op") === 8L)
+      .withColumn("rank",
+        conv(substring(md5(concat(lit("mlmr-v1:"), col("doc_id"), lit(":"), col("pos"))),
+          1, 6), 16, 10).cast("long") % nVocab + 1L)
+      .join(vocab.hint("shuffle_hash"), "rank")
+      .select(col("doc_id"), col("pos"), col("repl_token"))
+    toks.join(repl, Seq("doc_id", "pos"), "left")
+      .withColumn("new_token",
+        when(!col("masked"), col("token"))
+          .when(col("op") < 8L, lit("[MASK]"))
+          .when(col("op") === 8L, col("repl_token"))
+          .otherwise(col("token")))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_toks"),
+        coalesce(sum(col("masked").cast("long")), lit(0L)).as("n_masked"),
+        coalesce(sum((col("masked") && col("op") < 8L).cast("long")), lit(0L))
+          .as("n_mask_tok"),
+        coalesce(sum((col("masked") && col("op") === 8L).cast("long")), lit(0L))
+          .as("n_random"),
+        coalesce(sum((col("masked") && col("op") === 9L).cast("long")), lit(0L))
+          .as("n_keep"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("new_token")))),
+          s => s.getField("new_token")), " ").as("corrupted"),
+        array_join(transform(
+          filter(array_sort(collect_list(struct(col("pos"), col("masked"),
+            col("token")))), s => s.getField("masked")),
+          s => s.getField("token")), " ").as("labels"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mlmMasksSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, u.token, u.pos,
+      |    ('0x' || substr(md5('mlm-v1:' || doc_id || ':' || u.pos), 1, 4))::BIGINT
+      |      % 100 < 15 AS masked,
+      |    ('0x' || substr(md5('mlmop-v1:' || doc_id || ':' || u.pos), 1, 4))::BIGINT
+      |      % 10 AS op
+      |  FROM (SELECT doc_id,
+      |          generate_subscripts(string_split(text, ' '), 1) AS pos,
+      |          unnest(string_split(text, ' ')) AS token
+      |        FROM documents) u),
+      |vocab AS (
+      |  SELECT token AS repl_token,
+      |    row_number() OVER (ORDER BY token) AS rank
+      |  FROM (SELECT DISTINCT token FROM toks)),
+      |nv AS (SELECT count(*) AS n FROM vocab),
+      |repl AS (
+      |  SELECT doc_id, pos, repl_token
+      |  FROM (SELECT doc_id, pos,
+      |          ('0x' || substr(md5('mlmr-v1:' || doc_id || ':' || pos), 1, 6))::BIGINT
+      |            % (SELECT n FROM nv) + 1 AS rank
+      |        FROM toks WHERE masked AND op = 8)
+      |  JOIN vocab USING (rank)),
+      |r AS (
+      |  SELECT t.doc_id, t.pos, t.token, t.masked, t.op,
+      |    CASE WHEN NOT t.masked THEN t.token
+      |         WHEN t.op < 8 THEN '[MASK]'
+      |         WHEN t.op = 8 THEN repl.repl_token
+      |         ELSE t.token END AS new_token
+      |  FROM toks t LEFT JOIN repl ON t.doc_id = repl.doc_id AND t.pos = repl.pos)
+      |SELECT doc_id,
+      |  count(*) AS n_toks,
+      |  CAST(coalesce(sum(CASE WHEN masked THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_masked,
+      |  CAST(coalesce(sum(CASE WHEN masked AND op < 8 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |    AS n_mask_tok,
+      |  CAST(coalesce(sum(CASE WHEN masked AND op = 8 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |    AS n_random,
+      |  CAST(coalesce(sum(CASE WHEN masked AND op = 9 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |    AS n_keep,
+      |  string_agg(new_token, ' ' ORDER BY pos) AS corrupted,
+      |  coalesce(string_agg(token, ' ' ORDER BY pos) FILTER (WHERE masked), '')
+      |    AS labels
+      |FROM r
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val rejectionSampleSql: String =
     """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
       |s AS (

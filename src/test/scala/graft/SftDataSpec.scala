@@ -67,6 +67,29 @@ class SftDataSpec extends AnyFunSuite {
     assert(m(3L) == ((1L, false, false, false)))
   }
 
+  test("mlm masks: arm counts reconcile, corruption preserves arity, deterministic") {
+    val rows = SftData.mlmMasks(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nToks = r.getAs[Long]("n_toks")
+      val nMasked = r.getAs[Long]("n_masked")
+      val arms = r.getAs[Long]("n_mask_tok") + r.getAs[Long]("n_random") +
+        r.getAs[Long]("n_keep")
+      assert(arms == nMasked)
+      val corrupted = r.getAs[String]("corrupted").split(" ", -1)
+      assert(corrupted.length == nToks)
+      assert(corrupted.count(_ == "[MASK]") == r.getAs[Long]("n_mask_tok"))
+      val labels = r.getAs[String]("labels")
+      assert((if (labels.isEmpty) 0 else labels.split(" ", -1).length) == nMasked)
+    }
+    // ~15% of positions masked corpus-wide (md5 lottery, +-2% at this N)
+    val tot = rows.map(_.getAs[Long]("n_toks")).sum.toDouble
+    val masked = rows.map(_.getAs[Long]("n_masked")).sum.toDouble
+    assert(math.abs(masked / tot - 0.15) < 0.02)
+    val again = SftData.mlmMasks(spark, TestSpark.sf).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("rejection sample: winner, margin, and floor recomputed independently") {
     def md5grp(id: Long): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
