@@ -62,6 +62,96 @@ object CorpusRisk {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** E111 — Kneser-Ney bigram LM scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1998's interpolated form with fixed discount d = 0.75 —
+    * the KenLM-style fluency scorer CCNet (Wenzek et al. 2020) filters
+    * web text with; the unigram E10e/logprob family's context-aware
+    * upgrade). The model trains on the corpus itself and every doc is
+    * scored by its mean bigram NLL:
+    *   P(w2|w1) = (c(w1w2) − d)/c(w1) + (d·N1+(w1·)/c(w1)) · N1+(·w2)/B
+    * with B the distinct-bigram count. All counts are exact integers;
+    * the float expression tree is pinned operand-for-operand in the
+    * oracle, per-bigram NLL floors to integer micro-nats before the
+    * doc sum (the unigram-LM playbook), and the final per-token figure
+    * is a ratio of exact integers. Docs shorter than 2 tokens score
+    * NULL (no bigram evidence).
+    *
+    * Scale shape: bigram generation is one codegen'd zip_with pass (no
+    * self-join); the count/statistic joins are all BIGRAM-TABLE-sized
+    * (vocab²-bounded, never corpus-sized); doc scoring joins on 60-bit
+    * md5-prefix bigram keys so token text never re-shuffles.
+    */
+  def knBigramNll(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val bg = docs
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+          " (a, b) -> struct(a AS w1, b AS w2))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_b"))
+    val c1 = bc.groupBy(col("w1"))
+      .agg(sum(col("c_b")).as("c_1"), count(lit(1)).as("n1f"))
+    val cw2 = bc.groupBy(col("w2")).agg(count(lit(1)).as("n_prec"))
+    val nbb = bc.count()
+    val bkey = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      conv(substring(md5(concat(a, lit("\u0001"), b)), 1, 15), 16, 10).cast("long")
+    val prob = bc
+      .join(c1.hint("shuffle_hash"), "w1")
+      .join(cw2.hint("shuffle_hash"), "w2")
+      .withColumn("lp_micro",
+        floor(log(
+          (col("c_b").cast("double") - lit(0.75)) / col("c_1") +
+            (lit(0.75) * col("n1f")) / col("c_1") *
+              (col("n_prec").cast("double") / lit(nbb))) * 1e6).cast("long"))
+      .select(bkey(col("w1"), col("w2")).as("bk"), col("lp_micro"))
+    bg.select(col("doc_id"), bkey(col("w1"), col("w2")).as("bk"))
+      .join(prob.hint("shuffle_hash"), "bk")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (-col("s").cast("double") / 1e6 / col("n_bigrams")).as("nll_per_token"))
+      // 1-token docs have no bigram rows: reattach with NULL score
+      .join(docs.select(col("doc_id")), Seq("doc_id"), "right")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("nll_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  val knBigramNllSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(len(w) - 1), i -> w[i+1])) AS w1,
+      |    unnest(list_transform(range(len(w) - 1), i -> w[i+2])) AS w2
+      |  FROM d),
+      |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_b FROM bg GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(sum(c_b) AS BIGINT) AS c_1,
+      |              CAST(count(*) AS BIGINT) AS n1f FROM bc GROUP BY 1),
+      |cw2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_prec FROM bc GROUP BY 1),
+      |nbb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bc),
+      |prob AS (
+      |  SELECT
+      |    ('0x' || substr(md5(bc.w1 || chr(1) || bc.w2), 1, 15))::BIGINT AS bk,
+      |    CAST(floor(ln(
+      |      (CAST(c_b AS DOUBLE) - 0.75) / c_1 +
+      |      (0.75 * n1f) / c_1 * (CAST(n_prec AS DOUBLE) / (SELECT n FROM nbb))
+      |    ) * 1e6) AS BIGINT) AS lp_micro
+      |  FROM bc JOIN c1 USING (w1) JOIN cw2 USING (w2)),
+      |s AS (
+      |  SELECT doc_id, count(*) AS n_bigrams, CAST(sum(lp_micro) AS BIGINT) AS s
+      |  FROM (SELECT doc_id,
+      |          ('0x' || substr(md5(w1 || chr(1) || w2), 1, 15))::BIGINT AS bk
+      |        FROM bg) g
+      |  JOIN prob USING (bk)
+      |  GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |  -CAST(s.s AS DOUBLE) / 1e6 / s.n_bigrams AS nll_per_token
+      |FROM d LEFT JOIN s ON d.doc_id = s.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** E109 — DoReMi-style excess-loss domain weights (Xie et al. 2023:
     * upweight the domains whose loss under the shared model most
     * exceeds their loss under a per-domain reference — the domains the

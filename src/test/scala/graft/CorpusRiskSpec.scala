@@ -44,6 +44,27 @@ class CorpusRiskSpec extends AnyFunSuite {
     assert(m(2L) == ((1L, 0L)))
   }
 
+  test("kn bigram: hand-traced interpolated-KN probabilities, 1-token doc scores NULL") {
+    writeDocs("/tmp/cr_spec4", Seq(
+      (0L, "a b a b", "en", "s"),
+      (1L, "b c", "en", "s"),
+      (2L, "x", "en", "s")))
+    // bc: (a,b):2 (b,a):1 (b,c):1; B=3; c1: a=(2,1) b=(2,2)
+    // n_prec: a=1 b=1 c=1
+    def lp(cb: Long, c1: Long, n1f: Long, nPrec: Long): Long =
+      math.floor(math.log(
+        (cb.toDouble - 0.75) / c1 + (0.75 * n1f) / c1 * (nPrec.toDouble / 3)) * 1e6).toLong
+    val lpAB = lp(2, 2, 1, 1) // P(b|a) = 0.75
+    val lpBA = lp(1, 2, 2, 1) // P(a|b) = 0.375
+    val lpBC = lp(1, 2, 2, 1) // P(c|b) = 0.375
+    val m = CorpusRisk.knBigramNll(spark, "/tmp/cr_spec4").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    assert(m(0L) == ((3L, Some(-(2 * lpAB + lpBA).toDouble / 1e6 / 3))))
+    assert(m(1L) == ((1L, Some(-lpBC.toDouble / 1e6))))
+    assert(m(2L) == ((0L, None)))
+  }
+
   test("doremi: off-distribution domain gets positive excess and an upweight over its share") {
     // source "common" speaks the global majority language; source "odd"
     // uses tokens rare globally but uniform within itself -> large
