@@ -7,9 +7,11 @@ import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 
 /** Corpus governance audits for the training-data pipeline (SURVEY §2
-  * E85–E87): blocklist-lexicon content filtering, corpus snapshot diff,
-  * and the Heaps'-law vocabulary-growth audit — the release-gate checks
-  * that run beside dedup/quality before a corpus ships.
+  * E85–E87, E112–E113): blocklist-lexicon content filtering, corpus
+  * snapshot diff, the Heaps'-law vocabulary-growth audit, PMI
+  * collocation mining, and source-concentration measurement — the
+  * release-gate checks that run beside dedup/quality before a corpus
+  * ships.
   */
 object CorpusAudit {
 
@@ -250,4 +252,108 @@ object CorpusAudit {
       |  round(beta, 6) AS heaps_beta
       |FROM points CROSS JOIN fit
       |ORDER BY decile""".stripMargin
+
+  // ---- E112: PMI collocation mining ---------------------------------
+
+  /** Top pointwise-mutual-information collocations (Church & Hanks
+    * 1990 — the phrase-mining score behind multi-word-expression
+    * detection and phrase-aware tokenizer vocabularies). PMI =
+    * ln(c(w1w2)·B / (c(w1·)·c(·w2))) over bigram events with a
+    * min-count floor (rare pairs have unboundedly inflated PMI — the
+    * documented pathology the floor removes). Counts are exact
+    * integers, the products stay under 2^53 so the double division is
+    * exact-operand cross-engine, PMI floors to integer micro-nats.
+    *
+    * Scale shape: one codegen'd zip_with bigram pass, vocab²-bounded
+    * margin joins, and a TakeOrdered top-k (bounded heap per
+    * partition + driver merge — never a single-partition sort).
+    */
+  def collocations(spark: SparkSession, dir: String,
+                   minCount: Long = 5L, k: Int = 50): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(explode(expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+          " (a, b) -> struct(a AS w1, b AS w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_b"))
+    val c1 = bc.groupBy(col("w1")).agg(sum(col("c_b")).as("c_1"))
+    val c2 = bc.groupBy(col("w2")).agg(sum(col("c_b")).as("c_2"))
+    val b = bg.count()
+    bc.filter(col("c_b") >= minCount)
+      .join(c1.hint("shuffle_hash"), "w1")
+      .join(c2.hint("shuffle_hash"), "w2")
+      .withColumn("pmi_micro",
+        floor(log((col("c_b") * lit(b)).cast("double") /
+          (col("c_1") * col("c_2")).cast("double")) * 1e6).cast("long"))
+      .select(col("w1"), col("w2"), col("c_b"), col("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  val collocationsSql: String =
+    """WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |bg AS (
+      |  SELECT
+      |    unnest(list_transform(range(len(w) - 1), i -> w[i+1])) AS w1,
+      |    unnest(list_transform(range(len(w) - 1), i -> w[i+2])) AS w2
+      |  FROM d),
+      |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_b FROM bg GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(sum(c_b) AS BIGINT) AS c_1 FROM bc GROUP BY 1),
+      |c2 AS (SELECT w2, CAST(sum(c_b) AS BIGINT) AS c_2 FROM bc GROUP BY 1),
+      |b AS (SELECT CAST(sum(c_b) AS BIGINT) AS b FROM bc)
+      |SELECT w1, w2, c_b,
+      |  CAST(floor(ln(CAST(c_b * (SELECT b FROM b) AS DOUBLE) /
+      |    CAST(c_1 * c_2 AS DOUBLE)) * 1e6) AS BIGINT) AS pmi_micro
+      |FROM bc JOIN c1 USING (w1) JOIN c2 USING (w2)
+      |WHERE c_b >= 5
+      |ORDER BY pmi_micro DESC, w1, w2
+      |LIMIT 50""".stripMargin
+
+  // ---- E113: source-concentration measurement -----------------------
+
+  /** Source-concentration audit: the Herfindahl-Hirschman index over
+    * per-source token shares plus the effective-source count (1/HHI) —
+    * the diversity number a data card reports (a corpus can have 20
+    * sources and still be one source in effect). All arithmetic is
+    * exact: per-source counts aggregate distributed; the scalar HHI
+    * fold runs driver-side on the source-cardinality handful with
+    * arbitrary-precision integers (BigInt — the N² products overflow
+    * longs past ~3M tokens), mirrored by the oracle's HUGEINT floor
+    * divisions.
+    */
+  def sourceConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("n_toks"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = counts.map(c => BigInt(c._2)).sum
+    val ss = counts.map(c => BigInt(c._2) * BigInt(c._2)).sum
+    val row = (
+      counts.length.toLong,
+      n.toLong,
+      (ss * 1000000 / (n * n)).toLong,
+      (n * n * 1000000 / ss).toLong,
+      (BigInt(counts.map(_._2).max) * 10000 / n).toLong)
+    val s = spark
+    import s.implicits._
+    Seq(row).toDF("n_sources", "n_toks", "hhi_e6", "eff_sources_micro",
+      "top_share_bp")
+  }
+
+  val sourceConcentrationSql: String =
+    """WITH c AS (
+      |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
+      |             CAST(sum(n) AS HUGEINT) AS nt,
+      |             sum(CAST(n AS HUGEINT) * n) AS ss,
+      |             CAST(max(n) AS HUGEINT) AS mx
+      |      FROM c)
+      |SELECT n_sources,
+      |  CAST(nt AS BIGINT) AS n_toks,
+      |  CAST((ss * 1000000) // (nt * nt) AS BIGINT) AS hhi_e6,
+      |  CAST((nt * nt * 1000000) // ss AS BIGINT) AS eff_sources_micro,
+      |  CAST((mx * 10000) // nt AS BIGINT) AS top_share_bp
+      |FROM t""".stripMargin
 }

@@ -65,6 +65,39 @@ class CorpusRiskSpec extends AnyFunSuite {
     assert(m(2L) == ((0L, None)))
   }
 
+  test("collocations: planted stuck-together pair tops PMI; floor drops rare pairs") {
+    // "left right" co-occur always and only together (6x); filler
+    // bigrams repeat but with promiscuous margins
+    val planted = Seq.fill(6)("left right").mkString(" f ")
+    val filler = Seq.fill(8)("f g f h f g").mkString(" ")
+    writeDocs("/tmp/cr_spec5", Seq((0L, planted, "en", "s"), (1L, filler, "en", "s")))
+    val rows = graft.operators.CorpusAudit.collocations(spark, "/tmp/cr_spec5")
+      .collect()
+    assert(rows.nonEmpty)
+    val top = rows.head
+    assert((top.getAs[String]("w1"), top.getAs[String]("w2")) == (("left", "right")))
+    assert(rows.forall(_.getAs[Long]("c_b") >= 5L))
+    // PMI descending with deterministic tiebreak
+    val keys = rows.map(r => (-r.getAs[Long]("pmi_micro"),
+      r.getAs[String]("w1"), r.getAs[String]("w2")))
+    assert(keys.sameElements(keys.sorted))
+  }
+
+  test("source concentration: hand-computed HHI on a 3:1 two-source corpus") {
+    writeDocs("/tmp/cr_spec6", Seq(
+      (0L, "a b c d e f", "en", "big"),   // 6 tokens
+      (1L, "g h i j k l", "en", "big"),   // 6 tokens
+      (2L, "m n o p", "en", "small")))    // 4 tokens
+    val r = graft.operators.CorpusAudit.sourceConcentration(spark, "/tmp/cr_spec6")
+      .collect().head
+    // N=16, shares 12/16 and 4/16 -> HHI = (144+16)/256 = 0.625
+    assert(r.getAs[Long]("n_sources") == 2L)
+    assert(r.getAs[Long]("n_toks") == 16L)
+    assert(r.getAs[Long]("hhi_e6") == 625000L)
+    assert(r.getAs[Long]("eff_sources_micro") == 1600000L)
+    assert(r.getAs[Long]("top_share_bp") == 7500L)
+  }
+
   test("doremi: off-distribution domain gets positive excess and an upweight over its share") {
     // source "common" speaks the global majority language; source "odd"
     // uses tokens rare globally but uniform within itself -> large
