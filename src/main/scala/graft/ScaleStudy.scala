@@ -24,12 +24,19 @@ object ScaleStudy {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val stats = graft.operators.Dedup.candidateStats(
-      graft.sources.Tables.documents(spark, sfDir)).collect().head
-    println(s"[scale] $sfDir candidateStats: " +
-      stats.schema.fieldNames.zip(stats.toSeq).map { case (n, v) => s"$n=$v" }
-        .mkString(", "))
-    Seq("q_dedup_lcs", "q_dedup_substring").foreach { name =>
+    // optional second arg: comma-separated query names to time instead
+    // of the default dedup-tail pair (candidate stats print only for
+    // the default run — they belong to the winnowing study)
+    val names = if (args.length > 1) args(1).split(",").toSeq
+                else Seq("q_dedup_lcs", "q_dedup_substring")
+    if (args.length <= 1) {
+      val stats = graft.operators.Dedup.candidateStats(
+        graft.sources.Tables.documents(spark, sfDir)).collect().head
+      println(s"[scale] $sfDir candidateStats: " +
+        stats.schema.fieldNames.zip(stats.toSeq).map { case (n, v) => s"$n=$v" }
+          .mkString(", "))
+    }
+    names.foreach { name =>
       val fn = SparkEntry.queries(name)
       System.gc()
       val t0 = System.nanoTime()
