@@ -7,11 +7,12 @@ import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 
 /** Corpus governance audits for the training-data pipeline (SURVEY §2
-  * E85–E87, E112–E113): blocklist-lexicon content filtering, corpus
+  * E85–E87, E112–E115): blocklist-lexicon content filtering, corpus
   * snapshot diff, the Heaps'-law vocabulary-growth audit, PMI
-  * collocation mining, and source-concentration measurement — the
-  * release-gate checks that run beside dedup/quality before a corpus
-  * ships.
+  * collocation mining, source-concentration measurement, the
+  * Zipf rank-frequency fit, and per-source distribution divergence —
+  * the release-gate checks that run beside dedup/quality before a
+  * corpus ships.
   */
 object CorpusAudit {
 
@@ -356,4 +357,153 @@ object CorpusAudit {
       |  CAST((nt * nt * 1000000) // ss AS BIGINT) AS eff_sources_micro,
       |  CAST((mx * 10000) // nt AS BIGINT) AS top_share_bp
       |FROM t""".stripMargin
+
+  // ---- E114: Zipf rank-frequency fit ---------------------------------
+
+  /** Zipf's-law audit: the log-log OLS slope of unigram frequency
+    * against frequency rank over the head of the vocabulary (Zipf
+    * 1949; Piantadosi 2014 reviews why natural corpora sit near −1).
+    * A corpus whose slope drifts far from −1 signals template/boiler-
+    * plate contamination (too flat: generated spam; too steep: tiny
+    * effective vocabulary) — a one-number data-card check beside
+    * Heaps' β (E87).
+    *
+    * Determinism mirrors E87: ranks and frequencies are exact
+    * integers identical cross-engine (count desc, token asc total
+    * order), the fit runs on micro-nat-floored logs with exact long
+    * sums, and only the final slope division is floating point.
+    *
+    * Scale shape: ONE vocab-bounded hash aggregate (map-side
+    * combined), a TakeOrdered top-R head (bounded heap per partition +
+    * driver merge — never a vocab-wide sort), a window over R=64 rows,
+    * and a one-row fit broadcast (plan-gate allowlisted, the
+    * heaps_law class).
+    */
+  def zipfLaw(spark: SparkSession, dir: String, topR: Int = 64): DataFrame = {
+    val head = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(topR)
+    val ranked = head.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("token"))).cast("long"))
+    val fit = ranked
+      .select(
+        floor(log(col("rank").cast("double")) * 1e6).cast("long").as("xu"),
+        floor(log(col("freq").cast("double")) * 1e6).cast("long").as("yu"))
+      .agg(count(lit(1)).as("k"), sum(col("xu")).as("sx"), sum(col("yu")).as("sy"),
+        sum(col("xu") * col("yu")).as("sxy"), sum(col("xu") * col("xu")).as("sxx"))
+      .select(
+        ((col("k").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (col("k").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double"))).as("slope"))
+    ranked.crossJoin(broadcast(fit))
+      .select(col("rank"), col("token"), col("freq"),
+        round(col("slope"), 6).as("zipf_slope"))
+      .orderBy(col("rank"))
+  }
+
+  val zipfLawSql: String =
+    """WITH head AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY 1 ORDER BY freq DESC, token LIMIT 64),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (ORDER BY freq DESC, token) AS rank FROM head),
+      |fit AS (
+      |  SELECT (CAST(count(*) AS DOUBLE) * CAST(sum(xu * yu) AS DOUBLE) -
+      |          CAST(sum(xu) AS DOUBLE) * CAST(sum(yu) AS DOUBLE)) /
+      |         (CAST(count(*) AS DOUBLE) * CAST(sum(xu * xu) AS DOUBLE) -
+      |          CAST(sum(xu) AS DOUBLE) * CAST(sum(xu) AS DOUBLE)) AS slope
+      |  FROM (SELECT
+      |          CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS xu,
+      |          CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT) AS yu
+      |        FROM ranked))
+      |SELECT CAST(rank AS BIGINT) AS rank, token, freq,
+      |  round(slope, 6) AS zipf_slope
+      |FROM ranked CROSS JOIN fit
+      |ORDER BY rank""".stripMargin
+
+  // ---- E115: per-source distribution divergence (JSD) ----------------
+
+  /** Per-source Jensen–Shannon divergence against the corpus unigram
+    * distribution (Lin 1991) — the domain-drift number a mixture
+    * designer reads before reweighting (E66/E108 consume weights; this
+    * AUDITS how far each source's token distribution actually sits
+    * from the blend). JSD is symmetric and bounded by ln 2, unlike the
+    * PSI (E83) which explodes on disjoint support.
+    *
+    * Determinism: every per-token term is floored to HALF-micro-nats
+    * (the ½ factors of JSD folded into the floor constant) and summed
+    * as exact longs; p and q are divisions of exact integers, so all
+    * doubles entering ln are bit-identical cross-engine. Tokens the
+    * source does NOT contain contribute analytically — their entire
+    * KL(corpus‖M) mass is ln 2 · (1 − Σ_present q) — so the join stays
+    * on the source's own (source, token) support and no source × vocab
+    * densification ever materializes.
+    *
+    * Scale shape: one (source, token) hash aggregate (map-side
+    * combined), an equi-join back to the vocab-bounded corpus margin,
+    * a |sources|-row broadcast for totals, and a one-row grand-total
+    * broadcast (allowlisted).
+    */
+  def sourceJsd(spark: SparkSession, dir: String): DataFrame = {
+    val tc = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("cs"))
+    val corpus = tc.groupBy(col("token")).agg(sum(col("cs")).as("c"))
+    val totals = tc.groupBy(col("source"))
+      .agg(sum(col("cs")).as("ns"), count(lit(1)).as("n_types"))
+    val grand = corpus.agg(sum(col("c")).as("n"))
+    val terms = tc
+      .join(corpus.hint("shuffle_hash"), "token")
+      .join(broadcast(totals.select(col("source"), col("ns"))), "source")
+      .crossJoin(broadcast(grand))
+      .withColumn("p", col("cs").cast("double") / col("ns").cast("double"))
+      .withColumn("q", col("c").cast("double") / col("n").cast("double"))
+      .select(col("source"), col("c"),
+        floor(col("p") * log(lit(2.0) * col("p") / (col("p") + col("q"))) * 5e5)
+          .cast("long").as("tp"),
+        floor(col("q") * log(lit(2.0) * col("q") / (col("p") + col("q"))) * 5e5)
+          .cast("long").as("tq"))
+    terms.groupBy(col("source"))
+      .agg(sum(col("tp") + col("tq")).as("pm"), sum(col("c")).as("sc"))
+      .join(broadcast(totals), "source")
+      .crossJoin(broadcast(grand))
+      .select(col("source"), col("ns").as("n_toks"), col("n_types"),
+        (col("pm") + floor(log(lit(2.0)) *
+          ((col("n") - col("sc")).cast("double") / col("n").cast("double")) * 5e5)
+          .cast("long")).as("jsd_micro"))
+      .orderBy(col("source"))
+  }
+
+  val sourceJsdSql: String =
+    """WITH tc AS (
+      |  SELECT source, token, CAST(count(*) AS BIGINT) AS cs
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |corpus AS (SELECT token, CAST(sum(cs) AS BIGINT) AS c FROM tc GROUP BY 1),
+      |totals AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns,
+      |                  CAST(count(*) AS BIGINT) AS n_types
+      |           FROM tc GROUP BY 1),
+      |grand AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM corpus),
+      |terms AS (
+      |  SELECT source, c,
+      |    CAST(floor(p * ln(2.0 * p / (p + q)) * 500000) AS BIGINT) AS tp,
+      |    CAST(floor(q * ln(2.0 * q / (p + q)) * 500000) AS BIGINT) AS tq
+      |  FROM (SELECT t.source, c,
+      |          CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE) AS p,
+      |          CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS q
+      |        FROM tc t JOIN corpus USING (token) JOIN totals USING (source)
+      |        CROSS JOIN grand)),
+      |ps AS (SELECT source, CAST(sum(tp + tq) AS BIGINT) AS pm,
+      |              CAST(sum(c) AS BIGINT) AS sc
+      |       FROM terms GROUP BY 1)
+      |SELECT source, ns AS n_toks, n_types,
+      |  pm + CAST(floor(ln(2.0) * (CAST(n - sc AS DOUBLE) / CAST(n AS DOUBLE))
+      |    * 500000) AS BIGINT) AS jsd_micro
+      |FROM ps JOIN totals USING (source) CROSS JOIN grand
+      |ORDER BY source""".stripMargin
 }

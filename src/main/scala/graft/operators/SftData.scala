@@ -372,4 +372,154 @@ object SftData {
       |  q >= 1.0 AS kept
       |FROM r WHERE rk = 1
       |ORDER BY lang, grp""".stripMargin
+
+  // ---- E116: extractive-QA span materialization ----------------------
+
+  /** Answer-span mining for extractive-QA data (the SQuAD-style
+    * materialization step: given a question's answer string, locate
+    * its character span in the context so the training target is a
+    * (start, length) pair — Rajpurkar et al. 2016). For each probe
+    * term this emits the first-match offset, the total match count,
+    * and a fixed ±20-char context window, keeping the `perTerm`
+    * densest documents per term.
+    *
+    * Determinism: offsets are exact integers (`instr`, 1-based in both
+    * engines), the match count is a length-difference integer ratio,
+    * and the context substring uses identical clamp semantics.
+    *
+    * Scale shape: the probe list rides a literal-array explode (a
+    * Generate — NO join reaches the plan), the scan stays one
+    * codegen'd projection + filter, and the per-term top-k is a
+    * bounded window over ≤ |terms| partitions.
+    */
+  val spanTerms: Seq[String] = Seq("spark", "merge", "vector", "window")
+
+  def answerSpans(spark: SparkSession, dir: String, perTerm: Int = 20): DataFrame = {
+    val hits = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        explode(array(spanTerms.map(lit): _*)).as("term"))
+      .withColumn("first_pos", expr("instr(text, term)").cast("long"))
+      .filter(col("first_pos") > 0)
+      .withColumn("n_matches",
+        ((length(col("text")) - length(expr("replace(text, term, '')"))) /
+          length(col("term"))).cast("long"))
+      .withColumn("context",
+        expr("substring(text, greatest(1, cast(first_pos as int) - 20), 60)"))
+    hits
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("term"))
+          .orderBy(col("n_matches").desc, col("doc_id"))))
+      .filter(col("rk") <= perTerm)
+      .select(col("term"), col("doc_id"), col("first_pos"), col("n_matches"),
+        col("context"))
+      .orderBy(col("term"), col("doc_id"))
+  }
+
+  val answerSpansSql: String =
+    """WITH t AS (SELECT unnest(['spark','merge','vector','window']) AS term),
+      |hits AS (
+      |  SELECT term, doc_id,
+      |    CAST(instr(text, term) AS BIGINT) AS first_pos,
+      |    CAST((length(text) - length(replace(text, term, '')))
+      |         / length(term) AS BIGINT) AS n_matches,
+      |    substr(text, greatest(1, CAST(instr(text, term) AS INT) - 20), 60)
+      |      AS context
+      |  FROM documents CROSS JOIN t
+      |  WHERE instr(text, term) > 0),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY term
+      |    ORDER BY n_matches DESC, doc_id) AS rk
+      |  FROM hits)
+      |SELECT term, doc_id, first_pos, n_matches, context
+      |FROM r WHERE rk <= 20
+      |ORDER BY term, doc_id""".stripMargin
+
+  // ---- E117: tool-call trace validation ------------------------------
+
+  /** Function-calling SFT validation (the schema-conformance gate a
+    * tool-use corpus passes before training: does each rendered tool
+    * call PARSE, does it carry the required argument keys, are the
+    * argument values in range — the checks public function-calling
+    * datasets run, e.g. Gorilla / BFCL's AST-parse rate, Patil et al.
+    * 2023). Events render to canonical tool-call JSON; a seeded
+    * md5-lottery truncates ~1/8 of them mid-string, simulating the
+    * cut-off-generation failure mode the validator exists to catch.
+    *
+    * Determinism: the corruption lottery is the E106 md5 scheme
+    * (identical hex prefixes cross-engine); validity reduces to JSON
+    * parse + key-presence BOOLEANS (no extracted text is emitted —
+    * engines may re-render numbers differently, so only CASTS of
+    * extracted values feed comparisons); rates are exact integer
+    * basis-point floors.
+    *
+    * Scale shape: one codegen'd render + parse projection over the
+    * event scan and ONE tool-keyed hash aggregate (map-side combined);
+    * nothing joins, nothing broadcasts.
+    */
+  def toolCallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val wire = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type").as("tool"),
+        concat(lit("{\"tool\":\""), col("event_type"),
+          lit("\",\"args\":{\"value\":"),
+          col("value").cast("decimal(10,2)").cast("string"),
+          lit(",\"user\":"), col("user_id").cast("string"), lit("}}"))
+          .as("payload"))
+      .withColumn("trunc",
+        conv(substring(md5(concat(lit("tool-v1:"), col("event_id").cast("string"))),
+          1, 4), 16, 10).cast("long") % 8L === 0L)
+      .withColumn("wire",
+        when(col("trunc"), substring(col("payload"), 1, 25))
+          .otherwise(col("payload")))
+    wire
+      .withColumn("v", get_json_object(col("wire"), "$.args.value").cast("double"))
+      .withColumn("parse_ok",
+        get_json_object(col("wire"), "$.tool").isNotNull &&
+          get_json_object(col("wire"), "$.args.user").isNotNull &&
+          col("v").isNotNull)
+      .groupBy(col("tool"))
+      .agg(
+        count(lit(1)).as("n_calls"),
+        sum(col("parse_ok").cast("long")).as("n_valid"),
+        sum(col("trunc").cast("long")).as("n_truncated"),
+        sum((col("parse_ok") && col("v") >= 0.0 && col("v") < 250.0).cast("long"))
+          .as("n_in_range"))
+      .select(col("tool"), col("n_calls"), col("n_valid"), col("n_truncated"),
+        col("n_in_range"),
+        expr("n_valid * 10000 div n_calls").as("valid_bp"))
+      .orderBy(col("tool"))
+  }
+
+  val toolCallAuditSql: String =
+    """WITH w AS (
+      |  SELECT event_type AS tool,
+      |    CASE WHEN ('0x' || substr(md5('tool-v1:' || event_id), 1, 4))::BIGINT
+      |              % 8 = 0
+      |         THEN substr(payload, 1, 25) ELSE payload END AS wire,
+      |    ('0x' || substr(md5('tool-v1:' || event_id), 1, 4))::BIGINT % 8 = 0
+      |      AS trunc
+      |  FROM (SELECT event_id, event_type, user_id,
+      |          '{"tool":"' || event_type || '","args":{"value":'
+      |            || CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR)
+      |            || ',"user":' || CAST(user_id AS VARCHAR) || '}}' AS payload
+      |        FROM events)),
+      |p AS (
+      |  SELECT tool, trunc,
+      |    CAST(json_extract_string(jw, '$.args.value') AS DOUBLE) AS v,
+      |    json_extract_string(jw, '$.tool') IS NOT NULL
+      |      AND json_extract_string(jw, '$.args.user') IS NOT NULL
+      |      AND json_extract_string(jw, '$.args.value') IS NOT NULL AS parse_ok
+      |  FROM (SELECT tool, trunc,
+      |          CASE WHEN json_valid(wire) THEN wire END AS jw
+      |        FROM w))
+      |SELECT tool,
+      |  CAST(count(*) AS BIGINT) AS n_calls,
+      |  CAST(sum(CASE WHEN parse_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+      |  CAST(sum(CASE WHEN trunc THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+      |  CAST(sum(CASE WHEN parse_ok AND v >= 0.0 AND v < 250.0
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_in_range,
+      |  CAST(sum(CASE WHEN parse_ok THEN 1 ELSE 0 END) * 10000
+      |       // count(*) AS BIGINT) AS valid_bp
+      |FROM p
+      |GROUP BY tool
+      |ORDER BY tool""".stripMargin
 }

@@ -1187,4 +1187,92 @@ object Similarity {
       |  n_chars, cum_chars
       |FROM packed WHERE cum_chars <= 1500
       |ORDER BY best_rank, doc_id""".stripMargin
+
+  // ---- E118: kNN label propagation ------------------------------------
+
+  /** kNN majority-vote label propagation (semi-supervised weak
+    * labeling: a small human-labeled seed corpus labels each INCOMING
+    * batch by its k nearest labeled neighbors — the classic kNN
+    * classifier run as a curation step, cf. label propagation in
+    * Zhu & Ghahramani 2002 and the quality-classifier bootstrap
+    * every web-corpus recipe uses). Each to-label vector takes the
+    * majority label of its k=5 nearest seeds by cosine; ties elect
+    * the smallest label.
+    *
+    * Determinism: similarity is rounded to 6 dp BEFORE ranking with
+    * an id tiebreak (the E6 contract); the election is an exact
+    * struct-max on (votes desc, label asc).
+    *
+    * Scale shape: the to-label batch is a BOUNDED broadcast (an
+    * incoming micro-batch, not the corpus — allowlisted E6 class);
+    * the labeled corpus streams once through the scoring kernel with
+    * a map-side-combined top-k. A full-corpus labeling run would
+    * route through the memoized IVF index (E7b probes) instead of
+    * this exact kernel.
+    */
+  def knnLabel(spark: SparkSession, dir: String,
+               batchN: Int = 25, k: Int = 5): DataFrame = {
+    CosineSim.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val batch = e.filter(col("vec_id") < batchN)
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("label").as("true_label"))
+    val seeds = e.filter(col("vec_id") >= batchN)
+      .select(col("vec_id").as("s_id"), col("embedding").as("s_emb"),
+        col("label"))
+    val nn = seeds.join(broadcast(batch))
+      .withColumn("cos_sim", round(CosineSim(col("b_emb"), col("s_emb")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("b_id"))
+          .orderBy(col("cos_sim").desc, col("s_id"))))
+      .filter(col("rank") <= k)
+    nn.groupBy(col("b_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("v"), max(col("cos_sim")).as("best"))
+      .groupBy(col("b_id"), col("true_label"))
+      .agg(
+        max(struct(col("v").as("v"), (-col("label")).cast("long").as("nl")))
+          .as("m"),
+        max(col("best")).as("top_sim"))
+      .select(col("b_id").as("vec_id"),
+        (-col("m.nl")).cast("int").as("pred_label"),
+        col("m.v").as("n_votes"),
+        col("true_label"),
+        ((-col("m.nl")).cast("int") === col("true_label")).as("correct"),
+        col("top_sim"))
+      .orderBy(col("vec_id"))
+  }
+
+  val knnLabelSql: String =
+    """WITH b AS (
+      |  SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS b_emb,
+      |         label AS true_label
+      |  FROM embeddings WHERE vec_id < 25),
+      |s AS (
+      |  SELECT vec_id AS s_id, CAST(embedding AS DOUBLE[]) AS s_emb, label
+      |  FROM embeddings WHERE vec_id >= 25),
+      |scored AS (
+      |  SELECT b_id, true_label, s_id, label,
+      |    round(list_cosine_similarity(b_emb, s_emb), 6) AS cos_sim
+      |  FROM b CROSS JOIN s),
+      |nn AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY b_id
+      |      ORDER BY cos_sim DESC, s_id) AS rank
+      |    FROM scored)
+      |  WHERE rank <= 5),
+      |votes AS (
+      |  SELECT b_id, true_label, label, CAST(count(*) AS BIGINT) AS v,
+      |         max(cos_sim) AS best
+      |  FROM nn GROUP BY 1, 2, 3),
+      |el AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY b_id
+      |      ORDER BY v DESC, label) AS er
+      |    FROM votes)
+      |  WHERE er = 1),
+      |tops AS (SELECT b_id, max(best) AS top_sim FROM votes GROUP BY 1)
+      |SELECT e.b_id AS vec_id, e.label AS pred_label, e.v AS n_votes,
+      |  e.true_label, (e.label = e.true_label) AS correct, t.top_sim
+      |FROM el e JOIN tops t USING (b_id)
+      |ORDER BY vec_id""".stripMargin
 }

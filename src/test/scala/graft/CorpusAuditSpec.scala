@@ -120,4 +120,62 @@ class CorpusAuditSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("zipf law: ranks order (freq desc, token asc); slope matches a scalar OLS replica") {
+    writeDocs("/tmp/ca_zipf", Seq(
+      (0L, "a a a a b b", "en", "s1"),
+      (1L, "a b c d", "en", "s2")))
+    val rows = CorpusAudit.zipfLaw(spark, "/tmp/ca_zipf").collect()
+    val got = rows.map(r => (r.getAs[Long]("rank"), r.getAs[String]("token"),
+      r.getAs[Long]("freq")))
+    assert(got.toSeq == Seq((1L, "a", 5L), (2L, "b", 3L), (3L, "c", 1L), (4L, "d", 1L)))
+    // independent scalar replica of the micro-nat OLS
+    val pts = Seq((1L, 5L), (2L, 3L), (3L, 1L), (4L, 1L)).map { case (r, f) =>
+      (math.floor(math.log(r.toDouble) * 1e6).toLong,
+        math.floor(math.log(f.toDouble) * 1e6).toLong)
+    }
+    val k = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum.toDouble, pts.map(_._2).sum.toDouble)
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val want = BigDecimal((k * sxy - sx * sy) / (k * sxx - sx * sx))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.forall(_.getAs[Double]("zipf_slope") == want))
+    assert(want < 0.0) // frequency falls with rank
+  }
+
+  test("source jsd: identical distributions score exactly 0") {
+    writeDocs("/tmp/ca_jsd1", Seq(
+      (0L, "x y", "en", "s1"), (1L, "x y", "en", "s2")))
+    val rows = CorpusAudit.sourceJsd(spark, "/tmp/ca_jsd1").collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_toks") == 2L && r.getAs[Long]("n_types") == 2L)
+      assert(r.getAs[Long]("jsd_micro") == 0L, r.toString)
+    }
+  }
+
+  test("source jsd: disjoint equal halves match the hand-computed floor sum") {
+    writeDocs("/tmp/ca_jsd2", Seq(
+      (0L, "x x", "en", "s1"), (1L, "y y", "en", "s2")))
+    // per source: one present token, cs=2, ns=2, c=2, n=4 -> p=1, q=1/2
+    val tp = math.floor(1.0 * math.log(2.0 * 1.0 / 1.5) * 5e5).toLong
+    val tq = math.floor(0.5 * math.log(2.0 * 0.5 / 1.5) * 5e5).toLong
+    val rem = math.floor(math.log(2.0) * (2.0 / 4.0) * 5e5).toLong
+    val want = tp + tq + rem
+    val rows = CorpusAudit.sourceJsd(spark, "/tmp/ca_jsd2").collect()
+    assert(rows.length == 2)
+    rows.foreach(r => assert(r.getAs[Long]("jsd_micro") == want, r.toString))
+    // bounded by ln 2 (in the folded half-micro-nat scale, ln2 * 1e6)
+    assert(want > 0L && want < 693148L)
+  }
+
+  test("source jsd on real data: bounded, and every source diverges less than ln 2") {
+    val rows = CorpusAudit.sourceJsd(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val j = r.getAs[Long]("jsd_micro")
+      assert(j >= -2L && j < 693148L, r.toString) // floor can dip a hair below 0
+    }
+  }
 }

@@ -120,4 +120,75 @@ class SftDataSpec extends AnyFunSuite {
     }
     assert(got == exp)
   }
+
+  test("answer spans: hand-traced offsets, counts, and context windows") {
+    Seq(
+      (0L, "merge the merge run", "en", "s"),
+      (1L, "vector windowpane", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet("/tmp/sft_spans/documents.parquet")
+    val rows = SftData.answerSpans(spark, "/tmp/sft_spans").collect()
+    val got = rows.map(r => (r.getAs[String]("term"), r.getAs[Long]("doc_id"),
+      r.getAs[Long]("first_pos"), r.getAs[Long]("n_matches"))).toSet
+    assert(got == Set(
+      ("merge", 0L, 1L, 2L),
+      ("vector", 1L, 1L, 1L),
+      ("window", 1L, 8L, 1L))) // substring match inside 'windowpane'
+    // context clamps at the string head and spans 60 chars max
+    rows.foreach { r =>
+      assert(r.getAs[String]("context").length <= 60)
+      assert(r.getAs[String]("context").contains(r.getAs[String]("term")))
+    }
+  }
+
+  private def md5Lottery(prefix: String, id: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$prefix$id".getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(2).map("%02x".format(_)).mkString, 16)
+  }
+
+  test("tool call audit: truncation lottery replica, valid/in-range splits") {
+    val rows = Seq(
+      (1L, 10L, "click", ts("2024-01-01 10:00:00"), 12.3),
+      (2L, 10L, "click", ts("2024-01-01 10:00:01"), 300.0), // out of range
+      (3L, 11L, "purchase", ts("2024-01-01 10:00:02"), 5.0),
+      (4L, 11L, "purchase", ts("2024-01-01 10:00:03"), 249.99),
+      (5L, 12L, "view", ts("2024-01-01 10:00:04"), 0.01),
+      (6L, 12L, "error", ts("2024-01-01 10:00:05"), 100.0),
+      (7L, 13L, "signup", ts("2024-01-01 10:00:06"), 1.0),
+      (8L, 13L, "signup", ts("2024-01-01 10:00:07"), 260.0)) // out of range
+    writeEvents("/tmp/sft_tools", rows)
+    val got = SftData.toolCallAudit(spark, "/tmp/sft_tools").collect()
+      .map(r => r.getAs[String]("tool") -> ((r.getAs[Long]("n_calls"),
+        r.getAs[Long]("n_valid"), r.getAs[Long]("n_truncated"),
+        r.getAs[Long]("n_in_range"), r.getAs[Long]("valid_bp")))).toMap
+    val exp = rows.groupBy(_._3).map { case (tool, es) =>
+      val trunc = es.count(e => md5Lottery("tool-v1:", e._1) % 8L == 0L)
+      val valid = es.size - trunc // truncated 25-char prefixes never parse
+      val inRange = es.count(e =>
+        md5Lottery("tool-v1:", e._1) % 8L != 0L && e._5 >= 0.0 && e._5 < 250.0)
+      tool -> ((es.size.toLong, valid.toLong, trunc.toLong, inRange.toLong,
+        valid.toLong * 10000L / es.size))
+    }
+    assert(got == exp)
+    // the lottery must have fired somewhere across the id range 1..8 or
+    // the truncation arm is untested — widen ids if this ever trips
+    assert(exp.values.map(_._3).sum + exp.values.map(_._2).sum == rows.size.toLong)
+  }
+
+  test("tool call audit on real data: rates reconcile and truncation ~1/8") {
+    val rows = SftData.toolCallAudit(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    var calls = 0L; var trunc = 0L
+    rows.foreach { r =>
+      val (n, v, t, ir) = (r.getAs[Long]("n_calls"), r.getAs[Long]("n_valid"),
+        r.getAs[Long]("n_truncated"), r.getAs[Long]("n_in_range"))
+      assert(v == n - t)  // truncation is the only invalidity source
+      assert(ir <= v)
+      assert(r.getAs[Long]("valid_bp") == v * 10000L / n)
+      calls += n; trunc += t
+    }
+    val rate = trunc.toDouble / calls
+    assert(rate > 0.08 && rate < 0.17, s"truncation rate $rate")
+  }
 }

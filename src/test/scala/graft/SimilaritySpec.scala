@@ -197,4 +197,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.cellAudit(spark, dir).collect().toSeq ==
       Similarity.cellAudit(spark, dir).collect().toSeq)
   }
+
+  test("knn label: majority election with smallest-label tiebreak, hand-planted") {
+    val dir = "/tmp/sim_knnlabel"
+    Seq(
+      (0L, Array(1.0f, 0.0f), 2),   // batch: true label 2
+      (1L, Array(0.0f, 1.0f), 5),   // batch: true label 5
+      (25L, Array(1.0f, 0.0f), 7), (26L, Array(1.0f, 0.0f), 7),
+      (27L, Array(1.0f, 0.0f), 2), (28L, Array(1.0f, 0.0f), 2),
+      (29L, Array(1.0f, 0.0f), 9),
+      (30L, Array(0.0f, 1.0f), 5))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.knnLabel(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> ((r.getAs[Int]("pred_label"),
+        r.getAs[Long]("n_votes"), r.getAs[Boolean]("correct")))).toMap
+    // vec 0: five cos=1 seeds, votes 7->2, 2->2, 9->1; tie elects label 2
+    assert(got(0L) == ((2, 2L, true)))
+    // vec 1: nearest is seed 30 (label 5, cos 1) but the four [1,0]
+    // seeds with the lowest ids fill ranks 2-5 at cos 0:
+    // votes 5->1, 7->2, 2->2 -> tie elects 2; true label 5 -> incorrect
+    assert(got(1L) == ((2, 2L, false)))
+  }
+
+  test("knn label on real data: 25 rows, sane vote counts, labels from the seed domain") {
+    val labels = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+      .select("label").distinct().collect().map(_.getInt(0)).toSet
+    val rows = Similarity.knnLabel(spark, TestSpark.sf).collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      val v = r.getAs[Long]("n_votes")
+      assert(v >= 1L && v <= 5L)
+      assert(labels.contains(r.getAs[Int]("pred_label")))
+      assert(r.getAs[Boolean]("correct") ==
+        (r.getAs[Int]("pred_label") == r.getAs[Int]("true_label")))
+    }
+  }
 }

@@ -115,6 +115,14 @@ BNLJ_ALLOWED = {
     "q_dedup_candidates": "one-row bucket-stats and pair-stats broadcasts "
                           "crossed into the one-row summary (E20e audit; "
                           "every side is a single-row aggregate)",
+    # r11 batch 2 (E114/E115/E118):
+    "q_zipf_law": "one-row OLS-fit broadcast over the 64-row vocabulary "
+                  "head (the heaps_law class)",
+    "q_source_jsd": "one-row grand-total broadcast (the corpus_stats "
+                    "class; the vocab margin join is equi-keyed)",
+    "q_knn_label": "bounded 25-row to-label batch broadcast x labeled "
+                   "corpus (the E6 brute-force class; full-corpus "
+                   "labeling routes through IVF probes instead)",
 }
 
 
