@@ -253,4 +253,161 @@ object CorpusRisk {
       |  round(w_raw / denom, 6) AS weight
       |FROM w, d
       |ORDER BY source""".stripMargin
+
+  // ---- E119: canary-exposure memorization audit -----------------------
+
+  private val seqPairsExpr = expr(
+    "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+      " (a, b) -> struct(a AS w1, b AS w2))")
+
+  /** Secret-Sharer canary exposure (Carlini et al. 2019, USENIX
+    * Security: plant unique canary sequences at known repetition
+    * counts, then measure how far each canary's model score climbs
+    * above a reference population of NEVER-inserted sequences —
+    * exposure = log₂|R+1| − log₂ rank). The memorization-risk dial a
+    * data owner reads next to E108's duplicated-passage exposure:
+    * E108 says what the corpus repeats, this says what a model
+    * TRAINED on it would leak. The "model" is the add-one bigram LM
+    * over the PLANTED corpus (documents ∪ canaries×repeats) — a pure
+    * counting model, so the whole audit stays an exact-arithmetic
+    * query.
+    *
+    * Determinism: canary/reference sequences derive from md5 lotteries
+    * over the alphabetical vocab rank (the E110 device); all LM counts
+    * are exact integers, per-bigram logprobs floor to micro-nats
+    * before summing, and rank/exposure are integer functions of those
+    * longs.
+    *
+    * Scale shape: vocab ranking is the E25 distributed range-rank; the
+    * corpus contributes ONE bigram-count aggregate (vocab²-bounded);
+    * sequences are O((nCanaries+nRefs)·seqLen) rows throughout; the
+    * rank join is a bounded 8×64 non-equi nest (allowlisted).
+    */
+  def canaryExposure(spark: SparkSession, dir: String,
+                     nCanaries: Int = 8, nRefs: Int = 64,
+                     seqLen: Int = 6): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val vocab = Extras.rankedByRange(
+      docs.select(explode(col("w")).as("token")).distinct(), Seq("token"))
+      .select(col("token"), col("rank"))
+    val v = vocab.count() // plan-time scalar, vocab-bounded
+
+    val ids = ((0 until nCanaries).map(i => ("canary", i.toLong)) ++
+      (0 until nRefs).map(i => ("ref", i.toLong))).toDF("kind", "sid")
+    val seqs = ids
+      .withColumn("pos", explode(sequence(lit(1), lit(seqLen))))
+      .withColumn("rank",
+        conv(substring(md5(concat(col("kind"), lit("-v1:"),
+          col("sid").cast("string"), lit(":"), col("pos").cast("string"))),
+          1, 6), 16, 10).cast("long") % v + 1L)
+      .join(vocab.hint("shuffle_hash"), "rank")
+      .groupBy(col("kind"), col("sid"))
+      .agg(array_join(transform(array_sort(collect_list(
+        struct(col("pos"), col("token")))), t => t.getField("token")), " ")
+        .as("seq"))
+    val seqBg = seqs
+      .select(col("kind"), col("sid"), split(col("seq"), " ").as("w"))
+      .select(col("kind"), col("sid"), explode(seqPairsExpr).as("p"))
+      .select(col("kind"), col("sid"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+
+    val corpusBc = docs.select(explode(seqPairsExpr).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val insBc = seqBg.filter(col("kind") === "canary")
+      .withColumn("r",
+        expr("shiftleft(cast(1 as bigint), cast(sid % 4 as int))"))
+      .groupBy(col("w1"), col("w2")).agg(sum(col("r")).as("c"))
+    val bc = corpusBc.unionByName(insBc)
+      .groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c_b"))
+    val c1 = bc.groupBy(col("w1")).agg(sum(col("c_b")).as("c_1"))
+
+    val scored = seqBg
+      .join(bc.hint("shuffle_hash"), Seq("w1", "w2"), "left")
+      .join(c1.hint("shuffle_hash"), Seq("w1"), "left")
+      .withColumn("lp_micro",
+        floor(log((coalesce(col("c_b"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("c_1"), lit(0L)) + lit(v)).cast("double")) * 1e6)
+          .cast("long"))
+      .groupBy(col("kind"), col("sid"))
+      .agg((-sum(col("lp_micro"))).as("nll_micro"))
+    val can = scored.filter(col("kind") === "canary")
+      .select(col("sid").as("canary_id"), col("nll_micro"))
+    val refs = scored.filter(col("kind") === "ref")
+      .select(col("nll_micro").as("ref_nll"))
+    can.join(broadcast(refs), col("ref_nll") < col("nll_micro"), "left")
+      .groupBy(col("canary_id"), col("nll_micro"))
+      .agg((count(col("ref_nll")) + 1L).as("rank"))
+      .join(broadcast(seqs.filter(col("kind") === "canary")
+        .select(col("sid").as("canary_id"), col("seq"))), "canary_id")
+      .select(col("canary_id"),
+        expr("shiftleft(cast(1 as bigint), cast(canary_id % 4 as int))")
+          .as("repeats"),
+        col("seq"), col("nll_micro"), col("rank"),
+        floor((log(lit((nRefs + 1).toDouble)) - log(col("rank").cast("double")))
+          / log(lit(2.0)) * 100).cast("long").as("exposure_cb"))
+      .orderBy(col("canary_id"))
+  }
+
+  val canaryExposureSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |vocab AS (
+      |  SELECT token, row_number() OVER (ORDER BY token) AS rank
+      |  FROM (SELECT DISTINCT unnest(w) AS token FROM d)),
+      |vn AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+      |ids AS (
+      |  SELECT 'canary' AS kind, CAST(unnest(range(8)) AS BIGINT) AS sid
+      |  UNION ALL
+      |  SELECT 'ref', CAST(unnest(range(64)) AS BIGINT)),
+      |st AS (
+      |  SELECT kind, sid, pos,
+      |    ('0x' || substr(md5(kind || '-v1:' || sid || ':' || pos), 1, 6))::BIGINT
+      |      % (SELECT v FROM vn) + 1 AS rank
+      |  FROM ids, unnest(range(1, 7)) AS u(pos)),
+      |sq AS (
+      |  SELECT kind, sid, string_agg(token, ' ' ORDER BY pos) AS seq
+      |  FROM st JOIN vocab USING (rank) GROUP BY 1, 2),
+      |sbg AS (
+      |  SELECT kind, sid,
+      |    unnest(list_transform(range(len(w) - 1), i -> w[i+1])) AS w1,
+      |    unnest(list_transform(range(len(w) - 1), i -> w[i+2])) AS w2
+      |  FROM (SELECT kind, sid, string_split(seq, ' ') AS w FROM sq)),
+      |cbg AS (
+      |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM (
+      |    SELECT unnest(list_transform(range(len(w) - 1), i -> w[i+1])) AS w1,
+      |           unnest(list_transform(range(len(w) - 1), i -> w[i+2])) AS w2
+      |    FROM d) GROUP BY 1, 2),
+      |ins AS (
+      |  SELECT w1, w2, CAST(sum(1 << CAST(sid % 4 AS INT)) AS BIGINT) AS c
+      |  FROM sbg WHERE kind = 'canary' GROUP BY 1, 2),
+      |bc AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS c_b
+      |       FROM (SELECT * FROM cbg UNION ALL SELECT * FROM ins)
+      |       GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(sum(c_b) AS BIGINT) AS c_1 FROM bc GROUP BY 1),
+      |scored AS (
+      |  SELECT kind, sid,
+      |    CAST(-sum(CAST(floor(ln(
+      |      CAST(coalesce(c_b, 0) + 1 AS DOUBLE) /
+      |      CAST(coalesce(c_1, 0) + (SELECT v FROM vn) AS DOUBLE)) * 1e6)
+      |      AS BIGINT)) AS BIGINT) AS nll_micro
+      |  FROM sbg LEFT JOIN bc USING (w1, w2) LEFT JOIN c1 USING (w1)
+      |  GROUP BY 1, 2),
+      |can AS (SELECT sid AS canary_id, nll_micro FROM scored
+      |        WHERE kind = 'canary'),
+      |refs AS (SELECT nll_micro AS ref_nll FROM scored WHERE kind = 'ref'),
+      |rk AS (
+      |  SELECT canary_id, nll_micro,
+      |    CAST(1 + (SELECT count(*) FROM refs WHERE ref_nll < c.nll_micro)
+      |      AS BIGINT) AS rank
+      |  FROM can c)
+      |SELECT r.canary_id,
+      |  CAST(1 << CAST(r.canary_id % 4 AS INT) AS BIGINT) AS repeats,
+      |  q.seq, r.nll_micro, r.rank,
+      |  CAST(floor((ln(65.0) - ln(CAST(r.rank AS DOUBLE))) / ln(2.0) * 100)
+      |    AS BIGINT) AS exposure_cb
+      |FROM rk r JOIN sq q ON q.kind = 'canary' AND q.sid = r.canary_id
+      |ORDER BY r.canary_id""".stripMargin
 }

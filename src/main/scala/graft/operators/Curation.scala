@@ -1019,6 +1019,102 @@ object Curation {
       |FROM documents
       |ORDER BY pos""".stripMargin
 
+  // ---- E120: batch-composition shuffle-quality audit -------------------
+
+  /** Shuffle-quality audit over training batches (the data-order check
+    * behind shard-interleaving bugs: a bad shuffle yields source-
+    * clumped batches, and batch-level domain clumping measurably hurts
+    * optimization — the motivation for global shuffles in T5/Pile-
+    * style pipelines). Cuts the E33 seeded shuffle order into batches
+    * of `batchSize` and scores each batch's source composition against
+    * corpus shares with a chi-square statistic, reporting the k worst
+    * batches.
+    *
+    * Determinism: chi² = Σ_s n_bs²·N/(n_b·n_s) − n_b (the algebraic
+    * form over PRESENT sources only — absent sources contribute 0 to
+    * Σ n²/e, so no batch × source densification); each term floors to
+    * micro-units from exact integer operands before the long sum.
+    *
+    * Scale shape: position = the E13b/E13d two-pass bucket-offset
+    * cumsum (within-md5-prefix-bucket window ranks + a bounded 256-row
+    * offset table broadcast back) — NOT the id-stamping rankedByRange,
+    * whose two branches must see the same sampled range boundaries;
+    * this operator's multi-aggregate fan-out defeated exchange reuse
+    * exactly as E101's broadcast-cuts upstream did (suffix ranks
+    * shifted ±64 at sf0.1). Then ONE (batch, source) aggregate
+    * (map-side combined), batch-/source-keyed margins, a |sources|
+    * broadcast + one-row grand-total broadcast (allowlisted), and a
+    * TakeOrdered top-k.
+    */
+  def batchMix(spark: SparkSession, dir: String,
+               batchSize: Int = 32, k: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("seed42-"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("bkt", substring(col("h"), 1, 2))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bkt")).orderBy(col("h"), col("doc_id"))
+    val offW = org.apache.spark.sql.expressions.Window.orderBy(col("bkt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(offW), lit(0L)))
+      .select(col("bkt"), col("off"))
+    val bs = docs
+      .withColumn("lr", row_number().over(w).cast("long"))
+      .join(broadcast(offsets), "bkt")
+      .withColumn("batch", expr(s"(off + lr - 1) div $batchSize"))
+      .groupBy(col("batch"), col("source"))
+      .agg(count(lit(1)).as("n_bs"))
+    val bTot = bs.groupBy(col("batch"))
+      .agg(sum(col("n_bs")).as("n_b"), count(lit(1)).as("n_sources"))
+    val sTot = bs.groupBy(col("source")).agg(sum(col("n_bs")).as("n_s"))
+    val grand = sTot.agg(sum(col("n_s")).as("n"))
+    bs
+      .join(broadcast(sTot), "source")
+      .join(bTot.hint("shuffle_hash"), "batch")
+      .crossJoin(broadcast(grand))
+      .withColumn("term",
+        floor((col("n_bs") * col("n_bs")).cast("double") * col("n").cast("double")
+          / (col("n_b") * col("n_s")).cast("double") * 1e6).cast("long"))
+      .groupBy(col("batch"))
+      .agg(sum(col("term")).as("s"),
+        first(col("n_b")).as("n_docs"), first(col("n_sources")).as("n_sources"))
+      .select(col("batch"), col("n_docs"), col("n_sources"),
+        (col("s") - col("n_docs") * lit(1000000L)).as("chi2_micro"))
+      .orderBy(col("chi2_micro").desc, col("batch"))
+      .limit(k)
+  }
+
+  val batchMixSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    md5('seed42-' || CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |p AS (
+      |  SELECT source,
+      |    CAST((row_number() OVER (ORDER BY h, doc_id) - 1) // 32 AS BIGINT)
+      |      AS batch
+      |  FROM d),
+      |bs AS (SELECT batch, source, CAST(count(*) AS BIGINT) AS n_bs
+      |       FROM p GROUP BY 1, 2),
+      |bt AS (SELECT batch, CAST(sum(n_bs) AS BIGINT) AS n_b,
+      |              CAST(count(*) AS BIGINT) AS n_sources
+      |       FROM bs GROUP BY 1),
+      |stot AS (SELECT source, CAST(sum(n_bs) AS BIGINT) AS n_s
+      |         FROM bs GROUP BY 1),
+      |g AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM stot),
+      |terms AS (
+      |  SELECT batch,
+      |    CAST(floor(CAST(n_bs * n_bs AS DOUBLE) * CAST(n AS DOUBLE)
+      |      / CAST(n_b * n_s AS DOUBLE) * 1e6) AS BIGINT) AS term
+      |  FROM bs JOIN stot USING (source) JOIN bt USING (batch) CROSS JOIN g),
+      |c AS (SELECT batch, CAST(sum(term) AS BIGINT) AS s FROM terms GROUP BY 1)
+      |SELECT c.batch, bt.n_b AS n_docs, bt.n_sources,
+      |  CAST(c.s - bt.n_b * 1000000 AS BIGINT) AS chi2_micro
+      |FROM c JOIN bt USING (batch)
+      |ORDER BY chi2_micro DESC, batch
+      |LIMIT 20""".stripMargin
+
   // ---- E31: n-gram diversity audit -------------------------------------
 
   /** E31 — n-gram diversity (trigram type-token ratio per source — the

@@ -118,4 +118,32 @@ class CorpusRiskSpec extends AnyFunSuite {
     assert(excessOdd > 0L)
     assert(wOdd / (nOdd / totalToks) > wCommon / (nCommon / totalToks))
   }
+
+  test("canary exposure: repeats ladder, exposure bounds, repetition lowers NLL") {
+    val rows = CorpusRisk.canaryExposure(spark, TestSpark.sf).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("canary_id")
+      assert(r.getAs[Long]("repeats") == (1L << (id % 4)).toLong)
+      assert(r.getAs[String]("seq").split(" ").length == 6)
+      val rank = r.getAs[Long]("rank")
+      assert(rank >= 1L && rank <= 65L)
+      // exposure = log2(65) - log2(rank), in centibits
+      val want = math.floor((math.log(65.0) - math.log(rank.toDouble)) /
+        math.log(2.0) * 100).toLong
+      assert(r.getAs[Long]("exposure_cb") == want)
+    }
+    // more insertions -> the planted bigrams' counts rise -> NLL falls:
+    // compare group means (per-canary tokens differ, so pairwise
+    // monotonicity is not guaranteed, but the 4+8 group must beat 1+2)
+    val byRep = rows.map(r => r.getAs[Long]("repeats") -> r.getAs[Long]("nll_micro"))
+    def mean(f: Long => Boolean) = {
+      val v = byRep.filter(p => f(p._1)).map(_._2); v.sum.toDouble / v.length
+    }
+    assert(mean(_ >= 4) < mean(_ <= 2),
+      s"high-repeat canaries should score lower NLL: ${byRep.toSeq.sorted}")
+    // deterministic across invocations
+    assert(CorpusRisk.canaryExposure(spark, TestSpark.sf).collect().toSeq ==
+      rows.toSeq)
+  }
 }

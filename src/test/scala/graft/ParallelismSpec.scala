@@ -26,6 +26,34 @@ class ParallelismSpec extends AnyFunSuite {
     finally spark.conf.set("spark.sql.shuffle.partitions", "4")
   }
 
+  test("batch mix: single-source corpus scores exactly zero; partition-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    (0L until 100L).map(i => (i, s"tok$i words here", "en", "only"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet("/tmp/par_bm/documents.parquet")
+    val one = graft.operators.Curation.batchMix(spark, "/tmp/par_bm").collect()
+    assert(one.length == 4) // 100 docs / 32 = 4 batches
+    one.foreach { r =>
+      assert(r.getAs[Long]("n_sources") == 1L)
+      assert(r.getAs[Long]("chi2_micro") == 0L, r.toString)
+    }
+    // the E101-class regression guard: a multi-aggregate fan-out over a
+    // sampled range exchange once shifted suffix ranks ±64 at sf0.1 —
+    // the two-pass bucket-offset form must be partitioning-invariant
+    def snap(): Seq[String] =
+      graft.operators.Curation.batchMix(spark, TestSpark.sf)
+        .collect().map(_.toString).toSeq
+    val base = snap()
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try assert(snap() == base, "batch mix changed under different partitioning")
+    finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    base.foreach { s =>
+      val chi = s.stripSuffix("]").split(",").last.toLong
+      assert(chi >= -20L) // floor slack only; true chi-square is >= 0
+    }
+  }
+
   test("narrow input widens to defaultParallelism; wide input passes through unchanged") {
     val target = spark.sparkContext.defaultParallelism
     val narrow = Tables.documents(spark, TestSpark.sf) // single parquet file

@@ -123,6 +123,11 @@ BNLJ_ALLOWED = {
     "q_knn_label": "bounded 25-row to-label batch broadcast x labeled "
                    "corpus (the E6 brute-force class; full-corpus "
                    "labeling routes through IVF probes instead)",
+    "q_canary_exposure": "bounded 8x64 canary-vs-reference rank nest + "
+                         "8-row canary-text broadcast (E119; both sides "
+                         "fixed-size audit sets)",
+    "q_batch_mix": "one-row grand-total broadcast (the corpus_stats "
+                   "class)",
 }
 
 
