@@ -254,6 +254,109 @@ object CorpusRisk {
       |FROM w, d
       |ORDER BY source""".stripMargin
 
+  // ---- E121: doc-level excess-loss selection (RHO-style) --------------
+
+  /** Learnability-ordered document selection (Mindermann et al. 2022
+    * RHO-loss; Lin et al. 2024 RHO-1 apply it token-wise at scale:
+    * prioritize training points whose loss under the CURRENT/proxy
+    * model most exceeds their loss under a REFERENCE model — high
+    * excess = learnable-and-not-yet-learned, low/negative = already
+    * learned or noise). E109 ranks DOMAINS by this signal; this ranks
+    * DOCUMENTS, with the same static LM pair: proxy = corpus-global
+    * add-1 unigram NLL, reference = the doc's own-source add-1 unigram
+    * NLL. The top-k excess-per-token docs are the selection batch.
+    *
+    * Determinism: both logprob tables floor to integer micro-nats
+    * (E10e playbook); per-doc sums are exact longs; the per-token
+    * ranking key is a division of exact integers (identical doubles
+    * cross-engine) with a doc_id tiebreak.
+    *
+    * Scale shape: (doc, token) counts join two VOCAB-keyed logprob
+    * tables (token occurrences never re-shuffle); one doc-keyed
+    * aggregate; TakeOrdered top-k. One-row corpus-totals broadcast
+    * (allowlisted).
+    */
+  def rhoSelect(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("token"))
+    val dt = toks.groupBy(col("doc_id"), col("source"), col("token"))
+      .agg(count(lit(1)).as("n_dt"))
+    val domCounts = dt.groupBy(col("source"), col("token"))
+      .agg(sum(col("n_dt")).as("c_st"))
+    val globCounts = domCounts.groupBy(col("token"))
+      .agg(sum(col("c_st")).as("c_t"))
+    val globTotals = globCounts
+      .agg(sum(col("c_t")).as("n_total"), count(lit(1)).as("v"))
+    val domTotals = domCounts.groupBy(col("source"))
+      .agg(sum(col("c_st")).as("n_s"), count(lit(1)).as("v_s"))
+    val glp = globCounts.crossJoin(broadcast(globTotals))
+      .select(col("token"),
+        floor(log((col("c_t") + 1).cast("double") /
+          (col("n_total") + col("v")).cast("double")) * 1e6).cast("long")
+          .as("glp_micro"))
+    val dlp = domCounts.join(broadcast(domTotals), "source")
+      .select(col("source"), col("token"),
+        floor(log((col("c_st") + 1).cast("double") /
+          (col("n_s") + col("v_s")).cast("double")) * 1e6).cast("long")
+          .as("dlp_micro"))
+    dt
+      .join(glp.hint("shuffle_hash"), "token")
+      .join(dlp.hint("shuffle_hash"), Seq("source", "token"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("n_dt")).as("n_toks"),
+        (-sum(col("n_dt") * col("glp_micro"))).as("proxy_mnats"),
+        (-sum(col("n_dt") * col("dlp_micro"))).as("ref_mnats"))
+      .withColumn("excess_micro", col("proxy_mnats") - col("ref_mnats"))
+      .withColumn("excess_per_tok",
+        round(col("excess_micro").cast("double") / col("n_toks").cast("double")
+          / 1e6, 6))
+      .orderBy(col("excess_per_tok").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        col("proxy_mnats"), col("ref_mnats"), col("excess_micro"),
+        col("excess_per_tok"))
+  }
+
+  val rhoSelectSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |dt AS (SELECT doc_id, source, token, CAST(count(*) AS BIGINT) AS n_dt
+      |       FROM toks GROUP BY 1, 2, 3),
+      |dc AS (SELECT source, token, CAST(sum(n_dt) AS BIGINT) AS c_st
+      |       FROM dt GROUP BY 1, 2),
+      |gc AS (SELECT token, CAST(sum(c_st) AS BIGINT) AS c_t FROM dc GROUP BY 1),
+      |gt AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_total,
+      |              CAST(count(*) AS BIGINT) AS v FROM gc),
+      |dtot AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s,
+      |                CAST(count(*) AS BIGINT) AS v_s FROM dc GROUP BY 1),
+      |glp AS (
+      |  SELECT token,
+      |    CAST(floor(ln(CAST(c_t + 1 AS DOUBLE) / (n_total + v)) * 1e6)
+      |      AS BIGINT) AS glp_micro
+      |  FROM gc, gt),
+      |dlp AS (
+      |  SELECT dc.source, dc.token,
+      |    CAST(floor(ln(CAST(c_st + 1 AS DOUBLE) / (n_s + v_s)) * 1e6)
+      |      AS BIGINT) AS dlp_micro
+      |  FROM dc JOIN dtot ON dc.source = dtot.source),
+      |agg AS (
+      |  SELECT doc_id, dt.source,
+      |    CAST(sum(n_dt) AS BIGINT) AS n_toks,
+      |    CAST(-sum(n_dt * glp_micro) AS BIGINT) AS proxy_mnats,
+      |    CAST(-sum(n_dt * dlp_micro) AS BIGINT) AS ref_mnats
+      |  FROM dt JOIN glp USING (token)
+      |          JOIN dlp ON dt.source = dlp.source AND dt.token = dlp.token
+      |  GROUP BY 1, 2)
+      |SELECT doc_id, source, n_toks, proxy_mnats, ref_mnats,
+      |  proxy_mnats - ref_mnats AS excess_micro,
+      |  round(CAST(proxy_mnats - ref_mnats AS DOUBLE)
+      |    / CAST(n_toks AS DOUBLE) / 1e6, 6) AS excess_per_tok
+      |FROM agg
+      |ORDER BY excess_per_tok DESC, doc_id
+      |LIMIT 50""".stripMargin
+
   // ---- E119: canary-exposure memorization audit -----------------------
 
   private val seqPairsExpr = expr(

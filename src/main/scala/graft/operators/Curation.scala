@@ -1085,6 +1085,94 @@ object Curation {
       .limit(k)
   }
 
+  // ---- E123: context-length packing sweep -------------------------------
+
+  /** Context-length planning sweep (the GPT-2/3 concat-and-chop
+    * packing: shuffle docs, concatenate with EOS, chop into L-token
+    * chunks — Radford et al. 2019 §2 / Brown et al. 2020 B.1; the
+    * planning question is L: longer contexts cut tail waste but split
+    * MORE documents across chunk boundaries, diluting attention with
+    * cross-document fragments). For each candidate L this reports the
+    * chunk count, boundary-crossing document share, and tail padding —
+    * the table a pipeline owner reads before fixing the context.
+    *
+    * Determinism: document offsets are exact-integer prefix sums over
+    * the E33 seeded shuffle order; crossing = floor(start/L) ≠
+    * floor((end−1)/L) on nonneg integers (div and // agree); waste is
+    * integer arithmetic.
+    *
+    * Scale shape: offsets via the E13b/E13d two-pass bucket-offset
+    * cumsum (the batchMix device — value-based, safe under
+    * multi-consumer fan-out); the L sweep is a 4-row literal explode
+    * (a Generate, no join); ONE L-keyed aggregate out.
+    */
+  def contextSweep(spark: SparkSession, dir: String,
+                   lengths: Seq[Int] = Seq(32, 64, 128, 256)): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("len"),
+        md5(concat(lit("seed42-"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("bkt", substring(col("h"), 1, 2))
+    val w = W.partitionBy(col("bkt")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val offW = W.orderBy(col("bkt"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val offsets = docs.groupBy(col("bkt")).agg(sum(col("len")).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(offW), lit(0L)))
+      .select(col("bkt"), col("off"))
+    val placed = docs
+      .withColumn("local", coalesce(sum(col("len")).over(w), lit(0L)))
+      .join(broadcast(offsets), "bkt")
+      .select(col("doc_id"), col("len"),
+        (col("off") + col("local")).as("start"))
+    placed
+      .select(col("doc_id"), col("len"), col("start"),
+        explode(array(lengths.map(l => lit(l.toLong)): _*)).as("l"))
+      .withColumn("crossing",
+        (expr("start div l") =!= expr("(start + len - 1) div l")).cast("long"))
+      .groupBy(col("l"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("len")).as("total_toks"),
+        sum(col("crossing")).as("n_crossing"))
+      .select(col("l"),
+        expr("(total_toks + l - 1) div l").as("n_chunks"),
+        col("n_docs"), col("total_toks"), col("n_crossing"),
+        expr("n_crossing * 10000 div n_docs").as("crossing_bp"),
+        expr("(total_toks + l - 1) div l * l - total_toks").as("tail_waste"))
+      .orderBy(col("l"))
+  }
+
+  val contextSweepSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+      |    md5('seed42-' || CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |placed AS (
+      |  SELECT doc_id, len,
+      |    CAST(coalesce(sum(len) OVER (ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS start
+      |  FROM d),
+      |sweep AS (
+      |  SELECT doc_id, len, start, CAST(unnest([32, 64, 128, 256]) AS BIGINT) AS l
+      |  FROM placed),
+      |agg AS (
+      |  SELECT l,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(len) AS BIGINT) AS total_toks,
+      |    CAST(sum(CASE WHEN start // l <> (start + len - 1) // l
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
+      |  FROM sweep GROUP BY 1)
+      |SELECT l,
+      |  CAST((total_toks + l - 1) // l AS BIGINT) AS n_chunks,
+      |  n_docs, total_toks, n_crossing,
+      |  CAST(n_crossing * 10000 // n_docs AS BIGINT) AS crossing_bp,
+      |  CAST((total_toks + l - 1) // l * l - total_toks AS BIGINT) AS tail_waste
+      |FROM agg
+      |ORDER BY l""".stripMargin
+
   val batchMixSql: String =
     """WITH d AS (
       |  SELECT doc_id, source,

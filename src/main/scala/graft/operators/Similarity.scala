@@ -1242,6 +1242,34 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  // ---- E122: weak-label confusion audit --------------------------------
+
+  /** Confusion matrix + per-class recall over the E118 weak labels
+    * (the label-model diagnostic a Snorkel-style weak-supervision
+    * pipeline publishes before anyone trains on propagated labels —
+    * Ratner et al. 2017: weak labels are only usable with a measured
+    * error structure). Aggregates the kNN batch's (true, predicted)
+    * pairs into cells with exact basis-point row shares.
+    *
+    * Scale shape: rides E118's bounded output (one micro-batch), so
+    * the audit itself is a handful-of-rows aggregate; at full-corpus
+    * labeling scale the same two aggregates run over the IVF-probe
+    * label stream — (true, pred) cells stay |labels|²-bounded.
+    */
+  def labelConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cells = knnLabel(spark, dir)
+      .groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val rows = cells.groupBy(col("true_label"))
+      .agg(sum(col("n_pairs")).as("row_total"))
+    cells.join(broadcast(rows), "true_label")
+      .select(col("true_label"), col("pred_label"), col("n_pairs"),
+        col("row_total"),
+        expr("n_pairs * 10000 div row_total").as("cell_bp"),
+        (col("true_label") === col("pred_label")).as("diagonal"))
+      .orderBy(col("true_label"), col("pred_label"))
+  }
+
   val knnLabelSql: String =
     """WITH b AS (
       |  SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS b_emb,
@@ -1275,4 +1303,22 @@ object Similarity {
       |  e.true_label, (e.label = e.true_label) AS correct, t.top_sim
       |FROM el e JOIN tops t USING (b_id)
       |ORDER BY vec_id""".stripMargin
+
+  val labelConfusionSql: String = {
+    val base = knnLabelSql
+    s"""WITH base AS (
+$base
+),
+cells AS (
+  SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM base GROUP BY 1, 2),
+rt AS (SELECT true_label, CAST(sum(n_pairs) AS BIGINT) AS row_total
+       FROM cells GROUP BY 1)
+SELECT true_label, pred_label, n_pairs, row_total,
+  CAST(n_pairs * 10000 // row_total AS BIGINT) AS cell_bp,
+  (true_label = pred_label) AS diagonal
+FROM cells JOIN rt USING (true_label)
+ORDER BY true_label, pred_label"""
+  }
+
 }

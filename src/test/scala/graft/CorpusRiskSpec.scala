@@ -119,6 +119,35 @@ class CorpusRiskSpec extends AnyFunSuite {
     assert(wOdd / (nOdd / totalToks) > wCommon / (nCommon / totalToks))
   }
 
+  test("rho select: domain-fluent-but-globally-rare docs rank first") {
+    // 'odd' source speaks its own vocabulary: low global probability,
+    // high own-source probability -> large positive excess. 'common'
+    // docs reuse corpus-wide tokens -> excess near zero.
+    writeDocs("/tmp/cr_rho", Seq(
+      (0L, "zq zq zr zr zs zs", "en", "odd"),
+      (1L, "zq zr zs zt zu zv", "en", "odd"),
+      (2L, "the a of and to in", "en", "common"),
+      (3L, "the a of and to in", "en", "common"),
+      (4L, "the a of and to in", "en", "common")))
+    val rows = CorpusRisk.rhoSelect(spark, "/tmp/cr_rho").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("excess_micro") ==
+        r.getAs[Long]("proxy_mnats") - r.getAs[Long]("ref_mnats"))
+      assert(r.getAs[Long]("n_toks") == 6L)
+    }
+    val bySource = rows.map(r => (r.getAs[String]("source"),
+      r.getAs[Double]("excess_per_tok")))
+    val odd = bySource.filter(_._1 == "odd").map(_._2)
+    val common = bySource.filter(_._1 == "common").map(_._2)
+    assert(odd.min > common.max,
+      s"odd-source docs must outrank common: $odd vs $common")
+    // the ordering contract: excess desc, doc_id asc
+    val keys = rows.map(r => (-r.getAs[Double]("excess_per_tok"),
+      r.getAs[Long]("doc_id")))
+    assert(keys.sameElements(keys.sorted))
+  }
+
   test("canary exposure: repeats ladder, exposure bounds, repetition lowers NLL") {
     val rows = CorpusRisk.canaryExposure(spark, TestSpark.sf).collect()
     assert(rows.length == 8)

@@ -80,4 +80,33 @@ class PackingSpec extends AnyFunSuite {
     if (capped.nonEmpty && uncapped.nonEmpty)
       assert(capped.map(_._4).max <= uncapped.map(_._4).min)
   }
+
+  test("context sweep: scalar replica of concat-and-chop crossings and waste") {
+    val lens = Map(0L -> 20, 1L -> 30, 2L -> 25, 3L -> 40, 4L -> 10)
+    lens.toSeq.map { case (id, n) =>
+      (id, Seq.fill(n)("t").mkString(" "), "en", "s")
+    }.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet("/tmp/pack_cs/documents.parquet")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val order = lens.keys.toSeq.sortBy(id => (md5hex(s"seed42-$id"), id))
+    val starts = order.scanLeft(0L)((acc, id) => acc + lens(id)).init
+    val total = lens.values.sum.toLong
+    val got = Curation.contextSweep(spark, "/tmp/pack_cs").collect()
+      .map(r => r.getAs[Long]("l") -> ((r.getAs[Long]("n_chunks"),
+        r.getAs[Long]("n_crossing"), r.getAs[Long]("tail_waste")))).toMap
+    for (l <- Seq(32L, 64L, 128L, 256L)) {
+      val crossing = order.zip(starts).count { case (id, s) =>
+        s / l != (s + lens(id) - 1) / l
+      }
+      val chunks = (total + l - 1) / l
+      assert(got(l) == ((chunks, crossing.toLong, chunks * l - total)),
+        s"L=$l: got ${got(l)}")
+    }
+    // the trade the sweep exists to show: larger L never increases
+    // boundary crossings on a fixed corpus stream
+    val cr = Seq(32L, 64L, 128L, 256L).map(l => got(l)._2)
+    assert(cr.zip(cr.tail).forall { case (a, b) => a >= b })
+  }
 }

@@ -220,6 +220,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(1L) == ((2, 2L, false)))
   }
 
+  test("label confusion: cells match the planted knn outcome; shares exact") {
+    // rides the /tmp/sim_knnlabel plant from the election test: vec 0
+    // (true 2 -> pred 2), vec 1 (true 5 -> pred 2)
+    val dir = "/tmp/sim_knnlabel"
+    Seq(
+      (0L, Array(1.0f, 0.0f), 2), (1L, Array(0.0f, 1.0f), 5),
+      (25L, Array(1.0f, 0.0f), 7), (26L, Array(1.0f, 0.0f), 7),
+      (27L, Array(1.0f, 0.0f), 2), (28L, Array(1.0f, 0.0f), 2),
+      (29L, Array(1.0f, 0.0f), 9),
+      (30L, Array(0.0f, 1.0f), 5))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.labelConfusion(spark, dir).collect()
+      .map(r => ((r.getAs[Int]("true_label"), r.getAs[Int]("pred_label")),
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("row_total"),
+          r.getAs[Long]("cell_bp"), r.getAs[Boolean]("diagonal")))).toMap
+    assert(got == Map(
+      (2, 2) -> ((1L, 1L, 10000L, true)),
+      (5, 2) -> ((1L, 1L, 10000L, false))))
+  }
+
+  test("label confusion on real data: cells reconcile to the 25-vector batch") {
+    val rows = Similarity.labelConfusion(spark, TestSpark.sf).collect()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == 25L)
+    rows.groupBy(_.getAs[Int]("true_label")).foreach { case (_, cells) =>
+      val rt = cells.head.getAs[Long]("row_total")
+      assert(cells.map(_.getAs[Long]("n_pairs")).sum == rt)
+      cells.foreach(c => assert(c.getAs[Long]("cell_bp") ==
+        c.getAs[Long]("n_pairs") * 10000L / rt))
+    }
+  }
+
   test("knn label on real data: 25 rows, sane vote counts, labels from the seed domain") {
     val labels = graft.sources.Tables.embeddings(spark, TestSpark.sf)
       .select("label").distinct().collect().map(_.getInt(0)).toSet

@@ -128,6 +128,9 @@ BNLJ_ALLOWED = {
                          "fixed-size audit sets)",
     "q_batch_mix": "one-row grand-total broadcast (the corpus_stats "
                    "class)",
+    "q_rho_select": "one-row corpus-totals broadcast (the doremi class)",
+    "q_label_confusion": "inherits E118's bounded 25-row batch broadcast "
+                         "(the E6 class; the audit itself adds no nest)",
 }
 
 
