@@ -1085,6 +1085,54 @@ object Curation {
       .limit(k)
   }
 
+  // ---- E124: weighted sampling without replacement ----------------------
+
+  /** Efraimidis–Spirakis priority sampling (2006: draw u~U(0,1] per
+    * item, key = u^(1/w), keep the k largest — a one-pass weighted
+    * reservoir, THE distributed primitive for sampling without
+    * replacement proportional to weight). Token-weighted here, so the
+    * drawn subset is token-budget-proportional: long documents enter
+    * with proportionally higher probability — the sampling step a
+    * quality/length-weighted subset selection actually executes (the
+    * deterministic E40-style quota samplers stratify; this one draws).
+    *
+    * Determinism: u derives from a 48-bit md5 lottery ((h+1)/2^48 ∈
+    * (0,1], never ln 0); the ranking key uses the equivalent log form
+    * ln(u)/w (monotone in u^(1/w), no pow), floored to integer
+    * nano-units from identical doubles cross-engine; k largest with
+    * doc_id tiebreak.
+    *
+    * Scale shape: one codegen'd projection over the scan + a
+    * TakeOrdered top-k (bounded per-partition heap + driver merge) —
+    * no shuffle at all beyond the top-k exchange.
+    */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("w"),
+        conv(substring(md5(concat(lit("ws-v1:"), col("doc_id").cast("string"))),
+          1, 12), 16, 10).cast("long").as("h48"))
+      .withColumn("key_nano",
+        floor(log((col("h48") + 1).cast("double") / lit(math.pow(2.0, 48)))
+          / col("w").cast("double") * 1e9).cast("long"))
+      .orderBy(col("key_nano").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("w"), col("key_nano"))
+
+  val weightedSampleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+      |    ('0x' || substr(md5('ws-v1:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+      |      AS h48
+      |  FROM documents)
+      |SELECT doc_id, w,
+      |  CAST(floor(ln(CAST(h48 + 1 AS DOUBLE) / 281474976710656.0)
+      |    / CAST(w AS DOUBLE) * 1e9) AS BIGINT) AS key_nano
+      |FROM d
+      |ORDER BY key_nano DESC, doc_id
+      |LIMIT 100""".stripMargin
+
   // ---- E123: context-length packing sweep -------------------------------
 
   /** Context-length planning sweep (the GPT-2/3 concat-and-chop

@@ -456,9 +456,14 @@ object SftData {
     * event scan and ONE tool-keyed hash aggregate (map-side combined);
     * nothing joins, nothing broadcasts.
     */
-  def toolCallAudit(spark: SparkSession, dir: String): DataFrame = {
-    val wire = Tables.events(spark, dir)
-      .select(col("event_id"), col("event_type").as("tool"),
+  /** Per-call render + validity flags over an events-shaped frame —
+    * pure column expressions, shared verbatim by the batch audit and
+    * the E117s streaming window (graft.streaming.LogPipeline
+    * .toolCallAuditStream), so stream/batch parity is by construction.
+    */
+  def toolCallFlags(events: DataFrame): DataFrame =
+    events
+      .select(col("ts"), col("event_id"), col("event_type").as("tool"),
         concat(lit("{\"tool\":\""), col("event_type"),
           lit("\",\"args\":{\"value\":"),
           col("value").cast("decimal(10,2)").cast("string"),
@@ -470,12 +475,15 @@ object SftData {
       .withColumn("wire",
         when(col("trunc"), substring(col("payload"), 1, 25))
           .otherwise(col("payload")))
-    wire
       .withColumn("v", get_json_object(col("wire"), "$.args.value").cast("double"))
       .withColumn("parse_ok",
         get_json_object(col("wire"), "$.tool").isNotNull &&
           get_json_object(col("wire"), "$.args.user").isNotNull &&
           col("v").isNotNull)
+      .select(col("ts"), col("tool"), col("trunc"), col("parse_ok"), col("v"))
+
+  def toolCallAudit(spark: SparkSession, dir: String): DataFrame = {
+    toolCallFlags(Tables.events(spark, dir))
       .groupBy(col("tool"))
       .agg(
         count(lit(1)).as("n_calls"),

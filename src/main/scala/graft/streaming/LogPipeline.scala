@@ -524,4 +524,24 @@ object LogPipeline {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(eqlSeqFn)
   }
+
+  /** E117s — streaming tool-call validation: the E117 audit as a
+    * watermarked windowed aggregate, so a function-calling ingest
+    * surfaces parse/truncation rates per (window, tool) WHILE data
+    * lands instead of at the next batch audit. The per-call render +
+    * validity flags are the SAME column expressions as the batch
+    * operator (SftData.toolCallFlags) — stream/batch parity by
+    * construction, asserted in StreamingSpec. Watermark bounds state;
+    * each closed window emits once (append-safe).
+    */
+  def toolCallAuditStream(events: DataFrame): DataFrame =
+    graft.operators.SftData.toolCallFlags(events)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("tool"))
+      .agg(
+        count(lit(1)).as("n_calls"),
+        sum(col("parse_ok").cast("long")).as("n_valid"),
+        sum(col("trunc").cast("long")).as("n_truncated"))
+      .select(col("window.start").as("window_start"), col("tool"),
+        col("n_calls"), col("n_valid"), col("n_truncated"))
 }

@@ -109,4 +109,29 @@ class PackingSpec extends AnyFunSuite {
     val cr = Seq(32L, 64L, 128L, 256L).map(l => got(l)._2)
     assert(cr.zip(cr.tail).forall { case (a, b) => a >= b })
   }
+
+  test("weighted sample: scalar E-S replica; token-weighted bias holds on real data") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .as[(Long, Long)].collect()
+    def key(id: Long, w: Long): Long = {
+      val h48 = java.lang.Long.parseLong(md5hex(s"ws-v1:$id").take(12), 16)
+      math.floor(math.log((h48 + 1).toDouble / math.pow(2.0, 48))
+        / w.toDouble * 1e9).toLong
+    }
+    val want = docs.map { case (id, w) => (id, w, key(id, w)) }
+      .sortBy(t => (-t._3, t._1)).take(100).toSeq
+    val got = Curation.weightedSample(spark, TestSpark.sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // E-S draws proportional to weight: the sample's mean token count
+    // must exceed the corpus mean (long docs over-represented)
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    val sampleMean = got.map(_._2).sum.toDouble / got.length
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean should exceed corpus mean $corpusMean")
+  }
 }

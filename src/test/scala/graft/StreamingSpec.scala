@@ -689,4 +689,42 @@ class StreamingSpec extends AnyFunSuite {
       spanUs = LogPipeline.seqSpanMs * 1000L)
     assert(batchTie.count() == 1)
   }
+
+  test("streaming tool-call audit: windowed validity rates match the batch flags (E117s)") {
+    def t(s: Int) = new java.sql.Timestamp(1627571520000L + s * 1000L)
+    // (event_id, ts, user_id, event_type, value) — ids straddle the
+    // md5 truncation lottery; two 5-min windows via a 6-min gap
+    val rows = Seq(
+      (1L, t(0), 10L, "click", 12.3), (2L, t(1), 10L, "view", 5.0),
+      (3L, t(2), 11L, "purchase", 249.99), (4L, t(3), 11L, "error", 1.0),
+      (5L, t(360), 12L, "click", 7.5), (6L, t(361), 12L, "signup", 2.0),
+      (7L, t(362), 13L, "click", 99.0), (8L, t(363), 13L, "view", 0.01))
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    ms.addData(rows: _*)
+    val events = ms.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = LogPipeline.toolCallAuditStream(events)
+      .writeStream.format("memory").queryName("toolaudit")
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("toolaudit")
+      .groupBy(col("tool"))
+      .agg(sum(col("n_calls")).as("c"), sum(col("n_valid")).as("v"),
+        sum(col("n_truncated")).as("tr"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    // parity: the batch flags over the same rows, aggregated per tool
+    val batch = graft.operators.SftData.toolCallFlags(
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .groupBy(col("tool"))
+      .agg(count(lit(1)).as("c"),
+        sum(col("parse_ok").cast("long")).as("v"),
+        sum(col("trunc").cast("long")).as("tr"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    // windows actually split: 'click' lands in both 5-minute windows,
+    // so window rows strictly exceed distinct tools
+    assert(spark.table("toolaudit").count() >
+      spark.table("toolaudit").select("tool").distinct().count())
+  }
 }
