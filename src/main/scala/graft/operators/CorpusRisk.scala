@@ -254,6 +254,159 @@ object CorpusRisk {
       |FROM w, d
       |ORDER BY source""".stripMargin
 
+  // ---- E125: deleted-interpolation LM fit (Jelinek–Mercer EM) ---------
+
+  /** Jelinek–Mercer deleted interpolation (Jelinek & Mercer 1980;
+    * Chen & Goodman 1998 §2.5): the bigram LM smoothed as
+    * λ₁·P_ML(w₂|w₁) + λ₂·P_ML(w₂) + λ₃·(1/V), with the mixture
+    * weights FIT by EM on a held-out split — the classical way to
+    * learn how much context to trust, and the ancestor of every
+    * interpolated LM the corpus-quality tier uses (E10e, E111). Docs
+    * are deleted into a 10% held-out set by md5 lottery; three
+    * unrolled EM iterations re-estimate (λ₁, λ₂, λ₃); each output row
+    * reports the lambdas USED that iteration and the held-out NLL
+    * under them, so the spec can assert EM's monotone improvement.
+    *
+    * Determinism: component probabilities are divisions of exact
+    * integers; per-event posteriors floor to micro-units and SUM AS
+    * LONGS (order-independent), so the re-estimated lambdas are
+    * ratios of exact longs — the Spark driver fold and the oracle's
+    * unrolled CTE chain compute bit-identical doubles; NLL uses
+    * per-bigram-type floors weighted by exact counts.
+    *
+    * Scale shape: train counts are vocab²-bounded aggregates; the
+    * held-out join is (held-out bigram types) × thin keys; each EM
+    * iteration is ONE aggregate collapsing to a single row
+    * (bounded-collect contract, the doremi device); one-row totals
+    * broadcast (allowlisted).
+    */
+  def jmInterpolation(spark: SparkSession, dir: String,
+                      iters: Int = 3): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"),
+        (conv(substring(md5(concat(lit("jm-v1:"), col("doc_id").cast("string"))),
+          1, 4), 16, 10).cast("long") % 10L === 0L).as("held"))
+    val bg = docs
+      .select(col("held"), explode(seqPairsExpr).as("p"))
+      .select(col("held"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bc = bg.filter(!col("held"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c_1"))
+    val ug = docs.filter(!col("held"))
+      .select(explode(col("w")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c2"))
+    val totals = ug.agg(sum(col("c2")).as("n"), count(lit(1)).as("v"))
+    val hb = bg.filter(col("held"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_h"))
+    val joined = hb
+      .join(bc.hint("shuffle_hash"), Seq("w1", "w2"), "left")
+      .join(c1.hint("shuffle_hash"), Seq("w1"), "left")
+      .join(ug.hint("shuffle_hash").withColumnRenamed("token", "w2"),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("n_h"),
+        when(coalesce(col("c_1"), lit(0L)) > 0L,
+          coalesce(col("c12"), lit(0L)).cast("double") / col("c_1").cast("double"))
+          .otherwise(lit(0.0)).as("pbg"),
+        (coalesce(col("c2"), lit(0L)).cast("double") / col("n").cast("double"))
+          .as("pug"),
+        (lit(1.0) / col("v").cast("double")).as("puni"))
+
+    var l = (0.4, 0.4, 0.2)
+    val out = (1 to iters).map { it =>
+      val d = lit(l._1) * col("pbg") + lit(l._2) * col("pug") +
+        lit(l._3) * col("puni")
+      val row = joined.agg(
+        sum(floor(col("n_h") * (lit(l._1) * col("pbg") / d) * 1e6).cast("long"))
+          .as("s1"),
+        sum(floor(col("n_h") * (lit(l._2) * col("pug") / d) * 1e6).cast("long"))
+          .as("s2"),
+        sum(floor(col("n_h") * (lit(l._3) * col("puni") / d) * 1e6).cast("long"))
+          .as("s3"),
+        (-sum(col("n_h") * floor(log(d) * 1e6).cast("long"))).as("nll"),
+        sum(col("n_h")).as("n_events")).collect().head
+      val (s1, s2, s3) = (row.getLong(0), row.getLong(1), row.getLong(2))
+      val used = l
+      val tot = s1 + s2 + s3
+      l = (s1.toDouble / tot, s2.toDouble / tot, s3.toDouble / tot)
+      (it.toLong, math.floor(used._1 * 1e6).toLong,
+        math.floor(used._2 * 1e6).toLong, math.floor(used._3 * 1e6).toLong,
+        row.getLong(3), row.getLong(4))
+    }
+    out.toDF("iter", "l1_micro", "l2_micro", "l3_micro",
+      "heldout_nll_micro", "n_events")
+      .orderBy(col("iter"))
+  }
+
+  val jmInterpolationSql: String = {
+    // one EM pass at lambdas (l1e, l2e, l3e) given as SQL expressions
+    def pass(name: String, l1e: String, l2e: String, l3e: String): String =
+      s"""$name AS (
+         |  SELECT
+         |    CAST(sum(CAST(floor(n_h * ($l1e * pbg /
+         |      ($l1e * pbg + $l2e * pug + $l3e * puni)) * 1e6) AS BIGINT))
+         |      AS BIGINT) AS s1,
+         |    CAST(sum(CAST(floor(n_h * ($l2e * pug /
+         |      ($l1e * pbg + $l2e * pug + $l3e * puni)) * 1e6) AS BIGINT))
+         |      AS BIGINT) AS s2,
+         |    CAST(sum(CAST(floor(n_h * ($l3e * puni /
+         |      ($l1e * pbg + $l2e * pug + $l3e * puni)) * 1e6) AS BIGINT))
+         |      AS BIGINT) AS s3,
+         |    CAST(-sum(n_h * CAST(floor(ln($l1e * pbg + $l2e * pug
+         |      + $l3e * puni) * 1e6) AS BIGINT)) AS BIGINT) AS nll,
+         |    CAST(sum(n_h) AS BIGINT) AS n_events,
+         |    CAST(floor($l1e * 1e6) AS BIGINT) AS l1_micro,
+         |    CAST(floor($l2e * 1e6) AS BIGINT) AS l2_micro,
+         |    CAST(floor($l3e * 1e6) AS BIGINT) AS l3_micro
+         |  FROM joined)""".stripMargin
+    val l2 = Seq("s1", "s2", "s3").map(k =>
+      s"(SELECT CAST($k AS DOUBLE) / (s1 + s2 + s3) FROM it1)")
+    val l3 = Seq("s1", "s2", "s3").map(k =>
+      s"(SELECT CAST($k AS DOUBLE) / (s1 + s2 + s3) FROM it2)")
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w,
+       |    ('0x' || substr(md5('jm-v1:' || doc_id), 1, 4))::BIGINT % 10 = 0
+       |      AS held
+       |  FROM documents),
+       |bg AS (
+       |  SELECT held,
+       |    unnest(list_transform(range(len(w) - 1), i -> w[i+1])) AS w1,
+       |    unnest(list_transform(range(len(w) - 1), i -> w[i+2])) AS w2
+       |  FROM d),
+       |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+       |       FROM bg WHERE NOT held GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c_1 FROM bc GROUP BY 1),
+       |ug AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS c2
+       |  FROM (SELECT unnest(w) AS token FROM d WHERE NOT held) GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c2) AS BIGINT) AS n,
+       |               CAST(count(*) AS BIGINT) AS v FROM ug),
+       |hb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_h
+       |       FROM bg WHERE held GROUP BY 1, 2),
+       |joined AS (
+       |  SELECT n_h,
+       |    CASE WHEN coalesce(c_1, 0) > 0
+       |         THEN CAST(coalesce(c12, 0) AS DOUBLE) / CAST(c_1 AS DOUBLE)
+       |         ELSE 0.0 END AS pbg,
+       |    CAST(coalesce(c2, 0) AS DOUBLE) / CAST(n AS DOUBLE) AS pug,
+       |    1.0 / CAST(v AS DOUBLE) AS puni
+       |  FROM hb LEFT JOIN bc USING (w1, w2) LEFT JOIN c1 USING (w1)
+       |          LEFT JOIN (SELECT token AS w2, c2 FROM ug) USING (w2)
+       |          CROSS JOIN tot),
+       |${pass("it1", "0.4", "0.4", "0.2")},
+       |${pass("it2", l2(0), l2(1), l2(2))},
+       |${pass("it3", l3(0), l3(1), l3(2))}
+       |SELECT CAST(1 AS BIGINT) AS iter, l1_micro, l2_micro, l3_micro,
+       |       nll AS heldout_nll_micro, n_events FROM it1
+       |UNION ALL
+       |SELECT 2, l1_micro, l2_micro, l3_micro, nll, n_events FROM it2
+       |UNION ALL
+       |SELECT 3, l1_micro, l2_micro, l3_micro, nll, n_events FROM it3
+       |ORDER BY iter""".stripMargin
+  }
+
   // ---- E121: doc-level excess-loss selection (RHO-style) --------------
 
   /** Learnability-ordered document selection (Mindermann et al. 2022

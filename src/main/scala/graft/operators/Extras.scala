@@ -394,12 +394,21 @@ object Extras {
     * The shuffle+sort is paid once: both consumers (counts and the
     * final stamping) sit over the SAME range exchange, which Spark
     * de-duplicates via ReusedExchange (windowRanks' EntrySpec test
-    * asserts it). Determinism does not hinge on that reuse, though:
-    * the caller passes a TOTAL sort order, so per-partition row order
-    * — and therefore every stamped id — is identical on any
-    * re-evaluation. The explicit numPartitions pins the partitioning
+    * asserts it). The explicit numPartitions pins the partitioning
     * against AQE re-planning (REPARTITION_BY_NUM is never coalesced),
     * keeping pid meanings identical across the two sides of the join.
+    *
+    * CONTRACT (round-11 finding): correctness DOES hinge on that
+    * reuse. Any single evaluation stamps true global ranks (off and
+    * mid derive from the same boundaries), but if the offsets arm and
+    * the probe arm compile into SEPARATE range exchanges, their
+    * SAMPLED boundaries can disagree and a suffix of ranks shifts by
+    * a partition's worth of rows (observed ±64 at sf0.1). A caller
+    * must therefore consume this output in ONE downstream subtree;
+    * a multi-aggregate fan-out (q_batch_mix's first form) or an
+    * upstream broadcast cross join (E101's cuts) can defeat reuse —
+    * those call sites use the E13b/E13d value-based bucket-offset
+    * cumsum instead, which is safe under any fan-out.
     */
   private[operators] def rankedByRange(df: DataFrame, sortCols: Seq[String]): DataFrame = {
     val parts = math.max(df.sparkSession.sparkContext.defaultParallelism / 2, 2)

@@ -119,6 +119,27 @@ class CorpusRiskSpec extends AnyFunSuite {
     assert(wOdd / (nOdd / totalToks) > wCommon / (nCommon / totalToks))
   }
 
+  test("jm interpolation: EM improves held-out NLL monotonically, lambdas stay a distribution") {
+    val rows = CorpusRisk.jmInterpolation(spark, TestSpark.sf).collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Long]("iter")).toSeq == Seq(1L, 2L, 3L))
+    // iteration 1 runs at the fixed (0.4, 0.4, 0.2) start
+    assert(rows.head.getAs[Long]("l1_micro") == 400000L)
+    assert(rows.head.getAs[Long]("l3_micro") == 200000L)
+    rows.foreach { r =>
+      val s = r.getAs[Long]("l1_micro") + r.getAs[Long]("l2_micro") +
+        r.getAs[Long]("l3_micro")
+      assert(s >= 999997L && s <= 1000000L, s"lambda floors sum $s")
+    }
+    val nll = rows.map(_.getAs[Long]("heldout_nll_micro"))
+    assert(nll.zip(nll.tail).forall { case (a, b) => b <= a },
+      s"EM must not worsen held-out NLL: ${nll.toSeq}")
+    assert(rows.map(_.getAs[Long]("n_events")).distinct.length == 1)
+    // deterministic across invocations (driver-fold lambdas included)
+    assert(CorpusRisk.jmInterpolation(spark, TestSpark.sf).collect().toSeq ==
+      rows.toSeq)
+  }
+
   test("rho select: domain-fluent-but-globally-rare docs rank first") {
     // 'odd' source speaks its own vocabulary: low global probability,
     // high own-source probability -> large positive excess. 'common'

@@ -129,6 +129,8 @@ BNLJ_ALLOWED = {
     "q_batch_mix": "one-row grand-total broadcast (the corpus_stats "
                    "class)",
     "q_rho_select": "one-row corpus-totals broadcast (the doremi class)",
+    # q_jm_interpolation needs no entry: its EM folds collect during
+    # construction, so the returned frame is a LocalTableScan.
     "q_label_confusion": "inherits E118's bounded 25-row batch broadcast "
                          "(the E6 class; the audit itself adds no nest)",
 }
