@@ -358,6 +358,151 @@ object CorpusAudit {
       |  CAST((mx * 10000) // nt AS BIGINT) AS top_share_bp
       |FROM t""".stripMargin
 
+  // ---- E126: Good–Turing missing-mass / coverage estimate -------------
+
+  /** Simple Good–Turing frequency-of-frequencies audit (Good 1953;
+    * Gale & Sampson 1995): the count-of-counts table N_r, the GT
+    * re-estimated counts r* = (r+1)·N_{r+1}/N_r, the missing mass
+    * P₀ = N₁/N (the probability that the NEXT token drawn is a type
+    * this corpus has never seen — the principled coverage number
+    * behind "is this corpus big enough", complementing E87/E114's
+    * growth-curve fits), and the Chao1 richness estimate
+    * V + N₁²/(2N₂) of the true vocabulary size.
+    *
+    * Types are word TRIGRAMS (the E87 device: the synthetic unigram
+    * vocabulary is closed and saturates, so its N₁ is empty; the
+    * trigram space has the real long tail GT exists for). Chao1 uses
+    * the bias-corrected form N₁(N₁−1)/(2(N₂+1)), defined even at
+    * N₂ = 0.
+    *
+    * Determinism: N_r, N, V are exact integers; r*, P₀ and Chao1 are
+    * single divisions of exact-integer products, micro-floored.
+    *
+    * Scale shape: ONE trigram-vocab-bounded count aggregate, ONE
+    * ≤10-row count-of-counts aggregate, a self-join on r+1 over
+    * those rows, and one-row totals broadcasts (allowlisted).
+    */
+  def goodTuring(spark: SparkSession, dir: String, maxR: Int = 10): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 2), i -> concat_ws(' '," +
+          " element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"))
+        .as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c"))
+    val nr = counts.groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r"))
+    val totals = counts.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    val n12 = nr.agg(
+      coalesce(sum(when(col("r") === 1L, col("n_r"))), lit(0L)).as("n1"),
+      coalesce(sum(when(col("r") === 2L, col("n_r"))), lit(0L)).as("n2"))
+    nr.filter(col("r") <= maxR)
+      .join(broadcast(nr.select((col("r") - 1).as("r"), col("n_r").as("n_r1"))),
+        Seq("r"), "left")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(n12))
+      .select(col("r"), col("n_r"),
+        floor((col("r") + 1).cast("double") *
+          coalesce(col("n_r1"), lit(0L)).cast("double")
+          / col("n_r").cast("double") * 1e6).cast("long").as("r_star_micro"),
+        floor(col("n1").cast("double") / col("n").cast("double") * 1e6)
+          .cast("long").as("p0_micro"),
+        col("v"),
+        (col("v") + floor((col("n1") * (col("n1") - 1)).cast("double")
+          / (lit(2L) * (col("n2") + 1)).cast("double")).cast("long"))
+          .as("chao1"))
+      .orderBy(col("r"))
+  }
+
+  val goodTuringSql: String =
+    """WITH counts AS (
+      |  SELECT gram, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(list_transform(range(1, len(ws) - 1),
+      |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+      |        FROM (SELECT string_split(text, ' ') AS ws FROM documents)
+      |        WHERE len(ws) >= 3)
+      |  GROUP BY 1),
+      |nr AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r
+      |       FROM counts GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v
+      |  FROM counts),
+      |n12 AS (
+      |  SELECT CAST(coalesce(sum(CASE WHEN r = 1 THEN n_r END), 0) AS BIGINT)
+      |           AS n1,
+      |         CAST(coalesce(sum(CASE WHEN r = 2 THEN n_r END), 0) AS BIGINT)
+      |           AS n2
+      |  FROM nr)
+      |SELECT a.r, a.n_r,
+      |  CAST(floor(CAST(a.r + 1 AS DOUBLE) * CAST(coalesce(b.n_r, 0) AS DOUBLE)
+      |    / CAST(a.n_r AS DOUBLE) * 1e6) AS BIGINT) AS r_star_micro,
+      |  CAST(floor(CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE) * 1e6) AS BIGINT)
+      |    AS p0_micro,
+      |  v,
+      |  v + CAST(floor(CAST(n1 * (n1 - 1) AS DOUBLE)
+      |    / CAST(2 * (n2 + 1) AS DOUBLE)) AS BIGINT) AS chao1
+      |FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
+      |CROSS JOIN tot CROSS JOIN n12
+      |WHERE a.r <= 10
+      |ORDER BY a.r""".stripMargin
+
+  // ---- E127: term burstiness (Fano factor) -----------------------------
+
+  /** Church–Gale burstiness audit (Church & Gale 1995: content words
+    * are BURSTY — their per-document counts are overdispersed relative
+    * to Poisson, while function words are uniform; the variance-to-
+    * mean Fano factor separates them). For the `k` highest-document-
+    * frequency terms this reports F = σ²/μ over per-document counts
+    * (zeros included): F ≈ 1 means Poisson-uniform, F ≫ 1 means the
+    * term clumps into few documents — template/boilerplate content a
+    * curation pass inspects.
+    *
+    * Determinism: F = (S₂·n − S₁²)/(n·S₁) over exact integer sums
+    * (zero docs contribute nothing to S₁/S₂ and only the factor n, so
+    * no corpus × vocab densification), micro-floored from identical
+    * doubles.
+    *
+    * Scale shape: one (token, doc) aggregate, one token aggregate
+    * (both map-side combined), a one-row doc-count broadcast
+    * (allowlisted), TakeOrdered top-k.
+    */
+  def burstiness(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocsRow = docs.agg(count(lit(1)).as("n_docs"))
+    val td = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("x"))
+    td.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"))
+      .crossJoin(broadcast(nDocsRow))
+      .select(col("token"), col("df"), col("s1"),
+        floor((col("s2") * col("n_docs") - col("s1") * col("s1")).cast("double")
+          / (col("n_docs") * col("s1")).cast("double") * 1e6).cast("long")
+          .as("fano_micro"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(k)
+  }
+
+  val burstinessSql: String =
+    """WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |td AS (
+      |  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS x
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |t AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS df,
+      |         CAST(sum(x) AS BIGINT) AS s1,
+      |         CAST(sum(x * x) AS BIGINT) AS s2
+      |  FROM td GROUP BY 1)
+      |SELECT token, df, s1,
+      |  CAST(floor(CAST(s2 * n_docs - s1 * s1 AS DOUBLE)
+      |    / CAST(n_docs * s1 AS DOUBLE) * 1e6) AS BIGINT) AS fano_micro
+      |FROM t CROSS JOIN nd
+      |ORDER BY df DESC, token
+      |LIMIT 50""".stripMargin
+
   // ---- E114: Zipf rank-frequency fit ---------------------------------
 
   /** Zipf's-law audit: the log-log OLS slope of unigram frequency

@@ -144,6 +144,38 @@ class CorpusAuditSpec extends AnyFunSuite {
     assert(want < 0.0) // frequency falls with rank
   }
 
+  test("good-turing: hand-traced count-of-counts, r*, missing mass, chao1") {
+    // trigrams: "a b c" x2, "b c d" x1, "b c e" x1 -> N1=2, N2=1, N=4, V=3
+    writeDocs("/tmp/ca_gt", Seq(
+      (0L, "a b c d", "en", "s"), (1L, "a b c e", "en", "s")))
+    val rows = CorpusAudit.goodTuring(spark, "/tmp/ca_gt").collect()
+      .map(r => r.getAs[Long]("r") -> r).toMap
+    assert(rows.keySet == Set(1L, 2L))
+    val r1 = rows(1L)
+    assert(r1.getAs[Long]("n_r") == 2L)
+    assert(r1.getAs[Long]("r_star_micro") == 1000000L) // (1+1)*N2/N1 = 1.0
+    assert(r1.getAs[Long]("p0_micro") == 500000L)      // N1/N = 2/4
+    assert(r1.getAs[Long]("v") == 3L)
+    assert(r1.getAs[Long]("chao1") == 3L) // 3 + floor(2*1/(2*2)) = 3
+    val r2 = rows(2L)
+    assert(r2.getAs[Long]("n_r") == 1L)
+    assert(r2.getAs[Long]("r_star_micro") == 0L) // N3 = 0
+  }
+
+  test("burstiness: constant term scores 0, single-doc clump scores (n-1)") {
+    // 'u' once in each of 4 docs -> variance 0 -> fano 0
+    // 'b' 4 times in one doc -> F = (16*4 - 16)/(4*4) = 3
+    writeDocs("/tmp/ca_burst", Seq(
+      (0L, "u b b b b", "en", "s"), (1L, "u x", "en", "s"),
+      (2L, "u y", "en", "s"), (3L, "u z", "en", "s")))
+    val m = CorpusAudit.burstiness(spark, "/tmp/ca_burst").collect()
+      .map(r => r.getAs[String]("token") ->
+        ((r.getAs[Long]("df"), r.getAs[Long]("s1"),
+          r.getAs[Long]("fano_micro")))).toMap
+    assert(m("u") == ((4L, 4L, 0L)))
+    assert(m("b") == ((1L, 4L, 3000000L)))
+  }
+
   test("source jsd: identical distributions score exactly 0") {
     writeDocs("/tmp/ca_jsd1", Seq(
       (0L, "x y", "en", "s1"), (1L, "x y", "en", "s2")))

@@ -131,6 +131,9 @@ BNLJ_ALLOWED = {
     "q_rho_select": "one-row corpus-totals broadcast (the doremi class)",
     # q_jm_interpolation needs no entry: its EM folds collect during
     # construction, so the returned frame is a LocalTableScan.
+    "q_good_turing": "one-row totals + N1/N2 broadcasts over the <=10-row "
+                     "count-of-counts frame (corpus_stats class)",
+    "q_burstiness": "one-row doc-count broadcast (corpus_stats class)",
     "q_label_confusion": "inherits E118's bounded 25-row batch broadcast "
                          "(the E6 class; the audit itself adds no nest)",
 }
