@@ -297,6 +297,78 @@ object LogStore {
     fs.delete(tmpPath, true)
   }
 
+  /** A28 — Z-order clustered rewrite (the lakehouse multi-dimension
+    * layout device: interleave the bits of two normalized sort keys so
+    * files carry TIGHT min/max ranges on BOTH columns at once — a
+    * point/range predicate on either column then prunes most files via
+    * parquet footer stats, where a plain sort helps only its leading
+    * column; the technique behind Delta/Iceberg OPTIMIZE ZORDER BY,
+    * from Morton 1966). Within each (log_date, source) partition the
+    * rewrite range-partitions rows by the 32-bit Morton code of the
+    * two columns (16 bits each, min/max-normalized) and swaps files in
+    * via the same crash-safe parking as `compact`.
+    *
+    * The Morton code is one folded codegen'd bit expression — no UDF;
+    * normalization bounds come from one bounded stats row. `fileSpans`
+    * is the measurement half: per-file min/max of the clustered
+    * columns (the footer stats a pruning scan would consult), which
+    * LogStoreSpec uses to assert the normalized span per file SHRINKS
+    * on both dimensions vs a hash-compacted layout.
+    */
+  def zorderCompact(spark: SparkSession, root: String,
+                    zCols: (String, String),
+                    filesPerPartition: Int = 4): Unit = {
+    recoverParkedPartitions(spark, root)
+    val df = spark.read.parquet(root)
+    val (a, b) = (col(zCols._1).cast("double"), col(zCols._2).cast("double"))
+    val st = df.agg(min(a).as("a0"), max(a).as("a1"),
+      min(b).as("b0"), max(b).as("b1")).collect().head
+    def norm(c: org.apache.spark.sql.Column, lo: Double, hi: Double) = {
+      val w = if (hi > lo) hi - lo else 1.0
+      least(greatest(floor((c - lit(lo)) / lit(w) * 65535.0), lit(0.0)),
+        lit(65535.0)).cast("long")
+    }
+    val na = norm(a, st.getDouble(0), st.getDouble(1))
+    val nb = norm(b, st.getDouble(2), st.getDouble(3))
+    val z = (0 until 16).map { i =>
+      shiftleft(shiftright(na, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(nb, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+    val nParts = math.max(
+      df.select(col("log_date"), col("source")).distinct().count().toInt, 1) *
+      filesPerPartition
+    val tmp = root.stripSuffix("/") + ".zorder-tmp"
+    df.withColumn("__z", z)
+      .repartitionByRange(nParts, col("log_date"), col("source"), col("__z"))
+      .sortWithinPartitions(col("log_date"), col("source"), col("__z"))
+      .drop("__z")
+      .write.mode("overwrite")
+      .partitionBy("log_date", "source")
+      .parquet(tmp)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(tmpPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("log_date="))
+      .foreach { s =>
+        val dest = new org.apache.hadoop.fs.Path(rootPath, s.getPath.getName)
+        swapPartition(fs, s.getPath, dest)
+      }
+    fs.delete(tmpPath, true)
+  }
+
+  /** Per-file min/max of two columns — the parquet footer stats a
+    * pruning scan consults, surfaced as a frame so layout quality is
+    * measurable (see zorderCompact).
+    */
+  def fileSpans(spark: SparkSession, root: String,
+                c1: String, c2: String): DataFrame =
+    spark.read.parquet(root)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(c1)).as("min1"), max(col(c1)).as("max1"),
+        min(col(c2)).as("min2"), max(col(c2)).as("max2"),
+        count(lit(1)).as("n_rows"))
+
   /** A8b — fold the A5b epoch layout (`epoch=<batchId>/log_date=…/
     * source=…`, the idempotent streaming sink's unit of replacement)
     * into the plain date layout the batch store uses. The fold CHANGES

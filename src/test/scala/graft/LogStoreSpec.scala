@@ -841,4 +841,36 @@ class LogStoreSpec extends AnyFunSuite {
     // idempotent: a date-layout store folds as a no-op
     assert(!LogStore.foldEpochs(spark, root))
   }
+
+  test("z-order rewrite tightens per-file spans on BOTH clustered columns (A28)") {
+    val root = Files.createTempDirectory("graft-zorder").toString + "/logs"
+    // status and bytes deliberately uncorrelated so no 1-D sort can
+    // serve both; 1024 rows in one (date, source) partition
+    val rows = (0 until 1024).map { i =>
+      (s"9.9.9.${i % 250}",
+        java.sql.Timestamp.valueOf("2024-02-01 10:00:00"),
+        200L + (i * 7) % 400,           // status-ish key
+        ((i * 131) % 997).toLong)       // bytes-ish key, decorrelated
+    }.toDF("ip", "ts", "status", "bytes").withColumn("source", lit("ec2"))
+    LogStore.write(rows, root)
+
+    def spans(): (Double, Double, Long) = {
+      val f = LogStore.fileSpans(spark, root, "status", "bytes").collect()
+      val w1 = f.map(r => (r.getAs[Long]("max1") - r.getAs[Long]("min1")).toDouble).sum / f.length
+      val w2 = f.map(r => (r.getAs[Long]("max2") - r.getAs[Long]("min2")).toDouble).sum / f.length
+      (w1, w2, f.length.toLong)
+    }
+    // hash-compact into 8 full-width files first (the layout to beat)
+    LogStore.compact(spark, root, filesPerPartition = 8)
+    val (h1, h2, hn) = spans()
+
+    LogStore.zorderCompact(spark, root, ("status", "bytes"), filesPerPartition = 8)
+    val (z1, z2, zn) = spans()
+    // every row survives the swap
+    assert(spark.read.parquet(root).count() == 1024)
+    assert(zn >= 4L, s"expected multiple z files, got $zn")
+    // the z layout must tighten BOTH dimensions vs hash placement
+    assert(z1 < h1 * 0.8 && z2 < h2 * 0.8,
+      s"z spans ($z1, $z2) should beat hash spans ($h1, $h2) on both axes")
+  }
 }
