@@ -196,4 +196,121 @@ object QualityModel {
       col("label"))
       .orderBy(col("doc_id"))
   }
+
+  // ---- E128: isotonic score calibration (PAV via minimax) -------------
+
+  /** Isotonic calibration of the quality score (Zadrozny & Elkan 2002:
+    * bin the scorer's output, fit the monotone step function closest
+    * to the per-bin positive rates — the calibration every
+    * quality-threshold decision should read instead of raw scores).
+    * The pool-adjacent-violators solution is computed by its MINIMAX
+    * closed form m_i = max_{j≤i} min_{k≥i} avg(pos over bins j..k)
+    * (Ayer et al. 1955; Robertson–Wright–Dykstra 1988 §1.2) — which
+    * turns the sequential PAV stack into three joins over BIN-bounded
+    * frames, so the fit itself is distributed and oracle-replicable.
+    * The target is the LENGTH-CONFOUND audit of the E9 scorer: the
+    * label is "document is longer than the corpus median", and on
+    * this corpus the score FALLS as length grows (the closed
+    * vocabulary collapses the TTR factor), so bins are ordered by
+    * DESCENDING score and the calibrated P(long | bin) is the rising
+    * staircase that makes the confound measurable — the bias curve a
+    * threshold decision must correct for (calibration-as-audit, the
+    * same role reliability diagrams play in Zadrozny & Elkan).
+    *
+    * Determinism: bins come from an exact (score, doc_id) rank (the
+    * raw score expression is cross-engine identical — E107's oracle
+    * pins it); interval averages are divisions of exact integer
+    * prefix sums; min/max run over those identical doubles; output
+    * rates floor to basis points.
+    *
+    * Scale shape: ONE corpus scan + one global rank (oracle form —
+    * the E98 trade; the 100 TB path is the E13d bucket-offset cumsum
+    * over score quantiles) into a `bins`-row aggregate; everything
+    * after is joins over ≤ bins² rows. One-row totals broadcast
+    * (allowlisted).
+    */
+  def isotonicCalibration(spark: SparkSession, dir: String,
+                          bins: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        graft.functions.TextFns.qualityScore(col("text")).as("score"))
+    val med = scored.agg(expr("percentile(n_chars, 0.5)")).collect()
+      .head.getDouble(0)
+    val total = scored.agg(count(lit(1)).as("n_docs"))
+    val binned = scored
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .crossJoin(broadcast(total))
+      .withColumn("bin", expr(s"(rn - 1) * $bins div n_docs"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_b"),
+        sum((col("n_chars") > med).cast("long")).as("pos_b"))
+    val pref = binned
+      .withColumn("cn", sum(col("n_b")).over(
+        Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cp", sum(col("pos_b")).over(
+        Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("bin"), col("n_b"), col("pos_b"), col("cn"), col("cp"))
+    val j = pref.select(col("bin").as("j"),
+      (col("cn") - col("n_b")).as("cn0"), (col("cp") - col("pos_b")).as("cp0"))
+    val k = pref.select(col("bin").as("k"), col("cn").as("cnk"),
+      col("cp").as("cpk"))
+    val intervals = j.join(broadcast(k), col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        ((col("cpk") - col("cp0")).cast("double") /
+          (col("cnk") - col("cn0")).cast("double")).as("a"))
+    val i = pref.select(col("bin").as("i"))
+    val mins = intervals.join(broadcast(i),
+        col("j") <= col("i") && col("i") <= col("k"))
+      .groupBy(col("j"), col("i")).agg(min(col("a")).as("mn"))
+    val iso = mins.groupBy(col("i")).agg(max(col("mn")).as("m"))
+    binned.join(broadcast(iso), col("bin") === col("i"))
+      .select(col("bin"), col("n_b"), col("pos_b"),
+        expr("pos_b * 10000 div n_b").as("raw_bp"),
+        floor(col("m") * 10000).cast("long").as("iso_bp"))
+      .orderBy(col("bin"))
+  }
+
+  val isotonicCalibrationSql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, n_chars,
+      |    ln(CAST(len(w) AS DOUBLE) + 1)
+      |      * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
+      |      * (1.0 - CAST(len(list_filter(w,
+      |          x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+      |          / len(w)) AS score
+      |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS w
+      |        FROM documents)),
+      |med AS (SELECT quantile_cont(n_chars, 0.5) AS m FROM scored),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM scored),
+      |binned AS (
+      |  SELECT CAST((rn - 1) * 20 // n_docs AS BIGINT) AS bin,
+      |    CAST(count(*) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN n_chars > m THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS pos_b
+      |  FROM (SELECT n_chars,
+      |          row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+      |        FROM scored) CROSS JOIN med CROSS JOIN tot
+      |  GROUP BY 1),
+      |pref AS (
+      |  SELECT bin, n_b, pos_b,
+      |    CAST(sum(n_b) OVER (ORDER BY bin) AS BIGINT) AS cn,
+      |    CAST(sum(pos_b) OVER (ORDER BY bin) AS BIGINT) AS cp
+      |  FROM binned),
+      |intervals AS (
+      |  SELECT j.bin AS j, k.bin AS k,
+      |    CAST(k.cp - (j.cp - j.pos_b) AS DOUBLE)
+      |      / CAST(k.cn - (j.cn - j.n_b) AS DOUBLE) AS a
+      |  FROM pref j JOIN pref k ON j.bin <= k.bin),
+      |mins AS (
+      |  SELECT j, i.bin AS i, min(a) AS mn
+      |  FROM intervals JOIN pref i ON j <= i.bin AND i.bin <= k
+      |  GROUP BY 1, 2),
+      |iso AS (SELECT i, max(mn) AS m FROM mins GROUP BY 1)
+      |SELECT b.bin, b.n_b, b.pos_b,
+      |  CAST(b.pos_b * 10000 // b.n_b AS BIGINT) AS raw_bp,
+      |  CAST(floor(m * 10000) AS BIGINT) AS iso_bp
+      |FROM binned b JOIN iso ON b.bin = iso.i
+      |ORDER BY b.bin""".stripMargin
 }

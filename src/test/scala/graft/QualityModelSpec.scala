@@ -67,4 +67,39 @@ class QualityModelSpec extends AnyFunSuite {
     val agree = rows.count(r => r.getInt(2) == r.getInt(3)).toDouble / rows.length
     assert(agree >= 0.93, s"agreement $agree")
   }
+
+  test("isotonic calibration: minimax fit equals a classic stack-PAV replica (E128)") {
+    val rows = QualityModel.isotonicCalibration(spark, TestSpark.sf).collect()
+      .sortBy(_.getAs[Long]("bin"))
+    assert(rows.length == 20)
+    // classic sequential pool-adjacent-violators over exact fractions
+    case class Block(pos: Long, n: Long)
+    var stack = List.empty[Block]
+    rows.foreach { r =>
+      var b = Block(r.getAs[Long]("pos_b"), r.getAs[Long]("n_b"))
+      // merge while the new block's rate is BELOW the stack top's
+      while (stack.nonEmpty && b.pos * stack.head.n < stack.head.pos * b.n) {
+        b = Block(b.pos + stack.head.pos, b.n + stack.head.n)
+        stack = stack.tail
+      }
+      stack ::= b
+    }
+    // rebuild per-bin expected values: blocks cover whole bins because
+    // the rank binning gives every bin the same n_b on this corpus
+    val nb = rows.head.getAs[Long]("n_b")
+    assert(rows.forall(_.getAs[Long]("n_b") == nb))
+    val expected = stack.reverse.flatMap { b =>
+      Seq.fill((b.n / nb).toInt)(
+        math.floor(b.pos.toDouble / b.n.toDouble * 10000).toLong)
+    }
+    assert(expected.length == rows.length)
+    rows.map(_.getAs[Long]("iso_bp")).zip(expected).foreach {
+      case (got, want) => assert(got == want, s"got $got want $want")
+    }
+    // invariants that hold regardless of equal-bin assumptions
+    val iso = rows.map(_.getAs[Long]("iso_bp"))
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b }, iso.toSeq)
+    rows.foreach(r => assert(r.getAs[Long]("iso_bp") >= 0L &&
+      r.getAs[Long]("iso_bp") <= 10000L))
+  }
 }

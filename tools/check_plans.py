@@ -134,6 +134,9 @@ BNLJ_ALLOWED = {
     "q_good_turing": "one-row totals + N1/N2 broadcasts over the <=10-row "
                      "count-of-counts frame (corpus_stats class)",
     "q_burstiness": "one-row doc-count broadcast (corpus_stats class)",
+    "q_isotonic_calibration": "one-row totals broadcast + bin-bounded "
+                              "minimax nests (20-row frames; the PAV "
+                              "closed form's j<=i<=k joins)",
     "q_label_confusion": "inherits E118's bounded 25-row batch broadcast "
                          "(the E6 class; the audit itself adds no nest)",
 }
