@@ -573,4 +573,68 @@ object Stats {
       |  CAST((matches * 281474976710656) // hmax_c AS BIGINT) AS est_inter,
       |  exact_inter
       |FROM m CROSS JOIN exact""".stripMargin
+
+  // ---- E129: Benford first-digit audit ---------------------------------
+
+  /** Benford's-law conformance audit over the transaction values
+    * (Newcomb 1881 / Benford 1938; Nigrini 2012 is the standard
+    * fraud-audit reference: organically-generated multi-scale numeric
+    * data has first significant digit d with probability
+    * log₁₀(1+1/d) — fabricated or truncated feeds deviate, so the
+    * per-digit deviation table is a data-QUALITY gate on ingested
+    * numeric columns, the numeric sibling of the text-side E18/E31
+    * template detectors). Reports observed first-digit counts, shares,
+    * Benford's expected shares, and each digit's chi-square
+    * contribution.
+    *
+    * Determinism: the first significant digit comes from the STRING
+    * head of the exact integer cents (round(value·100) — the store's
+    * exact-cents idiom; ×100 shifts the decimal point and never
+    * changes the leading digit), so no float log/pow touches the
+    * digit; expected shares are the same ln-constant expression in
+    * both engines; deviations floor to micro from identical doubles.
+    *
+    * Scale shape: one codegen'd projection + ONE 9-row aggregate
+    * (map-side combined) + a one-row total broadcast (allowlisted).
+    */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.events(spark, dir)
+      .filter(col("value") >= 0.01)
+      .select(substring(round(col("value") * 100).cast("long").cast("string"),
+        1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_d"))
+    val total = digits.agg(sum(col("n_d")).as("n"))
+    digits.crossJoin(broadcast(total))
+      .withColumn("p_d",
+        log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0)))
+      .withColumn("e_d", col("n").cast("double") * col("p_d"))
+      .select(col("digit"), col("n_d"),
+        expr("n_d * 10000 div n").as("share_bp"),
+        floor(col("p_d") * 10000).cast("long").as("benford_bp"),
+        floor((col("n_d").cast("double") - col("e_d"))
+          * (col("n_d").cast("double") - col("e_d")) / col("e_d") * 1e6)
+          .cast("long").as("dev_micro"))
+      .orderBy(col("digit"))
+  }
+
+  val benfordAuditSql: String =
+    """WITH digits AS (
+      |  SELECT CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR),
+      |           1, 1) AS BIGINT) AS digit,
+      |    CAST(count(*) AS BIGINT) AS n_d
+      |  FROM events WHERE value >= 0.01
+      |  GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_d) AS BIGINT) AS n FROM digits)
+      |SELECT digit, n_d,
+      |  CAST(n_d * 10000 // n AS BIGINT) AS share_bp,
+      |  CAST(floor(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 10000)
+      |    AS BIGINT) AS benford_bp,
+      |  CAST(floor((CAST(n_d AS DOUBLE) - CAST(n AS DOUBLE)
+      |      * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)))
+      |    * (CAST(n_d AS DOUBLE) - CAST(n AS DOUBLE)
+      |      * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)))
+      |    / (CAST(n AS DOUBLE) * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE))
+      |      / ln(10.0))) * 1e6) AS BIGINT) AS dev_micro
+      |FROM digits CROSS JOIN tot
+      |ORDER BY digit""".stripMargin
 }

@@ -525,6 +525,24 @@ object LogPipeline {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(eqlSeqFn)
   }
 
+  /** C43s — windowed heavy hitters on the stream: the F7 Misra–Gries
+    * sketch (graft.plans.FreqItemsAgg) as a watermarked window's
+    * aggregation state. The sketch is MERGEABLE, so Structured
+    * Streaming's incremental partial-merge execution preserves its
+    * guarantee: any item with in-window frequency > n/k is in the
+    * candidate set (no false negatives) — the per-window hot-keys
+    * surface an ops dashboard reads live. Watermark bounds state to
+    * open windows × k entries.
+    */
+  def windowedHeavyHitters(events: DataFrame, k: Int = 8): DataFrame = {
+    val fi = graft.plans.FreqItemsAgg.udafFor(k)
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(fi(col("item")).as("cands"))
+      .select(col("window.start").as("window_start"),
+        expr("transform(cands, c -> c._1)").as("candidates"))
+  }
+
   /** E117s — streaming tool-call validation: the E117 audit as a
     * watermarked windowed aggregate, so a function-calling ingest
     * surfaces parse/truncation rates per (window, tool) WHILE data

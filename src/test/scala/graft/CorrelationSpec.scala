@@ -109,4 +109,28 @@ class CorrelationSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_days") >= 14L)
     }
   }
+
+  test("benford audit: hand-planted digits, exact shares, benford constants (E129)") {
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 1.23),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:01"), 1L, "view", 0.05),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 10:00:02"), 2L, "click", 25.00),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 10:00:03"), 2L, "error", 0.99),
+      (5L, java.sql.Timestamp.valueOf("2024-01-01 10:00:04"), 3L, "view", 1.00))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet("/tmp/corr_benford/events.parquet")
+    val m = graft.operators.Stats.benfordAudit(spark, "/tmp/corr_benford")
+      .collect().map(r => r.getAs[Long]("digit") ->
+        ((r.getAs[Long]("n_d"), r.getAs[Long]("share_bp"),
+          r.getAs[Long]("benford_bp")))).toMap
+    // cents: 123->1, 5->5, 2500->2, 99->9, 100->1
+    assert(m.keySet == Set(1L, 2L, 5L, 9L))
+    assert(m(1L) == ((2L, 4000L, 3010L))) // log10(2)=0.30103 -> 3010
+    assert(m(2L)._1 == 1L && m(2L)._3 == 1760L) // log10(1.5)
+    assert(m(9L)._3 == 457L)                    // log10(10/9)
+    // expected shares are a distribution (floors sum just under 10000)
+    val allB = (1L to 9L).map(d =>
+      math.floor(math.log10(1.0 + 1.0 / d) * 10000).toLong).sum
+    assert(allB >= 9991L && allB <= 10000L) // 9 floors lose < 9 bp total
+  }
 }

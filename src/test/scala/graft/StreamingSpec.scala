@@ -727,4 +727,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("toolaudit").count() >
       spark.table("toolaudit").select("tool").distinct().count())
   }
+
+  test("windowed heavy hitters: the MG sketch keeps every >n/k item per window (C43s)") {
+    def t(s: Int) = new java.sql.Timestamp(1627571520000L + s * 1000L)
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, Long)]
+    // window A: item 7 appears 10/16 times (>n/k at k=8); window B
+    // (6 min later): item 9 appears 6/10 times; fillers near-unique
+    val winA = (1 to 10).map(_ => t(0) -> 7L) ++ (1 to 6).map(i => t(1) -> (100L + i))
+    val winB = (1 to 6).map(_ => t(370) -> 9L) ++ (1 to 4).map(i => t(371) -> (200L + i))
+    ms.addData(winA ++ winB: _*)
+    val q = LogPipeline.windowedHeavyHitters(
+        ms.toDF().toDF("ts", "item"), k = 8)
+      .writeStream.format("memory").queryName("hh")
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("hh")
+      .as[(java.sql.Timestamp, Seq[Long])].collect().sortBy(_._1.getTime)
+    assert(rows.length == 2)
+    assert(rows(0)._2.contains(7L) && !rows(0)._2.contains(9L))
+    assert(rows(1)._2.contains(9L) && !rows(1)._2.contains(7L))
+    // bounded state: never more than k candidates per window
+    rows.foreach(r => assert(r._2.length <= 8))
+  }
 }

@@ -137,6 +137,8 @@ BNLJ_ALLOWED = {
     "q_isotonic_calibration": "one-row totals broadcast + bin-bounded "
                               "minimax nests (20-row frames; the PAV "
                               "closed form's j<=i<=k joins)",
+    "q_benford": "one-row total broadcast over the 9-row digit frame "
+                 "(corpus_stats class)",
     "q_label_confusion": "inherits E118's bounded 25-row batch broadcast "
                          "(the E6 class; the audit itself adds no nest)",
 }
