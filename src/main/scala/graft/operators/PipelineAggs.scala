@@ -828,4 +828,108 @@ object PipelineAggs {
       |  round(l + hs.h * tr, 6) AS forecast
       |FROM last CROSS JOIN hs
       |ORDER BY h""".stripMargin
+
+  // ---- C79: robust non-parametric trend (Mann–Kendall + Theil–Sen) ----
+
+  /** Distribution-free trend audit over the monthly revenue series —
+    * the robust pair the parametric C45 battery lacks: Mann–Kendall's
+    * S statistic with tie-corrected variance (Mann 1945; Kendall 1975)
+    * answers "IS there a monotone trend" without assuming normality or
+    * linearity, and the Theil–Sen estimator (Theil 1950; Sen 1968) —
+    * the median of all pairwise slopes — says how steep, immune to the
+    * outlier months that wreck an OLS slope. The standard pairing in
+    * environmental/ops trend monitoring (e.g. Hirsch et al. 1982).
+    *
+    * Determinism: S is an exact sign-sum over exact-cents pairs; the
+    * variance is kept as the exact integer 18·Var (ties folded by the
+    * standard t(t−1)(2t+5) correction); z floors to micro from
+    * identical doubles (sqrt of the same double is IEEE-exact both
+    * engines); the Theil–Sen median uses the exact-interpolation
+    * percentile both engines share.
+    *
+    * Scale shape: after ONE month-keyed aggregate the series is
+    * calendar-bounded (~80 rows regardless of corpus size), so the
+    * pairwise frame is ≤ 80²/2 rows broadcast — the trend test is
+    * scale-INDEPENDENT past the first aggregate.
+    */
+  def trendRobust(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(((year(col("o_orderdate")) * 12) +
+        month(col("o_orderdate"))).cast("long").as("x"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+    val p1 = monthly.select(col("x").as("x1"), col("y").as("y1"))
+    val p2 = monthly.select(col("x").as("x2"), col("y").as("y2"))
+    val pairs = p1.join(broadcast(p2), col("x1") < col("x2"))
+      .select(col("x1"), col("x2"), col("y1"), col("y2"),
+        signum((col("y2") - col("y1")).cast("double")).cast("long").as("sg"),
+        ((col("y2") - col("y1")).cast("double") /
+          (col("x2") - col("x1")).cast("double")).as("slope"))
+    val sAgg = pairs.agg(sum(col("sg")).as("s_stat"),
+      expr("percentile(slope, 0.5)").as("ts_slope"))
+    val nRow = monthly.agg(count(lit(1)).as("n_months"))
+    val ties = monthly.groupBy(col("y")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)),
+        lit(0L)).as("tie18"))
+    sAgg.crossJoin(broadcast(nRow)).crossJoin(broadcast(ties))
+      .select(col("n_months"), col("s_stat"),
+        (col("n_months") * (col("n_months") - 1) *
+          (lit(2L) * col("n_months") + 5) - col("tie18")).as("var18"),
+        col("ts_slope"))
+      .select(col("n_months"), col("s_stat"), col("var18"),
+        floor(
+          when(col("s_stat") > 0, (col("s_stat") - 1).cast("double"))
+            .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double"))
+            .otherwise(lit(0.0)) /
+          sqrt(col("var18").cast("double") / lit(18.0)) * 1e6)
+          .cast("long").as("z_micro"),
+        round(col("ts_slope"), 6).as("theil_sen_cents"))
+      .withColumn("trend",
+        when(col("z_micro") > 1960000L, "increasing")
+          .when(col("z_micro") < -1960000L, "decreasing")
+          .otherwise("none"))
+  }
+
+  val trendRobustSql: String =
+    """WITH monthly AS (
+      |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+      |           AS x,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |           AS y
+      |  FROM orders GROUP BY 1),
+      |pairs AS (
+      |  SELECT CAST(sign(CAST(b.y - a.y AS DOUBLE)) AS BIGINT) AS sg,
+      |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+      |  FROM monthly a JOIN monthly b ON a.x < b.x),
+      |s AS (SELECT CAST(sum(sg) AS BIGINT) AS s_stat,
+      |             quantile_cont(slope, 0.5) AS ts_slope FROM pairs),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_months FROM monthly),
+      |ties AS (
+      |  SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+      |           AS tie18
+      |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM monthly GROUP BY y)),
+      |v AS (
+      |  SELECT n_months, s_stat,
+      |    n_months * (n_months - 1) * (2 * n_months + 5) - tie18 AS var18,
+      |    ts_slope
+      |  FROM s CROSS JOIN n CROSS JOIN ties)
+      |SELECT n_months, s_stat, CAST(var18 AS BIGINT) AS var18,
+      |  CAST(floor(
+      |    (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+      |          WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+      |          ELSE 0.0 END)
+      |    / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1e6) AS BIGINT) AS z_micro,
+      |  round(ts_slope, 6) AS theil_sen_cents,
+      |  CASE WHEN CAST(floor(
+      |    (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+      |          WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+      |          ELSE 0.0 END)
+      |    / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1e6) AS BIGINT) > 1960000
+      |       THEN 'increasing'
+      |       WHEN CAST(floor(
+      |    (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+      |          WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+      |          ELSE 0.0 END)
+      |    / sqrt(CAST(var18 AS DOUBLE) / 18.0) * 1e6) AS BIGINT) < -1960000
+      |       THEN 'decreasing' ELSE 'none' END AS trend
+      |FROM v""".stripMargin
 }

@@ -133,4 +133,23 @@ class CorrelationSpec extends AnyFunSuite {
       math.floor(math.log10(1.0 + 1.0 / d) * 10000).toLong).sum
     assert(allB >= 9991L && allB <= 10000L) // 9 floors lose < 9 bp total
   }
+
+  test("robust trend: planted monotone revenue detects 'increasing' with exact S (C79)") {
+    // 24 strictly rising months: S = C(24,2) = 276, no ties
+    (1 to 24).map { m =>
+      val mm = f"${(m - 1) % 12 + 1}%02d"
+      val yy = 2020 + (m - 1) / 12
+      (m.toLong, java.sql.Date.valueOf(s"$yy-$mm-15"), m * 100.0)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet("/tmp/corr_trend/orders.parquet")
+    val r = graft.operators.PipelineAggs.trendRobust(spark, "/tmp/corr_trend")
+      .collect().head
+    assert(r.getAs[Long]("n_months") == 24L)
+    assert(r.getAs[Long]("s_stat") == 276L)
+    // var18 = n(n-1)(2n+5) with zero tie correction
+    assert(r.getAs[Long]("var18") == 24L * 23L * 53L)
+    assert(r.getAs[String]("trend") == "increasing")
+    // Theil-Sen on a perfect line y = 10000*x cents recovers the slope
+    assert(math.abs(r.getAs[Double]("theil_sen_cents") - 10000.0) < 1e-6)
+  }
 }

@@ -139,6 +139,8 @@ BNLJ_ALLOWED = {
                               "closed form's j<=i<=k joins)",
     "q_benford": "one-row total broadcast over the 9-row digit frame "
                  "(corpus_stats class)",
+    "q_trend_robust": "calendar-bounded ~80-row month-pair nest + one-row "
+                      "S/N/tie broadcasts (Mann-Kendall pair frame)",
     "q_label_confusion": "inherits E118's bounded 25-row batch broadcast "
                          "(the E6 class; the audit itself adds no nest)",
 }
