@@ -358,6 +358,83 @@ object CorpusAudit {
       |  CAST((mx * 10000) // nt AS BIGINT) AS top_share_bp
       |FROM t""".stripMargin
 
+  // ---- E130: empirical-Bayes rate shrinkage ---------------------------
+
+  /** Empirical-Bayes shrinkage of per-source flag rates (the
+    * beta-binomial/James–Stein correction — Efron & Morris 1975;
+    * Robbins 1956: a 2-document source at 100% flagged must NOT
+    * outrank a 10k-document source at 60% in a curation triage list;
+    * shrink each source's rate toward the corpus rate with strength
+    * κ from the method-of-moments prior fit, κ = m(1−m)/v − 1).
+    * The flag here is the E85 lexicon signal (doc contains a
+    * weight-≥2 blocklist term); shrunk rate = (k + κm)/(n + κ).
+    *
+    * Determinism: n/k are exact integers; m, v, κ and the shrunk
+    * rates are ONE pinned float chain over those integers (identical
+    * operand order both engines), floored to basis points.
+    *
+    * Scale shape: one codegen'd flag projection + ONE source-keyed
+    * aggregate; the prior fit folds over the |sources|-row frame via
+    * one-row broadcasts (allowlisted).
+    */
+  def ebShrinkage(spark: SparkSession, dir: String): DataFrame = {
+    val heavy = lexicon.filter(_._2 >= 2).map(_._1)
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"),
+        heavy.map(t => array_contains(split(col("text"), " "), t))
+          .reduce(_ || _).cast("long").as("flagged"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("flagged")).as("k"))
+    val m = perSource.agg(
+      (sum(col("k")).cast("double") / sum(col("n")).cast("double")).as("m"))
+    val v = perSource.crossJoin(broadcast(m))
+      .select((col("n").cast("double") *
+        (col("k").cast("double") / col("n").cast("double") - col("m")) *
+        (col("k").cast("double") / col("n").cast("double") - col("m")))
+        .as("w2"), col("n"))
+      .agg((sum(col("w2")) / sum(col("n")).cast("double")).as("v"))
+    perSource.crossJoin(broadcast(m)).crossJoin(broadcast(v))
+      .withColumn("kappa",
+        when(col("v") > 0.0,
+          greatest(col("m") * (lit(1.0) - col("m")) / col("v") - 1.0, lit(0.0)))
+          .otherwise(lit(1e6)))
+      .select(col("source"), col("n").as("n_docs"), col("k").as("n_flagged"),
+        expr("k * 10000 div n").as("raw_bp"),
+        floor((col("k").cast("double") + col("kappa") * col("m")) /
+          (col("n").cast("double") + col("kappa")) * 10000).cast("long")
+          .as("shrunk_bp"),
+        floor(col("kappa") * 1000).cast("long").as("kappa_milli"))
+      .orderBy(col("source"))
+  }
+
+  val ebShrinkageSql: String =
+    """WITH ps AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN list_contains(string_split(text, ' '), 'slow')
+      |                    OR list_contains(string_split(text, ' '), 'big')
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS k
+      |  FROM documents GROUP BY 1),
+      |m AS (SELECT CAST(sum(k) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS m
+      |      FROM ps),
+      |v AS (
+      |  SELECT sum(CAST(n AS DOUBLE)
+      |      * (CAST(k AS DOUBLE) / CAST(n AS DOUBLE) - m)
+      |      * (CAST(k AS DOUBLE) / CAST(n AS DOUBLE) - m))
+      |    / CAST(sum(n) AS DOUBLE) AS v
+      |  FROM ps CROSS JOIN m),
+      |kap AS (
+      |  SELECT CASE WHEN v > 0.0
+      |              THEN greatest(m * (1.0 - m) / v - 1.0, 0.0)
+      |              ELSE 1000000.0 END AS kappa
+      |  FROM m CROSS JOIN v)
+      |SELECT source, n AS n_docs, k AS n_flagged,
+      |  CAST(k * 10000 // n AS BIGINT) AS raw_bp,
+      |  CAST(floor((CAST(k AS DOUBLE) + kappa * m)
+      |    / (CAST(n AS DOUBLE) + kappa) * 10000) AS BIGINT) AS shrunk_bp,
+      |  CAST(floor(kappa * 1000) AS BIGINT) AS kappa_milli
+      |FROM ps CROSS JOIN m CROSS JOIN kap
+      |ORDER BY source""".stripMargin
+
   // ---- E126: Good–Turing missing-mass / coverage estimate -------------
 
   /** Simple Good–Turing frequency-of-frequencies audit (Good 1953;

@@ -144,6 +144,28 @@ class CorpusAuditSpec extends AnyFunSuite {
     assert(want < 0.0) // frequency falls with rank
   }
 
+  test("eb shrinkage: tiny extreme source pulls hard toward the corpus rate") {
+    // big: 20 docs, 10 flagged (50%); tiny: 2 docs, 2 flagged (100%)
+    val big = (0L until 20L).map(i =>
+      (i, if (i < 10) "slow join scan" else "join scan key", "en", "big"))
+    val tiny = Seq((100L, "slow big table", "en", "tiny"),
+      (101L, "big value row", "en", "tiny"))
+    writeDocs("/tmp/ca_eb", big ++ tiny)
+    val m = CorpusAudit.ebShrinkage(spark, "/tmp/ca_eb").collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("raw_bp"), r.getAs[Long]("shrunk_bp")))).toMap
+    val corpusBp = 12L * 10000L / 22L // 12 flagged of 22
+    assert(m("big") == ((5000L, m("big")._2)))
+    assert(m("tiny")._1 == 10000L)
+    // tiny's shrunk rate moves toward the corpus rate MORE than big's
+    val moveTiny = (m("tiny")._1 - m("tiny")._2).abs
+    val moveBig = (m("big")._1 - m("big")._2).abs
+    assert(m("tiny")._2 < 10000L && m("tiny")._2 > corpusBp,
+      s"tiny shrunk ${m("tiny")._2} should sit between corpus $corpusBp and raw")
+    assert(moveTiny > moveBig,
+      s"tiny must shrink more: tiny $moveTiny vs big $moveBig")
+  }
+
   test("good-turing: hand-traced count-of-counts, r*, missing mass, chao1") {
     // trigrams: "a b c" x2, "b c d" x1, "b c e" x1 -> N1=2, N2=1, N=4, V=3
     writeDocs("/tmp/ca_gt", Seq(

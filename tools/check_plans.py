@@ -141,6 +141,8 @@ BNLJ_ALLOWED = {
                  "(corpus_stats class)",
     "q_trend_robust": "calendar-bounded ~80-row month-pair nest + one-row "
                       "S/N/tie broadcasts (Mann-Kendall pair frame)",
+    "q_eb_shrinkage": "one-row prior-moment broadcasts over the "
+                      "|sources|-row frame (corpus_stats class)",
     "q_label_confusion": "inherits E118's bounded 25-row batch broadcast "
                          "(the E6 class; the audit itself adds no nest)",
 }
