@@ -435,6 +435,81 @@ object CorpusAudit {
       |FROM ps CROSS JOIN m CROSS JOIN kap
       |ORDER BY source""".stripMargin
 
+  // ---- E131: Gini / Lorenz token-mass concentration --------------------
+
+  /** Token-mass inequality audit (Gini 1912 via the rank formula;
+    * Lorenz 1905 curve at document deciles): how concentrated the
+    * corpus's token mass is in its longest documents — the per-DOC
+    * complement of E113's per-SOURCE HHI, and the number that says
+    * whether a doc-uniform sample under-represents the corpus by
+    * tokens (high Gini ⇒ token-weighted sampling, E124, is needed).
+    * G = 2·Σ rank·len / (n·T) − (n+1)/n over lengths ranked
+    * ascending; the Lorenz points report the token share held by the
+    * shortest d/10 of documents.
+    *
+    * Determinism: rank/len/cumulative sums are exact integers on a
+    * (len, doc_id) total order (ties broken by id — identical both
+    * engines); G and the shares are single pinned divisions of exact
+    * longs, micro-/bp-floored.
+    *
+    * Scale shape: one global rank (oracle form — the E98 trade; the
+    * E13d bucket-offset cumsum over length bands is the 100 TB path)
+    * + ONE running-sum window + a 10-row decile-cut equi join and a
+    * one-row totals broadcast (allowlisted).
+    */
+  def giniLorenz(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("len"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("len"), col("doc_id"))).cast("long"))
+    val totals = ranked.agg(count(lit(1)).as("n"), sum(col("len")).as("t"),
+      sum(col("rank") * col("len")).as("a"))
+    val cuts = totals.select(
+      explode(sequence(lit(1), lit(10))).as("decile"), col("n"))
+      .select(col("decile"),
+        floor(col("n") * col("decile") / 10).cast("long").as("rank_cut"))
+    val cum = ranked
+      .withColumn("cum_toks", sum(col("len")).over(
+        Window.orderBy(col("len"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    cum.join(broadcast(cuts), col("rank") === col("rank_cut"))
+      .crossJoin(broadcast(totals))
+      .select(col("decile"), col("rank_cut").as("docs_cut"), col("cum_toks"),
+        expr("cum_toks * 10000 div t").as("share_bp"),
+        floor(((lit(2L) * col("a")).cast("double") /
+          (col("n") * col("t")).cast("double") -
+          (col("n") + 1).cast("double") / col("n").cast("double")) * 1e6)
+          .cast("long").as("gini_micro"))
+      .orderBy(col("decile"))
+  }
+
+  val giniLorenzSql: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+      |    CAST(row_number() OVER (ORDER BY len(string_split(text, ' ')),
+      |      doc_id) AS BIGINT) AS rank
+      |  FROM documents),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |               CAST(sum(len) AS BIGINT) AS t,
+      |               CAST(sum(rank * len) AS BIGINT) AS a
+      |        FROM ranked),
+      |cuts AS (
+      |  SELECT decile, CAST(floor(n * decile / 10) AS BIGINT) AS rank_cut
+      |  FROM (SELECT unnest(range(1, 11)) AS decile, n FROM tot)),
+      |cum AS (
+      |  SELECT rank, CAST(sum(len) OVER (ORDER BY len, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_toks
+      |  FROM ranked)
+      |SELECT decile, rank_cut AS docs_cut, cum_toks,
+      |  CAST(cum_toks * 10000 // t AS BIGINT) AS share_bp,
+      |  CAST(floor((CAST(2 * a AS DOUBLE) / CAST(n * t AS DOUBLE)
+      |    - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6) AS BIGINT)
+      |    AS gini_micro
+      |FROM cum JOIN cuts ON rank = rank_cut
+      |CROSS JOIN tot
+      |ORDER BY decile""".stripMargin
+
   // ---- E126: Good–Turing missing-mass / coverage estimate -------------
 
   /** Simple Good–Turing frequency-of-frequencies audit (Good 1953;

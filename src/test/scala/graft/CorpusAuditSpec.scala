@@ -144,6 +144,34 @@ class CorpusAuditSpec extends AnyFunSuite {
     assert(want < 0.0) // frequency falls with rank
   }
 
+  test("gini lorenz: equal lengths score ~0; planted concentration matches a replica") {
+    // four docs of identical length: perfect equality
+    writeDocs("/tmp/ca_gini1", (0L until 4L).map(i =>
+      (i, "a b c d e", "en", "s")))
+    val eq = CorpusAudit.giniLorenz(spark, "/tmp/ca_gini1").collect()
+    // n=4: deciles 1-2 cut at rank 0 and match no doc -> 8 rows
+    assert(eq.length == 8)
+    eq.foreach(r => assert(math.abs(r.getAs[Long]("gini_micro")) <= 1L,
+      r.toString)) // two mathematically-equal divisions may differ 1 ulp
+    // skewed: lens 1,1,1,7 -> replica of the rank formula
+    writeDocs("/tmp/ca_gini2", Seq(
+      (0L, "x", "en", "s"), (1L, "y", "en", "s"), (2L, "z", "en", "s"),
+      (3L, "a b c d e f g", "en", "s")))
+    val lens = Seq(1L, 1L, 1L, 7L) // already ascending with id tiebreak
+    val n = 4L; val t = lens.sum
+    val a = lens.zipWithIndex.map { case (l, i) => (i + 1) * l }.sum
+    val want = math.floor(((2L * a).toDouble / (n * t).toDouble -
+      (n + 1).toDouble / n.toDouble) * 1e6).toLong
+    val sk = CorpusAudit.giniLorenz(spark, "/tmp/ca_gini2").collect()
+    sk.foreach(r => assert(r.getAs[Long]("gini_micro") == want))
+    // Lorenz: the shortest 3 of 4 docs (decile >= 8 cut rank 3) hold 3/10
+    val d7 = sk.find(_.getAs[Int]("decile") == 7).get
+    assert(d7.getAs[Long]("docs_cut") == 2L) // floor(4*7/10) = 2
+    val d8 = sk.find(_.getAs[Int]("decile") == 8).get
+    assert(d8.getAs[Long]("docs_cut") == 3L &&
+      d8.getAs[Long]("share_bp") == 3000L)
+  }
+
   test("eb shrinkage: tiny extreme source pulls hard toward the corpus rate") {
     // big: 20 docs, 10 flagged (50%); tiny: 2 docs, 2 flagged (100%)
     val big = (0L until 20L).map(i =>

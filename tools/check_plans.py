@@ -143,6 +143,8 @@ BNLJ_ALLOWED = {
                       "S/N/tie broadcasts (Mann-Kendall pair frame)",
     "q_eb_shrinkage": "one-row prior-moment broadcasts over the "
                       "|sources|-row frame (corpus_stats class)",
+    "q_gini_lorenz": "one-row totals broadcast over the 10-row decile "
+                     "frame (corpus_stats class)",
     "q_label_confusion": "inherits E118's bounded 25-row batch broadcast "
                          "(the E6 class; the audit itself adds no nest)",
 }
