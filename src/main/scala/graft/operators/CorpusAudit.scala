@@ -435,6 +435,67 @@ object CorpusAudit {
       |FROM ps CROSS JOIN m CROSS JOIN kap
       |ORDER BY source""".stripMargin
 
+  // ---- E132: winsorized robust per-source stats ------------------------
+
+  /** Winsorized length statistics per source (Tukey 1962; Dixon 1960:
+    * clamp the tails at global p05/p95 before averaging, so a
+    * handful of megadocs or truncation stubs cannot move a source's
+    * reported typical length — the robust column a data card wants
+    * next to the raw mean, and the cheap guardrail before any
+    * threshold keyed on "average doc length"). Reports the winsorized
+    * mean, the raw mean, and how many docs each tail clamped.
+    *
+    * Determinism: the clamp bounds are FLOORS of the shared exact-
+    * interpolation percentiles, so clamped lengths stay exact
+    * integers and every mean is an integer-division milli-unit —
+    * nothing float-accumulates.
+    *
+    * Scale shape: one bounded percentile aggregate broadcast
+    * (allowlisted) + ONE source-keyed aggregate over the clamped
+    * projection (map-side combined).
+    */
+  def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars"))
+    val bounds = docs.agg(
+      floor(expr("percentile(n_chars, 0.05)")).cast("long").as("lo"),
+      floor(expr("percentile(n_chars, 0.95)")).cast("long").as("hi"))
+    docs.crossJoin(broadcast(bounds))
+      .select(col("source"),
+        least(greatest(col("n_chars"), col("lo")), col("hi")).as("w"),
+        col("n_chars"),
+        (col("n_chars") < col("lo")).cast("long").as("clo"),
+        (col("n_chars") > col("hi")).cast("long").as("chi"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("sw"), sum(col("n_chars")).as("sr"),
+        sum(col("clo")).as("n_clamped_lo"), sum(col("chi")).as("n_clamped_hi"))
+      .select(col("source"), col("n_docs"),
+        expr("sw * 1000 div n_docs").as("winsor_mean_milli"),
+        expr("sr * 1000 div n_docs").as("raw_mean_milli"),
+        col("n_clamped_lo"), col("n_clamped_hi"))
+      .orderBy(col("source"))
+  }
+
+  val winsorizedStatsSql: String =
+    """WITH b AS (
+      |  SELECT CAST(floor(quantile_cont(n_chars, 0.05)) AS BIGINT) AS lo,
+      |         CAST(floor(quantile_cont(n_chars, 0.95)) AS BIGINT) AS hi
+      |  FROM documents),
+      |c AS (
+      |  SELECT source,
+      |    least(greatest(n_chars, lo), hi) AS w, n_chars,
+      |    CASE WHEN n_chars < lo THEN 1 ELSE 0 END AS clo,
+      |    CASE WHEN n_chars > hi THEN 1 ELSE 0 END AS chi
+      |  FROM documents CROSS JOIN b)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(w) * 1000 // count(*) AS BIGINT) AS winsor_mean_milli,
+      |  CAST(sum(n_chars) * 1000 // count(*) AS BIGINT) AS raw_mean_milli,
+      |  CAST(sum(clo) AS BIGINT) AS n_clamped_lo,
+      |  CAST(sum(chi) AS BIGINT) AS n_clamped_hi
+      |FROM c GROUP BY source
+      |ORDER BY source""".stripMargin
+
   // ---- E131: Gini / Lorenz token-mass concentration --------------------
 
   /** Token-mass inequality audit (Gini 1912 via the rank formula;

@@ -172,6 +172,22 @@ class CorpusAuditSpec extends AnyFunSuite {
       d8.getAs[Long]("share_bp") == 3000L)
   }
 
+  test("winsorized stats: a megadoc moves the raw mean, not the winsorized one") {
+    // 20 ordinary 10-char docs + one 1000-char megadoc in source 'm'
+    val ordinary = (0L until 20L).map(i =>
+      (i, "abcdefghij", "en", if (i < 10) "m" else "o"))
+    val mega = Seq((100L, "x" * 1000, "en", "m"))
+    writeDocs("/tmp/ca_wins", ordinary ++ mega)
+    val rows = CorpusAudit.winsorizedStats(spark, "/tmp/ca_wins").collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val m = rows("m"); val o = rows("o")
+    // p95 over 21 docs of {10 x20, 1000} interpolates at 10 -> hi = 10
+    assert(m.getAs[Long]("n_clamped_hi") == 1L)
+    assert(m.getAs[Long]("winsor_mean_milli") == 10000L) // all clamp to 10
+    assert(m.getAs[Long]("raw_mean_milli") == (10L * 10 + 1000L) * 1000 / 11)
+    assert(o.getAs[Long]("winsor_mean_milli") == o.getAs[Long]("raw_mean_milli"))
+  }
+
   test("eb shrinkage: tiny extreme source pulls hard toward the corpus rate") {
     // big: 20 docs, 10 flagged (50%); tiny: 2 docs, 2 flagged (100%)
     val big = (0L until 20L).map(i =>

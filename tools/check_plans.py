@@ -145,6 +145,8 @@ BNLJ_ALLOWED = {
                       "|sources|-row frame (corpus_stats class)",
     "q_gini_lorenz": "one-row totals broadcast over the 10-row decile "
                      "frame (corpus_stats class)",
+    "q_winsorized_stats": "one-row percentile-bounds broadcast "
+                          "(corpus_stats class)",
     "q_label_confusion": "inherits E118's bounded 25-row batch broadcast "
                          "(the E6 class; the audit itself adds no nest)",
 }
