@@ -319,6 +319,11 @@ object LogStore {
                     zCols: (String, String),
                     filesPerPartition: Int = 4): Unit = {
     recoverParkedPartitions(spark, root)
+    // an A5b epoch-layout store must fold to the date layout first —
+    // the rewrite below re-partitions by (log_date, source) and would
+    // silently drop the epoch scheme mid-store otherwise (same
+    // discipline as compact)
+    foldEpochs(spark, root, filesPerPartition)
     val df = spark.read.parquet(root)
     val (a, b) = (col(zCols._1).cast("double"), col(zCols._2).cast("double"))
     val st = df.agg(min(a).as("a0"), max(a).as("a1"),
