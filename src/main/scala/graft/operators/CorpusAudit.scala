@@ -457,9 +457,13 @@ object CorpusAudit {
   def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("source"), col("n_chars"))
+    // round to 6 dp BEFORE floor-ing on both engines: Spark percentile
+    // and DuckDB quantile_cont lerp with different operand orders, and
+    // a last-ulp difference at an integer-valued cut flips floor() by 1
+    // (the histogramVarWidth cross-engine defect class)
     val bounds = docs.agg(
-      floor(expr("percentile(n_chars, 0.05)")).cast("long").as("lo"),
-      floor(expr("percentile(n_chars, 0.95)")).cast("long").as("hi"))
+      floor(round(expr("percentile(n_chars, 0.05)"), 6)).cast("long").as("lo"),
+      floor(round(expr("percentile(n_chars, 0.95)"), 6)).cast("long").as("hi"))
     docs.crossJoin(broadcast(bounds))
       .select(col("source"),
         least(greatest(col("n_chars"), col("lo")), col("hi")).as("w"),
@@ -479,8 +483,8 @@ object CorpusAudit {
 
   val winsorizedStatsSql: String =
     """WITH b AS (
-      |  SELECT CAST(floor(quantile_cont(n_chars, 0.05)) AS BIGINT) AS lo,
-      |         CAST(floor(quantile_cont(n_chars, 0.95)) AS BIGINT) AS hi
+      |  SELECT CAST(floor(round(quantile_cont(n_chars, 0.05), 6)) AS BIGINT) AS lo,
+      |         CAST(floor(round(quantile_cont(n_chars, 0.95), 6)) AS BIGINT) AS hi
       |  FROM documents),
       |c AS (
       |  SELECT source,

@@ -1038,8 +1038,11 @@ object Dedup {
     s"""WITH t AS (
        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |h AS (
+       |  -- array_to_string over the slice, not ||: a doc with <3 words
+       |  -- must hash the PARTIAL gram (Spark's concat_ws skips missing
+       |  -- words), while || would propagate NULL and mint a NULL bucket
        |  SELECT doc_id, list_transform(range(greatest(len(w) - 2, 1)),
-       |    i -> md5(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS hs
+       |    i -> md5(array_to_string(w[i+1:i+3], ' '))) AS hs
        |  FROM t),
        |wins AS (
        |  SELECT doc_id, list_distinct(list_transform(range(greatest(len(hs) - 3, 1)),

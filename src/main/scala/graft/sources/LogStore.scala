@@ -384,6 +384,27 @@ object LogStore {
     * store parked — the next fold (or compact) restores it before doing
     * anything else; at no point can a reader see a HALF-folded mix of
     * epoch and date dirs. No-op (false) on stores with no epoch dirs.
+    *
+    * Fold + resumed ingest (the lifecycle hazard): a fold flattens the
+    * scheme, but the stream's checkpoint lives on — a later micro-batch
+    * writing `epoch=N` beside flat `log_date=` dirs would make partition
+    * discovery throw ("conflicting directory structures"), and a
+    * crash-REPLAYED batch would duplicate rows the fold already
+    * absorbed. The contract that closes both holes:
+    *  - the fold records the highest non-negative batch id it absorbed
+    *    in a `_graft_fold_hwm` sidecar written INTO the rewrite tmp, so
+    *    the whole-root rename publishes data + watermark atomically;
+    *  - `idempotentBatchWrite` consults it: a replayed batch at or
+    *    below the watermark is a no-op (its rows are the folded ones),
+    *    and a NEW batch first re-homes the flat `log_date=` dirs under
+    *    the reserved `epoch=-1` partition (pure directory renames, no
+    *    data rewrite) so the root is uniformly epoch-schemed again —
+    *    the next fold flattens it back and advances the watermark.
+    * The no-op is exact under the same quiesce discipline the compactor
+    * already documents: a fold must not run concurrently with an
+    * in-flight micro-batch write (otherwise it could absorb a PARTIAL
+    * epoch, which no filesystem layout can later tell apart from a
+    * complete one).
     */
   def foldEpochs(spark: SparkSession, root: String,
                  filesPerPartition: Int = 1): Boolean = {
@@ -394,15 +415,34 @@ object LogStore {
     if (!fs.exists(rootPath) && fs.exists(parked) && !fs.rename(parked, rootPath))
       fail(s"cannot restore parked $parked to $rootPath")
     if (!fs.exists(rootPath)) return false
-    val hasEpochs = fs.listStatus(rootPath).exists(s =>
-      s.isDirectory && s.getPath.getName.startsWith("epoch="))
-    if (!hasEpochs) return false
+    // crash repair: a half-re-homed root (some flat log_date= dirs, some
+    // already under epoch=-1) is unreadable — finish the renames first
+    val st0 = fs.listStatus(rootPath).toSeq
+    if (st0.exists(s => s.isDirectory && s.getPath.getName.startsWith("log_date=")) &&
+        st0.exists(s => s.isDirectory && s.getPath.getName.startsWith("epoch=")))
+      rehomeIntoReservedEpoch(fs, rootPath)
+    val epochIds = fs.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
+      .map(_.getPath.getName.stripPrefix("epoch=").toLong)
+    if (epochIds.isEmpty) return false
+    val newHwm = (epochIds.filter(_ >= 0) ++ readFoldHwm(fs, rootPath)) match {
+      case Seq() => None
+      case ids   => Some(ids.max)
+    }
     val tmp = root.stripSuffix("/") + ".fold-tmp"
     spark.read.parquet(root).drop("epoch")
       .repartition(filesPerPartition, col("log_date"), col("source"))
       .write.mode("overwrite")
       .partitionBy("log_date", "source")
       .parquet(tmp)
+    // the watermark rides the tmp dir so it lands in the same rename as
+    // the data it describes — no window where folded data is live but
+    // the replay guard is missing
+    newHwm.foreach { h =>
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(tmp, foldHwmFileName), true)
+      try out.write(h.toString.getBytes("UTF-8")) finally out.close()
+    }
     fs.delete(parked, true) // stale parking from a crash after both renames
     if (!fs.rename(rootPath, parked)) fail(s"cannot park $rootPath")
     if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), rootPath)) {
@@ -411,6 +451,50 @@ object LogStore {
     }
     fs.delete(parked, true)
     true
+  }
+
+  /** Sidecar recording the highest batch id a fold has absorbed
+    * (underscore-prefixed → invisible to Spark's file listing).
+    */
+  val foldHwmFileName = "_graft_fold_hwm"
+
+  /** Highest batch id folded into this root, if it was ever folded. */
+  def readFoldHwm(fs: org.apache.hadoop.fs.FileSystem,
+                  rootPath: org.apache.hadoop.fs.Path): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(rootPath, foldHwmFileName)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong)
+      } finally in.close()
+    }
+  }
+
+  /** Move a folded store's flat `log_date=` dirs under the reserved
+    * `epoch=-1` partition — pure directory renames, so a resumed ingest
+    * can add `epoch=<batchId>` dirs without mixing two partition
+    * schemes under one root. Each dir moves in one atomic rename; a
+    * crash part-way leaves every dir in exactly one place, and both
+    * this method and `foldEpochs` finish the job on the next call.
+    * Returns the number of dirs moved (0 = store was not flat).
+    */
+  def rehomeIntoReservedEpoch(fs: org.apache.hadoop.fs.FileSystem,
+                              rootPath: org.apache.hadoop.fs.Path): Int = {
+    val flat = fs.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("log_date="))
+    if (flat.isEmpty) return 0
+    val reserved = new org.apache.hadoop.fs.Path(rootPath, "epoch=-1")
+    if (!fs.exists(reserved)) fs.mkdirs(reserved)
+    flat.foreach { s =>
+      val dest = new org.apache.hadoop.fs.Path(reserved, s.getPath.getName)
+      if (fs.exists(dest) || !fs.rename(s.getPath, dest))
+        throw new java.io.IOException(
+          s"rehomeIntoReservedEpoch: cannot move ${s.getPath} to $dest")
+    }
+    flat.size
   }
 
   /** A10 — reindex (the OpenSearch `_reindex` API re-expressed):

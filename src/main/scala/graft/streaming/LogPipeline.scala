@@ -190,11 +190,19 @@ object LogPipeline {
     var attempt = 0
     var lastErr: Throwable = null
     while (attempt <= retries) {
+      // NonFatal only: an OutOfMemoryError or interrupt must FAIL the
+      // micro-batch (checkpoint replay is the correct recovery), not be
+      // retried and then buried in the dead-letter area as if it were a
+      // sink refusal
       try { write(batch); return true }
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         lastErr = e
         attempt += 1
-        if (attempt <= retries) Thread.sleep(backoffMs * attempt)
+        if (attempt <= retries) {
+          try Thread.sleep(backoffMs * attempt)
+          catch { case ie: InterruptedException =>
+            Thread.currentThread().interrupt(); throw ie }
+        }
       }
     }
     deadLetter(batch, lastErr)
@@ -203,6 +211,23 @@ object LogPipeline {
 
   def idempotentBatchWrite(batch: DataFrame, root: String, batchId: Long,
                            partitionCols: Seq[String] = Seq("log_date")): Unit = {
+    // fold-aware ingest (the other half of LogStore.foldEpochs's
+    // contract): once a compaction has flattened this root, (a) a
+    // crash-REPLAYED batch at or below the fold watermark is a no-op —
+    // its rows ARE the folded ones, and writing epoch=<id> again would
+    // duplicate them; (b) a NEW batch first re-homes the flat
+    // log_date= dirs under the reserved epoch=-1 partition so the root
+    // carries ONE directory scheme — without this, epoch=N beside
+    // log_date=D makes Spark partition discovery throw and the store
+    // unreadable for every consumer including the next compaction.
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootPath)) {
+      if (graft.sources.LogStore.readFoldHwm(fs, rootPath).exists(batchId <= _))
+        return
+      graft.sources.LogStore.rehomeIntoReservedEpoch(fs, rootPath)
+    }
     val dated =
       if (partitionCols.contains("log_date") && !batch.columns.contains("log_date"))
         batch.withColumn("log_date", to_date(col("ts")))

@@ -58,6 +58,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(folded.count() == 2 && !folded.columns.contains("epoch"))
   }
 
+  test("ingest resumes after a fold: one directory scheme, exactly-once across the fold (A5b/A8b)") {
+    val in = tmpDir("in-res"); val out = tmpDir("out-res"); val ckpt = tmpDir("ckpt-res")
+    Files.createDirectories(Paths.get(s"$in/ec2"))
+    Files.writeString(Paths.get(s"$in/ec2/a.log"), s"$goodLine\n$goodLine\n")
+    LogPipeline.startIngest(spark, in, out, ckpt).awaitTermination()
+    assert(spark.read.parquet(s"$out/logs").count() == 2)
+
+    // operator compacts between stream restarts — the store flattens
+    graft.sources.LogStore.compact(spark, s"$out/logs")
+    assert(!spark.read.parquet(s"$out/logs").columns.contains("epoch"))
+
+    // the stream RESUMES from the same checkpoint with new arrivals:
+    // the next micro-batch must not mix epoch= beside log_date= dirs
+    Files.writeString(Paths.get(s"$in/ec2/b.log"), s"$goodLine\n")
+    LogPipeline.startIngest(spark, in, out, ckpt).awaitTermination()
+    val resumed = spark.read.parquet(s"$out/logs") // readable = one scheme
+    assert(resumed.count() == 3)
+    // folded history re-homed under the reserved epoch, new batch beside it
+    assert(Files.exists(Paths.get(s"$out/logs/epoch=-1/log_date=2021-07-29/source=ec2")))
+    assert(resumed.filter(col("epoch") >= 0).count() == 1)
+
+    // date-pruned reads still work over the re-homed layout
+    assert(graft.sources.LogStore.read(
+      spark, s"$out/logs", "2021-07-29", "2021-07-30").count() == 3)
+
+    // and the next compact folds everything flat again
+    graft.sources.LogStore.compact(spark, s"$out/logs")
+    val refolded = spark.read.parquet(s"$out/logs")
+    assert(refolded.count() == 3 && !refolded.columns.contains("epoch"))
+  }
+
+  test("idempotent sink: batch replayed ACROSS a fold is a no-op, not a duplicate (A5b/A8b)") {
+    val root = tmpDir("fold-replay") + "/logs"
+    def batch(n: Int) = spark.range(n)
+      .select(to_timestamp(lit("2021-07-29 12:00:00")).as("ts"),
+        lit("ec2").as("source"), col("id").as("payload"))
+    LogPipeline.idempotentBatchWrite(batch(3), root, 0, Seq("log_date", "source"))
+    LogPipeline.idempotentBatchWrite(batch(2), root, 1, Seq("log_date", "source"))
+    assert(graft.sources.LogStore.foldEpochs(spark, root))
+    assert(spark.read.parquet(root).count() == 5)
+
+    // a crash BEFORE the checkpoint commit redelivers batch 1 — but its
+    // rows were already folded; the watermark makes the rewrite a no-op
+    LogPipeline.idempotentBatchWrite(batch(2), root, 1, Seq("log_date", "source"))
+    assert(spark.read.parquet(root).count() == 5)
+    assert(!Files.exists(Paths.get(s"$root/epoch=1")))
+
+    // a genuinely NEW batch lands beside the re-homed history
+    LogPipeline.idempotentBatchWrite(batch(4), root, 2, Seq("log_date", "source"))
+    assert(spark.read.parquet(root).count() == 9)
+
+    // second fold advances the watermark; replaying batch 2 after it
+    // is again a no-op
+    assert(graft.sources.LogStore.foldEpochs(spark, root))
+    LogPipeline.idempotentBatchWrite(batch(4), root, 2, Seq("log_date", "source"))
+    assert(spark.read.parquet(root).count() == 9)
+    assert(!spark.read.parquet(root).columns.contains("epoch"))
+  }
+
   test("maxFilesPerTrigger caps micro-batch size; metrics listener surfaces per-batch progress") {
     val in = tmpDir("in-cap"); val out = tmpDir("out-cap")
     Files.createDirectories(Paths.get(s"$in/ec2"))
