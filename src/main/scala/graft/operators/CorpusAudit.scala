@@ -679,16 +679,31 @@ object CorpusAudit {
     * no corpus × vocab densification), micro-floored from identical
     * doubles.
     *
-    * Scale shape: one (token, doc) aggregate, one token aggregate
-    * (both map-side combined), a one-row doc-count broadcast
-    * (allowlisted), TakeOrdered top-k.
+    * Scale shape (r12 rewrite): the (token, doc) counts are computed
+    * INSIDE each document row — sort the doc's tokens, find run
+    * starts, zip starts with their successors into (token, run
+    * length) pairs — so the only exchange left is the vocab-bounded
+    * token aggregate (map-side combined). The previous form shuffled
+    * the distinct (token, doc) pairs (data-sized — the reason E127
+    * grew 3.5× on 10× data in the r11 scale study); this one ships
+    * per-partition token partials only. O(L log L) in-row sort per
+    * doc, no window, no UDF. Then the one-row doc-count broadcast
+    * (allowlisted) and TakeOrdered top-k as before.
     */
   def burstiness(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val nDocsRow = docs.agg(count(lit(1)).as("n_docs"))
-    val td = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("x"))
+    val td = Tables.atComputeParallelism(docs)
+      .select(col("doc_id"), array_sort(split(col("text"), " ")).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        expr("filter(sequence(1, size(ws)), " +
+          "i -> i = 1 OR element_at(ws, i) != element_at(ws, i - 1))").as("starts"))
+      .select(col("doc_id"), explode(expr(
+        "zip_with(starts, " +
+          "concat(slice(starts, 2, size(starts)), array(size(ws) + 1)), " +
+          "(a, b) -> struct(element_at(ws, a) AS token, " +
+          "CAST(b - a AS BIGINT) AS x))")).as("tx"))
+      .select(col("doc_id"), col("tx.token").as("token"), col("tx.x").as("x"))
     td.groupBy(col("token"))
       .agg(count(lit(1)).as("df"), sum(col("x")).as("s1"),
         sum(col("x") * col("x")).as("s2"))

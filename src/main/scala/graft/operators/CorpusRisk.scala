@@ -538,6 +538,18 @@ object CorpusRisk {
     * corpus contributes ONE bigram-count aggregate (vocab²-bounded);
     * sequences are O((nCanaries+nRefs)·seqLen) rows throughout; the
     * rank join is a bounded 8×64 non-equi nest (allowlisted).
+    *
+    * The three data-DERIVED intermediates that every downstream branch
+    * consumes — vocab ranks, the planted bigram table `bc`, and the
+    * canary/ref sequences — are localCheckpoint'd: each is bounded
+    * (vocab / vocab² / 72 rows), and without the cut the composite's
+    * fan-out re-derived the documents scan per consumer (36 parquet
+    * scans, 180 exchanges in the compiled plan — a 36-pass corpus read
+    * at 100 TB). Materializing them makes the corpus contribute
+    * exactly TWO passes: one for vocab, one for the bigram counts.
+    * The vocab checkpoint also discharges rankedByRange's single-
+    * subtree contract by construction — ranks are computed once,
+    * physically, before any fan-out can split the range exchange.
     */
   def canaryExposure(spark: SparkSession, dir: String,
                      nCanaries: Int = 8, nRefs: Int = 64,
@@ -549,7 +561,8 @@ object CorpusRisk {
     val vocab = Extras.rankedByRange(
       docs.select(explode(col("w")).as("token")).distinct(), Seq("token"))
       .select(col("token"), col("rank"))
-    val v = vocab.count() // plan-time scalar, vocab-bounded
+      .localCheckpoint()
+    val v = vocab.count() // free: the checkpoint already materialized it
 
     val ids = ((0 until nCanaries).map(i => ("canary", i.toLong)) ++
       (0 until nRefs).map(i => ("ref", i.toLong))).toDF("kind", "sid")
@@ -564,6 +577,7 @@ object CorpusRisk {
       .agg(array_join(transform(array_sort(collect_list(
         struct(col("pos"), col("token")))), t => t.getField("token")), " ")
         .as("seq"))
+      .localCheckpoint()
     val seqBg = seqs
       .select(col("kind"), col("sid"), split(col("seq"), " ").as("w"))
       .select(col("kind"), col("sid"), explode(seqPairsExpr).as("p"))
@@ -579,6 +593,9 @@ object CorpusRisk {
       .groupBy(col("w1"), col("w2")).agg(sum(col("r")).as("c"))
     val bc = corpusBc.unionByName(insBc)
       .groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c_b"))
+      .localCheckpoint()
+    // c_1 derives from the MATERIALIZED bigram table — a vocab²-row
+    // re-aggregate, not another corpus pass
     val c1 = bc.groupBy(col("w1")).agg(sum(col("c_b")).as("c_1"))
 
     val scored = seqBg

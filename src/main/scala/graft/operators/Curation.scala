@@ -999,19 +999,37 @@ object Curation {
   /** E25 — seeded deterministic global shuffle (every training run
     * needs a reproducible corpus order — same seed, same order, on
     * any engine at any parallelism). Order key = md5(seed ‖ doc_id);
-    * the global position comes from the distributed range-partitioned
-    * rank (Extras.rankedByRange — per-partition offsets + local ids),
-    * NOT a single-partition row_number: a global sort at 100 TB is a
-    * range-partitioned sort, and this is exactly that plan.
+    * the global position comes from the E13b/E13d two-pass
+    * bucket-offset cumsum: the md5 order is cut into 256 contiguous
+    * ranges by its first 2 hex chars (a PREFIX of the sort key, so
+    * buckets are ranges of the order), within-bucket ranks come from
+    * a partition-parallel window, and bucket offsets from a cumsum
+    * over the 256-row count frame broadcast back. Positions are a
+    * pure function of VALUES, so they are identical at any
+    * parallelism and under any downstream fan-out — no reliance on
+    * the id-stamping rankedByRange's exchange-reuse contract
+    * (retired here after the round-11 hazard finding). A global sort
+    * at 100 TB stays a range-partitioned sort; the md5 prefix is
+    * uniform by construction, so the 256 buckets are balanced.
     */
-  def shuffleOrder(spark: SparkSession, dir: String, seed: String = "seed42"): DataFrame =
-    Extras.rankedByRange(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"),
-          md5(concat(lit(seed + "-"), col("doc_id").cast("string"))).as("h")),
-      Seq("h", "doc_id"))
-      .select(col("doc_id"), col("rank").as("pos"))
+  def shuffleOrder(spark: SparkSession, dir: String, seed: String = "seed42"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(concat(lit(seed + "-"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("bkt", substring(col("h"), 1, 2))
+    val offsets = hashed.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("off"))
+    hashed
+      .withColumn("lr", row_number().over(
+        Window.partitionBy(col("bkt")).orderBy(col("h"), col("doc_id"))).cast("long"))
+      .join(broadcast(offsets), "bkt")
+      .select(col("doc_id"), (col("off") + col("lr")).as("pos"))
       .orderBy(col("pos"))
+  }
 
   val shuffleOrderSql: String =
     """SELECT doc_id,
@@ -1943,22 +1961,31 @@ object Curation {
     * is stage-independent), but each stage's keeper election runs on
     * the docs still alive — the canonical member of a cluster whose
     * keeper was quality-filtered falls to the next surviving member,
-    * not to nothing. At 100 TB each stage's survivor set would be
-    * persisted between stages; here the lazily-recomputed lineage is
-    * the same plan shape.
+    * not to nothing. At 100 TB each stage's survivor set is persisted
+    * between stages — and the plan does exactly that: every stage's
+    * id set (and the shared token projection) is localCheckpoint'd, so
+    * stage N's funnel row and stage N+1's input read N's MATERIALIZED
+    * survivors instead of re-running the whole upstream lineage per
+    * consumer (the lazy form compiled to 34 documents scans; this
+    * shape pays one corpus pass per mining stage and joins narrow id
+    * lists thereafter).
     */
   def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks"),
         md5(col("text")).as("h"))
+      .localCheckpoint()
     val s1 = toks.select(col("doc_id"))
     val s2 = qualityFilter(spark, dir).filter(col("keep") === 1).select(col("doc_id"))
+      .localCheckpoint()
     val s3 = toks.join(s2, "doc_id")
       .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
+      .localCheckpoint()
     val s4 = s3.join(Dedup.canonicalMapping(spark, dir), "doc_id")
       .groupBy(col("keep_id")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
+      .localCheckpoint()
     val flagged = contamination(spark, dir).select(col("doc_id"))
     val s5 = s4.join(flagged, Seq("doc_id"), "left_anti")
     val stages = Seq(

@@ -1498,7 +1498,11 @@ object Dedup {
   val sweepTaus: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
 
   def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(spark, dir, threshold = 0.5)
+    // localCheckpoint: BOTH sweep aggregates (pair counts, per-doc best)
+    // consume the mined pair list; without the cut each one re-runs the
+    // whole LSH mine — two full corpus passes instead of one, and the
+    // pair list is dup-rate-bounded (tiny next to the corpus)
+    val pairs = minhashPairs(spark, dir, threshold = 0.5).localCheckpoint()
     val pairCounts = pairs.agg(
       sum(when(col("jaccard") >= sweepTaus.head, 1L).otherwise(0L)).as(s"p_0"),
       sweepTaus.tail.zipWithIndex.map { case (t, i) =>

@@ -268,9 +268,15 @@ object SftData {
       .withColumn("op",
         conv(substring(md5(concat(lit("mlmop-v1:"), col("doc_id"), lit(":"), col("pos"))),
           1, 4), 16, 10).cast("long") % 10L)
+    // localCheckpoint: ranks materialize ONCE (vocab-bounded), which
+    // both discharges rankedByRange's single-subtree contract by
+    // construction (no fan-out can split the range exchange) and makes
+    // the nVocab count below read the cached table instead of paying a
+    // second corpus tokenization pass
     val vocab = Extras.rankedByRange(
       toks.select(col("token")).distinct(), Seq("token"))
       .select(col("token").as("repl_token"), col("rank"))
+      .localCheckpoint()
     val nVocab = vocab.agg(count(lit(1))).first().getLong(0)
     val repl = toks
       .filter(col("masked") && col("op") === 8L)

@@ -15,10 +15,19 @@ class ParallelismSpec extends AnyFunSuite {
     // the reproducibility CLAIM of C2k/E25: same rows, same order, at
     // any parallelism — rerun byte-identical under a different
     // spark.sql.shuffle.partitions
-    def snap(): (Seq[String], Seq[String]) = (
+    // shuffleOrder uses the value-based bucket-offset cumsum (r12
+    // migration off the id-stamping rankedByRange); mlmMasks and
+    // canaryExposure keep rankedByRange but behind a localCheckpoint
+    // that materializes ranks once — all three must be byte-stable
+    // under a different partitioning
+    def snap(): (Seq[String], Seq[String], Seq[String], Seq[String]) = (
       graft.operators.LogAnalytics.samplerAgg(spark, TestSpark.sf)
         .collect().map(_.toString).toSeq,
       graft.operators.Curation.shuffleOrder(spark, TestSpark.sf)
+        .collect().map(_.toString).toSeq,
+      graft.operators.SftData.mlmMasks(spark, TestSpark.sf)
+        .collect().map(_.toString).toSeq,
+      graft.operators.CorpusRisk.canaryExposure(spark, TestSpark.sf)
         .collect().map(_.toString).toSeq)
     val base = snap()
     spark.conf.set("spark.sql.shuffle.partitions", "7")

@@ -11,11 +11,41 @@ Contract (SURVEY §5):
     (all-pairs ANN kernels and one-row stats/totals broadcasts) —
     the allowlist below names them; a NEW query acquiring a BNLJ fails
     until it is consciously added here with a reason;
+  - at most MAX_SCANS parquet scans per compiled plan (the shared-
+    subtree re-compilation class: a composite that re-derives the
+    corpus scan per consumer reads 100 TB N times at scale — r11's
+    q_canary_exposure compiled to 36 scans before its bounded
+    intermediates were materialized). Queries legitimately above the
+    ceiling (multi-table TPC-H joins, multi-arm fusion queries) are
+    allowlisted with a reason;
   - no query's explain may fail.
 Exit 1 on any violation.
 """
 import json
 import sys
+
+# Ceiling on `Scan parquet` occurrences in one compiled plan. The gate
+# catches the re-compilation class, not table count: a 6-table TPC-H
+# join with two scans each sits at 12; a composite re-deriving one
+# corpus scan 20-30x is the defect.
+MAX_SCANS = 12
+
+# Queries allowed to exceed MAX_SCANS, with the reason (judge-audited
+# shapes: every scan is a DIFFERENT table or a deliberate bounded arm,
+# not an accidental re-compilation of a data-sized subtree).
+SCANS_ALLOWED = {
+    "q_search_hybrid_norm": 24,  # 3-arm fusion (BM25 + vector + norm), each arm 2-phase over docs+embeddings
+    "q_ann_ivfpq": 20,           # IVF probe + PQ codebook arms over embeddings (codebook passes are sample-bounded)
+    "q_dedup_levenshtein": 20,   # hierarchical blocking: 3 blocking tiers + verify, each over documents
+    "q_ann_lsh": 16,             # hash-table build + probe arms over embeddings
+    "q_batch_mix": 16,           # shuffle-position + composition + corpus-share arms over documents
+    "q_dedup_cross": 16,         # cross-source mine: per-side blocking + verify
+    "q_drift_psi": 16,           # per-window histogram arms (4 windows x expected/actual)
+    "q_isotonic_calibration": 16,# score-bin + PAV minimax arms (bin-bounded frames)
+    "q_perplexity_ablation": 16, # LM-stats per ablation cut (each cut one corpus pass)
+    "q_market_share": 14,        # TPC-H Q8: 7-table join, two scans each side of the year split
+    "q_waiting_suppliers": 14,   # TPC-H Q21: 4-table join + two lineitem self-join arms
+}
 
 # Queries allowed to contain BroadcastNestedLoopJoin, with the reason.
 # One-row stats/totals broadcasts are O(1)-side joins; all-pairs ANN
@@ -167,6 +197,12 @@ def main() -> int:
         if a.get("bnlj", 0) > 0 and name not in BNLJ_ALLOWED:
             bad.append(f"{name}: {a['bnlj']} BroadcastNestedLoopJoin "
                        "not in the documented allowlist")
+        limit = SCANS_ALLOWED.get(name, MAX_SCANS)
+        if a.get("scans", 0) > limit:
+            bad.append(f"{name}: {a['scans']} parquet scans exceeds "
+                       f"ceiling {limit} (shared-subtree re-compilation? "
+                       "materialize the bounded intermediate or allowlist "
+                       "with a reason)")
     stale = sorted(set(BNLJ_ALLOWED) - set(audit))
     if stale:
         print(f"note: {len(stale)} allowlisted queries absent from audit: "
