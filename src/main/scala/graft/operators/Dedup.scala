@@ -1586,34 +1586,38 @@ object Dedup {
     * filter is a FIXED 2^18-bit array — the structure streams, never
     * joins.
     *
-    * Spark-first, zero custom code: bit positions are xxhash64
-    * double-hashing (h1 + i·h2 mod m) computed as column arithmetic;
-    * the build is one `bit_or` aggregate per 64-bit word (mergeable —
-    * map-side partials OR together — exactly the mergeability a Bloom
-    * filter's union property guarantees); the probe embeds the word
-    * array as ONE literal and tests k bits with shift/mask arithmetic
-    * in the scan projection. No UDF, no driver loop over data: the
-    * driver materializes only the ≤ m/64-row word table — the filter
-    * itself, which is broadcast-sized by definition.
+    * Spark-first, zero driver loops over data: the paragraph hash is
+    * the house FNV/fmix64 10-gram kernel (plans/Sketches.NgramHashes —
+    * hashed straight off the token array, no window strings built);
+    * the k bit positions are Kirsch–Mitzenmacher double hashing
+    * (h1 + i·h2 mod m) with h1/h2 taken from DISJOINT BIT SLICES of
+    * the one well-mixed 64-bit hash (bits 0-17 and 18-35 — pure
+    * shift/mask column arithmetic, ANSI-safe, and 36 ≤ 64 bits so no
+    * second hash pass is needed); the build is one `bit_or` aggregate
+    * per 64-bit word (mergeable — map-side partials OR together —
+    * exactly the mergeability a Bloom filter's union property
+    * guarantees); the probe embeds the word array as ONE literal and
+    * tests k bits with shift/mask arithmetic in the scan projection.
+    * The driver materializes only the ≤ m/64-row word table — the
+    * filter itself, which is broadcast-sized by definition.
     *
-    * ☆ (BloomSpec): Bloom semantics guarantee NO false negatives (every
-    * reference paragraph hits); the spec pins that, bounds the FP rate
-    * on fresh paragraphs, and checks determinism.
+    * ★ (r12): the hash family is the repo's DuckDB-replicated device
+    * (tok_hash/mul64/fmix64 macros), so the WHOLE structure — window
+    * hashes, bit positions, membership, the per-doc hit ratio — is
+    * oracle-checked exactly; BloomSpec still pins the no-false-
+    * negative contract and the FP-rate bound.
     */
   val bloomBitsLog2 = 18
   val bloomK = 4
-
-  private def paraWindows(text: Column, w: Int = 10): Column = {
-    val ws = split(text, " ")
-    transform(sequence(lit(0), greatest(size(ws) - w, lit(0))),
-      i => concat_ws(" ", slice(ws, i + 1, lit(w))))
-  }
+  val bloomParaWords = 10
 
   private def bloomPositions(h: Column): Column = {
     val m = 1L << bloomBitsLog2
-    val h1 = pmod(h, lit(m))
-    // odd step so (h1 + i*h2) walks all of the power-of-two table
-    val h2 = pmod(xxhash64(h, lit(0x9E3779B9L)), lit(m)).bitwiseOR(lit(1L))
+    val h1 = h.bitwiseAND(lit(m - 1))
+    // odd step so (h1 + i*h2) walks all of the power-of-two table;
+    // bits 18-35 of the same mixed hash — independent of bits 0-17
+    val h2 = shiftrightunsigned(h, bloomBitsLog2)
+      .bitwiseAND(lit(m - 1)).bitwiseOR(lit(1L))
     transform(sequence(lit(0), lit(bloomK - 1)),
       i => pmod(h1 + i * h2, lit(m)))
   }
@@ -1621,11 +1625,13 @@ object Dedup {
   def bloomDedup(spark: SparkSession, dir: String,
                  flagRatio: Double = 0.8): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), paraWindows(col("text")).as("paras"))
+      .select(col("doc_id"), col("source"),
+        graft.plans.Sketches.ngramHashes(
+          split(col("text"), " "), bloomParaWords, distinct = false).as("phs"))
     val refBits = docs
       .filter(col("source").isin(refSources.map(x => x: Any): _*))
-      .select(explode(col("paras")).as("p"))
-      .select(explode(bloomPositions(xxhash64(col("p")))).as("pos"))
+      .select(explode(col("phs")).as("h"))
+      .select(explode(bloomPositions(col("h"))).as("pos"))
       .groupBy((col("pos") / 64).cast("long").as("word"))
       .agg(expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))").as("mask"))
     // the filter IS a broadcast-sized object: materialize the word
@@ -1633,17 +1639,67 @@ object Dedup {
     val words = new Array[Long](1 << (bloomBitsLog2 - 6))
     refBits.collect().foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
     val wordsLit = lit(words)
-    val hitExpr = (p: Column) =>
-      forall(bloomPositions(xxhash64(p)), pos =>
+    val hitExpr = (h: Column) =>
+      forall(bloomPositions(h), pos =>
         element_at(wordsLit, (pos / 64).cast("int") + 1)
           .bitwiseAND(call_function("shiftleft", lit(1L), pmod(pos, lit(64L)).cast("int"))) =!= 0L)
     docs.filter(!col("source").isin(refSources.map(x => x: Any): _*))
       .select(col("doc_id"), col("source"),
-        size(col("paras")).cast("long").as("n_paras"),
-        size(filter(col("paras"), p => hitExpr(p))).cast("long").as("n_hits"))
+        size(col("phs")).cast("long").as("n_paras"),
+        size(filter(col("phs"), h => hitExpr(h))).cast("long").as("n_hits"))
       .withColumn("flagged", col("n_hits") >= col("n_paras") * flagRatio)
       .orderBy(col("doc_id"))
   }
+
+  /** Exact replica of the E45 structure: same 10-gram FNV/fmix64
+    * window hashes (the minhashPairsSql device at n=10, via
+    * list_reduce instead of nested CASE), same bit-slice double
+    * hashing, and Bloom membership expressed as what the bit array IS
+    * — the SET of positions the reference corpus set (a distinct
+    * position table + join), so build and probe are bit-for-bit the
+    * operator's arithmetic.
+    */
+  val bloomDedupSql: String = sketchOracleMacros +
+    """CREATE OR REPLACE TEMP TABLE bf_thl AS
+      |SELECT doc_id, source, list(th ORDER BY pos) AS thl, count(*) AS len
+      |FROM (SELECT doc_id, source, pos, tok_hash(tok) AS th
+      |      FROM (SELECT doc_id, source, generate_subscripts(toks, 1) AS pos,
+      |                   unnest(toks) AS tok
+      |            FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+      |                  FROM documents)))
+      |GROUP BY doc_id, source;
+      |CREATE OR REPLACE TEMP TABLE bf_wh AS
+      |SELECT doc_id, source,
+      |  fmix64(list_reduce(
+      |    list_prepend(11400714819323198485::HUGEINT,
+      |      thl[CAST(w AS INT):CAST(least(w + 9, len) AS INT)]),
+      |    (acc, t) -> xor(mul64(acc, 1099511628211::HUGEINT), t))) AS h
+      |FROM bf_thl, unnest(range(1, greatest(len - 9, 1) + 1)) AS u(w);
+      |CREATE OR REPLACE TEMP TABLE bf_ph AS
+      |SELECT doc_id, source, (h % 262144) AS h1,
+      |  ((h // 262144) % 262144) - (((h // 262144) % 262144) % 2) + 1 AS h2
+      |FROM bf_wh;
+      |CREATE OR REPLACE TEMP TABLE bf_ref AS
+      |SELECT DISTINCT (h1 + i * h2) % 262144 AS p
+      |FROM bf_ph, unnest(range(0, 4)) AS v(i)
+      |WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4');
+      |CREATE OR REPLACE TEMP TABLE bf_pw AS
+      |SELECT doc_id, source, wid, (h1 + i * h2) % 262144 AS p
+      |FROM (SELECT doc_id, source, h1, h2, row_number() OVER () AS wid
+      |      FROM bf_ph
+      |      WHERE source NOT IN ('src0', 'src1', 'src2', 'src3', 'src4')) w0,
+      |  unnest(range(0, 4)) AS v(i);
+      |CREATE OR REPLACE TEMP TABLE bf_hits AS
+      |SELECT w.doc_id, w.source, w.wid, count(r.p) AS n_in
+      |FROM bf_pw w LEFT JOIN bf_ref r ON w.p = r.p
+      |GROUP BY 1, 2, 3;
+      |SELECT doc_id, source,
+      |  CAST(count(*) AS BIGINT) AS n_paras,
+      |  CAST(coalesce(sum(CASE WHEN n_in = 4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits,
+      |  coalesce(sum(CASE WHEN n_in = 4 THEN 1 ELSE 0 END), 0) >= count(*) * 0.8 AS flagged
+      |FROM bf_hits
+      |GROUP BY doc_id, source
+      |ORDER BY doc_id""".stripMargin
 
   // ---- E57: instruction-pair dedup -----------------------------------
 

@@ -894,27 +894,84 @@ object Extras {
       |GROUP BY 1
       |ORDER BY day""".stripMargin
 
-  /** C67 scale path — the same WAU tile with HLL distinct counts (the
-    * 100 TB form the exact row's design note promises): per-(window
-    * day) approx_count_distinct replaces the exact distinct, so the
-    * final aggregate is a mergeable sketch instead of a distinct
-    * expand. ☆ — ApproxSpec pins the per-day error against the exact
-    * tile.
+  /** C67 scale path — the same WAU tile as a TRUE mergeable-sketch
+    * plan (the 100 TB form the exact row's design note promises):
+    * one pass folds events to per-DAY HLL register tables (≤ days ×
+    * 16384 rows — the C6 explicit-register sketch), and the 7-day
+    * window unions day sketches by register-wise max (exactly the HLL
+    * union property). The window explode replicates REGISTERS, not
+    * users, so the shuffled volume after the first fold is
+    * independent of corpus size — strictly better than windowing an
+    * opaque approx_count_distinct, which re-expands the distinct user
+    * set per window day before sketching.
+    *
+    * ★ (r12, was ☆): built on the C6 register arithmetic, so the
+    * day sketches, the window union, and the estimates are all
+    * oracle-checked; ApproxSpec still pins the ≤5% error vs the
+    * exact tile.
     */
   def rollingDistinctApprox(spark: SparkSession, dir: String,
-                            windowDays: Int = 7, rsd: Double = 0.02): DataFrame = {
-    val ud = Tables.events(spark, dir)
-      .select(to_date(date_trunc("day", col("ts"))).as("day"), col("user_id"))
-      .distinct()
-    val maxDay = ud.agg(max(col("day")).as("max_day"))
-    ud.select(col("user_id"),
-        explode(sequence(lit(0), lit(windowDays - 1))).as("k"), col("day"))
-      .select(date_add(col("day"), col("k")).as("day"), col("user_id"))
-      .crossJoin(broadcast(maxDay))
-      .filter(col("day") <= col("max_day"))
-      .groupBy(col("day").cast("timestamp").as("day"))
-      .agg(approx_count_distinct(col("user_id"), rsd).as("users_7d"))
+                            windowDays: Int = 7): DataFrame = {
+    val m = 16384L
+    val dayRegs = Tables.events(spark, dir)
+      .select(to_date(date_trunc("day", col("ts"))).as("day"),
+        expr(LogAnalytics.hexU60("CAST(user_id AS STRING)", "instr")).as("u"))
+      .select(col("day"), pmod(col("u"), lit(m)).as("idx"),
+        expr("u div 16384").as("w"))
+      .select(col("day"), col("idx"),
+        when(col("w") === 0L, lit(47L))
+          .otherwise(lit(47L) - length(bin(col("w")))).as("rho"))
+      .groupBy(col("day"), col("idx")).agg(max(col("rho")).as("mr"))
+    val maxDay = dayRegs.agg(max(col("day")).as("max_day"))
+    LogAnalytics.hllEstimate(
+      dayRegs
+        .select(col("day"), col("idx"), col("mr"),
+          explode(sequence(lit(0), lit(windowDays - 1))).as("k"))
+        .select(date_add(col("day"), col("k")).as("day"), col("idx"), col("mr"))
+        .crossJoin(broadcast(maxDay))
+        .filter(col("day") <= col("max_day"))
+        .groupBy(col("day"), col("idx"))
+        .agg(max(col("mr")).as("mr"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("vp"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(47 - mr AS INT))")).as("sp")))
+      .select(col("day").cast("timestamp").as("day"),
+        col("users").as("users_7d"))
       .orderBy(col("day"))
+  }
+
+  val rollingDistinctApproxSql: String = {
+    val u = LogAnalytics.hexU60("CAST(user_id AS VARCHAR)", "strpos")
+    s"""WITH h AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, $u AS u FROM events),
+      |r AS (
+      |  SELECT day, u % 16384 AS idx,
+      |    CASE WHEN u // 16384 = 0 THEN 47
+      |         ELSE 47 - length(bin(u // 16384)) END AS rho
+      |  FROM h),
+      |dr AS (SELECT day, idx, max(rho) AS mr FROM r GROUP BY 1, 2),
+      |mx AS (SELECT max(day) AS max_day FROM dr),
+      |wr AS (
+      |  SELECT dr.day + CAST(k AS INTEGER) AS day, idx, max(mr) AS mr
+      |  FROM dr, range(7) t(k), mx
+      |  WHERE dr.day + CAST(k AS INTEGER) <= mx.max_day
+      |  GROUP BY 1, 2),
+      |g AS (
+      |  SELECT day, count(*) AS vp,
+      |    CAST(sum(CAST(1 AS BIGINT) << CAST(47 - mr AS INT)) AS BIGINT) AS sp
+      |  FROM wr GROUP BY 1),
+      |e AS (
+      |  SELECT day, vp,
+      |    (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(16384 AS DOUBLE)))
+      |      * (CAST(16384 AS DOUBLE) * CAST(16384 AS DOUBLE) * CAST(140737488355328 AS DOUBLE))
+      |      / CAST(sp + (16384 - vp) * (CAST(1 AS BIGINT) << 47) AS DOUBLE) AS e_raw
+      |  FROM g)
+      |SELECT CAST(day AS TIMESTAMP) AS day,
+      |  CAST(CASE WHEN e_raw <= CAST(40960.0 AS DOUBLE) AND vp < 16384
+      |       THEN floor(CAST(16384 AS DOUBLE) * ln(CAST(16384 AS DOUBLE) / CAST(16384 - vp AS DOUBLE)))
+      |       ELSE floor(e_raw) END AS BIGINT) AS users_7d
+      |FROM e
+      |ORDER BY day""".stripMargin
   }
 
   /** C66 — `_msearch` (the multi-search API: applications batch many

@@ -1025,14 +1025,103 @@ object LogAnalytics {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
-  /** Scale path for C6: HLL++ sketch — mergeable partial aggregates, no
-    * exact-distinct shuffle. Rows-only + ApproxSpec (relative-error bound).
+  /** Scale path for C6: an EXPLICIT HyperLogLog built from register
+    * arithmetic (Flajolet et al. 2007) — the OpenSearch `cardinality`
+    * agg's structure, laid bare as two aggregates instead of an opaque
+    * sketch buffer. Register index = low 14 bits of a 60-bit md5-
+    * derived hash (p=14 → 16384 registers, rsd ≈ 0.8%), rank = leading
+    * zeros of the remaining 46 bits + 1 via `length(bin(w))` (integer-
+    * string arithmetic — no float log, no cross-engine ulp risk). The
+    * register table IS a mergeable sketch: max() combines map-side
+    * like any HLL union, and the shuffled grain is ≤ groups × 16384
+    * rows regardless of corpus size — the exact-distinct shuffle never
+    * happens. The harmonic sum is kept EXACT by scaling each 2^-M term
+    * to the integer 2^(47-M) (long addition is order-independent;
+    * doubles would round past 53 bits), and the standard small-range
+    * linear-counting branch applies under 2.5·m.
+    *
+    * ★ (r12, was ☆): every step — hash, registers, ranks, scaled
+    * harmonic sum, bias constant, linear counting — is plain integer/
+    * double arithmetic identical in DuckDB, so the sketch ESTIMATE
+    * itself is oracle-checked, not just bounded by ApproxSpec.
     */
-  def cardinalityApprox(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("users"), count(lit(1)).as("n"))
+  private[operators] def hexU60(inner: String, strposFn: String): String =
+    // every multiplier CAST AS BIGINT: the sub-2^31 ones would parse as
+    // INT and the digit*multiplier product overflows 32 bits (ANSI throws)
+    (1 to 15).map(i =>
+      s"($strposFn('0123456789abcdef', substr(md5($inner), $i, 1)) - 1)" +
+        s" * CAST(${1L << (4 * (15 - i))} AS BIGINT)")
+      .mkString("(", " + ", ")")
+
+  /** Finisher over (keys..., vp, sp) rows: the bias-corrected harmonic
+    * estimate + linear-counting branch; adds `users`, drops vp/sp.
+    */
+  private[operators] def hllEstimate(df: DataFrame): DataFrame = {
+    val m = 16384
+    df.withColumn("e_raw",
+        lit(0.7213 / (1.0 + 1.079 / m)) * lit(16384.0 * 16384.0 * 140737488355328.0)
+          / (col("sp") + (lit(m.toLong) - col("vp")) * lit(1L << 47)).cast("double"))
+      .withColumn("users",
+        when(col("e_raw") <= lit(2.5 * m) && col("vp") < m,
+          floor(lit(m.toDouble) * log(lit(m.toDouble) / (lit(m.toLong) - col("vp")).cast("double"))))
+          .otherwise(floor(col("e_raw"))).cast("long"))
+      .drop("e_raw", "sp", "vp")
+  }
+
+  def cardinalityApprox(spark: SparkSession, dir: String): DataFrame = {
+    val m = 16384L
+    val regs = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr(hexU60("CAST(user_id AS STRING)", "instr")).as("u"))
+      .select(col("event_type"),
+        pmod(col("u"), lit(m)).as("idx"),
+        expr("u div 16384").as("w"))
+      .select(col("event_type"), col("idx"),
+        when(col("w") === 0L, lit(47L))
+          .otherwise(lit(47L) - length(bin(col("w")))).as("rho"))
+      .groupBy(col("event_type"), col("idx"))
+      .agg(max(col("rho")).as("mr"), count(lit(1)).as("cnt"))
+    hllEstimate(
+      regs.groupBy(col("event_type"))
+        .agg(sum(col("cnt")).as("n"),
+          count(lit(1)).as("vp"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(47 - mr AS INT))")).as("sp")))
+      .select(col("event_type"), col("users"), col("n"))
       .orderBy(col("event_type"))
+  }
+
+  val cardinalityApproxSql: String = {
+    val u = hexU60("CAST(user_id AS VARCHAR)", "strpos")
+    s"""WITH h AS (SELECT event_type, $u AS u FROM events),
+      |r AS (
+      |  SELECT event_type, u % 16384 AS idx,
+      |    CASE WHEN u // 16384 = 0 THEN 47
+      |         ELSE 47 - length(bin(u // 16384)) END AS rho
+      |  FROM h),
+      |r2 AS (
+      |  SELECT event_type, idx, max(rho) AS mr, count(*) AS cnt
+      |  FROM r GROUP BY 1, 2),
+      |g AS (
+      |  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n, count(*) AS vp,
+      |    CAST(sum(CAST(1 AS BIGINT) << CAST(47 - mr AS INT)) AS BIGINT) AS sp
+      |  FROM r2 GROUP BY 1),
+      |e AS (
+      |  -- every constant CAST to DOUBLE: DuckDB parses bare decimal
+      |  -- literals as DECIMAL and the product overflows DECIMAL(18)
+      |  -- (and would diverge from Spark's double arithmetic anyway)
+      |  SELECT event_type, n, vp,
+      |    (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(16384 AS DOUBLE)))
+      |      * (CAST(16384 AS DOUBLE) * CAST(16384 AS DOUBLE) * CAST(140737488355328 AS DOUBLE))
+      |      / CAST(sp + (16384 - vp) * (CAST(1 AS BIGINT) << 47) AS DOUBLE) AS e_raw
+      |  FROM g)
+      |SELECT event_type,
+      |  CAST(CASE WHEN e_raw <= CAST(${2.5 * 16384} AS DOUBLE) AND vp < 16384
+      |       THEN floor(CAST(16384 AS DOUBLE) * ln(CAST(16384 AS DOUBLE) / CAST(16384 - vp AS DOUBLE)))
+      |       ELSE floor(e_raw) END AS BIGINT) AS users,
+      |  n
+      |FROM e
+      |ORDER BY event_type""".stripMargin
+  }
 
   // ---- C7: top-N per group -------------------------------------------
 
