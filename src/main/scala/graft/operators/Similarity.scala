@@ -592,8 +592,19 @@ object Similarity {
     * arrays; each projected coordinate is the house zip_with/aggregate
     * dot product (codegen'd, no UDF) minus the constant mean offset —
     * a pure scan projection, zero shuffles beyond the fit's one
-    * aggregate. ☆ (PcaSpec: orthonormal basis, descending eigvals,
-    * projected variance ≈ eigval, deterministic fit).
+    * aggregate.
+    *
+    * ★ (r12, was ☆): the fit is a PURE FUNCTION of the exact integer
+    * moments (VecMomentsAgg quantizes before summing, so the moments
+    * are bit-identical at any partitioning), and the driver-side
+    * power iteration is a fixed 200-step contraction — so the DuckDB
+    * oracle replays the ENTIRE fit: same moments, same matvec /
+    * Gram-Schmidt / normalize sequence (every floating fold written
+    * in the JVM's ascending order via list_reduce), same sign rule,
+    * same deflation, inside one recursive CTE; the iteration's
+    * convergence absorbs any residual last-ulp divergence long before
+    * the 6-dp output round. PcaSpec still pins orthonormality,
+    * descending eigenvalues and projected-variance≈eigenvalue.
     */
   def pcaProject(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
     val (mean, basis, _) = pcaFit(spark, dir, k)
@@ -609,6 +620,101 @@ object Similarity {
       .select(col("vec_id") +: cols: _*)
       .orderBy(col("vec_id"))
   }
+
+  /** Full replay of pcaFit + pcaProject. Every floating fold is a
+    * list_reduce seeded with 0.0 in ascending index order — the JVM
+    * loop order — and the 4-component × 200-iteration power method
+    * (matvec, unrolled ≤3-vector Gram-Schmidt, normalize, sign-fix at
+    * the first max-|coordinate|, rank-1 deflation) runs in one
+    * recursive CTE whose state row carries (comp, iter, v, basis,
+    * cov). Moments replicate VecMomentsAgg's floor(x·1e9) integer
+    * quantization, so cov is bit-identical before the first iteration.
+    */
+  val pcaProjectSql: String =
+    """CREATE OR REPLACE MACRO vfold(l) AS
+      |  list_reduce(list_prepend(0.0, l), (a, b) -> a + b);
+      |CREATE OR REPLACE MACRO vdot(x, y) AS
+      |  vfold(list_transform(range(1, 1 + len(x)),
+      |    i -> CAST(x[CAST(i AS INT)] AS DOUBLE) * CAST(y[CAST(i AS INT)] AS DOUBLE)));
+      |CREATE OR REPLACE TEMP TABLE pca_flat AS
+      |SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+      |       CAST(unnest(embedding) AS DOUBLE) AS x
+      |FROM embeddings;
+      |CREATE OR REPLACE TEMP TABLE pca_n AS
+      |SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings;
+      |CREATE OR REPLACE TEMP TABLE pca_mean AS
+      |SELECT list((CAST(s AS DOUBLE) / 1e9) / (SELECT n FROM pca_n) ORDER BY d) AS m
+      |FROM (SELECT d, sum(CAST(floor(x * 1e9) AS BIGINT)) AS s
+      |      FROM pca_flat GROUP BY d);
+      |CREATE OR REPLACE TEMP TABLE pca_cov AS
+      |SELECT list(cv ORDER BY i, j) AS cov FROM (
+      |  SELECT f1.d AS i, f2.d AS j,
+      |    (CAST(sum(CAST(floor(f1.x * f2.x * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
+      |      / (SELECT n FROM pca_n)
+      |      - (SELECT m FROM pca_mean)[f1.d] * (SELECT m FROM pca_mean)[f2.d] AS cv
+      |  FROM pca_flat f1 JOIN pca_flat f2 USING (vec_id)
+      |  GROUP BY 1, 2);
+      |CREATE OR REPLACE TEMP TABLE pca_basis AS
+      |WITH RECURSIVE it AS (
+      |  SELECT 0 AS comp, 0 AS iter,
+      |    list_transform(range(1, 65), x -> CAST(0.125 AS DOUBLE)) AS v,
+      |    CAST([] AS DOUBLE[][]) AS basis,
+      |    (SELECT cov FROM pca_cov) AS cov
+      |  UNION ALL
+      |  SELECT
+      |    CASE WHEN iter < 200 THEN comp ELSE comp + 1 END,
+      |    CASE WHEN iter < 200 THEN iter + 1 ELSE 0 END,
+      |    CASE WHEN iter < 200 THEN list_transform(w3, x -> x / nrm)
+      |         ELSE list_transform(range(1, 65), x -> CAST(0.125 AS DOUBLE)) END,
+      |    CASE WHEN iter < 200 THEN basis ELSE list_append(basis, vfix) END,
+      |    CASE WHEN iter < 200 THEN cov
+      |         ELSE list_transform(range(1, 4097), k ->
+      |           cov[CAST(k AS INT)] - lam
+      |             * vfix[CAST((k - 1) // 64 + 1 AS INT)]
+      |             * vfix[CAST((k - 1) % 64 + 1 AS INT)]) END
+      |  FROM (
+      |    SELECT *, sqrt(vfold(list_transform(w3, x -> x * x))) AS nrm,
+      |      CASE WHEN v[pvt] < 0 THEN list_transform(v, x -> -x) ELSE v END AS vfix
+      |    FROM (
+      |      SELECT *,
+      |        CASE WHEN len(basis) >= 3
+      |             THEN list_transform(range(1, 65), j ->
+      |               w2[CAST(j AS INT)] - vdot(w2, basis[3]) * basis[3][CAST(j AS INT)])
+      |             ELSE w2 END AS w3,
+      |        list_position(list_transform(v, x -> abs(x)),
+      |                      list_max(list_transform(v, x -> abs(x)))) AS pvt,
+      |        vfold(list_transform(range(1, 4097), k ->
+      |          v[CAST((k - 1) // 64 + 1 AS INT)] * cov[CAST(k AS INT)]
+      |            * v[CAST((k - 1) % 64 + 1 AS INT)])) AS lam
+      |      FROM (
+      |        SELECT *,
+      |          CASE WHEN len(basis) >= 2
+      |               THEN list_transform(range(1, 65), j ->
+      |                 w1[CAST(j AS INT)] - vdot(w1, basis[2]) * basis[2][CAST(j AS INT)])
+      |               ELSE w1 END AS w2
+      |        FROM (
+      |          SELECT *,
+      |            CASE WHEN len(basis) >= 1
+      |                 THEN list_transform(range(1, 65), j ->
+      |                   w0[CAST(j AS INT)] - vdot(w0, basis[1]) * basis[1][CAST(j AS INT)])
+      |                 ELSE w0 END AS w1
+      |          FROM (
+      |            SELECT *, list_transform(range(1, 65), i ->
+      |              vfold(list_transform(range(1, 65), j ->
+      |                cov[CAST((i - 1) * 64 + j AS INT)] * v[CAST(j AS INT)]))) AS w0
+      |            FROM it WHERE comp < 4))))) s)
+      |SELECT basis FROM it WHERE comp = 4;
+      |SELECT vec_id,
+      |  round(vdot(list_transform(embedding, x -> CAST(x AS DOUBLE)), b.basis[1])
+      |    - vdot(pm.m, b.basis[1]), 6) AS p1,
+      |  round(vdot(list_transform(embedding, x -> CAST(x AS DOUBLE)), b.basis[2])
+      |    - vdot(pm.m, b.basis[2]), 6) AS p2,
+      |  round(vdot(list_transform(embedding, x -> CAST(x AS DOUBLE)), b.basis[3])
+      |    - vdot(pm.m, b.basis[3]), 6) AS p3,
+      |  round(vdot(list_transform(embedding, x -> CAST(x AS DOUBLE)), b.basis[4])
+      |    - vdot(pm.m, b.basis[4]), 6) AS p4
+      |FROM embeddings, pca_basis b, pca_mean pm
+      |ORDER BY vec_id""".stripMargin
 
   /** E48 — embedding pooling: mean-pool vectors per group (chunk → doc
     * pooling for RAG indexes, label prototypes for classification and

@@ -550,6 +550,18 @@ class StreamingSpec extends AnyFunSuite {
     // the SECOND spike too (a masked model would have admitted the 400
     // spike and scored 550 low)
     assert(bySeq(550L).score > 0.65)
+    // effective-★ discipline for the ☆ entry (r12): the seeded fit
+    // must make replay BYTE-identical run-over-run — parity above plus
+    // determinism here is the whole oracle surface an RCF-class score
+    // admits (no SQL engine reproduces a seeded forest)
+    val replayed2 = AnomalyDetector.replay(spark, series.toDS(), chunk = 200)
+      .collect().toSet
+    assert(replayed2 == replayed, "replay must be deterministic")
+    val entry1 = AnomalyDetector.anomalyStreamReplay(spark, TestSpark.sf)
+      .collect().map(_.toString).toSeq
+    val entry2 = AnomalyDetector.anomalyStreamReplay(spark, TestSpark.sf)
+      .collect().map(_.toString).toSeq
+    assert(entry1 == entry2, "q_anomaly_stream must be deterministic on the sf tables")
   }
 
   test("streaming drift monitor: stable window stays quiet, shifted window alerts (E70)") {
