@@ -155,30 +155,34 @@ object Bench {
     * reports the BETTER of the two. A genuine regression stays over
     * budget (re-running doesn't make slow code fast); a contention
     * victim collapses back under it. bench_out.json's gc_ms column
-    * still self-diagnoses whichever rep is reported.
+    * still self-diagnoses whichever rep is reported. The returned
+    * healed flag marks every RE-MEASURED query (the published number is
+    * min-of-two-medians either way), so re-baselining and the gate can
+    * tell a healed median from a clean one instead of silently
+    * ratcheting budgets toward the lucky side.
     */
   private def healBreaches(spark: SparkSession, sfDir: String,
                            results: Seq[(String, Option[Double], Long)],
-                           reps: Int): Seq[(String, Option[Double], Long)] = {
+                           reps: Int): Seq[(String, Option[Double], Long, Boolean)] = {
     val budgets = readBudgets()
-    if (budgets.isEmpty) return results
+    if (budgets.isEmpty) return results.map { case (n, w, g) => (n, w, g, false) }
     results.map {
       case (name, Some(w), g)
         if budgets.get(name).exists(b => w > 1.5 * math.max(b, 0.15)) =>
         hygiene(spark)
         val retimes = (1 to reps).flatMap(_ =>
           timeOnce(spark, sfDir, name, SparkEntry.queries(name))).sortBy(_._1)
-        if (retimes.isEmpty) (name, Some(w), g)
+        if (retimes.isEmpty) (name, Some(w), g, true)
         else {
           val (w2, g2) = retimes(retimes.length / 2)
-          if (w2 < w) (name, Some(w2), g2) else (name, Some(w), g)
+          if (w2 < w) (name, Some(w2), g2, true) else (name, Some(w), g, true)
         }
-      case r => r
+      case (n, w, g) => (n, w, g, false)
     }
   }
 
   /** Child-shard entry: time this shard's queries in THIS fresh JVM and
-    * write them to `outFile` as JSON {"name":[ms,gcMs],...}.
+    * write them to `outFile` as JSON {"name":[ms,gcMs,healed01],...}.
     */
   private def runShard(sfDir: String, names: Set[String], reps: Int,
                        outFile: String): Unit = {
@@ -218,9 +222,9 @@ object Bench {
       .filter { case (n, _) => names.contains(n) }
     val results = healBreaches(spark, sfDir,
       runBattery(spark, sfDir, battery, reps), reps)
-    val json = results.map { case (n, w, g) =>
+    val json = results.map { case (n, w, g, healed) =>
       "\"" + n + "\":[" + w.map(t => math.round(t * 1000).toString).getOrElse("-1") +
-        "," + g + "]"
+        "," + g + "," + (if (healed) 1 else 0) + "]"
     }.mkString("{", ",", "}")
     val w = new java.io.PrintWriter(outFile)
     try w.println(json) finally w.close()
@@ -233,14 +237,14 @@ object Bench {
     * its queries report -1.
     */
   private def runSharded(sfDir: String, allNames: Seq[String], nShards: Int,
-                         reps: Int): Map[String, (Long, Long)] = {
+                         reps: Int): Map[String, (Long, Long, Boolean)] = {
     import scala.jdk.CollectionConverters._
     val javaBin = java.nio.file.Paths.get(
       System.getProperty("java.home"), "bin", "java").toString
     val jvmArgs = java.lang.management.ManagementFactory
       .getRuntimeMXBean.getInputArguments.asScala.toSeq
     val cp = System.getProperty("java.class.path")
-    val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val acc = scala.collection.mutable.Map.empty[String, (Long, Long, Boolean)]
     (0 until nShards).foreach { i =>
       val out = java.nio.file.Files.createTempFile(s"graft-bench-shard$i-", ".json")
       val log = java.nio.file.Files.createTempFile(s"graft-bench-shard$i-", ".log")
@@ -258,9 +262,9 @@ object Bench {
       val ok = attempt() || attempt()
       if (ok) {
         val txt = new String(java.nio.file.Files.readAllBytes(out), "UTF-8").trim
-        // {"name":[ms,gc],...} — names never contain quotes/commas
-        """"([^"]+)":\[(-?\d+),(-?\d+)\]""".r.findAllMatchIn(txt).foreach { m =>
-          acc(m.group(1)) = (m.group(2).toLong, m.group(3).toLong)
+        // {"name":[ms,gc,healed],...} — names never contain quotes/commas
+        """"([^"]+)":\[(-?\d+),(-?\d+),([01])\]""".r.findAllMatchIn(txt).foreach { m =>
+          acc(m.group(1)) = (m.group(2).toLong, m.group(3).toLong, m.group(4) == "1")
         }
       }
       java.nio.file.Files.deleteIfExists(out)
@@ -268,7 +272,7 @@ object Bench {
     // shard membership is round-robin over the sorted names: stable as
     // the battery grows, and it spreads name-adjacent heavy families
     // (q_dedup_*) across JVMs instead of stacking one shard
-    allNames.map(n => n -> acc.getOrElse(n, (-1L, -1L))).toMap
+    allNames.map(n => n -> acc.getOrElse(n, (-1L, -1L, false))).toMap
   }
 
   def main(args: Array[String]): Unit = {
@@ -298,7 +302,7 @@ object Bench {
       .map(n => if (only.isDefined) 1 else n)
       .getOrElse(1)
 
-    val merged: Map[String, (Long, Long)] =
+    val merged: Map[String, (Long, Long, Boolean)] =
       if (nShards <= 1) {
         // in-process path (diagnostic subsets, explicit override)
         val out = java.nio.file.Files.createTempFile("graft-bench-single-", ".json")
@@ -306,14 +310,14 @@ object Bench {
         runShard(sfDir, mine, reps, out.toString)
         val txt = new String(java.nio.file.Files.readAllBytes(out), "UTF-8").trim
         java.nio.file.Files.deleteIfExists(out)
-        val m = """"([^"]+)":\[(-?\d+),(-?\d+)\]""".r.findAllMatchIn(txt).map { mm =>
-          mm.group(1) -> (mm.group(2).toLong, mm.group(3).toLong)
+        val m = """"([^"]+)":\[(-?\d+),(-?\d+),([01])\]""".r.findAllMatchIn(txt).map { mm =>
+          mm.group(1) -> (mm.group(2).toLong, mm.group(3).toLong, mm.group(4) == "1")
         }.toMap
-        allNames.map(n => n -> m.getOrElse(n, (-1L, -1L))).toMap
+        allNames.map(n => n -> m.getOrElse(n, (-1L, -1L, false))).toMap
       } else runSharded(sfDir, allNames, nShards, reps)
 
     val ordered = allNames.map(n => (n, merged(n)))
-    val qv = ordered.map { case (_, (ms, _)) => ms.toString }.mkString("[", ",", "]")
+    val qv = ordered.map { case (_, (ms, _, _)) => ms.toString }.mkString("[", ",", "]")
     val total = ms3(ordered.map(_._2._1).filter(_ >= 0).sum / 1000.0)
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     val line =
@@ -322,15 +326,20 @@ object Bench {
     // plus the per-query GC ms of the median rep (the self-diagnosis
     // column: wall ≫ gc → the operator; wall ≈ gc → battery debt).
     try {
-      val fullQs = ordered.map { case (name, (ms, _)) =>
+      val fullQs = ordered.map { case (name, (ms, _, _)) =>
         "\"" + name + "\":" + (if (ms < 0) "-1" else ms3(ms / 1000.0).toString)
       }.mkString("{", ",", "}")
-      val gcQs = ordered.map { case (name, (_, g)) =>
+      val gcQs = ordered.map { case (name, (_, g, _)) =>
         "\"" + name + "\":" + g
       }.mkString("{", ",", "}")
+      // healed = queries whose published median is min-of-two (budget
+      // breach re-measured post-battery); lets check_bench --update
+      // prefer clean medians when re-baselining
+      val healedQs = ordered.collect { case (name, (_, _, true)) => "\"" + name + "\"" }
+        .mkString("[", ",", "]")
       val w = new java.io.PrintWriter("bench_out.json")
       try w.println(
-        s"""{"metric":"total","value":$total,"unit":"sec","shards":$nShards,"queries":$fullQs,"gc_ms":$gcQs,"sf":$sfNum}""")
+        s"""{"metric":"total","value":$total,"unit":"sec","shards":$nShards,"queries":$fullQs,"gc_ms":$gcQs,"healed":$healedQs,"sf":$sfNum}""")
       finally w.close()
     } catch { case _: Throwable => () }
     println(line)

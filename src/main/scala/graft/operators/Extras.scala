@@ -968,7 +968,7 @@ object Extras {
       |  FROM g)
       |SELECT CAST(day AS TIMESTAMP) AS day,
       |  CAST(CASE WHEN e_raw <= CAST(40960.0 AS DOUBLE) AND vp < 16384
-      |       THEN floor(CAST(16384 AS DOUBLE) * ln(CAST(16384 AS DOUBLE) / CAST(16384 - vp AS DOUBLE)))
+      |       THEN floor(round(CAST(16384 AS DOUBLE) * ln(CAST(16384 AS DOUBLE) / CAST(16384 - vp AS DOUBLE)), 6))
       |       ELSE floor(e_raw) END AS BIGINT) AS users_7d
       |FROM e
       |ORDER BY day""".stripMargin

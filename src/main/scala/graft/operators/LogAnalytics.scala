@@ -1062,8 +1062,12 @@ object LogAnalytics {
         lit(0.7213 / (1.0 + 1.079 / m)) * lit(16384.0 * 16384.0 * 140737488355328.0)
           / (col("sp") + (lit(m.toLong) - col("vp")) * lit(1L << 47)).cast("double"))
       .withColumn("users",
+        // round to 6 dp before floor: JVM Math.log and libm ln are each
+        // only ~1-ulp accurate, and floor flips across engines when
+        // m*ln(...) lands within an ulp of an integer (winsorizedStats
+        // precedent)
         when(col("e_raw") <= lit(2.5 * m) && col("vp") < m,
-          floor(lit(m.toDouble) * log(lit(m.toDouble) / (lit(m.toLong) - col("vp")).cast("double"))))
+          floor(round(lit(m.toDouble) * log(lit(m.toDouble) / (lit(m.toLong) - col("vp")).cast("double")), 6)))
           .otherwise(floor(col("e_raw"))).cast("long"))
       .drop("e_raw", "sp", "vp")
   }
@@ -1116,7 +1120,7 @@ object LogAnalytics {
       |  FROM g)
       |SELECT event_type,
       |  CAST(CASE WHEN e_raw <= CAST(${2.5 * 16384} AS DOUBLE) AND vp < 16384
-      |       THEN floor(CAST(16384 AS DOUBLE) * ln(CAST(16384 AS DOUBLE) / CAST(16384 - vp AS DOUBLE)))
+      |       THEN floor(round(CAST(16384 AS DOUBLE) * ln(CAST(16384 AS DOUBLE) / CAST(16384 - vp AS DOUBLE)), 6))
       |       ELSE floor(e_raw) END AS BIGINT) AS users,
       |  n
       |FROM e

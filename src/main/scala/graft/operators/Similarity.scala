@@ -664,7 +664,11 @@ object Similarity {
       |  SELECT
       |    CASE WHEN iter < 200 THEN comp ELSE comp + 1 END,
       |    CASE WHEN iter < 200 THEN iter + 1 ELSE 0 END,
-      |    CASE WHEN iter < 200 THEN list_transform(w3, x -> x / nrm)
+      |    -- nrm > 0 guard mirrors the JVM pcaFit: on a rank-deficient
+      |    -- covariance the deflated w3 is all-zero and x/0 would NaN here
+      |    -- where Spark keeps the unnormalized vector
+      |    CASE WHEN iter < 200 THEN
+      |           CASE WHEN nrm > 0 THEN list_transform(w3, x -> x / nrm) ELSE w3 END
       |         ELSE list_transform(range(1, 65), x -> CAST(0.125 AS DOUBLE)) END,
       |    CASE WHEN iter < 200 THEN basis ELSE list_append(basis, vfix) END,
       |    CASE WHEN iter < 200 THEN cov

@@ -466,9 +466,14 @@ object LogStore {
     else {
       val in = fs.open(p)
       try {
+        // read to EOF in a loop: a single read() may return short, and a
+        // truncated digit string parses as a LOWER watermark — which
+        // would let a replayed folded batch re-write as a new epoch
+        val out = new java.io.ByteArrayOutputStream(64)
         val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(out.toByteArray, "UTF-8").trim.toLong)
       } finally in.close()
     }
   }

@@ -53,19 +53,36 @@ def main() -> int:
         print(__doc__)
         return 2
     with open(paths[0]) as f:
-        cur = json.load(f)["queries"]
+        first = json.load(f)
+    cur = first["queries"]
+    cur_healed = set(first.get("healed", []))
 
     if update:
-        merged = dict(cur)
-        for extra in paths[1:]:
-            with open(extra) as f:
-                for name, sec in json.load(f)["queries"].items():
-                    if sec >= 0 and sec > merged.get(name, -1.0):
-                        merged[name] = sec
+        # healed medians are min-of-two (the lucky side): prefer the max
+        # over CLEAN medians; fall back to a healed value only when no
+        # artifact has a clean one for that name, and say so.
+        clean, healed_only = {}, {}
+        for path in paths:
+            with open(path) as f:
+                art = json.load(f)
+            h = set(art.get("healed", []))
+            for name, sec in art["queries"].items():
+                if sec < 0:
+                    continue
+                tgt = healed_only if name in h else clean
+                if sec > tgt.get(name, -1.0):
+                    tgt[name] = sec
+        merged = dict(clean)
+        fell_back = sorted(set(healed_only) - set(clean))
+        for name in fell_back:
+            merged[name] = healed_only[name]
         with open(BUDGET_PATH, "w") as f:
             json.dump(dict(sorted(merged.items())), f, indent=1)
         print(f"budget re-baselined: {len(merged)} queries "
               f"(elementwise max over {len(paths)} artifact(s)) -> {BUDGET_PATH}")
+        if fell_back:
+            print(f"note: {len(fell_back)} budgets adopted from HEALED medians "
+                  f"(no clean measurement in any artifact): {', '.join(fell_back)}")
         return 0
 
     if not os.path.exists(BUDGET_PATH):
@@ -90,6 +107,10 @@ def main() -> int:
 
     for name, sec in unbudgeted:
         print(f"UNBUDGETED {name}: {sec:.3f}s (adopt with --update at round close)")
+    if cur_healed:
+        shown = sorted(cur_healed)
+        print(f"note: {len(shown)} healed (re-measured min-of-two) medians in "
+              f"this artifact: {', '.join(shown)}")
     if gone:
         print(f"note: {len(gone)} budgeted queries absent from this artifact "
               f"(subset run?): {', '.join(gone[:6])}{'...' if len(gone) > 6 else ''}")

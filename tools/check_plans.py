@@ -205,8 +205,13 @@ def main() -> int:
                        "with a reason)")
     stale = sorted(set(BNLJ_ALLOWED) - set(audit))
     if stale:
-        print(f"note: {len(stale)} allowlisted queries absent from audit: "
+        print(f"note: {len(stale)} BNLJ-allowlisted queries absent from audit: "
               f"{', '.join(stale[:5])}{'...' if len(stale) > 5 else ''}")
+    stale_scans = sorted(set(SCANS_ALLOWED) - set(audit))
+    if stale_scans:
+        print(f"note: {len(stale_scans)} scan-allowlisted queries absent from "
+              f"audit: {', '.join(stale_scans[:5])}"
+              f"{'...' if len(stale_scans) > 5 else ''}")
     for b in bad:
         print("VIOLATION " + b)
     n_bnlj = sum(1 for a in audit.values() if a.get("bnlj", 0) > 0)
