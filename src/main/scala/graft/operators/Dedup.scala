@@ -1336,8 +1336,9 @@ object Dedup {
     * centroid-similarity ranking, and the cell-bounded candidate
     * generation. τ = 0.4 is calibrated to this table's planted near-dup
     * level (the same threshold E5's pairwise kernel mines at; real
-    * text/image embeddings run ~0.9+). ☆ no_oracle — DuckDB cannot
-    * replicate the k-means fit; SemDedupSpec pins the keep rule on
+    * text/image embeddings run ~0.9+). ★ (r13, was ☆): the
+    * deterministic-kmeans replay (semanticDedupSql) oracles the cells
+    * AND the keep rule; SemDedupSpec still pins the keep rule on
     * planted cells and the end-to-end path on real data.
     */
   def semanticDedup(spark: SparkSession, dir: String, nCells: Int = 16,
@@ -1368,6 +1369,30 @@ object Dedup {
       .select(col("cell"), col("n_id"), col("n_emb"), col("c_sim"))
     semanticDedupWithin(cells, tau)
   }
+
+  /** E22 oracle (r13, was ☆): the deterministic-kmeans replay supplies
+    * the cells (Similarity.kmeansReplaySqlPrefix), c_sim re-derives
+    * against the float-cast centroid table, and the keep rule is the
+    * identical existential test as a same-cell NOT EXISTS.
+    */
+  val semanticDedupSql: String =
+    s"""${Similarity.kmeansReplaySqlPrefix()}
+       |CREATE OR REPLACE TEMP TABLE sd_cells AS
+       |SELECT k.cell, k.n_id, e.emb AS n_emb,
+       |       round(kcos(e.emb, c.centf), 6) AS c_sim
+       |FROM km_cells k
+       |JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) e
+       |  ON e.vec_id = k.n_id
+       |JOIN km_centf c USING (cell);
+       |CREATE OR REPLACE TEMP TABLE sd_drop AS
+       |SELECT DISTINCT a.n_id
+       |FROM sd_cells a JOIN sd_cells b
+       |  ON b.cell = a.cell AND b.n_id <> a.n_id
+       |WHERE kcos(a.n_emb, b.n_emb) >= CAST(0.4 AS DOUBLE)
+       |  AND (b.c_sim < a.c_sim OR (b.c_sim = a.c_sim AND b.n_id < a.n_id));
+       |SELECT n_id, cell, c_sim FROM sd_cells
+       |WHERE n_id NOT IN (SELECT n_id FROM sd_drop)
+       |ORDER BY n_id""".stripMargin
 
   // ---- E46: cross-corpus near-dup ------------------------------------
 

@@ -101,42 +101,106 @@ object Similarity {
     * and the persisted-index path (writeIvfIndex/probeIvfIndex).
     */
   def ivfParts(spark: SparkSession, dir: String, nCells: Int): (DataFrame, DataFrame) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.feature.Normalizer
-
     val (_, c) = queryCorpus(spark, dir)
-    val normalize = new Normalizer().setInputCol("raw_vec").setOutputCol("features").setP(2.0)
-    // cache around the fit: every Lloyd iteration re-reads its input,
-    // and an uncached plan re-runs the scan + normalization each round
-    val corpus = normalize.transform(
-      c.withColumn("raw_vec", array_to_vector(col("n_emb")))).cache()
+    deterministicKmeans(spark, c, nCells)
+  }
 
-    // bounded Lloyd iterations: the index build is an approximation to
-    // begin with — extra iterations sharpen cell boundaries without
-    // improving recall measurably (SimilaritySpec guards recall)
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(8)
-      .setFeaturesCol("features")
-      .fit(corpus)
-    val corpusCells = model.transform(corpus)
-      .select(col("n_id"), col("n_emb"), col("prediction").as("cell"))
-      .localCheckpoint()
-    corpus.unpersist()
+  /** Fixed iteration count of the Lloyd fit below — part of the oracle
+    * contract (kmeansReplaySql unrolls exactly this many rounds).
+    */
+  private[operators] val kmeansIters = 8
+
+  /** Deterministic Lloyd k-means over L2-normalized vectors (replaces
+    * the round-12 ML KMeans fit). Every step is cross-engine
+    * replayable, which is what flips the IVF-derived queries
+    * (cluster_sample / cell_audit / ann_ivf / dedup_semantic) from ☆
+    * to fully oracle-checked:
+    *
+    *  - init = the `nCells` corpus vectors first in (md5(id), id)
+    *    order — a seeded-random-spread stand-in both engines sort
+    *    identically;
+    *  - `kmeansIters` fixed Lloyd rounds: assignment = argmin of the
+    *    left-to-right-folded squared distance (ties broken on cell
+    *    id), update = integer-quantized mean (Σ floor(x·1e9) as
+    *    BIGINT, then (s/1e9)/n — the VecMomentsAgg discipline), so
+    *    accumulation order can never perturb a centroid;
+    *  - an emptied cell keeps its previous centroid.
+    *
+    * Scale shape preserved from the ML fit: centroids live on the
+    * driver (nCells × dims doubles — plan-sized), each round is one
+    * corpus pass over a persisted projection with a broadcast
+    * centroid table, and the per-round collect is nCells × dims
+    * aggregate rows, never data. Extra rounds sharpen cell boundaries
+    * without improving recall measurably (SimilaritySpec guards
+    * recall).
+    */
+  private[operators] def deterministicKmeans(spark: SparkSession, corpus: DataFrame,
+                                             nCells: Int): (DataFrame, DataFrame) = {
+    val xd = transform(col("n_emb"), v => v.cast("double"))
+    val nr = sqrt(aggregate(transform(xd, v => v * v), lit(0.0d), _ + _))
+    val fvCol = when(nr > lit(0.0d), transform(xd, v => v / nr)).otherwise(xd)
+    val f = corpus.select(col("n_id"), col("n_emb"), fvCol.as("fv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var cents: IndexedSeq[Array[Double]] = f
+      .orderBy(md5(col("n_id").cast("string")), col("n_id")).limit(nCells)
+      .select(col("fv")).collect().toIndexedSeq
+      .map(_.getSeq[Double](0).toArray)
+
+    def centDf(cs: IndexedSeq[Array[Double]]): DataFrame =
+      spark.createDataFrame(cs.zipWithIndex.map { case (v, i) => (i, v.toSeq) })
+        .toDF("cell", "cent")
+    def assigned(cs: IndexedSeq[Array[Double]], in: DataFrame): DataFrame = {
+      val dist = aggregate(
+        zip_with(col("fv"), col("cent"), (a, b) => (a - b) * (a - b)),
+        lit(0.0d), _ + _)
+      val w = Window.partitionBy(col("n_id")).orderBy(col("d"), col("cell"))
+      in.crossJoin(broadcast(centDf(cs)))
+        .select(col("n_id"), col("n_emb"), col("fv"), col("cell"), dist.as("d"))
+        .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+        .select(col("n_id"), col("n_emb"), col("fv"), col("cell"))
+    }
+
+    (1 to kmeansIters).foreach { _ =>
+      val upd = assigned(cents, f)
+        .select(col("cell"), posexplode(col("fv")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(floor(col("v") * lit(1e9)).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getInt(0))
+      cents = cents.indices.map { c =>
+        upd.get(c) match {
+          case Some(rows) =>
+            val dims = rows.sortBy(_.getInt(1))
+            dims.map(r => (r.getLong(2).toDouble / 1e9) / r.getLong(3)).toArray
+          case None => cents(c) // emptied cell keeps its previous centroid
+        }
+      }
+    }
+
+    // final assignment re-derives fv from the corpus scan (no pinned
+    // blocks ride out of the fit: the cache below is released, and the
+    // lineage recomputes in one pass for any later consumer)
+    val corpusCells = assigned(cents, corpus.select(col("n_id"), col("n_emb"), fvCol.as("fv")))
+      .select(col("n_id"), col("n_emb"), col("cell"))
+    f.unpersist()
 
     val centroids = spark.createDataFrame(
-      model.clusterCenters.zipWithIndex.toIndexedSeq.map { case (v, i) =>
-        (i, v.toArray.map(_.toFloat)) })
+      cents.zipWithIndex.map { case (v, i) => (i, v.map(_.toFloat).toSeq) })
       .toDF("cell", "centroid")
     (corpusCells, centroids)
   }
 
   /** Probe-cell selection: the nProbe nearest centroids per query
-    * (queries × centroids is tiny — broadcast, window-ranked).
+    * (queries × centroids is tiny — broadcast, window-ranked). Ranks
+    * on the ROUNDED similarity (6 dp, cell-id tiebreak) like rankTopK
+    * so probe choice is reproducible bit-for-bit across engines.
     */
   private[operators] def probeCells(q: DataFrame, centroids: DataFrame, nProbe: Int): DataFrame = {
     val probeW = Window.partitionBy(col("q_id")).orderBy(col("c_sim").desc, col("cell"))
     q.join(broadcast(centroids))
-      .withColumn("c_sim", CosineSim(col("q_emb"), col("centroid")))
+      .withColumn("c_sim", round(CosineSim(col("q_emb"), col("centroid")), 6))
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nProbe)
       .select(col("q_id"), col("q_emb"), col("cell"))
@@ -202,7 +266,7 @@ object Similarity {
     val fp = dataFingerprint(spark, dir)
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir#$nCells#$fp".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val path = new java.io.File(sys.props("java.io.tmpdir"), s"graft-ivfidx-v2-$key").getPath
+    val path = new java.io.File(sys.props("java.io.tmpdir"), s"graft-ivfidx-v3-$key").getPath
     // _COMPLETE is written by writeIvfIndex only AFTER both the cells
     // and the centroids land — a half-written index is rebuilt, not read
     val marker = new org.apache.hadoop.fs.Path(s"$path/_COMPLETE")
@@ -265,8 +329,10 @@ object Similarity {
     * SemDeDup (E22) passes would mistreat). Rides the MEMOIZED IVF
     * cells; one (cell,label)-keyed aggregate at member cardinality,
     * majority election by exact struct-max (count desc, label asc),
-    * purity from integer counts. ☆ no_oracle (k-means cells), spec in
-    * SimilaritySpec recomputes the election independently.
+    * purity from integer counts. ★ (r13, was ☆): the cells replay via
+    * kmeansReplaySqlPrefix, so counts, election, and shares are fully
+    * oracle-checked; SimilaritySpec still recomputes the election
+    * independently.
     */
   def cellAudit(spark: SparkSession, dir: String): DataFrame = {
     val path = ensureIvfIndex(spark, dir)
@@ -289,6 +355,123 @@ object Similarity {
         (col("m.c").cast("double") / col("n")).as("purity"))
       .orderBy(col("cell"))
   }
+
+  /** DuckDB replay of deterministicKmeans — the r12 PCA-replay device
+    * applied to the IVF build. Emits chained TEMP TABLEs ending in
+    * `km_cells(n_id, fv, cell)` and `km_c{kmeansIters}(cell, cent)`
+    * (double centroids), plus `km_centf(cell, centf)` = the
+    * float-then-promote cast the persisted centroid table stores.
+    * `kcos` replicates the CosineSim kernel bit-for-bit: one
+    * left-to-right fold per accumulator, dot / sqrt(nx·ny).
+    */
+  private[operators] def kmeansReplaySqlPrefix(nCells: Int = 16): String = {
+    def assignSql(prevCents: String, out: String): String =
+      s"""CREATE OR REPLACE TEMP TABLE $out AS
+         |SELECT n_id, fv, cell FROM (
+         |  SELECT f.n_id, f.fv, c.cell,
+         |    row_number() OVER (PARTITION BY f.n_id ORDER BY
+         |      kvfold(list_transform(range(1, 1 + len(f.fv)),
+         |        i -> (f.fv[CAST(i AS INT)] - c.cent[CAST(i AS INT)])
+         |           * (f.fv[CAST(i AS INT)] - c.cent[CAST(i AS INT)]))), c.cell) AS r
+         |  FROM km_f f CROSS JOIN $prevCents c)
+         |WHERE r = 1;""".stripMargin
+    def updateSql(assigned: String, prevCents: String, out: String): String =
+      s"""CREATE OR REPLACE TEMP TABLE $out AS
+         |SELECT p.cell, coalesce(u.cent, p.cent) AS cent
+         |FROM $prevCents p LEFT JOIN (
+         |  SELECT cell, list((CAST(s AS DOUBLE) / 1e9) / n ORDER BY d) AS cent
+         |  FROM (SELECT cell, d, sum(CAST(floor(v * 1e9) AS BIGINT)) AS s, count(*) AS n
+         |        FROM (SELECT cell, generate_subscripts(fv, 1) AS d, unnest(fv) AS v
+         |              FROM $assigned)
+         |        GROUP BY cell, d)
+         |  GROUP BY cell) u USING (cell);""".stripMargin
+    val rounds = (1 to kmeansIters).map { t =>
+      assignSql(s"km_c${t - 1}", s"km_a$t") + "\n" +
+        updateSql(s"km_a$t", s"km_c${t - 1}", s"km_c$t")
+    }.mkString("\n")
+    s"""CREATE OR REPLACE MACRO kvfold(l) AS
+       |  list_reduce(list_prepend(0.0, l), (a, b) -> a + b);
+       |CREATE OR REPLACE MACRO kdot(x, y) AS
+       |  kvfold(list_transform(range(1, 1 + len(x)),
+       |    i -> CAST(x[CAST(i AS INT)] AS DOUBLE) * CAST(y[CAST(i AS INT)] AS DOUBLE)));
+       |CREATE OR REPLACE MACRO kcos(x, y) AS
+       |  CASE WHEN kdot(x, x) = 0 OR kdot(y, y) = 0 THEN 0.0
+       |       ELSE kdot(x, y) / sqrt(kdot(x, x) * kdot(y, y)) END;
+       |CREATE OR REPLACE TEMP TABLE km_f AS
+       |SELECT n_id, CASE WHEN nrm > 0 THEN list_transform(x, v -> v / nrm) ELSE x END AS fv
+       |FROM (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS x,
+       |        sqrt(kvfold(list_transform(CAST(embedding AS DOUBLE[]), v -> v * v))) AS nrm
+       |      FROM embeddings WHERE vec_id >= ${nQueries});
+       |CREATE OR REPLACE TEMP TABLE km_c0 AS
+       |SELECT row_number() OVER (ORDER BY md5(CAST(n_id AS VARCHAR)), n_id) - 1 AS cell,
+       |       fv AS cent
+       |FROM (SELECT n_id, fv FROM km_f
+       |      ORDER BY md5(CAST(n_id AS VARCHAR)), n_id LIMIT $nCells);
+       |$rounds
+       |${assignSql(s"km_c$kmeansIters", "km_cells")}
+       |CREATE OR REPLACE TEMP TABLE km_centf AS
+       |SELECT cell, list_transform(cent, v -> CAST(CAST(v AS FLOAT) AS DOUBLE)) AS centf
+       |FROM km_c$kmeansIters;""".stripMargin
+  }
+
+  /** E40 oracle: replayed cells + the same md5-order quota window. */
+  val clusterSampleSql: String =
+    s"""${kmeansReplaySqlPrefix()}
+       |SELECT cell, n_id, CAST(rk AS BIGINT) AS rk FROM (
+       |  SELECT cell, n_id,
+       |    row_number() OVER (PARTITION BY cell
+       |      ORDER BY md5(CAST(n_id AS VARCHAR)), n_id) AS rk
+       |  FROM km_cells)
+       |WHERE rk <= 24
+       |ORDER BY cell, rk""".stripMargin
+
+  /** E62 oracle: replayed cells joined to labels; majority = smallest
+    * label among the max counts (the struct-max election).
+    */
+  val cellAuditSql: String =
+    s"""${kmeansReplaySqlPrefix()}
+       |WITH pcl AS (
+       |  SELECT cell, label, count(*) AS c
+       |  FROM km_cells k
+       |  JOIN (SELECT vec_id AS n_id, label FROM embeddings) l USING (n_id)
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS corpus_n FROM pcl),
+       |agg AS (
+       |  SELECT cell, CAST(sum(c) AS BIGINT) AS n, max(c) AS mc,
+       |    (list(label ORDER BY c DESC, label))[1] AS ml
+       |  FROM pcl GROUP BY cell)
+       |SELECT cell, n, CAST(n AS DOUBLE) / corpus_n AS share,
+       |  ml AS majority_label, CAST(mc AS DOUBLE) / n AS purity
+       |FROM agg CROSS JOIN tot
+       |ORDER BY cell""".stripMargin
+
+  /** E7b oracle: replayed centroids (float-cast like the persisted
+    * table) -> probe selection at 6 dp -> cell-bounded scoring ->
+    * rankTopK, all mirroring probeIvfIndex.
+    */
+  val annIvfSql: String =
+    s"""${kmeansReplaySqlPrefix()}
+       |WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+       |           FROM embeddings WHERE vec_id < ${nQueries}),
+       |probes AS (
+       |  SELECT q_id, q_emb, cell FROM (
+       |    SELECT q.q_id, q.q_emb, c.cell,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY round(kcos(q.q_emb, c.centf), 6) DESC, c.cell) AS pr
+       |    FROM q CROSS JOIN km_centf c)
+       |  WHERE pr <= 4),
+       |scored AS (
+       |  SELECT p.q_id, k.n_id, round(kcos(p.q_emb, e.emb), 6) AS cos_sim
+       |  FROM probes p
+       |  JOIN km_cells k USING (cell)
+       |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) e
+       |    ON e.vec_id = k.n_id)
+       |SELECT q_id, n_id, cos_sim, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos_sim DESC, n_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= ${topK}
+       |ORDER BY q_id, rank""".stripMargin
 
   /** E7d — incremental index maintenance (streaming ingest path).
     *
