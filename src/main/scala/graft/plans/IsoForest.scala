@@ -32,11 +32,16 @@ object IsoForest {
     */
   final case class Tree(feat: Array[Int], split: Array[Double]) extends Serializable
 
+  /** Average unsuccessful-search depth c(n) — the paper's normalizer.
+    * Static so the oracle generator can emit the exact JVM values as
+    * SQL literals (no cross-libm ln dependence in the replica).
+    */
+  def cOf(n: Int): Double =
+    if (n <= 1) 0.0
+    else 2.0 * (math.log(n - 1.0) + 0.5772156649015329) - 2.0 * (n - 1.0) / n
+
   final case class Forest(trees: Array[Tree], psi: Int) extends Serializable {
-    /** Average unsuccessful-search depth c(n) — the paper's normalizer. */
-    def cOf(n: Int): Double =
-      if (n <= 1) 0.0
-      else 2.0 * (math.log(n - 1.0) + 0.5772156649015329) - 2.0 * (n - 1.0) / n
+    def cOf(n: Int): Double = IsoForest.cOf(n)
 
     def pathLength(t: Tree, x: Array[Double]): Double = {
       var i = 0
@@ -57,44 +62,68 @@ object IsoForest {
     }
   }
 
+  /** Golden-ratio / avalanche constants of the counter-based draw
+    * schedule (public-domain splitmix64 lineage, same family as
+    * Sketches.seeds).
+    */
+  private val GOLD = 0x9E3779B97F4A7C15L
+  private val PURP = 0xC2B2AE3D27D4EB4FL
+
+  /** COUNTER-BASED draw: a pure function of (seed, tree, purpose,
+    * index) — no sequential RNG state threads through the build, so
+    * the whole schedule is data-independent and replayable engine-side
+    * (the DuckDB oracle recomputes every draw with the same HUGEINT
+    * wrapping arithmetic). purpose: 0 = subsample slot, 1 = node
+    * feature, 2 = node split fraction.
+    */
+  @inline private def rnd(seed: Long, t: Long, purpose: Long, i: Long): Long =
+    Sketches.fmix64(Sketches.fmix64(seed + GOLD * (t + 1L)) + PURP * purpose + i + 1L)
+
+  /** 53-bit uniform in [0, 1) from a draw — bit-replayable (u >>> 11
+    * is an exact double; the divide by 2^53 is exact).
+    */
+  @inline private def unit(h: Long): Double =
+    (h >>> 11).toDouble / 9007199254740992.0
+
   /** Build `nTrees` isolation trees over `sample` (each tree takes a
-    * seeded ψ-subsample). Split: uniform feature, uniform value in the
-    * subsample's range — the paper's construction, depth-capped at
-    * ceil(log2 ψ).
+    * seeded ψ-subsample, drawn with replacement). Split: uniform
+    * feature, uniform value in the subsample's range — the paper's
+    * construction, depth-capped at ceil(log2 ψ). Every random draw is
+    * counter-based (see `rnd`): feature and fraction are indexed by
+    * the dense-heap node id regardless of which nodes become leaves,
+    * so the draw schedule never depends on the data and the fit
+    * replays level-by-level in SQL.
     */
   def fit(sample: Array[Array[Double]], nTrees: Int = 64, psi: Int = 256,
           seed: Long = 42L): Forest = {
     require(sample.nonEmpty, "isolation forest: empty fit sample")
     val dims = sample.head.length
-    val rng = new java.util.Random(seed)
-    val maxDepth = math.ceil(math.log(math.min(psi, sample.length)) / math.log(2)).toInt
+    val n = sample.length
+    val m = math.min(psi, n)
+    val maxDepth = math.ceil(math.log(m.toDouble) / math.log(2.0)).toInt
     val nodes = (1 << (maxDepth + 1)) - 1
-    val trees = Array.fill(nTrees) {
-      val sub = Array.fill(math.min(psi, sample.length))(
-        sample(rng.nextInt(sample.length)))
-      val feat = Array.fill(nodes + 2 * nodes + 2)(0) // dense heap, padded
-      val split = new Array[Double](feat.length)
+    val trees = Array.tabulate(nTrees) { t =>
+      val sub = Array.tabulate(m)(j =>
+        sample(java.lang.Long.remainderUnsigned(rnd(seed, t, 0, j), n.toLong).toInt))
+      val feat = new Array[Int](nodes)
+      val split = new Array[Double](nodes)
       def build(i: Int, pts: Array[Array[Double]], depth: Int): Unit = {
-        if (depth >= maxDepth || pts.length <= 1 ||
-            2 * i + 2 >= feat.length) {
+        val f = java.lang.Long.remainderUnsigned(rnd(seed, t, 1, i), dims.toLong).toInt
+        var lo = Double.MaxValue; var hi = Double.MinValue
+        pts.foreach { p => if (p(f) < lo) lo = p(f); if (p(f) > hi) hi = p(f) }
+        if (depth >= maxDepth || pts.length <= 1 || lo == hi) {
           feat(i) = -(pts.length + 1)
         } else {
-          val f = rng.nextInt(dims)
-          var lo = Double.MaxValue; var hi = Double.MinValue
-          pts.foreach { p => if (p(f) < lo) lo = p(f); if (p(f) > hi) hi = p(f) }
-          if (lo == hi) feat(i) = -(pts.length + 1)
-          else {
-            val sv = lo + rng.nextDouble() * (hi - lo)
-            feat(i) = f; split(i) = sv
-            build(2 * i + 1, pts.filter(_(f) < sv), depth + 1)
-            build(2 * i + 2, pts.filter(_(f) >= sv), depth + 1)
-          }
+          val sv = lo + unit(rnd(seed, t, 2, i)) * (hi - lo)
+          feat(i) = f; split(i) = sv
+          build(2 * i + 1, pts.filter(_(f) < sv), depth + 1)
+          build(2 * i + 2, pts.filter(_(f) >= sv), depth + 1)
         }
       }
       build(0, sub, 0)
       Tree(feat, split)
     }
-    Forest(trees, math.min(psi, sample.length))
+    Forest(trees, m)
   }
 
   def scoreColumn(features: Column, forest: Forest): Column =
