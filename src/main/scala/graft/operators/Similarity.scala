@@ -364,6 +364,21 @@ object Similarity {
     * `kcos` replicates the CosineSim kernel bit-for-bit: one
     * left-to-right fold per accumulator, dot / sqrt(nx·ny).
     */
+  /** kvfold / kdot / kcos — the CosineSim-kernel replica macros shared
+    * by every ANN oracle (one left-to-right fold per accumulator,
+    * dot / sqrt(nx·ny), zero-norm → 0).
+    */
+  private[operators] val kcosMacrosSql: String =
+    s"""CREATE OR REPLACE MACRO kvfold(l) AS
+       |  list_reduce(list_prepend(0.0, l), (a, b) -> a + b);
+       |CREATE OR REPLACE MACRO kdot(x, y) AS
+       |  kvfold(list_transform(range(1, 1 + len(x)),
+       |    i -> CAST(x[CAST(i AS INT)] AS DOUBLE) * CAST(y[CAST(i AS INT)] AS DOUBLE)));
+       |CREATE OR REPLACE MACRO kcos(x, y) AS
+       |  CASE WHEN kdot(x, x) = 0 OR kdot(y, y) = 0 THEN 0.0
+       |       ELSE kdot(x, y) / sqrt(kdot(x, x) * kdot(y, y)) END;
+       |""".stripMargin
+
   private[operators] def kmeansReplaySqlPrefix(nCells: Int = 16): String = {
     def assignSql(prevCents: String, out: String): String =
       s"""CREATE OR REPLACE TEMP TABLE $out AS
@@ -389,15 +404,7 @@ object Similarity {
       assignSql(s"km_c${t - 1}", s"km_a$t") + "\n" +
         updateSql(s"km_a$t", s"km_c${t - 1}", s"km_c$t")
     }.mkString("\n")
-    s"""CREATE OR REPLACE MACRO kvfold(l) AS
-       |  list_reduce(list_prepend(0.0, l), (a, b) -> a + b);
-       |CREATE OR REPLACE MACRO kdot(x, y) AS
-       |  kvfold(list_transform(range(1, 1 + len(x)),
-       |    i -> CAST(x[CAST(i AS INT)] AS DOUBLE) * CAST(y[CAST(i AS INT)] AS DOUBLE)));
-       |CREATE OR REPLACE MACRO kcos(x, y) AS
-       |  CASE WHEN kdot(x, x) = 0 OR kdot(y, y) = 0 THEN 0.0
-       |       ELSE kdot(x, y) / sqrt(kdot(x, x) * kdot(y, y)) END;
-       |CREATE OR REPLACE TEMP TABLE km_f AS
+    s"""${kcosMacrosSql}CREATE OR REPLACE TEMP TABLE km_f AS
        |SELECT n_id, CASE WHEN nrm > 0 THEN list_transform(x, v -> v / nrm) ELSE x END AS fv
        |FROM (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS x,
        |        sqrt(kvfold(list_transform(CAST(embedding AS DOUBLE[]), v -> v * v))) AS nrm
@@ -613,20 +620,24 @@ object Similarity {
     * plan-sized (one row per dimension), the same bounded-collect class
     * as probe cells.
     */
-  def sqParams(corpus: DataFrame): (Array[Float], Array[Float]) = {
+  def sqParams(corpus: DataFrame): (Array[Double], Array[Double]) = {
     val rows = corpus
       .select(posexplode(col("n_emb")).as(Seq("pos", "v")))
       .groupBy(col("pos"))
       .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
       .collect()
     val dim = rows.length
-    val mins = new Array[Float](dim)
-    val steps = new Array[Float](dim)
+    val mins = new Array[Double](dim)
+    val steps = new Array[Double](dim)
+    // all quantization arithmetic in DOUBLE (float extrema promote
+    // exactly): one float rounding remains — the dequantized value —
+    // which is a bare IEEE conversion both engines perform identically,
+    // so the whole path is oracle-replayable (annSqSql)
     rows.foreach { r =>
       val p = r.getAs[Int]("pos")
-      mins(p) = r.getAs[Float]("lo")
-      val span = r.getAs[Float]("hi") - mins(p)
-      steps(p) = if (span == 0f) 1f else span / sqLevels
+      mins(p) = r.getAs[Float]("lo").toDouble
+      val span = r.getAs[Float]("hi").toDouble - mins(p)
+      steps(p) = if (span == 0d) 1d else span / sqLevels
     }
     (mins, steps)
   }
@@ -651,11 +662,11 @@ object Similarity {
     val stepsL = array(steps.map(lit).toIndexedSeq: _*)
     // int8 codes: round((v - min)/step) - 128 ∈ [-128, 127]
     val codes = transform(col("n_emb"), (v, i) =>
-      (round((v - element_at(minsL, i + 1)) / element_at(stepsL, i + 1))
+      (round((v.cast("double") - element_at(minsL, i + 1)) / element_at(stepsL, i + 1))
         .cast("int") - 128).cast("tinyint"))
     val dequant = transform(col("codes"), (cd, i) =>
       (element_at(minsL, i + 1) +
-        (cd.cast("int") + 128).cast("float") * element_at(stepsL, i + 1))
+        (cd.cast("int") + 128).cast("double") * element_at(stepsL, i + 1))
         .cast("float"))
     val quantized = c.select(col("n_id"), col("n_emb"), codes.as("codes"))
     val coarseK = graft.plans.TopKAgg.udafFor(rerank)
@@ -675,6 +686,52 @@ object Similarity {
         .withColumn("cos_sim", round(CosineSim(col("q_emb2"), col("n_emb")), 6)))
   }
 
+  /** E7f oracle (r13, was ☆): per-dim float extrema → double
+    * quantization params → int8 codes → dequantized-float coarse
+    * top-`rerank` → exact rerank, each step the same arithmetic as
+    * annSq (the one float rounding is a bare CAST both engines share).
+    */
+  val annSqSql: String =
+    s"""${kcosMacrosSql}CREATE OR REPLACE TEMP TABLE sq_c AS
+       |SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS de
+       |FROM embeddings WHERE vec_id >= ${nQueries};
+       |CREATE OR REPLACE TEMP TABLE sq_q AS
+       |SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+       |FROM embeddings WHERE vec_id < ${nQueries};
+       |CREATE OR REPLACE TEMP TABLE sq_p AS
+       |SELECT pos, CAST(lo AS DOUBLE) AS lo,
+       |  CASE WHEN hi = lo THEN 1.0
+       |       ELSE (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)) / CAST($sqLevels AS DOUBLE) END AS step
+       |FROM (SELECT pos, min(v) AS lo, max(v) AS hi
+       |      FROM (SELECT generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+       |            FROM embeddings WHERE vec_id >= ${nQueries})
+       |      GROUP BY pos);
+       |CREATE OR REPLACE TEMP TABLE sq_dq AS
+       |SELECT n_id,
+       |  list(CAST(CAST(lo + (code + 128) * step AS FLOAT) AS DOUBLE) ORDER BY pos) AS dq
+       |FROM (SELECT n_id, pos, lo, step,
+       |        CAST(round((v - lo) / step) AS INT) - 128 AS code
+       |      FROM (SELECT n_id, generate_subscripts(de, 1) AS pos, unnest(de) AS v FROM sq_c)
+       |      JOIN sq_p USING (pos))
+       |GROUP BY n_id;
+       |CREATE OR REPLACE TEMP TABLE sq_coarse AS
+       |SELECT q_id, n_id FROM (
+       |  SELECT q.q_id, d.n_id,
+       |    row_number() OVER (PARTITION BY q.q_id
+       |      ORDER BY kcos(q.q_emb, d.dq) DESC, d.n_id) AS r
+       |  FROM sq_q q CROSS JOIN sq_dq d)
+       |WHERE r <= 20;
+       |SELECT q_id, n_id, cos_sim, rank FROM (
+       |  SELECT cs.q_id, cs.n_id,
+       |    round(kcos(q.q_emb, c.de), 6) AS cos_sim,
+       |    row_number() OVER (PARTITION BY cs.q_id
+       |      ORDER BY round(kcos(q.q_emb, c.de), 6) DESC, cs.n_id) AS rank
+       |  FROM sq_coarse cs
+       |  JOIN sq_q q USING (q_id)
+       |  JOIN sq_c c USING (n_id))
+       |WHERE rank <= ${topK}
+       |ORDER BY q_id, rank""".stripMargin
+
   /** E7 — LSH-bucketed ANN: candidates share ≥1 band with the query
     * (multi-probe union), then exact-cosine top-k within candidates only.
     */
@@ -693,6 +750,43 @@ object Similarity {
     }.reduce(_ unionByName _)
     rankTopK(
       scored.groupBy(col("q_id"), col("n_id")).agg(max(col("cos_sim")).as("cos_sim")))
+  }
+
+  /** E7 oracle (r13, was ☆): the 16 seeded hyperplanes are a FIXED
+    * operator constant, so they ship into the replica as exact double
+    * literals (the cOf-table device); sign bits, 4-bit bands, the
+    * band-match candidate union, and the exact-cosine rerank then
+    * replay step-for-step.
+    */
+  val annLshSql: String = {
+    val planeRows = hyperplanes.zipWithIndex.map { case (pl, p) =>
+      s"($p, [${pl.map(v => v.toDouble.toString).mkString(", ")}])"
+    }.mkString(", ")
+    s"""${kcosMacrosSql}CREATE OR REPLACE TEMP TABLE lsh_pl AS
+       |SELECT * FROM (VALUES $planeRows) v(p, pl);
+       |CREATE OR REPLACE TEMP TABLE lsh_bands AS
+       |SELECT vec_id, p // $bandBits AS band, CAST(sum(bit) AS BIGINT) AS bk
+       |FROM (SELECT e.vec_id, pl.p,
+       |        CASE WHEN kdot(e.de, pl.pl) > 0 THEN 1 << (pl.p % $bandBits) ELSE 0 END AS bit
+       |      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings) e
+       |      CROSS JOIN lsh_pl pl)
+       |GROUP BY vec_id, p // $bandBits;
+       |CREATE OR REPLACE TEMP TABLE lsh_cand AS
+       |SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+       |FROM lsh_bands q JOIN lsh_bands c ON q.band = c.band AND q.bk = c.bk
+       |WHERE q.vec_id < ${nQueries} AND c.vec_id >= ${nQueries};
+       |SELECT q_id, n_id, cos_sim, rank FROM (
+       |  SELECT cd.q_id, cd.n_id,
+       |    round(kcos(qe.de, ce.de), 6) AS cos_sim,
+       |    row_number() OVER (PARTITION BY cd.q_id
+       |      ORDER BY round(kcos(qe.de, ce.de), 6) DESC, cd.n_id) AS rank
+       |  FROM lsh_cand cd
+       |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings) qe
+       |    ON qe.vec_id = cd.q_id
+       |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings) ce
+       |    ON ce.vec_id = cd.n_id)
+       |WHERE rank <= ${topK}
+       |ORDER BY q_id, rank""".stripMargin
   }
 
   /** E49 — PCA over the embedding corpus (dimension reduction: the
@@ -1158,7 +1252,9 @@ object Similarity {
     val coarseK = graft.plans.TopKAgg.udafFor(rerank)
     val cand = codes.join(broadcast(lut), Seq("sub", "cent_id"))
       .groupBy(col("q_id"), col("n_id"))
-      .agg(sum(col("part")).as("adc_sim"))
+      // pico-quantized ADC sum: 8 doubles summed as integers, so the
+      // score is independent of accumulation order on any engine
+      .agg(sum(round(col("part") * lit(1e12)).cast("long")).cast("double").as("adc_sim"))
       .groupBy(col("q_id"))
       .agg(coarseK(col("n_id"), col("adc_sim")).as("top"))
       .select(col("q_id"), explode(col("top")).as("t"))
@@ -1184,7 +1280,7 @@ object Similarity {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir#$m#$ks#$iters#$trainSample#$fp".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    val path = new java.io.File(sys.props("java.io.tmpdir"), s"graft-pqidx-v1-$key").getPath
+    val path = new java.io.File(sys.props("java.io.tmpdir"), s"graft-pqidx-v2-$key").getPath
     val marker = new org.apache.hadoop.fs.Path(s"$path/_COMPLETE")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {
@@ -1254,7 +1350,10 @@ object Similarity {
       val pts = sample.map(v => v.slice(sub * subDim, (sub + 1) * subDim).toArray)
       var cents = Array.tabulate(math.min(ks, pts.length))(i => pts(i).clone())
       for (_ <- 0 until iters) {
-        val sums = Array.fill(cents.length, subDim)(0.0)
+        // integer-quantized sums (the deterministicKmeans discipline):
+        // accumulation order can never perturb a centroid, so the fit
+        // replays exactly in the DuckDB oracle's grouped aggregates
+        val sums = Array.fill(cents.length, subDim)(0L)
         val counts = new Array[Int](cents.length)
         pts.foreach { p =>
           var best = 0; var bd = Double.MaxValue
@@ -1266,12 +1365,12 @@ object Similarity {
             ci += 1
           }
           var k = 0
-          while (k < subDim) { sums(best)(k) += p(k); k += 1 }
+          while (k < subDim) { sums(best)(k) += math.floor(p(k) * 1e9).toLong; k += 1 }
           counts(best) += 1
         }
         cents = cents.zipWithIndex.map { case (old, i) =>
           if (counts(i) == 0) old
-          else Array.tabulate(subDim)(k => sums(i)(k) / counts(i))
+          else Array.tabulate(subDim)(k => (sums(i)(k).toDouble / 1e9) / counts(i))
         }
       }
       cents.zipWithIndex.map { case (cv, cid) => (sub, cid, cv.toSeq) }
@@ -1319,7 +1418,7 @@ object Similarity {
     val cand = candPairs.join(codes, "n_id")
       .join(broadcast(lut), Seq("q_id", "sub", "cent_id"))
       .groupBy(col("q_id"), col("n_id"))
-      .agg(sum(col("part")).as("adc_sim"))
+      .agg(sum(round(col("part") * lit(1e12)).cast("long")).cast("double").as("adc_sim"))
       .groupBy(col("q_id"))
       .agg(coarseK(col("n_id"), col("adc_sim")).as("top"))
       .select(col("q_id"), explode(col("top")).as("t"))
@@ -1330,6 +1429,145 @@ object Similarity {
         .join(q.withColumnRenamed("q_emb", "q_emb2"), "q_id")
         .withColumn("cos_sim", round(CosineSim(col("q_emb2"), col("n_emb")), 6)))
   }
+  /** DuckDB replay of pqTrainEncode + pqLut (r13): the driver-side
+    * Lloyd is sample-order-initialized with integer-quantized updates,
+    * so 10 unrolled rounds per subspace rebuild the codebooks exactly;
+    * the corpus encode and query LUT are one argmin / one fold each.
+    * Ends with pq_books(sub, cid, cv), pq_codes(n_id, sub, cent_id),
+    * pq_q(q_id, de, qn), pq_lut(q_id, sub, cid, part).
+    */
+  private[operators] def pqReplaySqlPrefix(m: Int = 8, ks: Int = 16,
+                                           iters: Int = 10,
+                                           trainSample: Int = 2048): String = {
+    val subDim = 64 / m
+    def d2(sv: String, cv: String): String =
+      s"""kvfold(list_transform(range(1, 1 + $subDim),
+         |      i -> ($sv[CAST(i AS INT)] - $cv[CAST(i AS INT)])
+         |         * ($sv[CAST(i AS INT)] - $cv[CAST(i AS INT)])))""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""CREATE OR REPLACE TEMP TABLE pq_a$t AS
+         |SELECT sub, srank, sv, cid FROM (
+         |  SELECT p.sub, p.srank, p.sv, b.cid,
+         |    row_number() OVER (PARTITION BY p.sub, p.srank ORDER BY
+         |      ${d2("p.sv", "b.cv")}, b.cid) AS r
+         |  FROM pq_sp p JOIN pq_b${t - 1} b USING (sub))
+         |WHERE r = 1;
+         |CREATE OR REPLACE TEMP TABLE pq_b$t AS
+         |SELECT p.sub, p.cid, coalesce(u.cv, p.cv) AS cv
+         |FROM pq_b${t - 1} p LEFT JOIN (
+         |  SELECT sub, cid, list((CAST(s AS DOUBLE) / 1e9) / n ORDER BY d) AS cv
+         |  FROM (SELECT sub, cid, d, sum(CAST(floor(v * 1e9) AS BIGINT)) AS s, count(*) AS n
+         |        FROM (SELECT sub, cid, generate_subscripts(sv, 1) AS d, unnest(sv) AS v
+         |              FROM pq_a$t)
+         |        GROUP BY sub, cid, d)
+         |  GROUP BY sub, cid) u ON u.sub = p.sub AND u.cid = p.cid;
+         |""".stripMargin
+    }.mkString
+    s"""${kcosMacrosSql}CREATE OR REPLACE TEMP TABLE pq_cn AS
+       |SELECT n_id, de, list_transform(de, v -> v / nrm) AS nemb
+       |FROM (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS de,
+       |        sqrt(kvfold(list_transform(CAST(embedding AS DOUBLE[]), v -> v * v))) AS nrm
+       |      FROM embeddings WHERE vec_id >= ${nQueries});
+       |CREATE OR REPLACE TEMP TABLE pq_smp AS
+       |SELECT row_number() OVER (ORDER BY md5(CAST(n_id AS VARCHAR)), n_id) - 1 AS srank,
+       |       nemb
+       |FROM (SELECT n_id, nemb FROM pq_cn
+       |      ORDER BY md5(CAST(n_id AS VARCHAR)), n_id LIMIT $trainSample);
+       |CREATE OR REPLACE TEMP TABLE pq_sp AS
+       |SELECT srank, s.range AS sub,
+       |  list_slice(nemb, s.range * $subDim + 1, s.range * $subDim + $subDim) AS sv
+       |FROM pq_smp, range($m) s;
+       |CREATE OR REPLACE TEMP TABLE pq_b0 AS
+       |SELECT sub, srank AS cid, sv AS cv FROM pq_sp WHERE srank < $ks;
+       |$rounds
+       |CREATE OR REPLACE TEMP TABLE pq_csv AS
+       |SELECT n_id, s.range AS sub,
+       |  list_slice(nemb, s.range * $subDim + 1, s.range * $subDim + $subDim) AS sv
+       |FROM pq_cn, range($m) s;
+       |CREATE OR REPLACE TEMP TABLE pq_codes AS
+       |SELECT n_id, sub, cid AS cent_id FROM (
+       |  SELECT c.n_id, c.sub, b.cid,
+       |    row_number() OVER (PARTITION BY c.n_id, c.sub ORDER BY
+       |      ${d2("c.sv", "b.cv")}, b.cid) AS r
+       |  FROM pq_csv c JOIN pq_b$iters b USING (sub))
+       |WHERE r = 1;
+       |CREATE OR REPLACE TEMP TABLE pq_q AS
+       |SELECT q_id, de, list_transform(de, v -> v / nrm) AS qn
+       |FROM (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS de,
+       |        sqrt(kvfold(list_transform(CAST(embedding AS DOUBLE[]), v -> v * v))) AS nrm
+       |      FROM embeddings WHERE vec_id < ${nQueries});
+       |CREATE OR REPLACE TEMP TABLE pq_lut AS
+       |SELECT q.q_id, s.range AS sub, b.cid,
+       |  kdot(list_slice(q.qn, s.range * $subDim + 1, s.range * $subDim + $subDim), b.cv) AS part
+       |FROM pq_q q, range($m) s
+       |JOIN pq_b$iters b ON b.sub = s.range;
+       |""".stripMargin
+  }
+
+  /** E7g oracle (r13, was ☆): full codebook + encode + ADC + rerank
+    * replay; ADC scores are pico-quantized integer sums on both
+    * engines so accumulation order is irrelevant.
+    */
+  val annPqSql: String =
+    s"""${pqReplaySqlPrefix()}
+       |CREATE OR REPLACE TEMP TABLE pq_cand AS
+       |SELECT q_id, n_id FROM (
+       |  SELECT a.q_id, a.n_id,
+       |    row_number() OVER (PARTITION BY a.q_id ORDER BY a.adc DESC, a.n_id) AS r
+       |  FROM (SELECT l.q_id, c.n_id,
+       |          CAST(CAST(sum(CAST(round(l.part * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) AS adc
+       |        FROM pq_codes c
+       |        JOIN pq_lut l ON l.sub = c.sub AND l.cid = c.cent_id
+       |        GROUP BY l.q_id, c.n_id) a)
+       |WHERE r <= 50;
+       |SELECT q_id, n_id, cos_sim, rank FROM (
+       |  SELECT cd.q_id, cd.n_id,
+       |    round(kcos(q.de, c.de), 6) AS cos_sim,
+       |    row_number() OVER (PARTITION BY cd.q_id
+       |      ORDER BY round(kcos(q.de, c.de), 6) DESC, cd.n_id) AS rank
+       |  FROM pq_cand cd
+       |  JOIN pq_q q USING (q_id)
+       |  JOIN pq_cn c USING (n_id))
+       |WHERE rank <= ${topK}
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** E7i oracle (r13, was ☆): kmeans replay supplies the probe cells,
+    * PQ replay supplies codes + LUT; ADC runs over probed-cell
+    * candidates only, exact rerank finishes — annIvfPq step-for-step.
+    */
+  val annIvfPqSql: String =
+    s"""${kmeansReplaySqlPrefix()}
+       |${pqReplaySqlPrefix()}
+       |CREATE OR REPLACE TEMP TABLE ivfpq_probe AS
+       |SELECT q_id, cell FROM (
+       |  SELECT q.q_id, c.cell,
+       |    row_number() OVER (PARTITION BY q.q_id
+       |      ORDER BY round(kcos(q.de, c.centf), 6) DESC, c.cell) AS pr
+       |  FROM pq_q q CROSS JOIN km_centf c)
+       |WHERE pr <= 4;
+       |CREATE OR REPLACE TEMP TABLE ivfpq_cand AS
+       |SELECT q_id, n_id FROM (
+       |  SELECT a.q_id, a.n_id,
+       |    row_number() OVER (PARTITION BY a.q_id ORDER BY a.adc DESC, a.n_id) AS r
+       |  FROM (SELECT p.q_id, k.n_id,
+       |          CAST(CAST(sum(CAST(round(l.part * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE) AS adc
+       |        FROM ivfpq_probe p
+       |        JOIN km_cells k USING (cell)
+       |        JOIN pq_codes c ON c.n_id = k.n_id
+       |        JOIN pq_lut l ON l.q_id = p.q_id AND l.sub = c.sub AND l.cid = c.cent_id
+       |        GROUP BY p.q_id, k.n_id) a)
+       |WHERE r <= 50;
+       |SELECT q_id, n_id, cos_sim, rank FROM (
+       |  SELECT cd.q_id, cd.n_id,
+       |    round(kcos(q.de, c.de), 6) AS cos_sim,
+       |    row_number() OVER (PARTITION BY cd.q_id
+       |      ORDER BY round(kcos(q.de, c.de), 6) DESC, cd.n_id) AS rank
+       |  FROM ivfpq_cand cd
+       |  JOIN pq_q q USING (q_id)
+       |  JOIN pq_cn c USING (n_id))
+       |WHERE rank <= ${topK}
+       |ORDER BY q_id, rank""".stripMargin
+
   // ---- E7h: binary-quantized (1-bit) ANN -----------------------------
 
   /** E7h — binary quantization (the OpenSearch 2.17 `binary` kNN mode /
