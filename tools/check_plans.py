@@ -18,6 +18,16 @@ Contract (SURVEY §5):
     intermediates were materialized). Queries legitimately above the
     ceiling (multi-table TPC-H joins, multi-arm fusion queries) are
     allowlisted with a reason;
+  - at most MAX_BUILD_RECORDS input records read during query
+    CONSTRUCTION (r13: Explain's build_records — the jobs that run
+    while a frame is built are exactly the localCheckpoint / park /
+    driver-fold materializations that then VANISH from the compiled
+    plan, so the scan ceiling alone could be defeated by checkpointing
+    a data-sized subtree; r12's q_canary_exposure reported 0 scans
+    while reading the corpus twice at checkpoint time). Numbers are
+    sf0.01-scale (the audit SF). Declared heavy builders (iterative
+    graph/LM fits, parked posting tables) are allowlisted at ~2x their
+    measured fresh-build volume;
   - no query's explain may fail.
 Exit 1 on any violation.
 """
@@ -45,6 +55,27 @@ SCANS_ALLOWED = {
     "q_perplexity_ablation": 16, # LM-stats per ablation cut (each cut one corpus pass)
     "q_market_share": 14,        # TPC-H Q8: 7-table join, two scans each side of the year split
     "q_waiting_suppliers": 14,   # TPC-H Q21: 4-table join + two lineitem self-join arms
+}
+
+# Ceiling on input records read while CONSTRUCTING one query at the
+# sf0.01 audit scale (events = 10k, lineitem = 60k, documents = 500).
+# Legit bounded builds (memoized-index first build, driver folds,
+# sampled fits) sit well under this; a data-sized subtree silently
+# re-read N times behind a checkpoint blows straight through it.
+MAX_BUILD_RECORDS = 12_000
+
+# Declared heavy builders: measured fresh-build volume x ~2 headroom,
+# each a bounded iterative fit or an audited park, not a hidden
+# re-compilation.
+BUILD_ALLOWED = {
+    "q_ann_graph": 70_000,     # NN-descent rounds over checkpointed bounded edge lists
+    "q_ann_graph_hr": 70_000,  # same fit at the high-recall ef point
+    "q_suggest_phrase": 50_000,  # inverted-index ensure-build (vocabulary + bigram tables)
+    "q_graph_explore": 45_000,   # bounded hop-expansion loop (per-round checkpoints)
+    "q_pagerank": 45_000,        # fixed-round power iteration over the service graph
+    "q_outlier_scores": 40_000,  # stride sample collect + forest fit (2 bounded event passes)
+    "q_dedup_candidates": 25_000,  # parked posting table + bucket aggregate (E20e audit)
+    "q_dedup_substring": 25_000,   # fixpoint removal rounds (bounded per-round parks)
 }
 
 # Queries allowed to contain BroadcastNestedLoopJoin, with the reason.
@@ -203,6 +234,13 @@ def main() -> int:
                        f"ceiling {limit} (shared-subtree re-compilation? "
                        "materialize the bounded intermediate or allowlist "
                        "with a reason)")
+        blimit = BUILD_ALLOWED.get(name, MAX_BUILD_RECORDS)
+        if a.get("build_records", 0) > blimit:
+            bad.append(f"{name}: {a['build_records']} records read at "
+                       f"construction exceeds ceiling {blimit} "
+                       "(data-sized subtree materialized behind a "
+                       "checkpoint/park? bound it or allowlist with a "
+                       "reason)")
     stale = sorted(set(BNLJ_ALLOWED) - set(audit))
     if stale:
         print(f"note: {len(stale)} BNLJ-allowlisted queries absent from audit: "
@@ -212,6 +250,11 @@ def main() -> int:
         print(f"note: {len(stale_scans)} scan-allowlisted queries absent from "
               f"audit: {', '.join(stale_scans[:5])}"
               f"{'...' if len(stale_scans) > 5 else ''}")
+    stale_build = sorted(set(BUILD_ALLOWED) - set(audit))
+    if stale_build:
+        print(f"note: {len(stale_build)} build-allowlisted queries absent from "
+              f"audit: {', '.join(stale_build[:5])}"
+              f"{'...' if len(stale_build) > 5 else ''}")
     for b in bad:
         print("VIOLATION " + b)
     n_bnlj = sum(1 for a in audit.values() if a.get("bnlj", 0) > 0)
