@@ -29,6 +29,24 @@ object ScaleStudy {
     // the default run — they belong to the winnowing study)
     val names = if (args.length > 1) args(1).split(",").toSeq
                 else Seq("q_dedup_lcs", "q_dedup_substring")
+    // `recall` mode (r13, VERDICT #6): measure every ANN scale path's
+    // recall@5 against the exact brute-force baseline AT THIS SF, so
+    // index-quality claims track data growth instead of resting on the
+    // sf0.01 spec pins alone. §8k records the sf0.1 numbers.
+    if (names == Seq("recall")) {
+      def pairs(name: String): Set[(Long, Long)] =
+        SparkEntry.queries(name)(spark, sfDir)
+          .select("q_id", "n_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val base = pairs("q_ann_topk")
+      Seq("q_ann_lsh", "q_ann_ivf", "q_ann_sq", "q_ann_bq", "q_ann_pq",
+          "q_ann_ivfpq", "q_ann_graph", "q_ann_graph_hr").foreach { n =>
+        val r = pairs(n).intersect(base).size.toDouble / base.size
+        println(f"[scale] $sfDir recall@5 $n: $r%.3f")
+      }
+      spark.stop()
+      return
+    }
     if (args.length <= 1) {
       val stats = graft.operators.Dedup.candidateStats(
         graft.sources.Tables.documents(spark, sfDir)).collect().head

@@ -162,6 +162,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(!byLine(badLine).getAs[Boolean]("valid"))
   }
 
+  test("recorded transport fixtures: Kafka and Kinesis wire-schema streams replay through the full pipeline (A3b)") {
+    // The closest an endpoint-less sandbox gets to a live broker: a
+    // RECORDED fixture — records carrying each connector's exact wire
+    // schema — replayed as a real streaming query through the
+    // contract projection and the full transform graph. The only
+    // untested inch left is the connector jar's network client.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // Kafka wire schema: key/value binary, topic, partition, offset,
+    // timestamp, timestampType (spark-sql-kafka's fixed output schema)
+    val kafkaFixture = MemoryStream[(Array[Byte], Array[Byte], String, Int, Long, java.sql.Timestamp, Int)]
+    kafkaFixture.addData(
+      (null, goodLine.getBytes("UTF-8"), "logs-ec2", 0, 0L,
+        java.sql.Timestamp.valueOf("2021-07-29 15:32:33"), 0),
+      (null, badLine.getBytes("UTF-8"), "logs-eks", 1, 17L,
+        java.sql.Timestamp.valueOf("2021-07-29 15:32:34"), 0))
+    val kafkaWire = kafkaFixture.toDF()
+      .toDF("key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
+    val kq = LogPipeline.transformed(KafkaLines.contract(kafkaWire))
+      .writeStream.format("memory").queryName("kafka_fixture_out")
+      .outputMode(OutputMode.Append).start()
+    try kq.processAllAvailable() finally kq.stop()
+    val krows = spark.table("kafka_fixture_out").collect()
+    assert(krows.length == 2)
+    val kByLine = krows.map(r => r.getAs[String]("line") -> r).toMap
+    assert(kByLine(goodLine).getAs[String]("source") == "ec2")
+    assert(kByLine(goodLine).getAs[Boolean]("valid") &&
+      kByLine(goodLine).getAs[Long]("status") == 200L)
+    assert(kByLine(badLine).getAs[String]("source") == "eks" &&
+      !kByLine(badLine).getAs[Boolean]("valid"))
+
+    // Kinesis wire schema: data binary, streamName, partitionKey,
+    // sequenceNumber, approximateArrivalTimestamp
+    val kinesisFixture = MemoryStream[(Array[Byte], String, String, String, java.sql.Timestamp)]
+    kinesisFixture.addData(
+      (goodLine.getBytes("UTF-8"), "unified-logs-lambda", "pk-1",
+        "49598630142999655949899", java.sql.Timestamp.valueOf("2021-07-29 15:32:35")))
+    val kinesisWire = kinesisFixture.toDF()
+      .toDF("data", "streamName", "partitionKey", "sequenceNumber",
+        "approximateArrivalTimestamp")
+    val nq = LogPipeline.transformed(graft.streaming.KinesisLines.contract(kinesisWire))
+      .writeStream.format("memory").queryName("kinesis_fixture_out")
+      .outputMode(OutputMode.Append).start()
+    try nq.processAllAvailable() finally nq.stop()
+    val nrows = spark.table("kinesis_fixture_out").collect()
+    assert(nrows.length == 1)
+    assert(nrows.head.getAs[String]("source") == "lambda")
+    assert(nrows.head.getAs[String]("line") == goodLine)
+  }
+
   test("streaming percolate fires stored rules against the parsed stream") {
     val err500 =
       """1.2.3.4 - - [29/Jul/2021:15:32:33 +0000] "GET /boom HTTP/1.1" 500 0 "-" "curl/7.68.0""""
