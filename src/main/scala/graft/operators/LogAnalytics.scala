@@ -967,18 +967,55 @@ object LogAnalytics {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
-  /** Scale path for C5: approx_percentile sketches (mergeable, one pass,
-    * bounded memory at any scale). No DuckDB oracle (different sketch) —
-    * rows-only + ApproxSpec.
+  /** Scale path for C5: a fixed-granularity histogram quantile sketch
+    * (the HDR-histogram/DDSketch family — the same family OpenSearch's
+    * percentiles agg offers via `hdr`). One map-side-combined count per
+    * (group, bucket) where bucket = floor(value·S): mergeable, one
+    * pass, memory bounded by value-range·S buckets per group at any
+    * scale, worst-case error 1/S of a value unit (0.01 here — ~0.03%
+    * of this table's p50, vs the 5% ApproxSpec contract). ★ (r13, was
+    * ☆ on the opaque approx_percentile GK sketch): every count, rank
+    * cut, and bucket edge is exact integer arithmetic, so the estimate
+    * itself is DuckDB-replayable — the q_cardinality_approx recipe
+    * applied to quantiles.
     */
-  def percentilesApprox(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+  def percentilesApprox(spark: SparkSession, dir: String): DataFrame = {
+    val s = 100
+    val buckets = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        floor(col("value") * lit(s)).cast("long").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("b"))
+    val wAll = Window.partitionBy(col("event_type"))
+    def pick(q: Double) =
+      (min(when(col("cum") >= ceil(lit(q) * col("n")), col("b"))) / s).as(s"p${(q * 100).toInt}")
+    buckets
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
       .groupBy(col("event_type"))
-      .agg(
-        expr("approx_percentile(value, 0.5, 10000)").as("p50"),
-        expr("approx_percentile(value, 0.9, 10000)").as("p90"),
-        expr("approx_percentile(value, 0.99, 10000)").as("p99"))
+      .agg(pick(0.5), pick(0.9), pick(0.99))
       .orderBy(col("event_type"))
+  }
+
+  val percentilesApproxSql: String =
+    """WITH b AS (
+      |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS b, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, b, c,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+      |    sum(c) OVER (PARTITION BY event_type) AS n
+      |  FROM b)
+      |SELECT event_type,
+      |  -- q literals CAST to DOUBLE: DuckDB's DECIMAL 0.9*n is exact
+      |  -- while Spark's double 0.9*n is a hair above, and ceil diverges
+      |  -- whenever q*n lands on an integer (n divisible by 10)
+      |  CAST(min(CASE WHEN cum >= ceil(CAST(0.5 AS DOUBLE) * n) THEN b END) AS DOUBLE) / 100 AS p50,
+      |  CAST(min(CASE WHEN cum >= ceil(CAST(0.9 AS DOUBLE) * n) THEN b END) AS DOUBLE) / 100 AS p90,
+      |  CAST(min(CASE WHEN cum >= ceil(CAST(0.99 AS DOUBLE) * n) THEN b END) AS DOUBLE) / 100 AS p99
+      |FROM cum
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 
   /** C5c — percentile_ranks (OpenSearch's inverse-percentile metric):
     * for fixed value thresholds, the fraction of each group at or below
