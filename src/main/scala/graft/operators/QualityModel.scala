@@ -58,15 +58,25 @@ object QualityModel {
         sym <= 0.1 && stopR > 0).cast("int").as("label"))
   }
 
-  /** Per-feature (mean, stddev) + count in ONE one-row aggregate. */
+  /** Per-feature (mean, stddev) + count in ONE one-row aggregate —
+    * from integer-quantized moment sums (the deterministicKmeans
+    * discipline, r13): accumulation order can never perturb mu/sd, and
+    * the same sums replay exactly in the DuckDB oracle.
+    */
   private def standardization(feats: DataFrame): (Array[Double], Array[Double], Double) = {
     val r = feats.select(
       featureNames.flatMap(f =>
-        Seq(avg(col(f)).as(s"mu_$f"), stddev_pop(col(f)).as(s"sd_$f"))) :+
+        Seq(sum(floor(col(f) * lit(1e9)).cast("long")).as(s"s1_$f"),
+          sum(floor(col(f) * col(f) * lit(1e9)).cast("long")).as(s"s2_$f"))) :+
         count(lit(1)).cast("double").as("n"): _*).head()
-    val mu = featureNames.indices.map(i => r.getDouble(2 * i)).toArray
-    val sd = featureNames.indices.map(i => math.max(r.getDouble(2 * i + 1), 1e-9)).toArray
-    (mu, sd, r.getDouble(2 * featureNames.length))
+    val n = r.getDouble(2 * featureNames.length)
+    val mu = featureNames.indices.map(i =>
+      (r.getLong(2 * i).toDouble / 1e9) / n).toArray
+    val sd = featureNames.indices.map { i =>
+      val ex2 = (r.getLong(2 * i + 1).toDouble / 1e9) / n
+      math.max(math.sqrt(math.max(ex2 - mu(i) * mu(i), 0.0)), 1e-9)
+    }.toArray
+    (mu, sd, n)
   }
 
   /** Solve the symmetric system (H + λI)·d = g in place — k is 5, this
@@ -117,12 +127,19 @@ object QualityModel {
     for (t <- 0 until iters) {
       val margin = (0 until dim).map(i => col(s"z_$i") * w(i))
         .reduce[Column](_ + _)
-      val p = lit(1.0) / (lit(1.0) + exp(-margin))
+      // p rounded to 7 dp: exp() is the ONE libm call in the fit, and
+      // JVM/libm disagree in the last ulp — rounding quarantines the
+      // divergence before it enters the quantized sums, so the whole
+      // Newton path replays bit-for-bit in the DuckDB oracle
+      val p = round(lit(1.0) / (lit(1.0) + exp(-margin)), 7)
       val r = p * (lit(1.0) - p)
+      // gradient/Hessian power sums as integer-quantized longs:
+      // order-independent on any engine (the standardization
+      // discipline applied to the Newton aggregates)
       val pairs = for (i <- 0 until dim; j <- i until dim)
-        yield sum(r * col(s"z_$i") * col(s"z_$j")).as(s"h_${i}_$j")
+        yield sum(floor(r * col(s"z_$i") * col(s"z_$j") * lit(1e9)).cast("long")).as(s"h_${i}_$j")
       val grads = (0 until dim).map(i =>
-        sum((col("y") - p) * col(s"z_$i")).as(s"g_$i"))
+        sum(floor((col("y") - p) * col(s"z_$i") * lit(1e9)).cast("long")).as(s"g_$i"))
       val nll = sum(-(col("y") * log(greatest(p, lit(1e-12))) +
         (lit(1.0) - col("y")) * log(greatest(lit(1.0) - p, lit(1e-12))))).as("nll")
       val aggs = pairs ++ grads :+ nll
@@ -130,9 +147,9 @@ object QualityModel {
       val h = Array.ofDim[Double](dim, dim)
       var c = 0
       for (i <- 0 until dim; j <- i until dim) {
-        h(i)(j) = row.getDouble(c); h(j)(i) = h(i)(j); c += 1
+        h(i)(j) = row.getLong(c).toDouble / 1e9; h(j)(i) = h(i)(j); c += 1
       }
-      val g = Array.tabulate(dim)(i => row.getDouble(c + i))
+      val g = Array.tabulate(dim)(i => row.getLong(c + i).toDouble / 1e9)
       losses(t) = row.getDouble(c + dim) / n
       val d = solve(h, g, l2)
       for (i <- 0 until dim) w(i) += d(i)
@@ -161,7 +178,7 @@ object QualityModel {
     val fp = Similarity.dataFingerprintFor(spark, dir, "documents.parquet")
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir#$fp".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val path = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), s"graft-qmodel-v1-$key.txt")
+    val path = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), s"graft-qmodel-v2-$key.txt")
     if (java.nio.file.Files.exists(path)) {
       val nums = java.nio.file.Files.readString(path).trim.split(",").map(_.toDouble)
       val k = featureNames.length
@@ -195,6 +212,149 @@ object QualityModel {
       (margin >= 0).cast("int").as("pred"),
       col("label"))
       .orderBy(col("doc_id"))
+  }
+
+  /** E36 oracle (r13, was ☆): the IRLS fit replays WHOLE in DuckDB —
+    * features + quantized standardization + 6 Newton rounds, each an
+    * integer-quantized gradient/Hessian aggregate (p rounded to 7 dp
+    * quarantines the one libm exp call) followed by the 5×5
+    * partial-pivot solve unrolled as single-row list transforms
+    * (pivot = FIRST max like Scala's maxBy; row-p values read
+    * pre-elimination like the in-place loop; back-substitution
+    * subtracts in ascending-j order). Final scoring mirrors
+    * qualityModel's literal-weight projection.
+    */
+  val qualityModelSql: String = {
+    val dim = featureNames.length + 1
+    val iters = 6
+    val l2 = "0.001"
+    def aIdx(i: String, j: String) = s"($i * $dim + $j) + 1"
+    // one elimination step: pivot-select + row-swap (inner), then
+    // eliminate below row p reading the PRE-elimination swapped values
+    def elimStep(t: Int, p: Int, prev: String): String = {
+      val sub = s"list_transform(range($p, $dim), i -> abs(a[CAST(${aIdx("i", p.toString)} AS INT)]))"
+      s"""CREATE OR REPLACE TEMP TABLE qm_e${t}_$p AS
+         |SELECT
+         |  list_transform(range(0, ${dim * dim}), k -> CASE
+         |    WHEN k // $dim > $p AND k % $dim >= $p THEN
+         |      sa[CAST(k + 1 AS INT)]
+         |        - (sa[CAST(${aIdx(s"(k // $dim)", p.toString)} AS INT)]
+         |           / sa[CAST(${aIdx(p.toString, p.toString)} AS INT)])
+         |          * sa[CAST(${aIdx(p.toString, s"(k % $dim)")} AS INT)]
+         |    ELSE sa[CAST(k + 1 AS INT)] END) AS a,
+         |  list_transform(range(0, $dim), i -> CASE
+         |    WHEN i > $p THEN
+         |      sx[CAST(i + 1 AS INT)]
+         |        - (sa[CAST(${aIdx("i", p.toString)} AS INT)]
+         |           / sa[CAST(${aIdx(p.toString, p.toString)} AS INT)])
+         |          * sx[${p + 1}]
+         |    ELSE sx[CAST(i + 1 AS INT)] END) AS x
+         |FROM (
+         |  SELECT
+         |    list_transform(range(0, ${dim * dim}), k -> CASE
+         |      WHEN k // $dim = $p THEN a[CAST((piv * $dim + k % $dim) + 1 AS INT)]
+         |      WHEN k // $dim = piv THEN a[CAST(($p * $dim + k % $dim) + 1 AS INT)]
+         |      ELSE a[CAST(k + 1 AS INT)] END) AS sa,
+         |    list_transform(range(0, $dim), i -> CASE
+         |      WHEN i = $p THEN x[CAST(piv + 1 AS INT)]
+         |      WHEN i = piv THEN x[${p + 1}]
+         |      ELSE x[CAST(i + 1 AS INT)] END) AS sx
+         |  FROM (SELECT a, x,
+         |          $p + list_position($sub, list_max($sub)) - 1 AS piv
+         |        FROM $prev));""".stripMargin
+    }
+    def backStep(t: Int, p: Int, prev: String): String = {
+      val chain = (p + 1 until dim).foldLeft(s"x[${p + 1}]") { (e, j) =>
+        s"($e - a[${p * dim + j + 1}] * x[${j + 1}])"
+      }
+      s"""CREATE OR REPLACE TEMP TABLE qm_b${t}_$p AS
+         |SELECT a, list_transform(range(0, $dim), i -> CASE
+         |  WHEN i = $p THEN $chain / a[${p * dim + p + 1}]
+         |  ELSE x[CAST(i + 1 AS INT)] END) AS x
+         |FROM $prev;""".stripMargin
+    }
+    def iter(t: Int): String = {
+      val margin = (0 until dim).map(i => s"z.z$i * w.wl[${i + 1}]")
+        .reduce((a, b) => s"($a + $b)")
+      val hs = (for (i <- 0 until dim; j <- i until dim) yield
+        s"sum(CAST(floor(((r * z$i) * z$j) * 1e9) AS BIGINT)) AS h_${i}_$j").mkString(",\n|    ")
+      val gs = (0 until dim).map(i =>
+        s"sum(CAST(floor(((y - p) * z$i) * 1e9) AS BIGINT)) AS g_$i").mkString(",\n|    ")
+      def hKey(i: Int, j: Int) = if (i <= j) s"h_${i}_$j" else s"h_${j}_$i"
+      val aList = (for (i <- 0 until dim; j <- 0 until dim) yield
+        s"CAST(${hKey(i, j)} AS DOUBLE) / 1e9${if (i == j) s" + $l2" else ""}").mkString(", ")
+      val xList = (0 until dim).map(i => s"CAST(g_$i AS DOUBLE) / 1e9").mkString(", ")
+      val steps = (0 until dim).map(p =>
+        elimStep(t, p, if (p == 0) s"qm_sys$t" else s"qm_e${t}_${p - 1}")).mkString("\n")
+      val backs = (dim - 1 to 0 by -1).map(p =>
+        backStep(t, p, if (p == dim - 1) s"qm_e${t}_${dim - 1}" else s"qm_b${t}_${p + 1}")).mkString("\n")
+      s"""CREATE OR REPLACE TEMP TABLE qm_agg$t AS
+         |SELECT
+         |    $hs,
+         |    $gs
+         |FROM (
+         |  SELECT z.y, ${(0 until dim).map(i => s"z.z$i").mkString(", ")},
+         |    p, p * (1.0 - p) AS r
+         |  FROM (SELECT *, round(1.0 / (1.0 + exp(-($margin))), 7) AS p
+         |        FROM qm_z z CROSS JOIN qm_w${t - 1} w) z);
+         |CREATE OR REPLACE TEMP TABLE qm_sys$t AS
+         |SELECT [$aList] AS a, [$xList] AS x FROM qm_agg$t;
+         |$steps
+         |$backs
+         |CREATE OR REPLACE TEMP TABLE qm_w$t AS
+         |SELECT list_transform(range(0, $dim),
+         |  i -> w.wl[CAST(i + 1 AS INT)] + b.x[CAST(i + 1 AS INT)]) AS wl
+         |FROM qm_w${t - 1} w CROSS JOIN qm_b${t}_0 b;""".stripMargin
+    }
+    // scoring mirrors qualityModel's foldLeft(bias) ORDER exactly
+    // (bias first, then the k feature terms) — double addition is not
+    // associative, so the fold shape is part of the contract
+    val finalMargin = featureNames.zipWithIndex
+      .map { case (f, i) => s"((z.$f - s.mu_$i) / s.sd_$i) * w.wl[${i + 1}]" }
+      .foldLeft(s"w.wl[$dim]")((acc, t) => s"($acc + $t)")
+    s"""CREATE OR REPLACE TEMP TABLE qm_f AS
+       |SELECT doc_id,
+       |  least(n_words - 5, 1000.0 - n_words) AS m_words,
+       |  least(mwl - 2, 12.0 - mwl) AS m_wlen,
+       |  (0.1 - sym) AS m_sym,
+       |  stopr AS stop_ratio,
+       |  CAST(CAST(n_words >= 5 AND n_words <= 1000 AND mwl >= 2 AND mwl <= 12
+       |       AND sym <= 0.1 AND stopr > 0 AS INT) AS DOUBLE) AS y
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+       |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       |      / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0) AS mwl,
+       |    CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+       |      / CAST(greatest(length(text), 1) AS DOUBLE) AS sym,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS stopr
+       |  FROM documents);
+       |CREATE OR REPLACE TEMP TABLE qm_std AS
+       |SELECT
+       |  ${featureNames.zipWithIndex.map { case (f, i) =>
+             s"(CAST(sum(CAST(floor($f * 1e9) AS BIGINT)) AS DOUBLE) / 1e9) / count(*) AS mu_$i," +
+             s"\n|  greatest(sqrt(greatest((CAST(sum(CAST(floor(($f * $f) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9) / count(*)" +
+             s"\n|    - ((CAST(sum(CAST(floor($f * 1e9) AS BIGINT)) AS DOUBLE) / 1e9) / count(*))" +
+             s"\n|      * ((CAST(sum(CAST(floor($f * 1e9) AS BIGINT)) AS DOUBLE) / 1e9) / count(*)), 0.0)), 1e-9) AS sd_$i"
+           }.mkString(",\n|  ")}
+       |FROM qm_f;
+       |CREATE OR REPLACE TEMP TABLE qm_z AS
+       |SELECT doc_id, y,
+       |  ${featureNames.zipWithIndex.map { case (f, i) =>
+             s"(($f - s.mu_$i) / s.sd_$i) AS z$i" }.mkString(",\n|  ")},
+       |  1.0 AS z${featureNames.length}
+       |FROM qm_f CROSS JOIN qm_std s;
+       |CREATE OR REPLACE TEMP TABLE qm_w0 AS
+       |SELECT [${Seq.fill(dim)("0.0").mkString(", ")}] AS wl;
+       |${(1 to iters).map(iter).mkString("\n")}
+       |SELECT z.doc_id,
+       |  round(1.0 / (1.0 + exp(-($finalMargin))), 6) AS model_score,
+       |  CAST(($finalMargin) >= 0 AS INT) AS pred,
+       |  CAST(z.y AS INT) AS label
+       |FROM qm_f z CROSS JOIN qm_std s CROSS JOIN qm_w$iters w
+       |ORDER BY z.doc_id""".stripMargin
   }
 
   // ---- E128: isotonic score calibration (PAV via minimax) -------------
