@@ -152,11 +152,17 @@ object UnigramLm {
     for (round <- 1 to emRounds) {
       val lp = inv.toMap
       val maxL = maxPieceLen
-      // E-step: micro-quantized expected counts + corpus LL, one shuffle
+      // E-step: micro-quantized expected counts + corpus LL, one
+      // shuffle. Quantization happens per WORD TYPE (floor(c·1e6)·f,
+      // not floor(c·f·1e6)): c is O(word-length) so the 1e-6 grid
+      // absorbs the libm ulp noise of the forward–backward log-space
+      // arithmetic — the property that lets the DuckDB oracle replay
+      // the whole EM with its own ln/exp (r13, the p-rounding device
+      // from the IRLS fit)
       val stats = words.flatMap { case (w, f) =>
         val (cs, ll) = expectedCounts(w, lp, maxL)
-        cs.map { case (p, c) => (p, math.floor(c * f * 1e6).toLong, 0L) } :+
-          (("", 0L, if (ll == NegInf) 0L else math.floor(ll * f * 1e6).toLong))
+        cs.map { case (p, c) => (p, math.floor(c * 1e6).toLong * f, 0L) } :+
+          (("", 0L, if (ll == NegInf) 0L else math.floor(ll * 1e6).toLong * f))
       }.toDF("piece", "micro", "ll_micro")
         .groupBy("piece")
         .agg(sum(col("micro")).as("micro"), sum(col("ll_micro")).as("ll"))
@@ -179,12 +185,154 @@ object UnigramLm {
     }
     words.unpersist()
 
+    // floor(x + 0.5) instead of rint: half-even has no cheap DuckDB
+    // twin, half-up does (ties at exactly .5e-8 are measure-zero here)
     val out = inv.sortBy { case (p, l) => (-l, p) }.zipWithIndex
-      .map { case ((p, l), i) => (i + 1, p, p.length, math.rint(math.exp(l) * 1e8) / 1e8) }
+      .map { case ((p, l), i) =>
+        (i + 1, p, p.length, math.floor(math.exp(l) * 1e8 + 0.5) / 1e8) }
       .toSeq.toDF("rnk", "piece", "piece_len", "prob")
     (out, lls.toSeq)
   }
 
   def train(spark: SparkSession, dir: String): DataFrame =
     trainWithStats(spark, dir)._1
+
+  /** E10e oracle (r13, was ☆): the EM replays whole in DuckDB. The
+    * forward–backward DP unrolls over word positions (the corpus has a
+    * closed small word vocabulary; max word length bounds the unroll),
+    * log-sum-exp folds run in the JVM's l-ascending order, expected
+    * counts quantize to the same 1e-6 grid per word type (which is
+    * also what absorbs the ln/log1p 1-ulp engine differences — DuckDB
+    * has no log1p, so lgadd uses ln(1+exp(·)), equal on the grid), and
+    * the M-step prune/renormalize is plain integer arithmetic.
+    */
+  val unigramTrainSql: String = {
+    // documents.parquet's closed word vocabulary maxes at 8 chars;
+    // unrolled with headroom (a longer word would silently drop from
+    // the replay, so the bound is generous rather than tight)
+    val maxWordLen = 12
+    val seedSize = 256; val vocabTarget = 96; val emRounds = 4; val maxPieceLen = 6
+    def alphaStep(r: Int, i: Int): String =
+      s"""CREATE OR REPLACE TEMP TABLE ug_al${r}_$i AS
+         |SELECT a.word,
+         |  CASE WHEN length(a.word) >= $i
+         |       THEN list_append(a.al, coalesce(t.v, '-infinity'::DOUBLE))
+         |       ELSE a.al END AS al
+         |FROM ug_al${r}_${i - 1} a LEFT JOIN (
+         |  SELECT t.word,
+         |    list_reduce(list_prepend('-infinity'::DOUBLE,
+         |      list(a2.al[CAST(t.j + 1 AS INT)] + t.logp ORDER BY t.l)),
+         |      (x, y) -> lgadd(x, y)) AS v
+         |  FROM ug_t$r t JOIN ug_al${r}_${i - 1} a2 USING (word)
+         |  WHERE t.j + t.l = $i
+         |  GROUP BY t.word) t USING (word);""".stripMargin
+    def betaStep(r: Int, d: Int): String =
+      s"""CREATE OR REPLACE TEMP TABLE ug_bt${r}_$d AS
+         |SELECT b.word,
+         |  CASE WHEN length(b.word) >= $d THEN
+         |    list_transform(range(0, CAST(len(b.bt) AS BIGINT)), k -> CASE
+         |      WHEN k = length(b.word) - $d THEN coalesce(t.v, '-infinity'::DOUBLE)
+         |      ELSE b.bt[CAST(k + 1 AS INT)] END)
+         |  ELSE b.bt END AS bt
+         |FROM ug_bt${r}_${d - 1} b LEFT JOIN (
+         |  SELECT t.word,
+         |    list_reduce(list_prepend('-infinity'::DOUBLE,
+         |      list(b2.bt[CAST(t.j + t.l + 1 AS INT)] + t.logp ORDER BY t.l)),
+         |      (x, y) -> lgadd(x, y)) AS v
+         |  FROM ug_t$r t JOIN ug_bt${r}_${d - 1} b2 USING (word)
+         |  WHERE t.j = length(t.word) - $d
+         |  GROUP BY t.word) t USING (word);""".stripMargin
+    def round(r: Int): String = {
+      val alphas = (1 to maxWordLen).map(alphaStep(r, _)).mkString("\n")
+      val betas = (1 to maxWordLen).map(betaStep(r, _)).mkString("\n")
+      s"""CREATE OR REPLACE TEMP TABLE ug_t$r AS
+         |SELECT s.word, s.freq, s.j, s.l, s.piece, i.logp
+         |FROM ug_sub s JOIN ug_inv${r - 1} i USING (piece);
+         |CREATE OR REPLACE TEMP TABLE ug_al${r}_0 AS
+         |SELECT word, [0.0]::DOUBLE[] AS al FROM ug_words;
+         |$alphas
+         |CREATE OR REPLACE TEMP TABLE ug_bt${r}_0 AS
+         |SELECT word, list_transform(range(0, length(word) + 1),
+         |  k -> CASE WHEN k = length(word) THEN 0.0
+         |            ELSE '-infinity'::DOUBLE END) AS bt
+         |FROM ug_words;
+         |$betas
+         |CREATE OR REPLACE TEMP TABLE ug_cnt$r AS
+         |SELECT piece, CAST(sum(micro) AS BIGINT) AS m FROM (
+         |  SELECT t.word, t.piece,
+         |    CAST(floor(sum(exp(a.al[CAST(t.j + 1 AS INT)] + t.logp
+         |      + b.bt[CAST(t.j + t.l + 1 AS INT)]
+         |      - a.al[CAST(length(t.word) + 1 AS INT)])) * 1e6) AS BIGINT)
+         |      * any_value(t.freq) AS micro
+         |  FROM ug_t$r t
+         |  JOIN ug_al${r}_$maxWordLen a USING (word)
+         |  JOIN ug_bt${r}_$maxWordLen b USING (word)
+         |  WHERE a.al[CAST(length(t.word) + 1 AS INT)] <> '-infinity'::DOUBLE
+         |  GROUP BY t.word, t.piece)
+         |GROUP BY piece;
+         |CREATE OR REPLACE TEMP TABLE ug_kept$r AS
+         |SELECT i.piece,
+         |  CASE WHEN length(i.piece) = 1 THEN greatest(coalesce(c.m, 0), 1)
+         |       ELSE coalesce(c.m, 0) END AS m
+         |FROM ug_inv${r - 1} i LEFT JOIN ug_cnt$r c USING (piece)
+         |WHERE CASE WHEN length(i.piece) = 1 THEN greatest(coalesce(c.m, 0), 1)
+         |           ELSE coalesce(c.m, 0) END > 0;
+         |CREATE OR REPLACE TEMP TABLE ug_inv$r AS
+         |WITH sizes AS (
+         |  SELECT sum(CASE WHEN length(piece) = 1 THEN 1 ELSE 0 END) AS n1,
+         |         sum(CASE WHEN length(piece) > 1 THEN 1 ELSE 0 END) AS nm
+         |  FROM ug_kept$r),
+         |pruned AS (
+         |  SELECT piece, m FROM (
+         |    SELECT k.piece, k.m,
+         |      row_number() OVER (ORDER BY k.m DESC, k.piece) AS rk,
+         |      s.n1, s.nm
+         |    FROM ug_kept$r k CROSS JOIN sizes s
+         |    WHERE length(k.piece) > 1)
+         |  WHERE rk <= greatest(greatest($vocabTarget - n1,
+         |    nm - greatest(${(seedSize - vocabTarget) / emRounds}, 1)), 0)
+         |  UNION ALL
+         |  SELECT piece, m FROM ug_kept$r WHERE length(piece) = 1),
+         |tot AS (SELECT CAST(sum(m) AS DOUBLE) AS total FROM pruned)
+         |SELECT piece, ln(CAST(m AS DOUBLE) / total) AS logp
+         |FROM pruned CROSS JOIN tot;""".stripMargin
+    }
+    s"""CREATE OR REPLACE MACRO lgadd(a, b) AS
+       |  CASE WHEN a = '-infinity'::DOUBLE THEN b
+       |       WHEN b = '-infinity'::DOUBLE THEN a
+       |       WHEN a > b THEN a + ln(1.0 + exp(b - a))
+       |       ELSE b + ln(1.0 + exp(a - b)) END;
+       |CREATE OR REPLACE TEMP TABLE ug_words AS
+       |SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |WHERE word <> ''
+       |GROUP BY word;
+       |CREATE OR REPLACE TEMP TABLE ug_sub AS
+       |SELECT word, freq, s.range AS j, l.range AS l,
+       |  substr(word, CAST(s.range + 1 AS INT), CAST(l.range AS INT)) AS piece
+       |FROM ug_words, range(0, $maxWordLen) s, range(1, ${maxPieceLen + 1}) l
+       |WHERE s.range < length(word) AND s.range + l.range <= length(word);
+       |CREATE OR REPLACE TEMP TABLE ug_seed AS
+       |SELECT piece, CAST(sum(freq) AS BIGINT) AS w
+       |FROM ug_sub GROUP BY piece;
+       |CREATE OR REPLACE TEMP TABLE ug_inv0 AS
+       |WITH sel AS (
+       |  SELECT piece, w FROM ug_seed WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, w FROM (
+       |    SELECT piece, w, row_number() OVER (ORDER BY w DESC, piece) AS rk
+       |    FROM ug_seed WHERE length(piece) > 1)
+       |  WHERE rk <= $seedSize),
+       |tot AS (SELECT CAST(sum(w) AS DOUBLE) AS total FROM sel)
+       |SELECT piece, ln(CAST(w AS DOUBLE) / total) AS logp
+       |FROM sel CROSS JOIN tot;
+       |${(1 to emRounds).map(round).mkString("\n")}
+       |SELECT CAST(rnk AS INT) AS rnk, piece,
+       |  CAST(length(piece) AS INT) AS piece_len,
+       |  floor(exp(logp) * 1e8 + 0.5) / 1e8 AS prob
+       |FROM (SELECT piece, logp,
+       |        row_number() OVER (ORDER BY logp DESC, piece) AS rnk
+       |      FROM ug_inv$emRounds)
+       |ORDER BY rnk""".stripMargin
+  }
 }
