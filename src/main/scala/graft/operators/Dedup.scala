@@ -938,6 +938,83 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** E20c oracle (r13, was ☆): full replica of lcsOverlap. The
+    * winnowing candidates rebuild from the E2 macros (positional FNV
+    * 3-gram window hashes, SIGNED window mins like Spark's array_min,
+    * bucket cap, ≥2-shared cut); the O(m·n) longest-common-RUN kernel
+    * is a nested list fold — outer over rows of doc_a with the
+    * accumulator carrying (previous DP row ++ running best), inner
+    * building each row from the previous one (the recurrence has no
+    * within-row dependency) — over the RAW token arrays, which is
+    * hash-equivalent to the kernel's xxhash64-token comparison.
+    */
+  val lcsOverlapSql: String = {
+    def row(acc: String) =
+      s"""list_transform(range(1, len(tb.toks) + 1), j ->
+         |        CASE WHEN ta.toks[CAST(e[1] AS INT)] = tb.toks[CAST(j AS INT)]
+         |             THEN $acc[CAST(j AS INT)] + 1 ELSE 0 END)""".stripMargin
+    sketchOracleMacros +
+      s"""CREATE OR REPLACE TEMP TABLE lw_thl AS
+         |SELECT doc_id, list(tok_hash(tok) ORDER BY pos) AS thl, count(*) AS len
+         |FROM (SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok
+         |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+         |GROUP BY doc_id;
+         |CREATE OR REPLACE TEMP TABLE lw_hs AS
+         |SELECT doc_id, w, to_signed(fmix64(a3)) AS sh FROM (
+         |  SELECT doc_id, w,
+         |    CASE WHEN w + 2 <= len THEN xor(mul64(a2, 1099511628211::HUGEINT), thl[CAST(w + 2 AS INT)])
+         |         ELSE a2 END AS a3
+         |  FROM (
+         |    SELECT doc_id, thl, len, w,
+         |      CASE WHEN w + 1 <= len THEN xor(mul64(a1, 1099511628211::HUGEINT), thl[CAST(w + 1 AS INT)])
+         |           ELSE a1 END AS a2
+         |    FROM (
+         |      SELECT doc_id, thl, len, w,
+         |        xor(mul64(11400714819323198485::HUGEINT, 1099511628211::HUGEINT),
+         |            thl[CAST(w AS INT)]) AS a1
+         |      FROM lw_thl, unnest(range(1, greatest(len - 2, 1) + 1)) AS u(w))));
+         |CREATE OR REPLACE TEMP TABLE lw_win AS
+         |SELECT n.doc_id, t.i
+         |FROM (SELECT doc_id, count(*) AS nw FROM lw_hs GROUP BY doc_id) n,
+         |     unnest(range(1, greatest(n.nw - 3, 1) + 1)) AS t(i);
+         |CREATE OR REPLACE TEMP TABLE lw_fps AS
+         |SELECT DISTINCT doc_id, fp FROM (
+         |  SELECT w.doc_id, w.i, min(h.sh) AS fp
+         |  FROM lw_win w
+         |  JOIN lw_hs h ON h.doc_id = w.doc_id AND h.w BETWEEN w.i AND w.i + 3
+         |  GROUP BY w.doc_id, w.i);
+         |CREATE OR REPLACE TEMP TABLE lw_pairs AS
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM (SELECT f.doc_id, f.fp FROM lw_fps f
+         |      JOIN (SELECT fp FROM lw_fps GROUP BY fp
+         |            HAVING count(*) BETWEEN 2 AND $maxBucketSize) ok USING (fp)) a
+         |JOIN (SELECT f.doc_id, f.fp FROM lw_fps f
+         |      JOIN (SELECT fp FROM lw_fps GROUP BY fp
+         |            HAVING count(*) BETWEEN 2 AND $maxBucketSize) ok USING (fp)) b
+         |  USING (fp)
+         |WHERE a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 2;
+         |SELECT doc_a, doc_b, CAST(lcs AS BIGINT) AS lcs_words FROM (
+         |  SELECT p.doc_a, p.doc_b,
+         |    (list_reduce(
+         |      list_prepend(
+         |        list_append(list_transform(range(0, len(tb.toks) + 1), x -> 0), 0),
+         |        list_transform(range(1, len(ta.toks) + 1), i -> [i])),
+         |      (acc, e) -> list_append(
+         |        list_prepend(0, ${row("acc")}),
+         |        greatest(acc[CAST(len(tb.toks) + 2 AS INT)],
+         |          coalesce(list_max(${row("acc")}), 0))))
+         |    )[CAST(len(tb.toks) + 2 AS INT)] AS lcs
+         |  FROM lw_pairs p
+         |  JOIN (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) ta
+         |    ON ta.doc_id = p.doc_a
+         |  JOIN (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) tb
+         |    ON tb.doc_id = p.doc_b)
+         |WHERE lcs >= 10
+         |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** E39 — MinHash-LSH parameter planner (the design table every LSH
     * deployment derives before committing to a banding; public theory:
     * Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets" §3.4): for
@@ -1322,6 +1399,138 @@ object Dedup {
       .select(col("doc_id"), col("n_cuts"), col("words_removed"),
         col("n_words_after"), col("rounds"), col("converged"))
       .orderBy(col("doc_id"))
+
+  /** E20d oracle (r13, was ☆): full replica of the fixpoint removal at
+    * the depth this corpus exercises (one cutting pass + the empty
+    * drain + the empty certification mining — rounds = 1). The spans
+    * kernel's "maximal run" emission is exactly the gaps-and-islands
+    * structure of the word-match relation along DIAGONALS (i − j):
+    * every island of length ≥ minRun emits (len, b_end) at its
+    * terminal cell, so islands-by-diagonal reproduce LcsSpans without
+    * a DP. Pass-2 (the P1 pair list against the cleaned texts) and the
+    * certification mining (fresh winnowing of the cleaned corpus) are
+    * both COMPUTED and must come back empty: `rounds`/`converged`
+    * poison to NULL otherwise, so a corpus needing more rounds fails
+    * the hash loudly instead of silently passing.
+    */
+  val dedupSubstringSql: String = {
+    // winnowing-candidate block over a (doc_id, text) table `src`,
+    // emitting <pfx>_pairs (doc_a < doc_b, >=2 shared, bucket-capped) —
+    // the same replica as lcsOverlapSql, prefix-parameterized
+    def winnow(pfx: String, src: String): String =
+      s"""CREATE OR REPLACE TEMP TABLE ${pfx}_thl AS
+         |SELECT doc_id, list(tok_hash(tok) ORDER BY pos) AS thl, count(*) AS len
+         |FROM (SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok
+         |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM $src))
+         |GROUP BY doc_id;
+         |CREATE OR REPLACE TEMP TABLE ${pfx}_hs AS
+         |SELECT doc_id, w, to_signed(fmix64(a3)) AS sh FROM (
+         |  SELECT doc_id, w,
+         |    CASE WHEN w + 2 <= len THEN xor(mul64(a2, 1099511628211::HUGEINT), thl[CAST(w + 2 AS INT)])
+         |         ELSE a2 END AS a3
+         |  FROM (
+         |    SELECT doc_id, thl, len, w,
+         |      CASE WHEN w + 1 <= len THEN xor(mul64(a1, 1099511628211::HUGEINT), thl[CAST(w + 1 AS INT)])
+         |           ELSE a1 END AS a2
+         |    FROM (
+         |      SELECT doc_id, thl, len, w,
+         |        xor(mul64(11400714819323198485::HUGEINT, 1099511628211::HUGEINT),
+         |            thl[CAST(w AS INT)]) AS a1
+         |      FROM ${pfx}_thl, unnest(range(1, greatest(len - 2, 1) + 1)) AS u(w))));
+         |CREATE OR REPLACE TEMP TABLE ${pfx}_win AS
+         |SELECT n.doc_id, t.i
+         |FROM (SELECT doc_id, count(*) AS nw FROM ${pfx}_hs GROUP BY doc_id) n,
+         |     unnest(range(1, greatest(n.nw - 3, 1) + 1)) AS t(i);
+         |CREATE OR REPLACE TEMP TABLE ${pfx}_fps AS
+         |SELECT DISTINCT doc_id, fp FROM (
+         |  SELECT w.doc_id, w.i, min(h.sh) AS fp
+         |  FROM ${pfx}_win w
+         |  JOIN ${pfx}_hs h ON h.doc_id = w.doc_id AND h.w BETWEEN w.i AND w.i + 3
+         |  GROUP BY w.doc_id, w.i);
+         |CREATE OR REPLACE TEMP TABLE ${pfx}_pairs AS
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM (SELECT f.doc_id, f.fp FROM ${pfx}_fps f
+         |      JOIN (SELECT fp FROM ${pfx}_fps GROUP BY fp
+         |            HAVING count(*) BETWEEN 2 AND $maxBucketSize) ok USING (fp)) a
+         |JOIN (SELECT f.doc_id, f.fp FROM ${pfx}_fps f
+         |      JOIN (SELECT fp FROM ${pfx}_fps GROUP BY fp
+         |            HAVING count(*) BETWEEN 2 AND $maxBucketSize) ok USING (fp)) b
+         |  USING (fp)
+         |WHERE a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 2;""".stripMargin
+    // LcsSpans replica: diagonal islands >= minRun of the word-match
+    // relation between `pairs` over word table `wtab`
+    def spans(pfx: String, pairs: String, wtab: String): String =
+      s"""CREATE OR REPLACE TEMP TABLE ${pfx}_spans AS
+         |SELECT doc_b AS doc_id, b_end - len AS s, b_end AS e FROM (
+         |  SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS len,
+         |         CAST(max(j) AS BIGINT) AS b_end
+         |  FROM (SELECT doc_a, doc_b, d, j,
+         |          j - row_number() OVER (PARTITION BY doc_a, doc_b, d ORDER BY j) AS grp
+         |        FROM (SELECT p.doc_a, p.doc_b, a.pos - b.pos AS d, b.pos AS j
+         |              FROM $pairs p
+         |              JOIN $wtab a ON a.doc_id = p.doc_a
+         |              JOIN $wtab b ON b.doc_id = p.doc_b AND b.w = a.w))
+         |  GROUP BY doc_a, doc_b, d, grp
+         |  HAVING count(*) >= 10);""".stripMargin
+    sketchOracleMacros +
+      s"""CREATE OR REPLACE TEMP TABLE ds_t0 AS SELECT doc_id, text FROM documents;
+         |${winnow("ds1", "ds_t0")}
+         |CREATE OR REPLACE TEMP TABLE ds_w0 AS
+         |SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS w
+         |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM ds_t0);
+         |${spans("ds1", "ds1_pairs", "ds_w0")}
+         |CREATE OR REPLACE TEMP TABLE ds_cut1 AS
+         |SELECT doc_id, island, min(s) AS s, max(e) AS e FROM (
+         |  SELECT doc_id, s, e,
+         |    sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+         |  FROM (SELECT doc_id, s, e,
+         |          max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+         |        FROM ds1_spans))
+         |GROUP BY doc_id, island;
+         |CREATE OR REPLACE TEMP TABLE ds_stats1 AS
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cuts,
+         |       CAST(sum(e - s) AS BIGINT) AS words_removed
+         |FROM ds_cut1 GROUP BY doc_id;
+         |CREATE OR REPLACE TEMP TABLE ds_t1 AS
+         |SELECT d.doc_id,
+         |  CASE WHEN st.doc_id IS NULL THEN d.text ELSE coalesce(k.txt, '') END AS text
+         |FROM ds_t0 d
+         |LEFT JOIN ds_stats1 st USING (doc_id)
+         |LEFT JOIN (
+         |  SELECT w.doc_id, string_agg(w.w, ' ' ORDER BY w.pos) AS txt
+         |  FROM ds_w0 w
+         |  JOIN ds_stats1 s2 ON s2.doc_id = w.doc_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM ds_cut1 c
+         |                    WHERE c.doc_id = w.doc_id
+         |                      AND w.pos - 1 >= c.s AND w.pos - 1 < c.e)
+         |  GROUP BY w.doc_id) k USING (doc_id);
+         |CREATE OR REPLACE TEMP TABLE ds_w1 AS
+         |SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS w
+         |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM ds_t1);
+         |${spans("ds2", "ds1_pairs", "ds_w1")}
+         |${winnow("ds3", "ds_t1")}
+         |${spans("ds3", "ds3_pairs", "ds_w1")}
+         |CREATE OR REPLACE TEMP TABLE ds_halt AS
+         |SELECT CASE WHEN (SELECT count(*) FROM ds2_spans) = 0
+         |             AND (SELECT count(*) FROM ds3_spans) = 0
+         |            THEN 1 ELSE NULL END AS ok;
+         |SELECT d.doc_id,
+         |  coalesce(st.n_cuts, 0) AS n_cuts,
+         |  coalesce(st.words_removed, 0) AS words_removed,
+         |  CASE WHEN t.text = '' THEN 0
+         |       ELSE CAST(len(string_split(t.text, ' ')) AS BIGINT) END AS n_words_after,
+         |  CAST(h.ok AS BIGINT) AS rounds,
+         |  CAST(h.ok = 1 AS BOOLEAN) AS converged
+         |FROM ds_t0 d
+         |JOIN ds_t1 t USING (doc_id)
+         |LEFT JOIN ds_stats1 st USING (doc_id)
+         |CROSS JOIN ds_halt h
+         |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** E22 core — SemDeDup's within-cell keep rule (public anchor: Abbas
     * et al. 2023, "SemDeDup: Data-efficient learning at web-scale
