@@ -126,7 +126,7 @@ object GraphAnn {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir#$degree#$rounds#$seedAssignments#$fp".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    val path = new java.io.File(sys.props("java.io.tmpdir"), s"graft-nngraph-v1-$key").getPath
+    val path = new java.io.File(sys.props("java.io.tmpdir"), s"graft-nngraph-v2-$key").getPath
     val marker = new org.apache.hadoop.fs.Path(s"$path/_COMPLETE")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {
@@ -191,6 +191,120 @@ object GraphAnn {
     */
   def annGraphHigh(spark: SparkSession, dir: String): DataFrame =
     annGraphAt(spark, dir, ensureGraph(spark, dir, roundsHigh), ef = efHigh)
+
+  /** E7e/E7e3 oracle generator (r13, was ☆): with the IVF fit now
+    * bit-replayable (Similarity.kmeansReplaySqlPrefix), NOTHING in
+    * this path is stochastic — overlapped seeding, the descent rounds,
+    * and the beam probe are deterministic joins/windows — so the whole
+    * build+probe replays: overlapped cells (top-`seedAssignments` by
+    * unrounded centroid cosine, cell tiebreak), same-cell seed pairs →
+    * top-`degree` edges, `rounds` two-hop expansion/merge rounds, then
+    * the `nHops`-hop beam of width `ef` from each query's nearest
+    * cell. One generator serves both operating points.
+    */
+  private def annGraphReplaySql(rounds: Int, ef: Int): String = {
+    val t = s"ga$rounds"
+    def topSrc(src: String, out: String): String =
+      s"""CREATE OR REPLACE TEMP TABLE $out AS
+         |SELECT src, dst, sim FROM (
+         |  SELECT src, dst, sim,
+         |    row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS r
+         |  FROM $src)
+         |WHERE r <= $degree;""".stripMargin
+    val descent = (1 to rounds).map { rd =>
+      s"""CREATE OR REPLACE TEMP TABLE ${t}_sym$rd AS
+         |SELECT src, dst FROM ${t}_e${rd - 1}
+         |UNION ALL SELECT dst AS src, src AS dst FROM ${t}_e${rd - 1};
+         |CREATE OR REPLACE TEMP TABLE ${t}_scored$rd AS
+         |SELECT src, dst, max(sim) AS sim FROM (
+         |  SELECT c.src, c.dst,
+         |    round(kcos(a.de, b.de), 6) AS sim
+         |  FROM (SELECT DISTINCT s1.src, s2.dst
+         |        FROM ${t}_sym$rd s1 JOIN ${t}_sym$rd s2 ON s1.dst = s2.src
+         |        WHERE s1.src <> s2.dst) c
+         |  JOIN ${t}_emb a ON a.n_id = c.src
+         |  JOIN ${t}_emb b ON b.n_id = c.dst
+         |  UNION ALL
+         |  SELECT src, dst, sim FROM ${t}_e${rd - 1})
+         |GROUP BY src, dst;
+         |${topSrc(s"${t}_scored$rd", s"${t}_e$rd")}""".stripMargin
+    }.mkString("\n")
+    val probe = (1 to hops).map { h =>
+      s"""CREATE OR REPLACE TEMP TABLE ${t}_b$h AS
+         |SELECT q_id, n_id, cos_sim FROM (
+         |  SELECT q_id, n_id, cos_sim,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS r
+         |  FROM (
+         |    SELECT q_id, n_id, max(cos_sim) AS cos_sim FROM (
+         |      SELECT e.q_id, e.n_id,
+         |        round(kcos(q.de, m.de), 6) AS cos_sim
+         |      FROM (SELECT DISTINCT b.q_id, s.dst AS n_id
+         |            FROM ${t}_b${h - 1} b
+         |            JOIN ${t}_fsym s ON s.src = b.n_id) e
+         |      JOIN ${t}_emb m ON m.n_id = e.n_id
+         |      JOIN ${t}_q q ON q.q_id = e.q_id
+         |      UNION ALL
+         |      SELECT q_id, n_id, cos_sim FROM ${t}_b${h - 1})
+         |    GROUP BY q_id, n_id))
+         |WHERE r <= $ef;""".stripMargin
+    }.mkString("\n")
+    s"""${Similarity.kmeansReplaySqlPrefix()}
+       |CREATE OR REPLACE TEMP TABLE ${t}_emb AS
+       |SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS de
+       |FROM embeddings WHERE vec_id >= ${Similarity.nQueries};
+       |CREATE OR REPLACE TEMP TABLE ${t}_q AS
+       |SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS de
+       |FROM embeddings WHERE vec_id < ${Similarity.nQueries};
+       |CREATE OR REPLACE TEMP TABLE ${t}_over AS
+       |SELECT n_id, cell FROM (
+       |  SELECT e.n_id, c.cell,
+       |    row_number() OVER (PARTITION BY e.n_id
+       |      ORDER BY kcos(e.de, c.centf) DESC, c.cell) AS r
+       |  FROM ${t}_emb e CROSS JOIN km_centf c)
+       |WHERE r <= $seedAssignments;
+       |CREATE OR REPLACE TEMP TABLE ${t}_seed AS
+       |SELECT a.src, a.dst, round(kcos(ea.de, eb.de), 6) AS sim FROM (
+       |  SELECT DISTINCT x.n_id AS src, y.n_id AS dst
+       |  FROM ${t}_over x JOIN ${t}_over y USING (cell)
+       |  WHERE x.n_id <> y.n_id) a
+       |JOIN ${t}_emb ea ON ea.n_id = a.src
+       |JOIN ${t}_emb eb ON eb.n_id = a.dst;
+       |${topSrc(s"${t}_seed", s"${t}_e0")}
+       |$descent
+       |CREATE OR REPLACE TEMP TABLE ${t}_fsym AS
+       |SELECT src, dst FROM ${t}_e$rounds
+       |UNION ALL SELECT dst AS src, src AS dst FROM ${t}_e$rounds;
+       |CREATE OR REPLACE TEMP TABLE ${t}_b0 AS
+       |SELECT q_id, n_id, cos_sim FROM (
+       |  SELECT q_id, n_id, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS r
+       |  FROM (
+       |    SELECT en.q_id, en.n_id, round(kcos(q.de, m.de), 6) AS cos_sim
+       |    FROM (SELECT DISTINCT p.q_id, o.n_id
+       |          FROM (SELECT q_id, cell FROM (
+       |                  SELECT q.q_id, c.cell,
+       |                    row_number() OVER (PARTITION BY q.q_id
+       |                      ORDER BY round(kcos(q.de, c.centf), 6) DESC, c.cell) AS pr
+       |                  FROM ${t}_q q CROSS JOIN km_centf c)
+       |                WHERE pr <= 1) p
+       |          JOIN ${t}_over o USING (cell)) en
+       |    JOIN ${t}_emb m ON m.n_id = en.n_id
+       |    JOIN ${t}_q q ON q.q_id = en.q_id))
+       |WHERE r <= $ef;
+       |$probe
+       |SELECT q_id, n_id, cos_sim, rank FROM (
+       |  SELECT q_id, n_id, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+       |  FROM ${t}_b$hops)
+       |WHERE rank <= ${Similarity.topK}
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** E7e oracle at the default operating point. */
+  lazy val annGraphSql: String = annGraphReplaySql(nnDescentRounds, beam)
+
+  /** E7e3 oracle at the high-recall point (extra round, doubled ef). */
+  lazy val annGraphHighSql: String = annGraphReplaySql(roundsHigh, efHigh)
 
   /** Probe against an explicit graph path (spec isolation hook).
     * `ef` is the beam width carried between hops — the probe-cost
