@@ -147,19 +147,31 @@ object Similarity {
       .select(col("fv")).collect().toIndexedSeq
       .map(_.getSeq[Double](0).toArray)
 
-    def centDf(cs: IndexedSeq[Array[Double]]): DataFrame =
-      spark.createDataFrame(cs.zipWithIndex.map { case (v, i) => (i, v.toSeq) })
-        .toDF("cell", "cent")
-    def assigned(cs: IndexedSeq[Array[Double]], in: DataFrame): DataFrame = {
-      val dist = aggregate(
-        zip_with(col("fv"), col("cent"), (a, b) => (a - b) * (a - b)),
-        lit(0.0d), _ + _)
-      val w = Window.partitionBy(col("n_id")).orderBy(col("d"), col("cell"))
-      in.crossJoin(broadcast(centDf(cs)))
-        .select(col("n_id"), col("n_emb"), col("fv"), col("cell"), dist.as("d"))
-        .withColumn("r", row_number().over(w)).filter(col("r") === 1)
-        .select(col("n_id"), col("n_emb"), col("fv"), col("cell"))
+    // Assignment is a pure column fold — NO row expansion, NO exchange
+    // (the round-13 shape was crossJoin(broadcast(cents)) + a window
+    // argmin: a nCells× blow-up plus a corpus-wide shuffle per Lloyd
+    // round, invisible at nCells=16 but a scale-killer at SemDeDup's
+    // 50k cells). The centroids ship as a plan literal (nCells × dims
+    // doubles — plan-sized by the same argument that lets them live on
+    // the driver), each element scored by the identical left-to-right
+    // squared-distance fold, and array_min's lexicographic struct
+    // ordering (d ASC, cell ASC) reproduces the window's
+    // ORDER BY (d, cell) tie-break bit-for-bit — so the DuckDB replay
+    // (kmeansReplaySqlPrefix) is untouched.
+    def assignCol(cs: IndexedSeq[Array[Double]]): Column = {
+      val centArr = array(cs.zipWithIndex.map { case (v, i) =>
+        struct(array(v.map(lit(_)): _*).as("cent"), lit(i).as("cell"))
+      }: _*)
+      val scored = transform(centArr, e =>
+        struct(
+          aggregate(
+            zip_with(col("fv"), e.getField("cent"), (a, b) => (a - b) * (a - b)),
+            lit(0.0d), _ + _).as("d"),
+          e.getField("cell").as("cell")))
+      array_min(scored).getField("cell")
     }
+    def assigned(cs: IndexedSeq[Array[Double]], in: DataFrame): DataFrame =
+      in.select(col("n_id"), col("n_emb"), col("fv"), assignCol(cs).as("cell"))
 
     (1 to kmeansIters).foreach { _ =>
       val upd = assigned(cents, f)
