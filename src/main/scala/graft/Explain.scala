@@ -37,6 +37,9 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val outFile = args.lift(1).getOrElse("/tmp/explains.txt")
+    // optional third arg (local iteration only — the driver passes two):
+    // comma-separated query names; restricts the audit to that subset
+    val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -49,7 +52,9 @@ object Explain {
     val audit = new StringBuilder
     def count(plan: String, token: String): Int =
       token.r.findAllIn(plan).size
-    SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((name, fn), i) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1)))
+      .zipWithIndex.foreach { case ((name, fn), i) =>
       sb.append(s"\n===================== $name =====================\n")
       // construction-time accounting: jobs fired while fn builds the
       // frame are exactly the checkpoint/park/collect materializations

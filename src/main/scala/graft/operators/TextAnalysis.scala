@@ -1246,10 +1246,29 @@ object TextAnalysis {
     * normalization (the processor's rule). Scores were round(6)-pinned
     * upstream and the normalization is two exact picks + one division
     * — identical doubles cross-engine.
+    *
+    * Each arm's scored list is materialized ONCE (localCheckpoint on a
+    * ≤20-row frame — the bounded-intermediate contract the build gate
+    * audits). Without it every consumer (the min/max stats AND the
+    * fusion join) re-derived the whole retriever pipeline, compiling
+    * to 24 corpus scans for one dashboard query — at 100 TB that is
+    * 24 corpus reads where two suffice.
     */
   lazy val searchHybridNorm: (SparkSession, String) => DataFrame = (spark, dir) => {
-    val lex = searchRanked(spark, dir).select(col("doc_id"), col("score").as("s_lex"))
-    val sem = moreLikeThis(spark, dir).select(col("doc_id"), col("score").as("s_mlt"))
+    // the two arm builds are independent Spark jobs — submit them
+    // concurrently so materializing them keeps the stage overlap the
+    // old lazy single-DAG had (results are frames, order-independent)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val lexF = Future(
+      searchRanked(spark, dir).select(col("doc_id"), col("score").as("s_lex"))
+        .localCheckpoint())
+    val semF = Future(
+      moreLikeThis(spark, dir).select(col("doc_id"), col("score").as("s_mlt"))
+        .localCheckpoint())
+    val lex = Await.result(lexF, Duration.Inf)
+    val sem = Await.result(semF, Duration.Inf)
     val lstat = lex.agg(min(col("s_lex")).as("lmin"), max(col("s_lex")).as("lmax"))
     val sstat = sem.agg(min(col("s_mlt")).as("smin"), max(col("s_mlt")).as("smax"))
     def mm(s: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column,
