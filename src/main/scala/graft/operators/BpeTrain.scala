@@ -110,7 +110,7 @@ object BpeTrain {
     val fp = Similarity.dataFingerprintFor(spark, dir, "documents.parquet")
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir#$k#$fp".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val path = new java.io.File(sys.props("java.io.tmpdir"), s"graft-bpe-v1-$key").getPath
+    val path = graft.sources.Scratch.path(spark, s"graft-bpe-v1-$key")
     val marker = new org.apache.hadoop.fs.Path(s"$path/_COMPLETE")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {

@@ -126,7 +126,7 @@ object GraphAnn {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir#$degree#$rounds#$seedAssignments#$fp".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    val path = new java.io.File(sys.props("java.io.tmpdir"), s"graft-nngraph-v2-$key").getPath
+    val path = graft.sources.Scratch.path(spark, s"graft-nngraph-v2-$key")
     val marker = new org.apache.hadoop.fs.Path(s"$path/_COMPLETE")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {

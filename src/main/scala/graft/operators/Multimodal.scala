@@ -180,14 +180,15 @@ object Multimodal {
       }.toDF()
   }
 
-  /** Media-table location for a data dir (under java.io.tmpdir, never
-    * inside the read-only data dir; versioned key like the IVF and
-    * inverted indexes).
+  /** Media-table location for a data dir (under [[graft.sources.Scratch]],
+    * never inside the read-only data dir; versioned key like the IVF
+    * and inverted indexes).
     */
   def mediaPath(dir: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    new java.io.File(sys.props("java.io.tmpdir"), s"graft-media-v1-$key").getPath
+    graft.sources.Scratch.path(org.apache.spark.sql.SparkSession.active,
+      s"graft-media-v1-$key")
   }
 
   /** Synthesize-once: the media table is a stand-in for a STORED input

@@ -278,7 +278,7 @@ object Similarity {
     val fp = dataFingerprint(spark, dir)
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir#$nCells#$fp".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val path = new java.io.File(sys.props("java.io.tmpdir"), s"graft-ivfidx-v3-$key").getPath
+    val path = graft.sources.Scratch.path(spark, s"graft-ivfidx-v3-$key")
     // _COMPLETE is written by writeIvfIndex only AFTER both the cells
     // and the centroids land — a half-written index is rebuilt, not read
     val marker = new org.apache.hadoop.fs.Path(s"$path/_COMPLETE")
@@ -1292,7 +1292,7 @@ object Similarity {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir#$m#$ks#$iters#$trainSample#$fp".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    val path = new java.io.File(sys.props("java.io.tmpdir"), s"graft-pqidx-v2-$key").getPath
+    val path = graft.sources.Scratch.path(spark, s"graft-pqidx-v2-$key")
     val marker = new org.apache.hadoop.fs.Path(s"$path/_COMPLETE")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {

@@ -79,7 +79,7 @@ object InvertedIndex {
     spark.read.parquet(indexPath)
       .filter(col("tb") === bucketOf(term) && col("token") === term)
 
-  /** Index location for a data dir (content under java.io.tmpdir —
+  /** Index location for a data dir (content under [[Scratch]] —
     * never inside the read-only data dir). The key carries a layout
     * version so an index persisted by an older build (unsorted row
     * groups) is never mistaken for the current format.
@@ -87,7 +87,7 @@ object InvertedIndex {
   def defaultPath(dir: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    new java.io.File(sys.props("java.io.tmpdir"), s"graft-invidx-v2-$key").getPath
+    Scratch.path(org.apache.spark.sql.SparkSession.active, s"graft-invidx-v2-$key")
   }
 
   /** Build-once-probe-many: build the index for `dir` only if a

@@ -119,7 +119,7 @@ object RollupStore {
     val fp = dataFingerprint(spark, dir)
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir#$nEpochs#$fp".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val path = new java.io.File(sys.props("java.io.tmpdir"), s"graft-rollup-v1-$key").getPath
+    val path = Scratch.path(spark, s"graft-rollup-v1-$key")
     val marker = new org.apache.hadoop.fs.Path(s"$path/_COMPLETE")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {

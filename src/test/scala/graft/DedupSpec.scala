@@ -335,6 +335,35 @@ class DedupSpec extends AnyFunSuite {
       s"both splits must be populated at the 20% cluster rate, got $splits")
   }
 
+  test("candidate-audit parks memoize per data fingerprint and invalidate on data change (E20e)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-candmemo").toString
+    def writeDocs(n: Int): Unit =
+      (0 until n).map(i => (i.toLong,
+          s"alpha beta gamma delta epsilon zeta doc $i words repeat repeat", "web"))
+        .toDF("doc_id", "text", "source")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    writeDocs(6)
+    val audit1 = Dedup.dedupCandidateAudit(spark, dir)
+      .select("n_docs", "n_buckets").as[(Long, Long)].head()
+    assert(audit1._1 == 6)
+    // second call on unchanged data: served from the memoized park,
+    // identical numbers
+    val audit1b = Dedup.dedupCandidateAudit(spark, dir)
+      .select("n_docs", "n_buckets").as[(Long, Long)].head()
+    assert(audit1b == audit1)
+    // regenerate the table in place: the file-listing fingerprint must
+    // change, so the memoized posting/bucket parks rebuild instead of
+    // serving the 6-doc generation (the r13 nngraph stale-key lesson).
+    // n_buckets comes FROM the park — unique per-doc texts mean more
+    // docs strictly widen the bucket set, so a stale park would show.
+    writeDocs(9)
+    val audit2 = Dedup.dedupCandidateAudit(spark, dir)
+      .select("n_docs", "n_buckets").as[(Long, Long)].head()
+    assert(audit2._1 == 9, "n_docs must reflect the regenerated table")
+    assert(audit2._2 > audit1._2,
+      s"bucket park must be rebuilt from the new postings (${audit2._2} vs ${audit1._2})")
+  }
+
   test("LSH planner: threshold monotone in bands; deployed 16x4 knee brackets 0.7 (E39)") {
     val rows = Dedup.lshPlanner(spark, TestSpark.sf)
       .select("bands", "rows_per_band", "s_threshold", "p_at_050", "p_at_090", "deployed")
