@@ -85,14 +85,33 @@ object AudioCodec {
     n / math.max(durationSec(a), 1e-9)
   }
 
-  /** Deterministic 16-bit mono WAV: a sine at freqHz scaled by amp. */
+  /** Deterministic 16-bit mono WAV: a sine at freqHz scaled by amp.
+    *
+    * For whole-number freq and rate the phase is range-reduced EXACTLY
+    * in integers ((freq·i) mod rate — one period of the sine) before
+    * the one libm call, so `sin` only ever sees arguments in [0, 2π),
+    * where implementations agree to ~1 ulp. Unreduced arguments grow
+    * to thousands of radians, where each libm's own range reduction
+    * differs enough across platforms that a sub-ulp disagreement can
+    * move the int16 truncation — the cross-engine oracle
+    * (Multimodal.multimodalMetaSql) replays this exact formula, so the
+    * reduction is what makes the replay platform-robust rather than
+    * ~1e-5-per-corpus flaky.
+    */
   def syntheticWav(freqHz: Double, nSamples: Int,
                    sampleRate: Float = 8000f, amp: Double = 0.5): Array[Byte] = {
     val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val rate = sampleRate.toDouble
+    val exactPhase = freqHz.isWhole && rate.isWhole
+    val fL = freqHz.toLong
+    val rL = math.max(rate.toLong, 1L)
     val pcm = new Array[Byte](nSamples * 2)
     var i = 0
     while (i < nSamples) {
-      val v = (math.sin(2 * math.Pi * freqHz * i / sampleRate) * amp * 32767).toInt
+      val angle =
+        if (exactPhase) 2 * math.Pi * ((fL * i) % rL) / rate
+        else 2 * math.Pi * freqHz * i / rate
+      val v = (math.sin(angle) * amp * 32767).toInt
       pcm(i * 2) = (v & 0xFF).toByte
       pcm(i * 2 + 1) = ((v >> 8) & 0xFF).toByte
       i += 1

@@ -187,8 +187,10 @@ object Multimodal {
   def mediaPath(dir: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // v2: r14 changed the audio synthesis to exact integer phase
+    // range reduction — a v1 media table carries the old waveform
     graft.sources.Scratch.path(org.apache.spark.sql.SparkSession.active,
-      s"graft-media-v1-$key")
+      s"graft-media-v2-$key")
   }
 
   /** Synthesize-once: the media table is a stand-in for a STORED input
@@ -379,8 +381,11 @@ object Multimodal {
     * 27k-step fold). Features replay per kind: channel means from the
     * pixel formula (image), rms/peak/zcr/duration from the
     * reconstructed samples (audio; the per-sample sin is the one libm
-    * call — a flip needs trunc to move across an integer at 1e-12
-    * relative, ~1e-5 odds corpus-wide), and the byte-histogram stub
+    * call, and its argument is integer-range-reduced to [0, 2π) on
+    * BOTH engines — see AudioCodec.syntheticWav — so a flip needs two
+    * correctly-rounded-regime sins to straddle a trunc boundary,
+    * ~1e-9 odds corpus-wide vs ~1e-5 for the r13 unreduced
+    * thousands-of-radians arguments), and the byte-histogram stub
     * with bit-exact float-accumulation emulation (video; float adds
     * of sub-2⁸-exponent-spread values are exact in double, so
     * CAST-after-add reproduces binary32 arithmetic).
@@ -453,10 +458,13 @@ object Multimodal {
        |    % 18446744073709551616 AS u
        |  FROM (SELECT * FROM mm_doc WHERE kind3 = 0) d, range(9216) i
        |  WHERE i.range < d.w * d.h);
-       |-- audio samples: v = trunc(sin(((2π·f)·i)/8000)·0.5·32767)
+       |-- audio samples: v = trunc(sin(2π·((f·i) mod 8000)/8000)·0.5·32767)
+       |-- (exact integer range reduction before the ONE libm call, so
+       |-- sin args stay in [0,2π) where engines agree to ~1 ulp —
+       |-- mirrors AudioCodec.syntheticWav bit for bit)
        |CREATE OR REPLACE TEMP TABLE mm_apx AS
        |SELECT d.doc_id, i.range AS i,
-       |  CAST(trunc((sin(((6.283185307179586 * d.freq) * i.range) / 8000.0) * 0.5) * 32767) AS BIGINT) AS v
+       |  CAST(trunc((sin((6.283185307179586 * ((CAST(d.freq AS BIGINT) * i.range) % 8000)) / 8000.0) * 0.5) * 32767) AS BIGINT) AS v
        |FROM (SELECT * FROM mm_doc WHERE kind3 = 1) d, range(5600) i
        |WHERE i.range < d.ns;
        |-- closed-form polynomial checksum: every nonzero byte contributes

@@ -64,8 +64,10 @@ object Outliers {
     * walk the 8 unrolled levels; per-(event, tree) path lengths fold
     * IN TREE ORDER like Forest.score's accumulation; c(n) values are
     * emitted as the exact JVM literals so no cross-libm ln enters the
-    * replica. Depth cap 8 is ceil(log2 256) — valid because the
-    * deterministic spread sample is ≥ 256 rows at every oracle SF.
+    * replica. Depth cap 8 is ceil(log2 256) — valid while the spread
+    * sample holds ≥ 256 rows (true at every oracle SF); an undersized
+    * sample poisons every score to NULL so the divergence from the
+    * JVM's derived depth fails the gate loudly instead of silently.
     */
   val outlierScoresSql: String = {
     val nTrees = 64
@@ -163,11 +165,18 @@ object Outliers {
          |LEFT JOIN iso_leaf l ON l.t = w.t AND l.node = w.node
          |JOIN iso_cof cf ON cf.k = coalesce(l.leafn, 0);
          |WITH scored AS (
+         |  -- halt poison (the dedupSubstringSql device): this replica
+         |  -- hardcodes maxDepth=$maxDepth = ceil(log2 256), valid ONLY
+         |  -- while the spread sample holds >= 256 rows (IsoForest.fit
+         |  -- derives depth from min(256, |sample|)); an undersized
+         |  -- sample must break the hash loudly, not diverge silently
          |  SELECT event_id,
+         |    CASE WHEN (SELECT ns FROM iso_n) < 256 THEN NULL ELSE
          |    round(pow(2.0,
          |      -(list_reduce(list_prepend(0.0, list(pl ORDER BY t)), (a, b) -> a + b)
          |        / $nTrees.0)
-         |      / (SELECT c FROM iso_cof WHERE k = (SELECT least(256, ns) FROM iso_n))), 6) AS score
+         |      / (SELECT c FROM iso_cof WHERE k = (SELECT least(256, ns) FROM iso_n))), 6)
+         |    END AS score
          |  FROM iso_pl GROUP BY event_id)
          |SELECT event_id, score,
          |  CAST(row_number() OVER (ORDER BY score DESC, event_id) AS BIGINT) AS rank
