@@ -190,4 +190,245 @@ object AnomalyDetector {
         round(avg(when(col("trained"), col("score"))), 6).as("mean_score"))
       .orderBy(col("key"))
   }
+
+  /** The fixed, oracle-replayable configuration of the ★ mini twin
+    * below — shared so the SQL generator and the query can never
+    * drift apart. 96 points per key in 3 chunks of 32 exercise the
+    * whole state machine end to end: chunk 0 runs untrained (empty
+    * reservoir < minTrain) and seeds the reservoir, chunk 1 is the
+    * first refit FROM that snapshot, chunk 2 refits from a reservoir
+    * that has hit the ψ cap and (when the threshold fires) rejected
+    * anomalous shingles — cap eviction and rejection both feed the
+    * fit the oracle replays.
+    */
+  private[streaming] val miniCfg =
+    Config(shingle = 4, psi = 32, nTrees = 8, minTrain = 8, threshold = 0.65)
+  private[streaming] val miniKeys = Seq("click", "error")
+  private[streaming] val miniPerKey = 96
+  private[streaming] val miniChunk = 32
+
+  /** ★ `q_anomaly_stream_mini` — the REDUCED-DEPTH oracle twin of
+    * `q_anomaly_stream` (r13 verdict item #6): the identical `step`
+    * core (reservoir → refit → score → admit) over 2 keys × 3 chunks
+    * at a small forest (8 trees, ψ=32), reported POINT-LEVEL, so the
+    * stateful-refit semantics are hash-checked end to end while the
+    * full-depth entry (dozens of sequential refits) stays ☆.
+    * Deterministic inputs: the first `miniPerKey` events of each key
+    * in (event_id) order.
+    */
+  def anomalyStreamMini(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("event_id"))
+    val pts = Tables.events(spark, dir)
+      .filter(col("event_type").isin(miniKeys: _*))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= miniPerKey)
+      .select(col("event_type").as("key"), col("event_id").as("seq"),
+        col("value").cast("double").as("value"))
+      .as[MetricPoint]
+    replay(spark, pts, miniCfg, miniChunk)
+      .toDF()
+      .select(col("key"), col("seq"), col("value"), col("score"),
+        col("trained"), col("is_anomaly"))
+      .orderBy(col("key"), col("seq"))
+  }
+
+  /** Whole-fit DuckDB replica of `anomalyStreamMini` — the outlier-
+    * oracle devices (counter-based HUGEINT draw schedule materialized
+    * flat, level-by-level tree build, tree-order path-length fold,
+    * c(n) as exact JVM literals) extended with the STREAMING state
+    * machine: per-chunk reservoir snapshots built from the PREVIOUS
+    * chunk's scores (admission = not anomalous, ψ-cap = keep last 32
+    * in admission order), and the RCF envelope-displacement term
+    * (out/ext sums folded in dimension order, normalized by the same
+    * c(reservoir size)). Within a chunk scores depend only on the
+    * chunk-start snapshot — `step` fits once per chunk — so each chunk
+    * is one set-oriented pass and only the chunk CHAIN is sequential.
+    * Reservoir sizes stay in [29, 32] here, so maxDepth = ceil(log2 n)
+    * = 5 uniformly; the n<29 poison makes any violation loud.
+    */
+  val anomalyStreamMiniSql: String = {
+    val cfg = miniCfg
+    val nTrees = cfg.nTrees
+    val maxDepth = 5 // ceil(log2 n) for every reachable n in [29, 32]
+    val nNodes = (1 << (maxDepth + 1)) - 1
+    val dims = cfg.shingle
+    val keyList = miniKeys.map(k => s"'$k'").mkString(", ")
+    val cof = (0 to cfg.psi).map(k =>
+      s"($k, ${graft.plans.IsoForest.cOf(k)})").mkString(", ")
+    val macros =
+      """CREATE OR REPLACE MACRO mul64(a, b) AS
+        |  ((a % 4294967296) * (b % 4294967296)
+        |   + (((a % 4294967296) * (b // 4294967296) + (a // 4294967296) * (b % 4294967296)) % 4294967296)
+        |     * 4294967296) % 18446744073709551616;
+        |CREATE OR REPLACE MACRO x33(v) AS xor(v, v // 8589934592);
+        |CREATE OR REPLACE MACRO fmix64(v) AS
+        |  x33(mul64(x33(mul64(x33(v), 18397679294719823053::HUGEINT)), 14181476777654086739::HUGEINT));
+        |CREATE OR REPLACE MACRO u64w(a) AS a % 18446744073709551616::HUGEINT;
+        |CREATE OR REPLACE MACRO iso_rnd(t, p, i) AS
+        |  fmix64(u64w(fmix64(u64w(42::HUGEINT + mul64(11400714819323198485::HUGEINT, CAST(t AS HUGEINT) + 1)))
+        |    + mul64(14029467366897019727::HUGEINT, CAST(p AS HUGEINT)) + CAST(i AS HUGEINT) + 1));
+        |CREATE OR REPLACE MACRO iso_unit(u) AS CAST(u // 2048 AS DOUBLE) / 9007199254740992.0;
+        |""".stripMargin
+    val base =
+      s"""CREATE OR REPLACE TEMP TABLE an_cof AS
+         |SELECT * FROM (VALUES $cof) v(k, c);
+         |CREATE OR REPLACE TEMP TABLE an_pts AS
+         |SELECT event_type AS key, event_id AS seq, CAST(value AS DOUBLE) AS value,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1 AS rn
+         |FROM events WHERE event_type IN ($keyList)
+         |QUALIFY rn <= ${miniPerKey - 1};
+         |CREATE OR REPLACE TEMP TABLE an_sh AS
+         |SELECT key, seq, rn, value,
+         |  [lag(value, 3) OVER w, lag(value, 2) OVER w, lag(value, 1) OVER w, value] AS fx
+         |FROM an_pts
+         |WINDOW w AS (PARTITION BY key ORDER BY rn)
+         |QUALIFY rn >= ${dims - 1};
+         |-- flat draw schedules, shared by both fits (the E2-oracle
+         |-- finding: HUGEINT macro chains are ~10x slower inside joins)
+         |CREATE OR REPLACE TEMP TABLE an_draw AS
+         |SELECT t.range AS t, j.range AS j, iso_rnd(t.range, 0, j.range) AS u
+         |FROM range($nTrees) t, range(${cfg.psi}) j;
+         |CREATE OR REPLACE TEMP TABLE an_sched AS
+         |SELECT t.range AS t, n.range AS node,
+         |  CAST(iso_rnd(t.range, 1, n.range) % $dims AS INT) + 1 AS f,
+         |  iso_unit(iso_rnd(t.range, 2, n.range)) AS frac
+         |FROM range($nTrees) t, range($nNodes) n;
+         |-- chunk-0 reservoir: every chunk-0 shingle admitted (untrained)
+         |CREATE OR REPLACE TEMP TABLE an_res1 AS
+         |SELECT key, rn - ${dims - 1} AS pos, fx FROM an_sh
+         |WHERE rn < $miniChunk;
+         |""".stripMargin
+    // one fit + one chunk scoring; resT/statsT are per-key snapshot
+    // tables, shC is the chunk's shingle filter
+    def fitAndScore(fid: Int, resT: String, loRn: Int, hiRn: Int): String = {
+      val levels = (0 until maxDepth).map { d =>
+        s"""CREATE OR REPLACE TEMP TABLE an${fid}_ns$d AS
+           |SELECT m.key, m.t, m.node, s.f, s.frac, count(*) AS cnt,
+           |  min(m.fx[s.f]) AS lo, max(m.fx[s.f]) AS hi
+           |FROM an${fid}_m$d m JOIN an_sched s ON s.t = m.t AND s.node = m.node
+           |GROUP BY m.key, m.t, m.node, s.f, s.frac;
+           |CREATE OR REPLACE TEMP TABLE an${fid}_nd$d AS
+           |SELECT key, t, node, f, cnt > 1 AND lo < hi AS internal,
+           |  lo + frac * (hi - lo) AS split
+           |FROM an${fid}_ns$d;
+           |CREATE OR REPLACE TEMP TABLE an${fid}_m${d + 1} AS
+           |SELECT m.key, m.t, m.j, m.fx,
+           |  CASE WHEN n.internal AND m.fx[n.f] < n.split THEN 2 * m.node + 1
+           |       WHEN n.internal THEN 2 * m.node + 2
+           |       ELSE m.node END AS node
+           |FROM an${fid}_m$d m JOIN an${fid}_nd$d n USING (key, t, node);
+           |""".stripMargin
+      }.mkString
+      val walk = (0 until maxDepth).map { d =>
+        s"""CREATE OR REPLACE TEMP TABLE an${fid}_w${d + 1} AS
+           |SELECT w.key, w.seq, w.t,
+           |  CASE WHEN i.node IS NULL THEN w.node
+           |       WHEN e.fx[i.f] < i.split THEN 2 * w.node + 1
+           |       ELSE 2 * w.node + 2 END AS node,
+           |  w.depth + CASE WHEN i.node IS NULL THEN 0 ELSE 1 END AS depth
+           |FROM an${fid}_w$d w
+           |JOIN an${fid}_pts e ON e.key = w.key AND e.seq = w.seq
+           |LEFT JOIN an${fid}_int i ON i.key = w.key AND i.t = w.t AND i.node = w.node;
+           |""".stripMargin
+      }.mkString
+      s"""CREATE OR REPLACE TEMP TABLE an${fid}_n AS
+         |SELECT key, count(*) AS nn FROM $resT GROUP BY key;
+         |CREATE OR REPLACE TEMP TABLE an${fid}_sub AS
+         |SELECT d.t, d.j, s.key, CAST(d.u % s.nn AS BIGINT) AS sidx
+         |FROM an_draw d JOIN an${fid}_n s ON d.j < s.nn;
+         |CREATE OR REPLACE TEMP TABLE an${fid}_m0 AS
+         |SELECT i.key, i.t, i.j, r.fx, 0 AS node
+         |FROM an${fid}_sub i JOIN $resT r ON r.key = i.key AND r.pos = i.sidx;
+         |$levels
+         |CREATE OR REPLACE TEMP TABLE an${fid}_int AS
+         |${(0 until maxDepth).map(d =>
+             s"SELECT key, t, node, f, split FROM an${fid}_nd$d WHERE internal")
+            .mkString("\n", "\nUNION ALL\n", ";\n")}
+         |CREATE OR REPLACE TEMP TABLE an${fid}_leaf AS
+         |SELECT key, t, node, count(*) AS leafn FROM an${fid}_m$maxDepth
+         |GROUP BY key, t, node;
+         |CREATE OR REPLACE TEMP TABLE an${fid}_env AS
+         |SELECT key,
+         |  ${(1 to dims).map(d => s"min(fx[$d]) AS lo$d, max(fx[$d]) AS hi$d")
+              .mkString(",\n         |  ")}
+         |FROM $resT GROUP BY key;
+         |CREATE OR REPLACE TEMP TABLE an${fid}_pts AS
+         |SELECT key, seq, value, fx FROM an_sh WHERE rn BETWEEN $loRn AND $hiRn;
+         |CREATE OR REPLACE TEMP TABLE an${fid}_w0 AS
+         |SELECT key, seq, CAST(t.range AS INT) AS t, 0 AS node, 0 AS depth
+         |FROM an${fid}_pts, range($nTrees) t;
+         |$walk
+         |CREATE OR REPLACE TEMP TABLE an${fid}_pl AS
+         |SELECT w.key, w.seq, w.t, CAST(w.depth AS DOUBLE) + cf.c AS pl
+         |FROM an${fid}_w$maxDepth w
+         |LEFT JOIN an${fid}_leaf l ON l.key = w.key AND l.t = w.t AND l.node = w.node
+         |JOIN an_cof cf ON cf.k = coalesce(l.leafn, 0);
+         |-- tree-order fold materialized FLAT: DuckDB lambdas misbind
+         |-- inside correlated subqueries (the E2-oracle finding)
+         |CREATE OR REPLACE TEMP TABLE an${fid}_plsum AS
+         |SELECT key, seq,
+         |  list_reduce(list_prepend(0.0, list(pl ORDER BY t)), (a, b) -> a + b) AS plsum
+         |FROM an${fid}_pl GROUP BY key, seq;
+         |-- a reservoir outside [29, 32] would break the fixed
+         |-- maxDepth=$maxDepth unroll: poison every score to NULL so the
+         |-- divergence fails the hash loudly (the outlierScoresSql device)
+         |CREATE OR REPLACE TEMP TABLE an${fid}_scored AS
+         |SELECT p.key, p.seq, p.value, TRUE AS trained,
+         |  CASE WHEN nn.nn < 29 OR nn.nn > ${cfg.psi} THEN NULL ELSE
+         |  floor(greatest(
+         |    pow(2.0, -(ps.plsum / $nTrees.0) / cn.c),
+         |    CASE WHEN ${(1 to dims).map(d =>
+                 s"greatest(0.0, e.lo$d - p.fx[$d], p.fx[$d] - e.hi$d)")
+                 .mkString(" + ")} <= 0.0
+         |         OR ${(1 to dims).map(d =>
+                 s"((e.hi$d - e.lo$d) + greatest(0.0, e.lo$d - p.fx[$d], p.fx[$d] - e.hi$d))")
+                 .mkString(" + ")} <= 0.0
+         |    THEN 0.0
+         |    ELSE pow(2.0,
+         |      -((${(1 to dims).map(d =>
+                 s"((e.hi$d - e.lo$d) + greatest(0.0, e.lo$d - p.fx[$d], p.fx[$d] - e.hi$d))")
+                 .mkString(" + ")})
+         |        / (${(1 to dims).map(d =>
+                 s"greatest(0.0, e.lo$d - p.fx[$d], p.fx[$d] - e.hi$d)")
+                 .mkString(" + ")})) / cn.c)
+         |    END) * 1000000.0 + 0.5) / 1000000.0
+         |  END AS score
+         |FROM an${fid}_pts p
+         |JOIN an${fid}_plsum ps ON ps.key = p.key AND ps.seq = p.seq
+         |JOIN an${fid}_env e ON e.key = p.key
+         |JOIN an${fid}_n nn ON nn.key = p.key
+         |JOIN an_cof cn ON cn.k = nn.nn;
+         |""".stripMargin
+    }
+    val res2 =
+      s"""CREATE OR REPLACE TEMP TABLE an_res2 AS
+         |SELECT key, CAST(idx - greatest(grp_n - ${cfg.psi}, 0) - 1 AS BIGINT) AS pos, fx
+         |FROM (
+         |  SELECT key, fx,
+         |    row_number() OVER (PARTITION BY key ORDER BY gen, ord) AS idx,
+         |    count(*) OVER (PARTITION BY key) AS grp_n
+         |  FROM (
+         |    SELECT key, 0 AS gen, pos AS ord, fx FROM an_res1
+         |    UNION ALL
+         |    SELECT s.key, 1 AS gen, s.rn AS ord, s.fx
+         |    FROM an_sh s JOIN an1_scored sc ON sc.key = s.key AND sc.seq = s.seq
+         |    WHERE sc.score <= ${cfg.threshold}))
+         |WHERE idx > grp_n - ${cfg.psi};
+         |""".stripMargin
+    macros + base +
+      fitAndScore(1, "an_res1", miniChunk, 2 * miniChunk - 1) +
+      res2 +
+      fitAndScore(2, "an_res2", 2 * miniChunk, 3 * miniChunk - 1) +
+      s"""SELECT key, seq, value, 0.0 AS score, FALSE AS trained, FALSE AS is_anomaly
+         |FROM an_sh WHERE rn < $miniChunk
+         |UNION ALL
+         |SELECT key, seq, value, score, trained, score > ${cfg.threshold} AS is_anomaly
+         |FROM an1_scored
+         |UNION ALL
+         |SELECT key, seq, value, score, trained, score > ${cfg.threshold} AS is_anomaly
+         |FROM an2_scored
+         |ORDER BY key, seq""".stripMargin
+  }
 }
