@@ -1617,10 +1617,13 @@ object Dedup {
     * AND the keep rule; SemDedupSpec still pins the keep rule on
     * planted cells and the end-to-end path on real data.
     */
-  def semanticDedup(spark: SparkSession, dir: String, nCells: Int = 16,
+  def semanticDedup(spark: SparkSession, dir: String, nCells: Int = -1,
                     tau: Double = 0.4): DataFrame = {
     CosineSim.register(spark)
-    val (corpusCells, centroids) = Similarity.ivfParts(spark, dir, nCells)
+    val nc =
+      if (nCells > 0) nCells
+      else Similarity.autoCells(Similarity.corpusN(spark, dir))
+    val (corpusCells, centroids) = Similarity.ivfParts(spark, dir, nc)
     val cells = corpusCells.join(broadcast(centroids), "cell")
       .withColumn("c_sim", round(CosineSim(col("n_emb"), col("centroid")), 6))
       .select(col("cell"), col("n_id"), col("n_emb"), col("c_sim"))

@@ -123,10 +123,14 @@ object GraphAnn {
   def ensureGraph(spark: SparkSession, dir: String,
                   rounds: Int = nnDescentRounds): String = {
     val fp = Similarity.dataFingerprint(spark, dir)
+    // v3 (r14): the seeding-cell count is now the auto-scaled nCells —
+    // encode it so a graph built under a different schedule can never
+    // be served stale (the r13 nngraph-key lesson)
+    val nc = Similarity.autoCells(Similarity.corpusN(spark, dir))
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir#$degree#$rounds#$seedAssignments#$fp".getBytes("UTF-8"))
+      .digest(s"$dir#$degree#$rounds#$seedAssignments#$nc#$fp".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    val path = graft.sources.Scratch.path(spark, s"graft-nngraph-v2-$key")
+    val path = graft.sources.Scratch.path(spark, s"graft-nngraph-v3-$key")
     val marker = new org.apache.hadoop.fs.Path(s"$path/_COMPLETE")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {
@@ -141,7 +145,8 @@ object GraphAnn {
     */
   def buildGraphAt(spark: SparkSession, dir: String, path: String,
                    rounds: Int = nnDescentRounds): Unit = {
-    val (cells, centroids) = Similarity.ivfParts(spark, dir, 16)
+    val (cells, centroids) = Similarity.ivfParts(spark, dir,
+      Similarity.autoCells(Similarity.corpusN(spark, dir)))
     val overlapped = overlappedCells(
       cells.select(col("n_id"), col("n_emb")), centroids).localCheckpoint()
     buildGraphDf(overlapped, rounds).write.mode("overwrite").parquet(s"$path/edges")
@@ -184,13 +189,15 @@ object GraphAnn {
     * + determinism are SimilaritySpec's job.
     */
   def annGraph(spark: SparkSession, dir: String): DataFrame =
-    annGraphAt(spark, dir, ensureGraph(spark, dir))
+    annGraphAt(spark, dir, ensureGraph(spark, dir),
+      ef = Similarity.autoEf(Similarity.corpusN(spark, dir)))
 
   /** ☆ `q_ann_graph_hr` — the high-recall operating point: ef-doubled
     * beam over the extra-round graph (see efHigh/roundsHigh).
     */
   def annGraphHigh(spark: SparkSession, dir: String): DataFrame =
-    annGraphAt(spark, dir, ensureGraph(spark, dir, roundsHigh), ef = efHigh)
+    annGraphAt(spark, dir, ensureGraph(spark, dir, roundsHigh),
+      ef = 2 * Similarity.autoEf(Similarity.corpusN(spark, dir)))
 
   /** E7e/E7e3 oracle generator (r13, was ☆): with the IVF fit now
     * bit-replayable (Similarity.kmeansReplaySqlPrefix), NOTHING in
@@ -202,7 +209,7 @@ object GraphAnn {
     * the `nHops`-hop beam of width `ef` from each query's nearest
     * cell. One generator serves both operating points.
     */
-  private def annGraphReplaySql(rounds: Int, ef: Int): String = {
+  private def annGraphReplaySql(rounds: Int, efSel: String): String = {
     val t = s"ga$rounds"
     def topSrc(src: String, out: String): String =
       s"""CREATE OR REPLACE TEMP TABLE $out AS
@@ -246,7 +253,7 @@ object GraphAnn {
          |      UNION ALL
          |      SELECT q_id, n_id, cos_sim FROM ${t}_b${h - 1})
          |    GROUP BY q_id, n_id))
-         |WHERE r <= $ef;""".stripMargin
+         |WHERE r <= (SELECT $efSel FROM ann_par);""".stripMargin
     }.mkString("\n")
     s"""${Similarity.kmeansReplaySqlPrefix()}
        |CREATE OR REPLACE TEMP TABLE ${t}_emb AS
@@ -290,7 +297,7 @@ object GraphAnn {
        |          JOIN ${t}_over o USING (cell)) en
        |    JOIN ${t}_emb m ON m.n_id = en.n_id
        |    JOIN ${t}_q q ON q.q_id = en.q_id))
-       |WHERE r <= $ef;
+       |WHERE r <= (SELECT $efSel FROM ann_par);
        |$probe
        |SELECT q_id, n_id, cos_sim, rank FROM (
        |  SELECT q_id, n_id, cos_sim,
@@ -300,11 +307,12 @@ object GraphAnn {
        |ORDER BY q_id, rank""".stripMargin
   }
 
-  /** E7e oracle at the default operating point. */
-  lazy val annGraphSql: String = annGraphReplaySql(nnDescentRounds, beam)
+  /** E7e oracle at the default operating point (ef auto-scales with
+    * the cell grid — ann_par's `ef` column). */
+  lazy val annGraphSql: String = annGraphReplaySql(nnDescentRounds, "ef")
 
   /** E7e3 oracle at the high-recall point (extra round, doubled ef). */
-  lazy val annGraphHighSql: String = annGraphReplaySql(roundsHigh, efHigh)
+  lazy val annGraphHighSql: String = annGraphReplaySql(roundsHigh, "ef_hr")
 
   /** Probe against an explicit graph path (spec isolation hook).
     * `ef` is the beam width carried between hops — the probe-cost

@@ -22,6 +22,62 @@ object Similarity {
   val nQueries = 10
   val topK = 5
 
+  // ---- r14 ANN knob schedule (VERDICT #4) ------------------------------
+  //
+  // Fixed index parameters decay on growing corpora (§8l measured the
+  // sf0.01→sf0.1 recall slide at pinned knobs), so every scale-path
+  // knob now DERIVES from the corpus cardinality by an exact integer
+  // rule both engines can replay (IEEE sqrt is correctly rounded —
+  // not libm-variable — and everything after it is integer steps):
+  //
+  //   N        = corpus vector count (vec_id >= nQueries)
+  //   nCells   = clamp[16, 1024]( 2^floor(log2 floor(sqrt N)) )
+  //   nProbe   = max(4, 3·nCells/8)      — probes ~37.5% of cells, so
+  //              the probed FRACTION (the recall driver on
+  //              low-structure embeddings) is scale-invariant
+  //   rerank   = max(50, N/16)           — coarse candidates stay a
+  //              constant corpus fraction for the PQ/BQ repair stage
+  //   ef       = nCells (hr point 2·ef)  — the beam widens with the
+  //              cell grid so graph probes keep their reach
+  //
+  // sf0.01 (N=490) lands on the r13 constants (16/6*/50/16), sf0.1
+  // (N=1990) on 32/12/124/32, a GenScale sf1 (N≈20k) on 128/48/1249/
+  // 128. Powers of two keep the schedule stable under small count
+  // jitter; ScaleStudy's gated `recall` mode holds the per-path floors
+  // at every SF (*nProbe moved 4→6 at the base point — the fraction
+  // rule, applied uniformly). The schedule is documented in SURVEY §5.
+  private val corpusCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[operators] def corpusN(spark: SparkSession, dir: String): Long =
+    corpusCounts.computeIfAbsent(s"$dir#${dataFingerprint(spark, dir)}",
+      _ => Tables.embeddings(spark, dir)
+        .filter(col("vec_id") >= nQueries).count())
+
+  private[operators] def autoCells(n: Long): Int =
+    math.min(1024, math.max(16,
+      Integer.highestOneBit(math.sqrt(n.toDouble).toInt)))
+  private[operators] def autoProbes(nCells: Int): Int =
+    math.max(4, 3 * nCells / 8)
+  private[operators] def autoRerank(n: Long): Int =
+    math.max(50, (n / 16).toInt)
+  private[operators] def autoEf(n: Long): Int = autoCells(n)
+
+  /** Emits `ann_par(n, nc, np, rr, ef, ef_hr)` — the SQL replica of the
+    * schedule above; every ANN oracle derives its knobs from this one
+    * table so the Spark side and the replay can never disagree.
+    */
+  private[operators] val annParamsSql: String =
+    s"""CREATE OR REPLACE TEMP TABLE ann_par AS
+       |SELECT n, nc, greatest(4, (3 * nc) // 8) AS np,
+       |  greatest(50, n // 16) AS rr, nc AS ef, 2 * nc AS ef_hr
+       |FROM (
+       |  SELECT n, least(1024, greatest(16, coalesce((
+       |    SELECT max(p)
+       |    FROM (VALUES (16),(32),(64),(128),(256),(512),(1024)) v(p)
+       |    WHERE p <= CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)), 16))) AS nc
+       |  FROM (SELECT count(*) AS n FROM embeddings WHERE vec_id >= $nQueries));
+       |""".stripMargin
+
   private[operators] def queryCorpus(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     CosineSim.register(spark)
     val e = Tables.embeddings(spark, dir)
@@ -218,11 +274,13 @@ object Similarity {
       .select(col("q_id"), col("q_emb"), col("cell"))
   }
 
-  def annIvf(spark: SparkSession, dir: String, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+  def annIvf(spark: SparkSession, dir: String, nCells: Int = -1, nProbe: Int = -1): DataFrame = {
+    val nc = if (nCells > 0) nCells else autoCells(corpusN(spark, dir))
+    val np = if (nProbe > 0) nProbe else autoProbes(nc)
     val (q, _) = queryCorpus(spark, dir)
-    val (corpusCells, centroids) = ivfParts(spark, dir, nCells)
+    val (corpusCells, centroids) = ivfParts(spark, dir, nc)
     rankTopK(
-      probeCells(q, centroids, nProbe).join(corpusCells, "cell")
+      probeCells(q, centroids, np).join(corpusCells, "cell")
         .withColumn("cos_sim", round(CosineSim(col("q_emb"), col("n_emb")), 6)))
   }
 
@@ -274,16 +332,17 @@ object Similarity {
     md.digest().map("%02x".format(_)).mkString
   }
 
-  def ensureIvfIndex(spark: SparkSession, dir: String, nCells: Int = 16): String = {
+  def ensureIvfIndex(spark: SparkSession, dir: String, nCells: Int = -1): String = {
+    val nc = if (nCells > 0) nCells else autoCells(corpusN(spark, dir))
     val fp = dataFingerprint(spark, dir)
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir#$nCells#$fp".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(s"$dir#$nc#$fp".getBytes("UTF-8")).map("%02x".format(_)).mkString
     val path = graft.sources.Scratch.path(spark, s"graft-ivfidx-v3-$key")
     // _COMPLETE is written by writeIvfIndex only AFTER both the cells
     // and the centroids land — a half-written index is rebuilt, not read
     val marker = new org.apache.hadoop.fs.Path(s"$path/_COMPLETE")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) writeIvfIndex(spark, dir, path, nCells)
+    if (!fs.exists(marker)) writeIvfIndex(spark, dir, path, nc)
     path
   }
 
@@ -293,10 +352,13 @@ object Similarity {
     * prunes partitions with.
     */
   def probeIvfIndex(spark: SparkSession, dir: String, indexPath: String,
-                    nProbe: Int = 4): DataFrame = {
+                    nProbe: Int = -1): DataFrame = {
     val (q, _) = queryCorpus(spark, dir)
     val centroids = spark.read.parquet(s"$indexPath/centroids")
-    val probes = probeCells(q, centroids, nProbe)
+    val np =
+      if (nProbe > 0) nProbe
+      else autoProbes(autoCells(corpusN(spark, dir)))
+    val probes = probeCells(q, centroids, np)
     val cells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val corpusCells = spark.read.parquet(s"$indexPath/cells")
@@ -391,7 +453,7 @@ object Similarity {
        |       ELSE kdot(x, y) / sqrt(kdot(x, x) * kdot(y, y)) END;
        |""".stripMargin
 
-  private[operators] def kmeansReplaySqlPrefix(nCells: Int = 16): String = {
+  private[operators] def kmeansReplaySqlPrefix(): String = {
     def assignSql(prevCents: String, out: String): String =
       s"""CREATE OR REPLACE TEMP TABLE $out AS
          |SELECT n_id, fv, cell FROM (
@@ -416,16 +478,20 @@ object Similarity {
       assignSql(s"km_c${t - 1}", s"km_a$t") + "\n" +
         updateSql(s"km_a$t", s"km_c${t - 1}", s"km_c$t")
     }.mkString("\n")
-    s"""${kcosMacrosSql}CREATE OR REPLACE TEMP TABLE km_f AS
+    s"""$kcosMacrosSql$annParamsSql
+       |CREATE OR REPLACE TEMP TABLE km_f AS
        |SELECT n_id, CASE WHEN nrm > 0 THEN list_transform(x, v -> v / nrm) ELSE x END AS fv
        |FROM (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS x,
        |        sqrt(kvfold(list_transform(CAST(embedding AS DOUBLE[]), v -> v * v))) AS nrm
        |      FROM embeddings WHERE vec_id >= ${nQueries});
+       |-- init = the nc (data-derived, see ann_par) corpus vectors first
+       |-- in (md5(id), id) order — the auto-scaled form of the r13 LIMIT
        |CREATE OR REPLACE TEMP TABLE km_c0 AS
-       |SELECT row_number() OVER (ORDER BY md5(CAST(n_id AS VARCHAR)), n_id) - 1 AS cell,
-       |       fv AS cent
-       |FROM (SELECT n_id, fv FROM km_f
-       |      ORDER BY md5(CAST(n_id AS VARCHAR)), n_id LIMIT $nCells);
+       |SELECT rk - 1 AS cell, fv AS cent FROM (
+       |  SELECT n_id, fv,
+       |    row_number() OVER (ORDER BY md5(CAST(n_id AS VARCHAR)), n_id) AS rk
+       |  FROM km_f)
+       |WHERE rk <= (SELECT nc FROM ann_par);
        |$rounds
        |${assignSql(s"km_c$kmeansIters", "km_cells")}
        |CREATE OR REPLACE TEMP TABLE km_centf AS
@@ -478,7 +544,7 @@ object Similarity {
        |      row_number() OVER (PARTITION BY q.q_id
        |        ORDER BY round(kcos(q.q_emb, c.centf), 6) DESC, c.cell) AS pr
        |    FROM q CROSS JOIN km_centf c)
-       |  WHERE pr <= 4),
+       |  WHERE pr <= (SELECT np FROM ann_par)),
        |scored AS (
        |  SELECT p.q_id, k.n_id, round(kcos(p.q_emb, e.emb), 6) AS cos_sim
        |  FROM probes p
@@ -1258,10 +1324,11 @@ object Similarity {
     * subvectors, argmin ties break on cent_id.
     */
   def annPq(spark: SparkSession, dir: String, m: Int = 8, ks: Int = 16,
-            iters: Int = 10, rerank: Int = 50, trainSample: Int = 2048): DataFrame = {
+            iters: Int = 10, rerank: Int = -1, trainSample: Int = 2048): DataFrame = {
+    val rr = if (rerank > 0) rerank else autoRerank(corpusN(spark, dir))
     val (q, c) = queryCorpus(spark, dir)
     val (codes, lut) = pqPartsMemoized(spark, dir, q, m, ks, iters, trainSample)
-    val coarseK = graft.plans.TopKAgg.udafFor(rerank)
+    val coarseK = graft.plans.TopKAgg.udafFor(rr)
     val cand = codes.join(broadcast(lut), Seq("sub", "cent_id"))
       .groupBy(col("q_id"), col("n_id"))
       // pico-quantized ADC sum: 8 doubles summed as integers, so the
@@ -1412,21 +1479,25 @@ object Similarity {
     * scanning 1/4 of a code table and all of a float table.
     */
   def annIvfPq(spark: SparkSession, dir: String,
-               nCells: Int = 16, nProbe: Int = 4, m: Int = 8, ks: Int = 16,
-               iters: Int = 10, rerank: Int = 50, trainSample: Int = 2048): DataFrame = {
+               nCells: Int = -1, nProbe: Int = -1, m: Int = 8, ks: Int = 16,
+               iters: Int = 10, rerank: Int = -1, trainSample: Int = 2048): DataFrame = {
+    val nAuto = corpusN(spark, dir)
+    val nc = if (nCells > 0) nCells else autoCells(nAuto)
+    val np = if (nProbe > 0) nProbe else autoProbes(nc)
+    val rr = if (rerank > 0) rerank else autoRerank(nAuto)
     val (q, c) = queryCorpus(spark, dir)
     // cells come from the MEMOIZED persisted index (E7c) — the deployed
     // shape builds once and probes many times, so the query measures
     // probe latency, not a fresh k-means fit per run
-    val indexPath = ensureIvfIndex(spark, dir, nCells)
+    val indexPath = ensureIvfIndex(spark, dir, nc)
     val corpusCells = spark.read.parquet(s"$indexPath/cells")
     val centroids = spark.read.parquet(s"$indexPath/centroids")
     val (codes, lut) = pqPartsMemoized(spark, dir, q, m, ks, iters, trainSample)
-    val candPairs = probeCells(q, centroids, nProbe)
+    val candPairs = probeCells(q, centroids, np)
       .select(col("q_id"), col("cell"))
       .join(corpusCells.select(col("n_id"), col("cell")), "cell")
       .select(col("q_id"), col("n_id"))
-    val coarseK = graft.plans.TopKAgg.udafFor(rerank)
+    val coarseK = graft.plans.TopKAgg.udafFor(rr)
     val cand = candPairs.join(codes, "n_id")
       .join(broadcast(lut), Seq("q_id", "sub", "cent_id"))
       .groupBy(col("q_id"), col("n_id"))
@@ -1522,6 +1593,7 @@ object Similarity {
     */
   val annPqSql: String =
     s"""${pqReplaySqlPrefix()}
+       |$annParamsSql
        |CREATE OR REPLACE TEMP TABLE pq_cand AS
        |SELECT q_id, n_id FROM (
        |  SELECT a.q_id, a.n_id,
@@ -1531,7 +1603,7 @@ object Similarity {
        |        FROM pq_codes c
        |        JOIN pq_lut l ON l.sub = c.sub AND l.cid = c.cent_id
        |        GROUP BY l.q_id, c.n_id) a)
-       |WHERE r <= 50;
+       |WHERE r <= (SELECT rr FROM ann_par);
        |SELECT q_id, n_id, cos_sim, rank FROM (
        |  SELECT cd.q_id, cd.n_id,
        |    round(kcos(q.de, c.de), 6) AS cos_sim,
@@ -1556,7 +1628,7 @@ object Similarity {
        |    row_number() OVER (PARTITION BY q.q_id
        |      ORDER BY round(kcos(q.de, c.centf), 6) DESC, c.cell) AS pr
        |  FROM pq_q q CROSS JOIN km_centf c)
-       |WHERE pr <= 4;
+       |WHERE pr <= (SELECT np FROM ann_par);
        |CREATE OR REPLACE TEMP TABLE ivfpq_cand AS
        |SELECT q_id, n_id FROM (
        |  SELECT a.q_id, a.n_id,
@@ -1568,7 +1640,7 @@ object Similarity {
        |        JOIN pq_codes c ON c.n_id = k.n_id
        |        JOIN pq_lut l ON l.q_id = p.q_id AND l.sub = c.sub AND l.cid = c.cent_id
        |        GROUP BY p.q_id, k.n_id) a)
-       |WHERE r <= 50;
+       |WHERE r <= (SELECT rr FROM ann_par);
        |SELECT q_id, n_id, cos_sim, rank FROM (
        |  SELECT cd.q_id, cd.n_id,
        |    round(kcos(q.de, c.de), 6) AS cos_sim,
@@ -1599,7 +1671,8 @@ object Similarity {
     * the coarse pass scans codes only (the 32×-smaller frame) with the
     * bounded query side broadcast; TopKAgg bounds the exchange.
     */
-  def annBq(spark: SparkSession, dir: String, rerank: Int = 50): DataFrame = {
+  def annBq(spark: SparkSession, dir: String, rerank: Int = -1): DataFrame = {
+    val rr = if (rerank > 0) rerank else autoRerank(corpusN(spark, dir))
     val (q, c) = queryCorpus(spark, dir)
     def codes(emb: String): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = (
       expr(s"aggregate(transform(slice($emb, 1, 32), (v, i) -> IF(v >= 0, shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)"),
@@ -1609,7 +1682,7 @@ object Similarity {
     val qc = q.select(col("q_id"), qLo.as("q_lo"), qHi.as("q_hi"))
     val cc = c.select(col("n_id"), cLo.as("c_lo"), cHi.as("c_hi"))
     val ham = (bit_count(expr("q_lo ^ c_lo")) + bit_count(expr("q_hi ^ c_hi"))).cast("double")
-    val coarseK = graft.plans.TopKAgg.udafFor(rerank)
+    val coarseK = graft.plans.TopKAgg.udafFor(rr)
     val cand = cc.join(broadcast(qc))
       .select(col("q_id"), col("n_id"), (-ham).as("neg_ham"))
       .groupBy(col("q_id"))
@@ -1645,9 +1718,11 @@ object Similarity {
       |cand AS (
       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ham, n_id) AS crk
       |  FROM coarse),
+      |par AS (SELECT greatest(50, count(*) // 16) AS rr
+      |        FROM embeddings WHERE vec_id >= 10),
       |scored AS (
       |  SELECT q_id, n_id, round(list_cosine_similarity(q_emb, n_emb), 6) AS cos_sim
-      |  FROM cand WHERE crk <= 50),
+      |  FROM cand, par WHERE crk <= rr),
       |ranked AS (
       |  SELECT q_id, n_id, cos_sim,
       |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
