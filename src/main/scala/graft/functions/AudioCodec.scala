@@ -97,6 +97,12 @@ object AudioCodec {
     * (Multimodal.multimodalMetaSql) replays this exact formula, so the
     * reduction is what makes the replay platform-robust rather than
     * ~1e-5-per-corpus flaky.
+    *
+    * ORACLE CONTRACT: the replica covers ONLY the whole-number-freq
+    * branch (it truncates freq to BIGINT before the mod) — the media
+    * table's pitch ladder (200 + (id%20)·40) is all-integer by
+    * construction; a non-integer pitch takes the unreduced fallback
+    * below, which the static SQL cannot mirror.
     */
   def syntheticWav(freqHz: Double, nSamples: Int,
                    sampleRate: Float = 8000f, amp: Double = 0.5): Array[Byte] = {

@@ -108,15 +108,11 @@ object BpeTrain {
     */
   def learnMerges(spark: SparkSession, dir: String, k: Int = 12): DataFrame = {
     val fp = Similarity.dataFingerprintFor(spark, dir, "documents.parquet")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir#$k#$fp".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val path = graft.sources.Scratch.path(spark, s"graft-bpe-v1-$key")
-    val marker = new org.apache.hadoop.fs.Path(s"$path/_COMPLETE")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
+    val path = graft.sources.Scratch.ensure(spark,
+      s"graft-bpe-v1-${graft.sources.Scratch.digest(dir)}",
+      graft.sources.Scratch.digest(k.toString, fp)) { p =>
       learnMergesDf(Tables.documents(spark, dir), k)
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
-      fs.create(marker, true).close()
+        .coalesce(1).write.mode("overwrite").parquet(s"$p/merges")
     }
     spark.read.parquet(s"$path/merges").orderBy(col("rank"))
   }

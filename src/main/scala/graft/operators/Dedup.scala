@@ -56,25 +56,20 @@ object Dedup {
 
   /** Fingerprint-memoized park — the `ensureIvfIndex` contract for
     * parked intermediates that are PURE FUNCTIONS of a data dir: the
-    * first invocation per (name, data content) pays the build, every
+    * first invocation per (family, data content) pays the build, every
     * later one (bench reps, repeated dashboards) is a plain parquet
-    * read. `name` must carry a recipe version AND a digest of the
-    * source table's file listing (path#len#mtime — see
+    * read. `family` carries the recipe version + a data-dir digest;
+    * `gen` the data fingerprint (path#len#mtime — see
     * `Similarity.dataFingerprintFor`), so regenerated data can never
-    * be served stale cell contents; the marker is written LAST so a
-    * crashed build is rebuilt, not read.
+    * be served stale contents AND the superseded generation is swept
+    * (Scratch.ensure) instead of leaking corpus-sized parquet per
+    * regeneration.
     */
-  private def ensurePark(spark: SparkSession, name: String)
-                        (build: => DataFrame): DataFrame = {
-    val dir = graft.sources.Scratch.path(spark, s"graft-park-$name")
-    val marker = new org.apache.hadoop.fs.Path(s"$dir/_COMPLETE")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
-      build.write.mode("overwrite").parquet(dir)
-      fs.create(marker, true).close()
-    }
-    spark.read.parquet(dir)
-  }
+  private def ensurePark(spark: SparkSession, family: String, gen: String)
+                        (build: => DataFrame): DataFrame =
+    spark.read.parquet(
+      graft.sources.Scratch.ensure(spark, family, gen)(p =>
+        build.write.mode("overwrite").parquet(p)))
 
   /** E1 — exact dedup via content hash. One map-side-combined groupBy;
     * keep_id is the minimal doc_id of each identical-text group.
@@ -614,16 +609,11 @@ object Dedup {
     */
   def ensureCanonical(spark: SparkSession, dir: String): String = {
     val fp = Similarity.dataFingerprintFor(spark, dir, "documents.parquet")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir#$fp".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val path = graft.sources.Scratch.path(spark, s"graft-canon-v1-$key")
-    val marker = new org.apache.hadoop.fs.Path(s"$path/_COMPLETE")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
+    graft.sources.Scratch.ensure(spark,
+      s"graft-canon-v1-${graft.sources.Scratch.digest(dir)}",
+      graft.sources.Scratch.digest(fp)) { path =>
       canonicalCorpus(spark, dir).write.mode("overwrite").parquet(s"$path/map")
-      fs.create(marker, true).close()
     }
-    path
   }
 
   /** The memoized mapping as a frame (build on first call per dir). */
@@ -1154,12 +1144,12 @@ object Dedup {
     // contract: first call per data content pays the explode, every
     // later one is a parquet read; the fingerprint (file listing
     // digest) invalidates on regenerated data (DedupSpec asserts it)
-    val fpKey = Similarity.dataFingerprintFor(spark, dir, "documents.parquet")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir#$fpKey".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val cand = ensurePark(spark, s"candaudit-v1-$key")(
+    val dk = graft.sources.Scratch.digest(dir)
+    val gen = graft.sources.Scratch.digest(
+      Similarity.dataFingerprintFor(spark, dir, "documents.parquet"))
+    val cand = ensurePark(spark, s"graft-park-candaudit-v1-$dk", gen)(
       docs.select(col("doc_id"), explode(col("fps")).as("fp")))
-    val buckets = ensurePark(spark, s"candaudit-buckets-v1-$key")(
+    val buckets = ensurePark(spark, s"graft-park-candbuckets-v1-$dk", gen)(
       cand.groupBy(col("fp")).agg(count(lit(1)).as("bn")))
     val inBucket = cand.join(
       buckets.filter(col("bn").between(2, maxBucketSize)).select(col("fp")), "fp")

@@ -125,19 +125,14 @@ object GraphAnn {
     val fp = Similarity.dataFingerprint(spark, dir)
     // v3 (r14): the seeding-cell count is now the auto-scaled nCells —
     // encode it so a graph built under a different schedule can never
-    // be served stale (the r13 nngraph-key lesson)
+    // be served stale (the r13 nngraph-key lesson). rounds rides in
+    // the FAMILY (both operating points coexist per dir), the data
+    // fingerprint + knobs in the generation (superseded ones swept).
     val nc = Similarity.autoCells(Similarity.corpusN(spark, dir))
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir#$degree#$rounds#$seedAssignments#$nc#$fp".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    val path = graft.sources.Scratch.path(spark, s"graft-nngraph-v3-$key")
-    val marker = new org.apache.hadoop.fs.Path(s"$path/_COMPLETE")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
-      buildGraphAt(spark, dir, path, rounds)
-      fs.create(marker, true).close()
-    }
-    path
+    graft.sources.Scratch.ensure(spark,
+      s"graft-nngraph-v3-r$rounds-${graft.sources.Scratch.digest(dir)}",
+      graft.sources.Scratch.digest(s"$degree#$seedAssignments#$nc", fp))(
+      p => buildGraphAt(spark, dir, p, rounds))
   }
 
   /** Build the graph for `dir`'s embeddings at an explicit path (the

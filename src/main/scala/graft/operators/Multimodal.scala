@@ -184,14 +184,11 @@ object Multimodal {
     * never inside the read-only data dir; versioned key like the IVF
     * and inverted indexes).
     */
-  def mediaPath(dir: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  def mediaPath(spark: org.apache.spark.sql.SparkSession, dir: String): String =
     // v2: r14 changed the audio synthesis to exact integer phase
     // range reduction — a v1 media table carries the old waveform
-    graft.sources.Scratch.path(org.apache.spark.sql.SparkSession.active,
-      s"graft-media-v2-$key")
-  }
+    graft.sources.Scratch.path(spark,
+      s"graft-media-v2-${graft.sources.Scratch.digest(dir)}")
 
   /** Synthesize-once: the media table is a stand-in for a STORED input
     * (a real pipeline reads payload bytes from object storage, it does
@@ -200,7 +197,7 @@ object Multimodal {
     * query times codec decode, not payload synthesis.
     */
   def ensureMediaTable(spark: SparkSession, dir: String): String = {
-    val path = mediaPath(dir)
+    val path = mediaPath(spark, dir)
     val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker))
@@ -461,7 +458,8 @@ object Multimodal {
        |-- audio samples: v = trunc(sin(2π·((f·i) mod 8000)/8000)·0.5·32767)
        |-- (exact integer range reduction before the ONE libm call, so
        |-- sin args stay in [0,2π) where engines agree to ~1 ulp —
-       |-- mirrors AudioCodec.syntheticWav bit for bit)
+       |-- mirrors AudioCodec.syntheticWav's WHOLE-FREQ branch bit for
+       |-- bit; the pitch ladder above is all-integer by construction)
        |CREATE OR REPLACE TEMP TABLE mm_apx AS
        |SELECT d.doc_id, i.range AS i,
        |  CAST(trunc((sin((6.283185307179586 * ((CAST(d.freq AS BIGINT) * i.range) % 8000)) / 8000.0) * 0.5) * 32767) AS BIGINT) AS v

@@ -166,6 +166,76 @@ object Similarity {
     */
   private[operators] val kmeansIters = 8
 
+  /** Above this cell count the argmin switches from the plan-literal
+    * fold to the broadcast-UDF form: nCells × 64 literal doubles are
+    * plan-sized at the schedule's lower knobs, but at thousands of
+    * cells they explode Catalyst planning / codegen constant pools —
+    * the exact regime the zero-expansion rewrite exists for.
+    */
+  private[operators] val argminLiteralMaxCells = 256
+
+  /** Argmin cell id for a normalized vector against a centroid set —
+    * zero row expansion, zero exchange, in either form:
+    *
+    *  - ≤ argminLiteralMaxCells: centroids as a plan literal, each
+    *    scored by a left-to-right squared-distance fold; `array_min`'s
+    *    lexicographic struct ordering (d ASC, cell ASC) reproduces the
+    *    old window's ORDER BY (d, cell) tie-break bit-for-bit;
+    *  - above it: the identical loop as a deterministic UDF over a
+    *    BROADCAST centroid matrix (plan stays O(1); strict `<` keeps
+    *    the lowest cell on ties like the fold) — the SemDeDup-50k-cells
+    *    path, where literals would blow up the plan tree.
+    *
+    * Both forms compute the same doubles in the same order, so the
+    * DuckDB replay (kmeansReplaySqlPrefix) is valid for either;
+    * SimilaritySpec asserts their row-wise equality.
+    */
+  private[operators] def argminCell(spark: SparkSession,
+                                    cs: IndexedSeq[Array[Double]],
+                                    fv: Column): Column =
+    if (cs.length <= argminLiteralMaxCells) argminCellLiteral(cs, fv)
+    else argminCellUdf(spark, cs, fv)
+
+  private[operators] def argminCellLiteral(cs: IndexedSeq[Array[Double]],
+                                           fv: Column): Column = {
+    val centArr = array(cs.zipWithIndex.map { case (v, i) =>
+      struct(array(v.map(lit(_)): _*).as("cent"), lit(i).as("cell"))
+    }: _*)
+    val scored = transform(centArr, e =>
+      struct(
+        aggregate(
+          zip_with(fv, e.getField("cent"), (a, b) => (a - b) * (a - b)),
+          lit(0.0d), _ + _).as("d"),
+        e.getField("cell").as("cell")))
+    array_min(scored).getField("cell")
+  }
+
+  private[operators] def argminCellUdf(spark: SparkSession,
+                                       cs: IndexedSeq[Array[Double]],
+                                       fv: Column): Column = {
+    val bc = spark.sparkContext.broadcast(cs.map(_.clone()).toArray)
+    val f = udf { v: Seq[Double] =>
+      val cents = bc.value
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var d = 0.0
+        var i = 0
+        while (i < cent.length) {
+          val t = v(i) - cent(i)
+          d += t * t
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c } // strict <: lowest cell wins ties
+        c += 1
+      }
+      best
+    }
+    f(fv)
+  }
+
   /** Deterministic Lloyd k-means over L2-normalized vectors (replaces
     * the round-12 ML KMeans fit). Every step is cross-engine
     * replayable, which is what flips the IVF-derived queries
@@ -203,31 +273,14 @@ object Similarity {
       .select(col("fv")).collect().toIndexedSeq
       .map(_.getSeq[Double](0).toArray)
 
-    // Assignment is a pure column fold — NO row expansion, NO exchange
-    // (the round-13 shape was crossJoin(broadcast(cents)) + a window
-    // argmin: a nCells× blow-up plus a corpus-wide shuffle per Lloyd
-    // round, invisible at nCells=16 but a scale-killer at SemDeDup's
-    // 50k cells). The centroids ship as a plan literal (nCells × dims
-    // doubles — plan-sized by the same argument that lets them live on
-    // the driver), each element scored by the identical left-to-right
-    // squared-distance fold, and array_min's lexicographic struct
-    // ordering (d ASC, cell ASC) reproduces the window's
-    // ORDER BY (d, cell) tie-break bit-for-bit — so the DuckDB replay
-    // (kmeansReplaySqlPrefix) is untouched.
-    def assignCol(cs: IndexedSeq[Array[Double]]): Column = {
-      val centArr = array(cs.zipWithIndex.map { case (v, i) =>
-        struct(array(v.map(lit(_)): _*).as("cent"), lit(i).as("cell"))
-      }: _*)
-      val scored = transform(centArr, e =>
-        struct(
-          aggregate(
-            zip_with(col("fv"), e.getField("cent"), (a, b) => (a - b) * (a - b)),
-            lit(0.0d), _ + _).as("d"),
-          e.getField("cell").as("cell")))
-      array_min(scored).getField("cell")
-    }
+    // Assignment is a pure column computation — NO row expansion, NO
+    // exchange (the round-13 shape was crossJoin(broadcast(cents)) + a
+    // window argmin: a nCells× blow-up plus a corpus-wide shuffle per
+    // Lloyd round, invisible at nCells=16 but a scale-killer at
+    // SemDeDup's 50k cells), via argminCell below.
     def assigned(cs: IndexedSeq[Array[Double]], in: DataFrame): DataFrame =
-      in.select(col("n_id"), col("n_emb"), col("fv"), assignCol(cs).as("cell"))
+      in.select(col("n_id"), col("n_emb"), col("fv"),
+        argminCell(spark, cs, col("fv")).as("cell"))
 
     (1 to kmeansIters).foreach { _ =>
       val upd = assigned(cents, f)
@@ -335,15 +388,10 @@ object Similarity {
   def ensureIvfIndex(spark: SparkSession, dir: String, nCells: Int = -1): String = {
     val nc = if (nCells > 0) nCells else autoCells(corpusN(spark, dir))
     val fp = dataFingerprint(spark, dir)
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir#$nc#$fp".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val path = graft.sources.Scratch.path(spark, s"graft-ivfidx-v3-$key")
-    // _COMPLETE is written by writeIvfIndex only AFTER both the cells
-    // and the centroids land — a half-written index is rebuilt, not read
-    val marker = new org.apache.hadoop.fs.Path(s"$path/_COMPLETE")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) writeIvfIndex(spark, dir, path, nc)
-    path
+    graft.sources.Scratch.ensure(spark,
+      s"graft-ivfidx-v3-${graft.sources.Scratch.digest(dir)}",
+      graft.sources.Scratch.digest(nc.toString, fp))(
+      p => writeIvfIndex(spark, dir, p, nc))
   }
 
   /** Probe the persisted index. The union of probe cells is collected
@@ -355,9 +403,14 @@ object Similarity {
                     nProbe: Int = -1): DataFrame = {
     val (q, _) = queryCorpus(spark, dir)
     val centroids = spark.read.parquet(s"$indexPath/centroids")
+    // auto nProbe derives from the index ACTUALLY STORED at indexPath
+    // (its centroid count), not from the corpus schedule — an index
+    // built with an explicit nCells is probed at the same ~37.5%
+    // fraction instead of a mismatched default (centroids are
+    // plan-sized; for the default index the two derivations coincide)
     val np =
       if (nProbe > 0) nProbe
-      else autoProbes(autoCells(corpusN(spark, dir)))
+      else autoProbes(centroids.count().toInt)
     val probes = probeCells(q, centroids, np)
     val cells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -1356,20 +1409,14 @@ object Similarity {
                     ks: Int = 16, iters: Int = 10,
                     trainSample: Int = 2048): String = {
     val fp = dataFingerprint(spark, dir)
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir#$m#$ks#$iters#$trainSample#$fp".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    val path = graft.sources.Scratch.path(spark, s"graft-pqidx-v2-$key")
-    val marker = new org.apache.hadoop.fs.Path(s"$path/_COMPLETE")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
+    graft.sources.Scratch.ensure(spark,
+      s"graft-pqidx-v2-${graft.sources.Scratch.digest(dir)}",
+      graft.sources.Scratch.digest(s"$m#$ks#$iters#$trainSample", fp)) { path =>
       val (_, c) = queryCorpus(spark, dir)
       val (books, codes) = pqTrainEncode(spark, c, m, ks, iters, trainSample)
       codes.write.mode("overwrite").parquet(s"$path/codes")
       books.write.mode("overwrite").parquet(s"$path/books")
-      fs.create(marker, true).close()
     }
-    path
   }
 
   /** Memoized (codes, lut) for the benched PQ entries: corpus half from
@@ -1697,20 +1744,21 @@ object Similarity {
   }
 
   val annBqSql: String =
-    """WITH q AS (
+    s"""$annParamsSql
+      |WITH q AS (
       |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb,
       |    CAST(list_sum(list_transform(range(0, 32),
       |      i -> CASE WHEN embedding[i+1] >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS q_lo,
       |    CAST(list_sum(list_transform(range(0, 32),
       |      i -> CASE WHEN embedding[i+33] >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS q_hi
-      |  FROM embeddings WHERE vec_id < 10),
+      |  FROM embeddings WHERE vec_id < $nQueries),
       |c AS (
       |  SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS n_emb,
       |    CAST(list_sum(list_transform(range(0, 32),
       |      i -> CASE WHEN embedding[i+1] >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS c_lo,
       |    CAST(list_sum(list_transform(range(0, 32),
       |      i -> CASE WHEN embedding[i+33] >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS c_hi
-      |  FROM embeddings WHERE vec_id >= 10),
+      |  FROM embeddings WHERE vec_id >= $nQueries),
       |coarse AS (
       |  SELECT q_id, n_id, n_emb, q_emb,
       |    bit_count(xor(q_lo, c_lo)) + bit_count(xor(q_hi, c_hi)) AS ham
@@ -1718,11 +1766,9 @@ object Similarity {
       |cand AS (
       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ham, n_id) AS crk
       |  FROM coarse),
-      |par AS (SELECT greatest(50, count(*) // 16) AS rr
-      |        FROM embeddings WHERE vec_id >= 10),
       |scored AS (
       |  SELECT q_id, n_id, round(list_cosine_similarity(q_emb, n_emb), 6) AS cos_sim
-      |  FROM cand, par WHERE crk <= rr),
+      |  FROM cand WHERE crk <= (SELECT rr FROM ann_par)),
       |ranked AS (
       |  SELECT q_id, n_id, cos_sim,
       |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank

@@ -84,11 +84,8 @@ object InvertedIndex {
     * version so an index persisted by an older build (unsorted row
     * groups) is never mistaken for the current format.
     */
-  def defaultPath(dir: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    Scratch.path(org.apache.spark.sql.SparkSession.active, s"graft-invidx-v2-$key")
-  }
+  def defaultPath(spark: SparkSession, dir: String): String =
+    Scratch.path(spark, s"graft-invidx-v2-${Scratch.digest(dir)}")
 
   /** Build-once-probe-many: build the index for `dir` only if a
     * completed build (parquet `_SUCCESS` marker) isn't already there.
@@ -97,7 +94,7 @@ object InvertedIndex {
     * deployment shape, and what the benchmark should be timing.
     */
   def ensureIndex(spark: SparkSession, dir: String): String = {
-    val path = defaultPath(dir)
+    val path = defaultPath(spark, dir)
     val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker))
@@ -349,7 +346,7 @@ object InvertedIndex {
     * any corpus size.
     */
   def ensureReverseIndex(spark: SparkSession, dir: String): String = {
-    val path = defaultPath(dir) + "-rev"
+    val path = defaultPath(spark, dir) + "-rev"
     val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {

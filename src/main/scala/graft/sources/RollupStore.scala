@@ -117,20 +117,14 @@ object RollupStore {
     */
   def ensureRollup(spark: SparkSession, dir: String, nEpochs: Int = 4): String = {
     val fp = dataFingerprint(spark, dir)
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir#$nEpochs#$fp".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val path = Scratch.path(spark, s"graft-rollup-v1-$key")
-    val marker = new org.apache.hadoop.fs.Path(s"$path/_COMPLETE")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
+    Scratch.ensure(spark, s"graft-rollup-v1-${Scratch.digest(dir)}",
+      Scratch.digest(nEpochs.toString, fp)) { path =>
       val ev = Tables.events(spark, dir)
         .select(col("ts"), col("event_type"), col("value"), col("event_id"))
       (0 until nEpochs).foreach { e =>
         rollupBatch(ev.filter(pmod(col("event_id"), lit(nEpochs)) === e), path, e.toLong)
       }
-      fs.create(marker, true).close()
     }
-    path
   }
 
   /** ★ `q_rollup_read` — the dashboard query against the SUMMARY store
