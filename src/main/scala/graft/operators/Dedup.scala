@@ -127,6 +127,45 @@ object Dedup {
     */
   val maxBucketSize = 200
 
+  /** All unordered member pairs within capped buckets — ONE pass over
+    * the (key, member) table instead of the bucket-census aggregate
+    * plus a two-sided self-join (r14 optimization): the old shape
+    * re-evaluated the upstream sketch subtree once per join side plus
+    * once per census side — four corpus scans/sketchings at 100 TB
+    * where one suffices — and paid three key exchanges where this pays
+    * one. Shape: one exchange on `key`; a window count drops over-cap
+    * buckets BEFORE any list materializes (WindowExec pages partitions
+    * to disk, so a degenerate hot bucket is a bounded straggler, never
+    * an OOM — the same skew armor the census+join form had); the
+    * surviving bucket (≤ [[maxBucketSize]] rows) collects, sorts, and
+    * explodes its i<j pairs via array expressions.
+    *
+    * Pair semantics are byte-identical to the self-join form: members
+    * survive with multiplicity, so a bucket holding {a×2, b×3} emits
+    * (a,b) six times exactly as the join did — callers keep their exact
+    * downstream semantics (winnowing's ≥2-shared count, minhash's
+    * distinct()). Same-member pairs are excluded by the caller's
+    * strict `<` on the sorted emission, as the join's `doc_a < doc_b`
+    * did. `member` may be a struct carrying a SMALL fixed payload
+    * (e.g. simhash's 8-byte signature — saves the verify join-backs);
+    * heavy payloads (shingle sets, text) must stay on the join-back
+    * path per the §8 shuffle-keys-not-payloads rule.
+    */
+  private[operators] def bucketPairs(cand: DataFrame, key: Column,
+                                     member: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ms = col("ms")
+    cand.select(key.as("bp_key"), member.as("bp_m"))
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("bp_key"))))
+      .filter(col("bn").between(2, maxBucketSize))
+      .groupBy(col("bp_key"))
+      .agg(sort_array(collect_list(col("bp_m"))).as("ms"))
+      .select(explode(flatten(transform(ms, (a, i) =>
+        transform(slice(ms, i + lit(2), size(ms)),
+          b => struct(a.alias("a"), b.alias("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+  }
+
   /** E2 — MinHash + LSH near-dup pairs.
     * shingle(3-word) → 64-wide minhash → 16 bands × 4 rows → band-bucket
     * self-join → exact Jaccard verify (≥ threshold) inside buckets only.
@@ -143,17 +182,12 @@ object Dedup {
       .select(col("doc_id"), HashFns.shingleHashSet(col("text"), 3).as("sh"))
       .withColumn("sig", HashFns.minhashSignature(col("sh"), 64))
 
+    // one-pass capped-bucket pair mining (bucketPairs): the signature
+    // subtree evaluates ONCE instead of once per self-join/census side
     val cand = docs.select(col("doc_id"), explode(HashFns.bandKeys(col("sig"), 16, 4)).as("band"))
-    val okBuckets = cand.groupBy(col("band"))
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn").between(2, maxBucketSize))
-      .select(col("band"))
-    val inBucket = cand.join(okBuckets, "band")
-
-    val pairs = inBucket.select(col("band"), col("doc_id").as("doc_a"))
-      .join(inBucket.select(col("band"), col("doc_id").as("doc_b")), "band")
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+    val pairs = bucketPairs(cand, col("band"), col("doc_id"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
       .distinct()
 
     pairs
@@ -280,19 +314,17 @@ object Dedup {
       .select(col("doc_id"),
         HashFns.simhash64(HashFns.tokenHashes(col("text"))).as("sig"))
 
+    // one-pass capped-bucket pair mining; the 8-byte signature rides in
+    // the bucket member (fixed small payload), so there is NO verify
+    // join-back at all — the old shape recomputed the signature scan
+    // three times and shuffled it through two extra exchanges
     val chunked = docs.select(col("doc_id"), col("sig"),
       explode(HashFns.simhashChunks(col("sig"), 4)).as("chunk"))
-    val okBuckets = chunked.groupBy(col("chunk"))
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn").between(2, maxBucketSize))
-      .select(col("chunk"))
-    val inBucket = chunked.join(okBuckets, "chunk")
-
-    inBucket.select(col("chunk"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-      .join(inBucket.select(col("chunk"), col("doc_id").as("doc_b"), col("sig").as("sig_b")), "chunk")
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        HashFns.hamming(col("sig_a"), col("sig_b")).as("hamming"))
+    bucketPairs(chunked, col("chunk"),
+        struct(col("doc_id"), col("sig")))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        HashFns.hamming(col("a.sig"), col("b.sig")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -362,20 +394,24 @@ object Dedup {
     // shingles carried as 64-bit hashes, not strings: set intersection
     // cardinality is identical (xxhash64 collisions are negligible) and
     // long-array intersection is far cheaper than string-array
+    // mining runs on THIN (block, doc_id) rows — the shingle sets are
+    // neither computed nor shuffled until the capped pair list exists
+    // (the old census + self-join shape computed them three times and
+    // carried them through the block exchange); the verify join-backs
+    // attach each side's set by doc_id
+    val keyed = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("block"))
+    val pairs = bucketPairs(keyed, col("block"), col("doc_id"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
     val docs = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(
-      col("doc_id"),
-      concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("block"),
-      HashFns.shingleHashSet(col("text"), 3).as("sh"))
-    val okBlocks = docs.groupBy(col("block"))
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn").between(2, maxBucketSize))
-      .select(col("block"))
-    val inBlock = docs.join(okBlocks, "block")
-    inBlock.select(col("block"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      .join(inBlock.select(col("block"), col("doc_id").as("doc_b"), col("sh").as("sh_b")), "block")
-      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_id"), HashFns.shingleHashSet(col("text"), 3).as("sh"))
+    pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard",
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 4))
@@ -408,11 +444,6 @@ object Dedup {
   val levenshteinSubBlockDepth: Int = 32
 
   def levenshteinPairs(spark: SparkSession, dir: String, maxRel: Double = 0.25): DataFrame = {
-    // hash-partition on the blocking key BEFORE the self-join: the scan
-    // may be a single (or few) parquet split(s), and an O(pairs·len²)
-    // kernel must not inherit scan parallelism — this spreads the DP
-    // work across the cluster and co-partitions the join in one cheap
-    // shuffle of (id, block, text) rows.
     // the block ASSIGNMENT computes on thin (doc_id, b2, b4) rows —
     // document text must not ride the depth/cap aggregates' shuffles
     // (measured +1.5 s at sf0.1 when it did)
@@ -425,18 +456,20 @@ object Dedup {
       .withColumn("block",
         when(col("n2") <= levenshteinSubBlockDepth, concat(lit("2:"), col("b2")))
           .otherwise(concat(lit("4:"), col("b4"))))
-    val okBlocks = keyed.groupBy(col("block")).agg(count(lit(1)).as("bn"))
-      .filter(col("bn").between(2, maxBucketSize))
-      .select(col("block"))
-    val assignment = keyed.join(okBlocks, "block")
-      .select(col("doc_id"), col("block"))
+    // one-pass capped-bucket pair mining over the THIN (block, doc_id)
+    // assignment (the old shape joined text onto the assignment and
+    // self-joined — the text-carrying subtree evaluated once per side);
+    // text attaches by doc_id, and the second join leaves pairs spread
+    // by the doc_b hash (bucket-capped per block), so the O(len²) DP
+    // keeps full parallelism without an extra repartition
+    val pairIds = bucketPairs(keyed, col("block"), col("doc_id"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-      .join(assignment, "doc_id")
-      .repartition(spark.sparkContext.defaultParallelism, col("block"))
     val la = length(col("text_a")); val lb = length(col("text_b"))
-    docs.select(col("block"), col("doc_id").as("doc_a"), col("text").as("text_a"))
-      .join(docs.select(col("block"), col("doc_id").as("doc_b"), col("text").as("text_b")), "block")
-      .filter(col("doc_a") < col("doc_b"))
+    pairIds
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
       // free pruning: edit distance >= |len_a - len_b|, so rel <= maxRel
       // forces the lengths within maxRel of each other — skip the O(n²)
       // DP for pairs that can't qualify (margin covers the 4dp rounding)
@@ -924,16 +957,14 @@ object Dedup {
     * (doc_id, fps).
     */
   private def winnowingPairs(docs: DataFrame): DataFrame = {
+    // one-pass capped-bucket mining (bucketPairs): the fingerprint
+    // subtree evaluates ONCE instead of once per census/self-join side;
+    // pairs emit with multiplicity so the ≥2-shared-fingerprint count
+    // is unchanged
     val cand = docs.select(col("doc_id"), explode(col("fps")).as("fp"))
-    val okBuckets = cand.groupBy(col("fp"))
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn").between(2, maxBucketSize))
-      .select(col("fp"))
-    val inBucket = cand.join(okBuckets, "fp")
-    inBucket.select(col("fp"), col("doc_id").as("doc_a"))
-      .join(inBucket.select(col("fp"), col("doc_id").as("doc_b")), "fp")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+    bucketPairs(cand, col("fp"), col("doc_id"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= 2)
       .select(col("doc_a"), col("doc_b"))
