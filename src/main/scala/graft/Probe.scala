@@ -20,11 +20,30 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn = SparkEntry.queries(name)
+    // per-job accounting: where does a multi-action query spend its
+    // wall-clock? (job id, ms, #tasks, input records)
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int)]()
+    val agg = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.put(j.jobId, (j.time, j.stageInfos.map(_.numTasks).sum))
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val (t0, nt) = jobs.getOrDefault(j.jobId, (j.time, 0))
+        agg.put(j.jobId, (j.time - t0, nt.toLong))
+      }
+    })
     (1 to reps).foreach { i =>
       System.gc()
+      agg.clear()
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       println(f"[probe] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+      if (i == reps) {
+        import scala.jdk.CollectionConverters._
+        agg.asScala.toSeq.sortBy(_._1).foreach { case (id, (ms, nt)) =>
+          println(f"[probe]   job $id%3d: $ms%6d ms, $nt%4d tasks")
+        }
+      }
     }
     fn(spark, sfDir).explain("formatted")
     spark.stop()

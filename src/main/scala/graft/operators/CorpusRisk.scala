@@ -288,37 +288,48 @@ object CorpusRisk {
       .select(col("doc_id"), split(col("text"), " ").as("w"),
         (conv(substring(md5(concat(lit("jm-v1:"), col("doc_id").cast("string"))),
           1, 4), 16, 10).cast("long") % 10L === 0L).as("held"))
-    val bg = docs
+    // ONE bigram explode + (w1, w2) aggregate carries BOTH splits as
+    // conditional counts (r14: the old shape exploded the corpus twice
+    // — once for the train counts, once for the held-out counts — and
+    // paid the bigram exchange twice). c12 = 0 from the fused aggregate
+    // is value-identical to the old left-join's NULL→coalesce(0), and
+    // c_1 = 0 takes the same pbg = 0.0 branch the old NULL did.
+    val bgc = docs
       .select(col("held"), explode(seqPairsExpr).as("p"))
       .select(col("held"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val bc = bg.filter(!col("held"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val c1 = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c_1"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(sum(when(!col("held"), 1L).otherwise(0L)).as("c12"),
+        sum(when(col("held"), 1L).otherwise(0L)).as("n_h"))
+    val c1 = bgc.groupBy(col("w1")).agg(sum(col("c12")).as("c_1"))
     val ug = docs.filter(!col("held"))
       .select(explode(col("w")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("c2"))
     val totals = ug.agg(sum(col("c2")).as("n"), count(lit(1)).as("v"))
-    val hb = bg.filter(col("held"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_h"))
-    val joined = hb
-      .join(bc.hint("shuffle_hash"), Seq("w1", "w2"), "left")
+    val joined = bgc.filter(col("n_h") > 0L)
       .join(c1.hint("shuffle_hash"), Seq("w1"), "left")
       .join(ug.hint("shuffle_hash").withColumnRenamed("token", "w2"),
         Seq("w2"), "left")
       .crossJoin(broadcast(totals))
       .select(col("n_h"),
         when(coalesce(col("c_1"), lit(0L)) > 0L,
-          coalesce(col("c12"), lit(0L)).cast("double") / col("c_1").cast("double"))
+          col("c12").cast("double") / col("c_1").cast("double"))
           .otherwise(lit(0.0)).as("pbg"),
         (coalesce(col("c2"), lit(0L)).cast("double") / col("n").cast("double"))
           .as("pug"),
         (lit(1.0) / col("v").cast("double")).as("puni"))
 
+    // EM reads `joined` once per iteration: persist so the bigram
+    // explosion + count joins compute ONCE and the 3 iterations
+    // re-aggregate the cached held-out TYPE table (vocab²-bounded,
+    // spills to disk if large) — the r14 measurement had the whole
+    // upstream pipeline re-running per iteration (34 construction
+    // jobs; 3× the corpus passes the fit needs)
+    val em = joined.persist()
     var l = (0.4, 0.4, 0.2)
     val out = (1 to iters).map { it =>
       val d = lit(l._1) * col("pbg") + lit(l._2) * col("pug") +
         lit(l._3) * col("puni")
-      val row = joined.agg(
+      val row = em.agg(
         sum(floor(col("n_h") * (lit(l._1) * col("pbg") / d) * 1e6).cast("long"))
           .as("s1"),
         sum(floor(col("n_h") * (lit(l._2) * col("pug") / d) * 1e6).cast("long"))
@@ -335,6 +346,7 @@ object CorpusRisk {
         math.floor(used._2 * 1e6).toLong, math.floor(used._3 * 1e6).toLong,
         row.getLong(3), row.getLong(4))
     }
+    em.unpersist(blocking = false)
     out.toDF("iter", "l1_micro", "l2_micro", "l3_micro",
       "heldout_nll_micro", "n_events")
       .orderBy(col("iter"))

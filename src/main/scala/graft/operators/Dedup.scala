@@ -474,6 +474,11 @@ object Dedup {
       // forces the lengths within maxRel of each other — skip the O(n²)
       // DP for pairs that can't qualify (margin covers the 4dp rounding)
       .filter(least(la, lb) >= (lit(1.0 - maxRel - 0.001) * greatest(la, lb)) - 1)
+      // compute-width repartition before the banded DP: the surviving
+      // pair table is byte-small, so AQE's coalescing would otherwise
+      // run the O(len×threshold) kernel on a handful of tasks (see
+      // substringCutPass)
+      .repartition(spark.sparkContext.defaultParallelism)
       // banded early-exit DP: per-row threshold caps the work at
       // O(len × threshold). Filter on the RAW distance (not a derived
       // rounded column) so predicate pushdown doesn't re-inline the
@@ -586,8 +591,11 @@ object Dedup {
     // graph — everything else is trivially its own keeper. At 100 TB the
     // dup graph is a small fraction of the corpus, so each propagation
     // round shuffles the graph, never the corpus.
+    // lazy checkpoint: the count() below is the materializing action,
+    // so edge mining + symmetrization + count run as ONE job instead of
+    // a checkpoint job followed by a count job
     val symFull = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b"))).distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // right-size the iteration: the dup graph is usually a tiny fraction
     // of the corpus, and label propagation re-shuffles it every round —
     // run the loop at a partition count proportional to the (now known,
@@ -1386,20 +1394,32 @@ object Dedup {
     var rounds = 0
     var converged = false
     var miningsLeft = maxRounds // certification minings share the bound
-    var fpsCur = substringFps(cur).localCheckpoint()
+    // LAZY checkpoints throughout the loop (r14): every eager
+    // localCheckpoint was its own job barrier — fps, mining, cut pass
+    // and the convergence count each paid a full scheduler round trip
+    // (11 sequential jobs for the typical one-cut corpus). eager=false
+    // keeps the plan-truncation property but lets the NEXT action
+    // materialize the checkpoint as part of its own job, so fps +
+    // mining + cut + count fuse into one job per round (~4 jobs total)
+    // — the same partitions move, scheduled once instead of four times.
+    var fpsCur = substringFps(cur).localCheckpoint(eager = false)
     // None = first mining (all pairs); afterwards only pairs touching a
     // doc changed since the LAST mining need attention — and only those
     // docs need their fingerprints recomputed
     var touching: Option[DataFrame] = None
     while (!converged && rounds < maxRounds && miningsLeft > 0) {
       miningsLeft -= 1
-      val pairs = substringCandidatePairs(fpsCur, touching).localCheckpoint()
+      val pairs = substringCandidatePairs(fpsCur, touching)
+        .localCheckpoint(eager = false)
       var restrict: Option[DataFrame] = None
       var changedThisMining: DataFrame = null
       var cutsThisMining = 0L
       var innerActive = true
       while (innerActive && rounds < maxRounds) {
-        val pass = substringCutPass(cur, pairs, minRun, restrict).localCheckpoint()
+        val pass = substringCutPass(cur, pairs, minRun, restrict)
+          .localCheckpoint(eager = false)
+        // the materializing action for pass (and, transitively, for the
+        // pending fps/pairs checkpoints): one job runs the whole round
         val cut = pass.agg(coalesce(sum(col("n_cuts")), lit(0L))).head.getLong(0)
         if (cut == 0L) innerActive = false
         else {
@@ -1411,13 +1431,15 @@ object Dedup {
             else acc.unionAll(totals).groupBy(col("doc_id"))
               .agg(sum(col("n_cuts")).as("n_cuts"),
                 sum(col("words_removed")).as("words_removed"))
-              .localCheckpoint()
+              .localCheckpoint(eager = false)
           val ch = pass.filter(col("n_cuts") > 0).select(col("doc_id"))
           restrict = Some(ch)
           changedThisMining =
             if (changedThisMining == null) ch
             else changedThisMining.unionAll(ch).distinct()
-          cur = pass.select(col("doc_id"), col("text_clean").as("text")).localCheckpoint()
+          // pass is already checkpointed — selecting from it keeps the
+          // plan constant-size with no further materialization
+          cur = pass.select(col("doc_id"), col("text_clean").as("text"))
         }
       }
       // a mining whose FIRST pass cut nothing is the convergence
@@ -1430,7 +1452,7 @@ object Dedup {
           .join(changed.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
           .unionByName(substringFps(
             cur.join(changed.hint("shuffle_hash"), Seq("doc_id"), "left_semi")))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         touching = Some(changed)
       }
     }

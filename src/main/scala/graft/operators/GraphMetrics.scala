@@ -51,33 +51,41 @@ object GraphMetrics {
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
 
   def pageRank(spark: SparkSession, dir: String, iters: Int = 10): DataFrame = {
-    val e = edges(spark, dir)
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
-    val n = nodes.count()
+    // The service vocabulary is CLOSED by the C71 span model (3 source
+    // × 4 target literals in `edges`' CASE mapping), so the aggregated
+    // edge list is ≤ 12 rows at ANY corpus size — the data-sized work
+    // is exactly ONE aggregated pass over events. The power iteration
+    // is then driver arithmetic on those few longs (the bounded-collect
+    // contract argminCell/doremi already use): identical floor-division
+    // recurrence, identical long sums (addition order immaterial —
+    // exact integers), where the r14-measured shape paid ten
+    // join+aggregate+localCheckpoint Spark rounds (~60 driver jobs) on
+    // a ≤12-row table.
+    val normRows = edges(spark, dir)
+      .groupBy(col("src"))
+      .agg(sum(col("w")).as("wout"), collect_list(struct(col("dst"), col("w"))).as("outs"))
+      .select(col("src"), explode(col("outs")).as("o"), col("wout"))
+      .select(col("src"), col("o.dst").as("dst"),
+        expr(s"CAST((o.w * $WS) div wout AS LONG)").as("wr"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nodes = (normRows.map(_._1) ++ normRows.map(_._2)).distinct.sorted
+    val n = nodes.length.toLong
     val base15 = (15L * S) / (100L * n)
-    // per-source normalized integer weight ratios, computed once
-    val norm = e
-      .join(e.groupBy(col("src")).agg(sum(col("w")).as("wout")), "src")
-      .select(col("src"), col("dst"),
-        expr(s"CAST((w * $WS) div wout AS LONG)").as("wr"))
-      .localCheckpoint()
-    var rank = nodes.select(col("node"), lit(S / n).as("r"))
+    var rank: Map[String, Long] = nodes.map(_ -> S / n).toMap
     for (_ <- 1 to iters) {
-      val inflow = norm
-        .join(rank.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), expr(s"CAST((r * wr) div $WS AS LONG)").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
-      rank = nodes
-        .join(inflow, Seq("node"), "left")
-        .select(col("node"),
-          expr(s"CAST($base15 + (85 * coalesce(inflow, 0)) div 100 AS LONG)").as("r"))
-        .localCheckpoint()
+      val inflow = scala.collection.mutable.Map.empty[String, Long]
+      normRows.foreach { case (src, dst, wr) =>
+        inflow.update(dst, inflow.getOrElse(dst, 0L) + (rank(src) * wr) / WS)
+      }
+      rank = nodes.map(nd =>
+        nd -> (base15 + (85L * inflow.getOrElse(nd, 0L)) / 100L)).toMap
     }
-    rank
-      .select(col("node").as("service"), col("r").as("rank_micro"),
-        round(col("r").cast("double") / S, 6).as("rank_share"))
+    val s = spark
+    import s.implicits._
+    nodes.map(nd => (nd, rank(nd))).toSeq.toDF("service", "rank_micro")
+      .select(col("service"), col("rank_micro"),
+        round(col("rank_micro").cast("double") / S, 6).as("rank_share"))
       .orderBy(col("rank_micro").desc, col("service"))
   }
 
