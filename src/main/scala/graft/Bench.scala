@@ -202,6 +202,8 @@ object Bench {
       // codegen stages outgrow it (measured ~+0.1-0.15 s on every small
       // query in round 6)
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // Warm the JVM before timing: codegen compilation, classloading, and

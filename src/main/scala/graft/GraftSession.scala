@@ -24,6 +24,8 @@ object GraftSession {
       // cache defaults to 100 entries — query batteries the size of this
       // library's thrash it (~+0.1 s per small query once exceeded)
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
 
   def get(master: String = "local[*]"): SparkSession = {

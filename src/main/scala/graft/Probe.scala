@@ -16,10 +16,12 @@ object Probe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val fn = SparkEntry.queries(name)
+    val names = name.split(',').map(_.trim).filter(_.nonEmpty)
     // per-job accounting: where does a multi-action query spend its
     // wall-clock? (job id, ms, #tasks, input records)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int)]()
@@ -31,21 +33,37 @@ object Probe {
         val (t0, nt) = jobs.getOrDefault(j.jobId, (j.time, 0))
         agg.put(j.jobId, (j.time - t0, nt.toLong))
       }
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = s.stageInfo
+        val ms = (for {a <- si.completionTime; b <- si.submissionTime} yield a - b).getOrElse(-1L)
+        if (ms >= 300) {
+          val ops = si.rddInfos.flatMap(_.scope).map(_.name).distinct.mkString("|").take(140)
+          println(f"[probe]   stage ${si.stageId}%3d: $ms%6d ms, ${si.numTasks}%4d tasks  $ops")
+        }
+      }
     })
-    (1 to reps).foreach { i =>
-      System.gc()
-      agg.clear()
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[probe] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
-      if (i == reps) {
-        import scala.jdk.CollectionConverters._
-        agg.asScala.toSeq.sortBy(_._1).foreach { case (id, (ms, nt)) =>
-          println(f"[probe]   job $id%3d: $ms%6d ms, $nt%4d tasks")
+    names.foreach { nm =>
+      val fn = SparkEntry.queries(nm)
+      (1 to reps).foreach { i =>
+        System.gc()
+        agg.clear()
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        println(f"[probe] $nm run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+        if (i == reps) {
+          import scala.jdk.CollectionConverters._
+          agg.asScala.toSeq.sortBy(_._1).foreach { case (id, (ms, nt)) =>
+            println(f"[probe]   job $id%3d: $ms%6d ms, $nt%4d tasks")
+          }
         }
       }
     }
-    fn(spark, sfDir).explain("formatted")
+    if (names.length == 1) {
+      val df = SparkEntry.queries(names.head)(spark, sfDir)
+      df.count()
+      println(df.queryExecution.executedPlan.toString)
+    }
     spark.stop()
   }
 }

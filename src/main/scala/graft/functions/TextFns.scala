@@ -103,11 +103,23 @@ object TextFns {
     * `window` consecutive k-gram hashes, dedupe. Robust position-free
     * fingerprints: near-identical docs share most fingerprints.
     */
-  def fingerprints(text: Column, k: Int = 3, window: Int = 4): Column = {
-    val hs = HashFns.shingleHashes(text, k)
+  def fingerprints(text: Column, k: Int = 3, window: Int = 4): Column =
+    fingerprintsFromHashes(HashFns.shingleHashes(text, k), window)
+
+  /** Window-min fold over a PRE-MATERIALIZED k-gram hash column.
+    *
+    * Callers on a hot path must bind the shingle hashes to their own
+    * projected column first and pass the attribute here: a lambda body
+    * holds its free subtrees by EXPRESSION, not by reference, so with
+    * the fused form the `slice(hs, i, w)` inside `transform` re-ran the
+    * whole shingle-hash pass once per window position — O(positions ×
+    * corpus-hash) per document (r14 Probe: the q_dedup_lcs fingerprint
+    * stage at 2.3 s where the linear form takes ~0.1 s). With `hs` an
+    * attribute the lambda slices a materialized array instead.
+    */
+  def fingerprintsFromHashes(hs: Column, window: Int = 4): Column =
     array_distinct(
       transform(
         sequence(lit(1), greatest(size(hs) - (window - 1), lit(1))),
         i => array_min(slice(hs, i, lit(window)))))
-  }
 }

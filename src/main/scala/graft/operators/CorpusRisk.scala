@@ -24,20 +24,38 @@ object CorpusRisk {
     * says which surviving docs still carry shared passages.
     *
     * Scale shape: grams travel as 60-bit md5-prefix keys (16-byte
-    * strings never shuffle); two thin-key exchanges (gram, then doc)
-    * and a broadcast-free aggregate each side — linear in corpus
-    * bytes, no pair enumeration anywhere.
+    * strings never shuffle); ONE corpus pass and ONE gram-table
+    * exchange — the raw gram stream repartitions by gk once and the
+    * per-doc dedup, the per-gram spread count (a window over the same
+    * partitioning), and the per-doc rollup all ride that exchange.
+    * The r14-measured predecessor computed the scan+explode+md5
+    * subtree TWICE (the spread-join's two branches never reuse their
+    * exchange: lambda-bearing subtrees defeat plan canonicalization)
+    * and its inner join inferred isnotnull(gk), re-running the md5 per
+    * gram in a pushed filter; the window form has no join to infer
+    * from. The token array also binds to its own projected column so
+    * the shingle lambda slices a materialized array instead of
+    * re-splitting the text once per window position.
     */
   def dupExposure(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
-    val grams = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        explode(graft.functions.HashFns.shingles(col("text"), n)).as("gram"))
+    import org.apache.spark.sql.expressions.Window
+    // compute-width repartition BEFORE the explode: the gram explode +
+    // md5 is the dominant cost and the parquet input is byte-small (a
+    // single row group locally), so without it the whole corpus pass
+    // runs in ONE task (r14 Probe: two serial 2.5 s single-task jobs =
+    // 80% of the query). No-op at real scale where the scan is already
+    // wide (atComputeParallelism short-circuits).
+    val grams = Tables.atComputeParallelism(Tables.documents(spark, dir))
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), greatest(size(col("w")) - (n - 1), lit(1))),
+        i => array_join(slice(col("w"), i, lit(n)), " "))).as("gram"))
       .select(col("doc_id"),
         conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("gk"))
+      .repartition(col("gk"))
       .distinct()
-    val spread = grams.groupBy(col("gk"))
-      .agg(count(lit(1)).as("n_docs_gram"))
-    grams.join(spread.hint("shuffle_hash"), "gk")
+    grams
+      .withColumn("n_docs_gram", count(lit(1)).over(Window.partitionBy(col("gk"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum((col("n_docs_gram") >= 2).cast("long")).as("n_shared"))

@@ -155,7 +155,16 @@ object Dedup {
                                      member: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ms = col("ms")
+    // The bucket exchange carries thin (key, member) rows — few MB even
+    // when the stage's compute (window count + sorted collect + i<j pair
+    // explode) is the query's hot spot, so AQE's size-based coalescing
+    // collapses it to ONE partition (r14 Probe on q_dedup_lcs: a single
+    // 2.3 s one-task job = 55% of the query). Pin the width explicitly:
+    // same hash partitioning, cluster-adaptive count, immune to
+    // byte-count-blind coalescing (the levenshtein-kernel lesson).
+    val np = cand.sparkSession.sparkContext.defaultParallelism
     cand.select(key.as("bp_key"), member.as("bp_m"))
+      .repartition(np, col("bp_key"))
       .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("bp_key"))))
       .filter(col("bn").between(2, maxBucketSize))
       .groupBy(col("bp_key"))
@@ -983,10 +992,18 @@ object Dedup {
     * inner loop compares primitives, not UTF8String bytes.
     */
   def lcsOverlapDf(documents: DataFrame, minRun: Int): DataFrame = {
+    // two-step fingerprints: shingle hashes bind to a projected column
+    // so the window-min lambda slices a materialized array (the fused
+    // form re-hashed the doc once per window position — TextFns
+    // rationale); EvalOnce keeps the optimizer from inlining the fps
+    // alias into inferred/pushed predicates below the compute-width
+    // exchange (the r14 one-task-scan-stage pathology)
     val docs = Tables.atComputeParallelism(documents)
+      .withColumn("hs", HashFns.shingleHashes(col("text"), 3))
       .select(col("doc_id"),
         transform(split(col("text"), " "), w => xxhash64(w)).as("ws"),
-        graft.functions.TextFns.fingerprints(col("text")).as("fps"))
+        graft.plans.EvalOnce(
+          graft.functions.TextFns.fingerprintsFromHashes(col("hs"))).as("fps"))
     val pairs = winnowingPairs(docs)
     pairs
       .join(docs.select(col("doc_id").as("doc_a"), col("ws").as("ws_a")), "doc_a")
@@ -1126,9 +1143,12 @@ object Dedup {
     * shared-fingerprint cut that gates the O(m·n) LCS kernel. One row.
     */
   def candidateStats(documents: DataFrame): DataFrame = {
+    // two-step + EvalOnce: see lcsOverlapDf
     val docs = Tables.atComputeParallelism(documents)
+      .withColumn("hs", HashFns.shingleHashes(col("text"), 3))
       .select(col("doc_id"),
-        graft.functions.TextFns.fingerprints(col("text")).as("fps"))
+        graft.plans.EvalOnce(
+          graft.functions.TextFns.fingerprintsFromHashes(col("hs"))).as("fps"))
     val cand = parkTemp(
       docs.select(col("doc_id"), explode(col("fps")).as("fp")), "candstats")
     val buckets = parkTemp(
@@ -1264,9 +1284,12 @@ object Dedup {
     * caches it and recomputes ONLY changed docs between minings.
     */
   private def substringFps(documents: DataFrame): DataFrame =
+    // two-step + EvalOnce: see lcsOverlapDf
     Tables.atComputeParallelism(documents)
+      .withColumn("hs", HashFns.shingleHashes(col("text"), 3))
       .select(col("doc_id"),
-        graft.functions.TextFns.fingerprints(col("text")).as("fps"))
+        graft.plans.EvalOnce(
+          graft.functions.TextFns.fingerprintsFromHashes(col("hs"))).as("fps"))
 
   /** Winnowing candidate mining from a fingerprint table; `touching`
     * (when given) keeps only pairs with at least one member in the set
