@@ -60,9 +60,12 @@ object Probe {
       }
     }
     if (names.length == 1) {
+      // drive THIS queryExecution so AQE finalizes, then print the
+      // final adaptive plan (df.count() would plan a separate query)
       val df = SparkEntry.queries(names.head)(spark, sfDir)
-      df.count()
-      println(df.queryExecution.executedPlan.toString)
+      val qe = df.queryExecution
+      qe.executedPlan.execute().foreach(_ => ())
+      println(qe.executedPlan.toString)
     }
     spark.stop()
   }

@@ -94,34 +94,45 @@ object CorpusRisk {
     * is a ratio of exact integers. Docs shorter than 2 tokens score
     * NULL (no bigram evidence).
     *
-    * Scale shape: bigram generation is one codegen'd zip_with pass (no
-    * self-join); the count/statistic joins are all BIGRAM-TABLE-sized
-    * (vocab²-bounded, never corpus-sized); doc scoring joins on 60-bit
-    * md5-prefix bigram keys so token text never re-shuffles.
+    * Scale shape: bigram generation is one codegen'd arrays_zip pass
+    * (no self-join; LAMBDA-FREE on purpose — lambda-bearing subtrees
+    * never canonicalize equal, so with the old zip_with form none of
+    * the bigram-table consumers could reuse the bc exchange and the
+    * corpus explode re-ran once per consumer: five single-task scan
+    * stages in the r14 Probe); the count/statistic joins are all
+    * BIGRAM-TABLE-sized (vocab²-bounded, never corpus-sized); the
+    * distinct-bigram total rides the plan as a broadcast one-row frame
+    * instead of a separate driver count() action (one fewer full
+    * pass); compute-width repartition precedes the explode (a local
+    * single-row-group input scans as ONE task otherwise); doc scoring
+    * joins on 60-bit md5-prefix bigram keys so token text never
+    * re-shuffles.
     */
   def knBigramNll(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.atComputeParallelism(Tables.documents(spark, dir))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
     val bg = docs
-      .select(col("doc_id"), explode(expr(
-        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
-          " (a, b) -> struct(a AS w1, b AS w2))")).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1))).as("p"))
+      .select(col("doc_id"),
+        col("p").getField("0").as("w1"), col("p").getField("1").as("w2"))
     val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_b"))
     val c1 = bc.groupBy(col("w1"))
       .agg(sum(col("c_b")).as("c_1"), count(lit(1)).as("n1f"))
     val cw2 = bc.groupBy(col("w2")).agg(count(lit(1)).as("n_prec"))
-    val nbb = bc.count()
+    val nbbDf = bc.groupBy().agg(count(lit(1)).as("nbb"))
     val bkey = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
       conv(substring(md5(concat(a, lit("\u0001"), b)), 1, 15), 16, 10).cast("long")
     val prob = bc
       .join(c1.hint("shuffle_hash"), "w1")
       .join(cw2.hint("shuffle_hash"), "w2")
+      .crossJoin(broadcast(nbbDf))
       .withColumn("lp_micro",
         floor(log(
           (col("c_b").cast("double") - lit(0.75)) / col("c_1") +
             (lit(0.75) * col("n1f")) / col("c_1") *
-              (col("n_prec").cast("double") / lit(nbb))) * 1e6).cast("long"))
+              (col("n_prec").cast("double") / col("nbb"))) * 1e6).cast("long"))
       .select(bkey(col("w1"), col("w2")).as("bk"), col("lp_micro"))
     bg.select(col("doc_id"), bkey(col("w1"), col("w2")).as("bk"))
       .join(prob.hint("shuffle_hash"), "bk")

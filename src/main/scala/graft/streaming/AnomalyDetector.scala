@@ -157,15 +157,39 @@ object AnomalyDetector {
   def replay(spark: SparkSession, points: Dataset[MetricPoint],
              cfg: Config = Config(), chunk: Int = 512): Dataset[AnomalyOut] = {
     import spark.implicits._
-    points.groupByKey(_.key).flatMapGroups { (key, it) =>
-      val chunks = it.toSeq.sortBy(_.seq).grouped(chunk)
-      var st = DetectorState(Nil, Nil)
-      chunks.flatMap { c =>
-        val (next, out) = step(cfg, key, st, c)
-        st = next
-        out
+    // Sort-based grouping at PINNED compute width instead of
+    // groupByKey.flatMapGroups: the typed exchange's lambda key is
+    // opaque to the planner and its byte-small shuffle gets
+    // AQE-coalesced to 2-3 partitions, serializing the per-key state
+    // machines (r14 Probe: one 2.1 s two-task job = 85% of
+    // q_anomaly_stream). Hash-partitioning by the key column puts each
+    // key's whole series in one partition, the within-partition
+    // (key, seq) sort reproduces the old per-group sortBy(_.seq)
+    // exactly (seq = event_id is unique per key), and the fold resets
+    // at key boundaries — byte-identical outputs, one task per key.
+    val np = spark.sparkContext.defaultParallelism
+    points.repartition(np, col("key"))
+      .sortWithinPartitions(col("key"), col("seq"))
+      .mapPartitions { rows =>
+        val buf = rows.buffered
+        new Iterator[Seq[MetricPoint]] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): Seq[MetricPoint] = {
+            val k = buf.head.key
+            val b = scala.collection.mutable.ArrayBuffer.empty[MetricPoint]
+            while (buf.hasNext && buf.head.key == k) b += buf.next()
+            b.toSeq
+          }
+        }.flatMap { series =>
+          val key = series.head.key
+          var st = DetectorState(Nil, Nil)
+          series.grouped(chunk).flatMap { c =>
+            val (next, out) = step(cfg, key, st, c)
+            st = next
+            out
+          }
+        }
       }
-    }
   }
 
   /** ☆ `q_anomaly_stream` — replay the events table per event_type in
