@@ -155,16 +155,7 @@ object Dedup {
                                      member: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ms = col("ms")
-    // The bucket exchange carries thin (key, member) rows — few MB even
-    // when the stage's compute (window count + sorted collect + i<j pair
-    // explode) is the query's hot spot, so AQE's size-based coalescing
-    // collapses it to ONE partition (r14 Probe on q_dedup_lcs: a single
-    // 2.3 s one-task job = 55% of the query). Pin the width explicitly:
-    // same hash partitioning, cluster-adaptive count, immune to
-    // byte-count-blind coalescing (the levenshtein-kernel lesson).
-    val np = cand.sparkSession.sparkContext.defaultParallelism
     cand.select(key.as("bp_key"), member.as("bp_m"))
-      .repartition(np, col("bp_key"))
       .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("bp_key"))))
       .filter(col("bn").between(2, maxBucketSize))
       .groupBy(col("bp_key"))
