@@ -102,6 +102,8 @@ BNLJ_ALLOWED = {
     "q_dedup_embedding": "blocked-pairs cosine verify",
     "q_dedup_semantic": "cell-bounded pair verify",
     "q_anomaly_days": "one-row stats broadcast",
+    "q_kn_bigram": "one-row distinct-bigram total broadcast (r14: the "
+                   "separate driver count() action folded into the plan)",
     "q_sig_terms": "one-row totals broadcast",
     "q_sig_text": "one-row totals broadcast",
     "q_tfidf_terms": "one-row stats broadcast",
